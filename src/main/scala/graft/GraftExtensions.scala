@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.graft.GraftFunctionRegistry
+
+/**
+ * Session-extensions entry point: registers the 18 sketch SQL functions.
+ * Use with `--conf spark.sql.extensions=graft.GraftExtensions`, or rely on
+ * ServiceLoader auto-discovery (META-INF/services), or call
+ * [[Graft.install]] on a live session.
+ */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctionRegistry.expressions.foreach(ext.injectFunction)
+  }
+}
+
+/** Imperative API mirror of the reference's `DataSketches.install()`. */
+object Graft {
+  def install(spark: SparkSession): Unit = GraftFunctionRegistry.install(spark)
+}

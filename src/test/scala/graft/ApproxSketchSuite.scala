@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.conf.GraftConf
+
+/**
+ * End-to-end SQL tests for the 18 sketch functions, mirroring the
+ * reference's ApproximateQuerySuite fixtures (see FIXTURES.md §1): exact
+ * answers on tiny inputs, config/type matrices, full
+ * accumulate/combine/estimate lifecycles, and error paths.
+ */
+class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
+
+  private val quantileImpls = Seq("KLL", "REQ", "MERGEABLE")
+
+  test("approx_percentile_ex: exact on tiny input, all impls") {
+    for (impl <- quantileImpls) {
+      withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> impl) {
+        val r1 = spark.sql(
+          "SELECT approx_percentile_ex(c, array(0.5, 0.4, 0.1)) FROM " +
+            "VALUES (0), (1), (2), (null), (10) AS t(c)").collect()
+        assert(r1.toSeq === Seq(Row(Seq(2, 1, 0))), s"impl=$impl")
+
+        val r2 = spark.sql(
+          "SELECT approx_percentile_ex(c, 0.5) FROM " +
+            "VALUES (0), (6), (7), (null), (9), (10) AS t(c)").collect()
+        assert(r2.toSeq === Seq(Row(7)), s"impl=$impl")
+      }
+    }
+  }
+
+  test("approx_percentile_{kll,req,mergeable}: pinned variants") {
+    for (f <- Seq("approx_percentile_kll", "approx_percentile_req", "approx_percentile_mergeable")) {
+      val r = spark.sql(
+        s"SELECT $f(c, array(0.5, 0.4, 0.1)) FROM VALUES (0), (1), (2), (null), (10) AS t(c)")
+        .collect()
+      assert(r.toSeq === Seq(Row(Seq(2, 1, 0))), s"f=$f")
+    }
+  }
+
+  test("approx_percentile_ex: output type preserves input type") {
+    val cases = Seq(
+      ("TINYINT", Row(2.toByte)), ("SMALLINT", Row(2.toShort)), ("INT", Row(2)),
+      ("BIGINT", Row(2L)), ("FLOAT", Row(2.0f)), ("DOUBLE", Row(2.0)),
+      ("DECIMAL(10,0)", Row(new java.math.BigDecimal(2))))
+    for ((tpe, expected) <- cases) {
+      val df = spark.sql(
+        s"SELECT approx_percentile_ex(CAST(c AS $tpe), 0.5) AS v FROM " +
+          "VALUES (0), (1), (2), (null), (10) AS t(c)")
+      assert(df.collect().toSeq === Seq(expected), s"type=$tpe")
+    }
+  }
+
+  test("approx_percentile lifecycle: accumulate -> combine -> estimate/pmf") {
+    for (impl <- quantileImpls) {
+      withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> impl) {
+        spark.sql(
+          """SELECT * FROM VALUES
+            |(date("2021-01-01"), 1.0), (date("2021-01-01"), 1.0), (date("2021-01-01"), 2.0),
+            |(date("2021-01-02"), 3.0), (date("2021-01-02"), 2.0), (date("2021-01-02"), 1.0),
+            |(date("2021-01-02"), CAST(null AS DOUBLE)),
+            |(date("2021-01-03"), 3.0), (date("2021-01-03"), 3.0), (date("2021-01-03"), 2.0),
+            |(date("2021-01-04"), 1.0) AS t(date, v)""".stripMargin)
+          .createOrReplaceTempView("lifecycle_input")
+
+        val summaries = spark.sql(
+          """SELECT window(date, '1 day') AS w, approx_percentile_accumulate(v) AS summaries
+            |FROM lifecycle_input GROUP BY 1""".stripMargin)
+        summaries.createOrReplaceTempView("summaries")
+        assert(summaries.schema.fields(1).dataType.typeName === "binary")
+        assert(summaries.count() === 4)
+
+        // combine only the first three days, then estimate
+        val est = spark.sql(
+          """SELECT approx_percentile_estimate(merged, 0.95) AS p95,
+            |       approx_percentile_estimate(merged, array(0.5, 0.95)) AS ps
+            |FROM (SELECT approx_percentile_combine(summaries) AS merged
+            |      FROM summaries WHERE w.start < timestamp("2021-01-04 00:00:00"))""".stripMargin)
+          .collect()
+        // values {1,1,2,3,2,1,3,3,2}: p95 -> 3.0, p50 -> 2.0 (exclusive criteria)
+        assert(est.toSeq === Seq(Row(3.0, Seq(2.0, 3.0))), s"impl=$impl")
+
+        val pmf = spark.sql(
+          """SELECT approx_pmf_estimate(approx_percentile_combine(summaries), 2) AS pmf
+            |FROM summaries""".stripMargin).collect()
+        // all 10 values in {1,2,3}, split point at (3-1)/2 = 1 -> [P(v<1), P(v>=1)]
+        assert(pmf.length === 1)
+        val arr = pmf(0).getSeq[Double](0)
+        assert(arr.length === 2)
+        assert(math.abs(arr.sum - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("approx_percentile_ex: error paths") {
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT approx_percentile_ex(c, p) FROM VALUES (0, 0.95) AS t(c, p)").collect()
+    }
+    assert(e1.getMessage.contains("constant literal"))
+
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT approx_percentile_ex(c, 1.5) FROM VALUES (0) AS t(c)").collect()
+    }
+    assert(e2.getMessage.contains("between 0.0 and 1.0"))
+
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT approx_percentile_ex(c, null) FROM VALUES (0) AS t(c)").collect()
+    }
+    assert(e3.getMessage.contains("must not be null"))
+  }
+
+  test("approx_pmf_estimate: numSplits validation") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT approx_pmf_estimate(s, 1) FROM VALUES (binary('abc')) AS t(s)").collect()
+    }
+    assert(e.getMessage.contains("greater than 1"))
+  }
+
+  test("scalar estimators: null on corrupt bytes") {
+    val r = spark.sql(
+      "SELECT approx_percentile_estimate(binary('garbage'), 0.5), " +
+        "approx_count_distinct_estimate(binary('garbage')), " +
+        "approx_freqitems_estimate(binary('garbage'))").collect()
+    assert(r.toSeq === Seq(Row(null, null, null)))
+  }
+
+  test("approx_freqitems: exact on tiny input; string and integral types") {
+    val r = spark.sql(
+      "SELECT approx_freqitems(c) FROM VALUES ('a'), ('a'), ('b'), (null), ('c'), ('a') AS t(c)")
+      .collect()
+    assert(r.toSeq === Seq(Row(Seq(Row("a", 3L), Row("c", 1L), Row("b", 1L)))))
+
+    for (tpe <- Seq("TINYINT", "SMALLINT", "INT", "BIGINT")) {
+      val ri = spark.sql(
+        s"SELECT approx_freqitems(CAST(c AS $tpe)) FROM " +
+          "VALUES (1), (1), (2), (null), (3), (1) AS t(c)").collect()
+      val items = ri(0).getSeq[Row](0)
+      assert(items.head.getLong(1) === 3L, s"type=$tpe") // item 1 seen 3 times
+      assert(items.map(_.getLong(1)).sum === 5L, s"type=$tpe")
+    }
+  }
+
+  test("approx_freqitems lifecycle: accumulate -> combine -> estimate") {
+    spark.sql(
+      """SELECT * FROM VALUES
+        |(date("2021-01-01"), 'a'), (date("2021-01-01"), 'a'), (date("2021-01-01"), 'b'),
+        |(date("2021-01-02"), 'c'), (date("2021-01-02"), 'a'), (date("2021-01-02"), null)
+        |AS t(date, v)""".stripMargin).createOrReplaceTempView("freq_input")
+    val r = spark.sql(
+      """SELECT approx_freqitems_estimate(approx_freqitems_combine(s)) FROM
+        |(SELECT window(date, '1 day') AS w, approx_freqitems_accumulate(v) AS s
+        | FROM freq_input GROUP BY 1)""".stripMargin).collect()
+    assert(r.toSeq === Seq(Row(Seq(Row("a", 3L), Row("c", 1L), Row("b", 1L)))))
+  }
+
+  test("approx_count_distinct_ex: exact on tiny input, both impls") {
+    for (impl <- Seq("CPC", "HLL")) {
+      withSQLConf(GraftConf.DISTINCT_CNT_SKETCH_IMPL_KEY -> impl) {
+        val r = spark.sql(
+          "SELECT approx_count_distinct_ex(c) FROM " +
+            "VALUES ('a'), ('a'), ('b'), (null), ('b'), ('c') AS t(c)").collect()
+        assert(r.toSeq === Seq(Row(3L)), s"impl=$impl")
+      }
+    }
+    for (f <- Seq("approx_count_distinct_cpc", "approx_count_distinct_hll")) {
+      val r = spark.sql(
+        s"SELECT $f(c) FROM VALUES (1), (1), (2), (null), (3), (1) AS t(c)").collect()
+      assert(r.toSeq === Seq(Row(3L)), s"f=$f")
+    }
+  }
+
+  test("approx_count_distinct lifecycle: accumulate -> combine -> estimate") {
+    spark.sql(
+      """SELECT * FROM VALUES
+        |(date("2021-01-01"), 'a'), (date("2021-01-01"), 'b'),
+        |(date("2021-01-02"), 'b'), (date("2021-01-02"), 'c'), (date("2021-01-02"), null)
+        |AS t(date, v)""".stripMargin).createOrReplaceTempView("distinct_input")
+    val r = spark.sql(
+      """SELECT approx_count_distinct_estimate(approx_count_distinct_combine(s)) FROM
+        |(SELECT window(date, '1 day') AS w, approx_count_distinct_accumulate(v) AS s
+        | FROM distinct_input GROUP BY 1)""".stripMargin).collect()
+    assert(r.toSeq === Seq(Row(3L)))
+  }
+
+  test("sketch state round-trips through parquet persistence") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_summaries").toString
+    spark.sql(
+      "SELECT approx_percentile_accumulate(c) AS s FROM VALUES (0), (1), (2), (10) AS t(c)")
+      .write.mode("overwrite").parquet(dir)
+    val est = spark.read.parquet(dir)
+      .selectExpr("approx_percentile_estimate(s, 0.5) AS p50").collect()
+    assert(est.toSeq === Seq(Row(2.0)))
+  }
+}
