@@ -1,13 +1,315 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract: named queries + DuckDB oracle SQL for the correctness
+ * gate (see repo README / SURVEY.md §7).
+ *
+ * Oracle-design notes (how approximate operators get EXACT oracles):
+ *  - Quantile sketches are exact while a group's row count stays within the
+ *    sketch's exact region (KLL k=200: n<=200; MERGEABLE k=128: n<=256; all
+ *    impls for tiny groups). Queries group so that holds at sf0.01, and the
+ *    oracle picks the identical element: with the EXCLUSIVE search criterion
+ *    the quantile at rank p over n items is the first value whose cumulative
+ *    count exceeds p*n, i.e. the element at row_number
+ *    `least(floor(p*n)+1, n)` in sort order.
+ *  - CPC/HLL estimates are exact (after Long truncation) at the
+ *    cardinalities used (verified: 150 users at sf0.01 / lgK 11-12). A
+ *    deliberately-large-cardinality query instead asserts a relative-error
+ *    bound, with the exact count alongside.
+ *  - Freq-items sketches are exact below ~0.75*maxMapSize distinct items;
+ *    all frequent-item queries target low-cardinality columns.
+ *  - Float narrowing: quantile sketches store Float, so oracles over
+ *    double columns with a fractional part order by / return
+ *    `CAST(CAST(v AS REAL) AS DOUBLE)`.
+ *  - `events.ts` is parquet TIMESTAMP(NANOS): read with
+ *    `spark.sql.legacy.parquet.nanosAsLong=true` as epoch-nanos BIGINT;
+ *    the oracle mirrors with `epoch_ns(ts)`.
+ *  - Sums are cast to DECIMAL before aggregation (exact, order-independent)
+ *    and to DOUBLE only in the final projection; PMF values are rounded to
+ *    9 dp on both sides to absorb last-ulp differences in fraction
+ *    subtraction.
+ */
 object SparkEntry {
+
+  /** Idempotent session prep: sketch functions + nanos-timestamp reading. */
+  def prep(spark: SparkSession): SparkSession = {
+    Graft.install(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    prep(spark)
+    val dir = "/root/testdata/sf0.001"
+    table(spark, dir, "lineitem").createOrReplaceTempView("entry_lineitem")
+    spark.sql("""
+      SELECT l_returnflag,
+             approx_percentile_ex(l_quantity, 0.95) AS p95_qty,
+             approx_count_distinct_ex(l_orderkey) AS approx_orders,
+             approx_percentile_estimate(approx_percentile_accumulate(l_extendedprice), 0.5) AS p50_price
+      FROM entry_lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  /** (name, query fn, oracle duckdb SQL or None). */
+  private case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, (s, d) => { prep(s); fn(s, d) }, Some(oracle))
+
+  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, (s, d) => { prep(s); fn(s, d) }, None)
+
+  /** Register the sf tables for `name` as temp views (idempotent). */
+  private def view(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---------------------------------------------------------------------
+  // Query inventory. Sketch-function queries first (SURVEY.md §2 surface),
+  // then relational/bench queries, then pipeline operators.
+  // ---------------------------------------------------------------------
+  private lazy val inventory: Seq[Q] = Seq(
+
+    // #1 approx_percentile_ex (one-shot, scalar percentage)
+    q("q01_percentile_by_order",
+      """WITH ranked AS (
+        |  SELECT l_orderkey, l_quantity v,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) rn,
+        |         count(*) OVER (PARTITION BY l_orderkey) n
+        |  FROM lineitem)
+        |SELECT l_orderkey,
+        |       max(CASE WHEN rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n) THEN v END) AS p50
+        |FROM ranked GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""SELECT l_orderkey, approx_percentile_ex(l_quantity, 0.5) AS p50
+              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    },
+
+    // #2 approx_percentile_kll (array percentages, float-narrowing oracle)
+    q("q02_percentile_kll_custkey",
+      """WITH ranked AS (
+        |  SELECT o_custkey, CAST(CAST(o_totalprice AS REAL) AS DOUBLE) v,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS REAL)) rn,
+        |         count(*) OVER (PARTITION BY o_custkey) n
+        |  FROM orders)
+        |SELECT o_custkey,
+        |       max(CASE WHEN rn = least(CAST(floor(0.25*n)+1 AS BIGINT), n) THEN v END) AS p25,
+        |       max(CASE WHEN rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n) THEN v END) AS p50,
+        |       max(CASE WHEN rn = least(CAST(floor(0.75*n)+1 AS BIGINT), n) THEN v END) AS p75
+        |FROM ranked GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      view(s, d, "orders")
+      s.sql("""SELECT o_custkey, ps[0] AS p25, ps[1] AS p50, ps[2] AS p75 FROM (
+              |  SELECT o_custkey,
+              |         approx_percentile_kll(o_totalprice, array(0.25, 0.5, 0.75)) AS ps
+              |  FROM orders GROUP BY o_custkey) ORDER BY o_custkey""".stripMargin)
+    },
+
+    // #3/#4 approx_percentile_req + approx_percentile_mergeable (weekly buckets)
+    q("q03_percentile_weekly",
+      """WITH ranked AS (
+        |  SELECT CAST(floor(epoch(l_shipdate)/604800) AS BIGINT) wk, l_quantity v,
+        |         row_number() OVER (PARTITION BY CAST(floor(epoch(l_shipdate)/604800) AS BIGINT)
+        |                            ORDER BY l_quantity) rn,
+        |         count(*) OVER (PARTITION BY CAST(floor(epoch(l_shipdate)/604800) AS BIGINT)) n
+        |  FROM lineitem)
+        |SELECT wk,
+        |       max(CASE WHEN rn = least(CAST(floor(0.95*n)+1 AS BIGINT), n) THEN v END) AS p95
+        |FROM ranked GROUP BY wk ORDER BY wk""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      // MERGEABLE classic sketch (k=128) is exact for the <=204-row weekly groups
+      s.sql("""SELECT unix_timestamp(l_shipdate) DIV 604800 AS wk,
+              |       approx_percentile_mergeable(l_quantity, 0.95) AS p95
+              |FROM lineitem GROUP BY 1 ORDER BY wk""".stripMargin)
+    },
+
+    // #5/#6/#7/#8 quantile lifecycle: accumulate -> combine -> estimate + pmf
+    q("q04_percentile_lifecycle",
+      """WITH sub AS (
+        |  SELECT l_quantity v FROM lineitem
+        |  WHERE l_orderkey < 40
+        |    AND to_timestamp(floor(epoch(l_shipdate)/604800)*604800) >= TIMESTAMP '1993-01-01'),
+        |stats AS (SELECT min(v) mn, max(v) mx, count(*) n FROM sub),
+        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) rn FROM sub)
+        |SELECT
+        |  (SELECT max(CASE WHEN rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n) THEN v END)
+        |   FROM ranked, stats) AS p50,
+        |  (SELECT max(CASE WHEN rn = least(CAST(floor(0.95*n)+1 AS BIGINT), n) THEN v END)
+        |   FROM ranked, stats) AS p95,
+        |  (SELECT round(sum(CASE WHEN v < 1*(mx-mn)/4 THEN 1 ELSE 0 END)/n, 9)
+        |   FROM sub, stats GROUP BY n) AS pmf_0,
+        |  (SELECT round(sum(CASE WHEN v >= 1*(mx-mn)/4 AND v < 2*(mx-mn)/4 THEN 1 ELSE 0 END)/n, 9)
+        |   FROM sub, stats GROUP BY n) AS pmf_1,
+        |  (SELECT round(sum(CASE WHEN v >= 2*(mx-mn)/4 AND v < 3*(mx-mn)/4 THEN 1 ELSE 0 END)/n, 9)
+        |   FROM sub, stats GROUP BY n) AS pmf_2,
+        |  (SELECT round(sum(CASE WHEN v >= 3*(mx-mn)/4 THEN 1 ELSE 0 END)/n, 9)
+        |   FROM sub, stats GROUP BY n) AS pmf_3""".stripMargin) { (s, d) =>
+      s.conf.set(conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY, "KLL") // exact to n<=200
+      view(s, d, "lineitem")
+      s.sql("""
+        |WITH summaries AS (
+        |  SELECT window(l_shipdate, '7 days') w, approx_percentile_accumulate(l_quantity) s
+        |  FROM lineitem WHERE l_orderkey < 40 GROUP BY 1),
+        |merged AS (
+        |  SELECT approx_percentile_combine(s) m FROM summaries
+        |  WHERE w.start >= timestamp'1993-01-01 00:00:00')
+        |SELECT approx_percentile_estimate(m, 0.5) AS p50,
+        |       approx_percentile_estimate(m, 0.95) AS p95,
+        |       round(approx_pmf_estimate(m, 4)[0], 9) AS pmf_0,
+        |       round(approx_pmf_estimate(m, 4)[1], 9) AS pmf_1,
+        |       round(approx_pmf_estimate(m, 4)[2], 9) AS pmf_2,
+        |       round(approx_pmf_estimate(m, 4)[3], 9) AS pmf_3
+        |FROM merged""".stripMargin)
+    },
+
+    // #13 approx_count_distinct_ex (exact at this cardinality)
+    q("q05_distinct_users",
+      "SELECT count(DISTINCT user_id) AS n_users FROM events") { (s, d) =>
+      view(s, d, "events")
+      s.sql("SELECT approx_count_distinct_ex(user_id) AS n_users FROM events")
+    },
+
+    // #14/#15 CPC + HLL pinned variants, grouped
+    q("q06_distinct_by_type",
+      """SELECT event_type, count(DISTINCT user_id) AS n_cpc, count(DISTINCT user_id) AS n_hll
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      s.sql("""SELECT event_type,
+              |       approx_count_distinct_cpc(user_id) AS n_cpc,
+              |       approx_count_distinct_hll(user_id) AS n_hll
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // #16/#17/#18 distinct-count lifecycle
+    q("q07_distinct_lifecycle",
+      """SELECT count(DISTINCT user_id) AS n_users FROM events
+        |WHERE event_type IN ('click', 'view')""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      s.sql("""
+        |WITH summaries AS (
+        |  SELECT event_type, approx_count_distinct_accumulate(CAST(user_id AS STRING)) s
+        |  FROM events GROUP BY 1),
+        |merged AS (
+        |  SELECT approx_count_distinct_combine(s) m FROM summaries
+        |  WHERE event_type IN ('click', 'view'))
+        |SELECT approx_count_distinct_estimate(m) AS n_users FROM merged""".stripMargin)
+    },
+
+    // Honest large-cardinality accuracy assertion (approx != exact here)
+    q("q08_distinct_orders_bound",
+      "SELECT count(DISTINCT l_orderkey) AS exact_cnt, true AS within_3pct FROM lineitem") { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""SELECT count(DISTINCT l_orderkey) AS exact_cnt,
+              |       abs(approx_count_distinct_ex(l_orderkey) - count(DISTINCT l_orderkey))
+              |         / count(DISTINCT l_orderkey) < 0.03 AS within_3pct
+              |FROM lineitem""".stripMargin)
+    },
+
+    // #9 approx_freqitems (string) — exact below map capacity
+    q("q09_freqitems_events",
+      """SELECT event_type AS item, count(*) AS estimated FROM events
+        |GROUP BY event_type ORDER BY estimated DESC, item""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      s.sql("""SELECT item, estimated
+              |FROM (SELECT inline(approx_freqitems(event_type)) FROM events)
+              |ORDER BY estimated DESC, item""".stripMargin)
+    },
+
+    // #9 approx_freqitems (integral)
+    q("q10_freqitems_long",
+      """SELECT CAST(l_linenumber AS BIGINT) AS item, count(*) AS estimated FROM lineitem
+        |GROUP BY 1 ORDER BY estimated DESC, item""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""SELECT item, estimated
+              |FROM (SELECT inline(approx_freqitems(CAST(l_linenumber AS BIGINT))) FROM lineitem)
+              |ORDER BY estimated DESC, item""".stripMargin)
+    },
+
+    // #10/#11/#12 freq-items lifecycle over day buckets of nanos timestamps
+    q("q11_freqitems_lifecycle",
+      """SELECT event_type AS item, count(*) AS estimated FROM events
+        |WHERE (epoch_ns(ts)//86400000000000) % 3 = 0
+        |GROUP BY 1 ORDER BY estimated DESC, item""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      s.sql("""
+        |WITH summaries AS (
+        |  SELECT ts DIV 86400000000000 AS day, approx_freqitems_accumulate(event_type) s
+        |  FROM events GROUP BY 1),
+        |merged AS (
+        |  SELECT approx_freqitems_combine(s) m FROM summaries WHERE day % 3 = 0)
+        |SELECT fi.item, fi.estimated
+        |FROM merged LATERAL VIEW inline(approx_freqitems_estimate(m)) fi AS item, estimated
+        |ORDER BY estimated DESC, item""".stripMargin)
+    },
+
+    // --- relational engine surface (stock Spark, exercised + benched) ---
+    q("q12_agg_pricing",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    q("q13_revenue_by_nation",
+      """SELECT n_name, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |                 * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem", "orders", "customer", "nation")
+      s.sql("""SELECT n_name, count(*) AS n_items,
+              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+              |                 * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+              |         AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
+    q("q14_window_topk",
+      """SELECT o_orderpriority, rk, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin) { (s, d) =>
+      view(s, d, "orders")
+      s.sql("""SELECT o_orderpriority, rk, o_orderkey FROM (
+              |  SELECT o_orderpriority, o_orderkey,
+              |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+              |  FROM orders)
+              |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)
+    }
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    inventory.map(x => x.name -> x.fn).toMap
+
+  /** DuckDB-equivalent SQL for each query (omitted => rows-only check). */
+  def oracleSql: Map[String, String] =
+    inventory.collect { case Q(n, _, Some(o)) => n -> o }.toMap
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Column-based Scala API over the graft SQL functions, for users who prefer
+ * the DataFrame DSL to `expr(...)`. Requires the functions to be registered
+ * in the session ([[GraftExtensions]] / [[Graft.install]]).
+ */
+object functions {
+  // --- quantiles -------------------------------------------------------
+  def approx_percentile_ex(col: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_ex", col, percentage)
+  def approx_percentile_kll(col: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_kll", col, percentage)
+  def approx_percentile_req(col: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_req", col, percentage)
+  def approx_percentile_mergeable(col: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_mergeable", col, percentage)
+  def approx_percentile_accumulate(col: Column): Column =
+    F.call_function("approx_percentile_accumulate", col)
+  def approx_percentile_combine(sketch: Column): Column =
+    F.call_function("approx_percentile_combine", sketch)
+  def approx_percentile_estimate(sketch: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_estimate", sketch, percentage)
+  def approx_pmf_estimate(sketch: Column, numSplits: Column): Column =
+    F.call_function("approx_pmf_estimate", sketch, numSplits)
+  def approx_pmf_estimate(sketch: Column): Column =
+    F.call_function("approx_pmf_estimate", sketch)
+
+  // --- frequent items --------------------------------------------------
+  def approx_freqitems(col: Column): Column = F.call_function("approx_freqitems", col)
+  def approx_freqitems_accumulate(col: Column): Column =
+    F.call_function("approx_freqitems_accumulate", col)
+  def approx_freqitems_combine(sketch: Column): Column =
+    F.call_function("approx_freqitems_combine", sketch)
+  def approx_freqitems_estimate(sketch: Column): Column =
+    F.call_function("approx_freqitems_estimate", sketch)
+
+  // --- distinct counts -------------------------------------------------
+  def approx_count_distinct_ex(col: Column): Column =
+    F.call_function("approx_count_distinct_ex", col)
+  def approx_count_distinct_cpc(col: Column): Column =
+    F.call_function("approx_count_distinct_cpc", col)
+  def approx_count_distinct_hll(col: Column): Column =
+    F.call_function("approx_count_distinct_hll", col)
+  def approx_count_distinct_accumulate(col: Column): Column =
+    F.call_function("approx_count_distinct_accumulate", col)
+  def approx_count_distinct_combine(sketch: Column): Column =
+    F.call_function("approx_count_distinct_combine", sketch)
+  def approx_count_distinct_estimate(sketch: Column): Column =
+    F.call_function("approx_count_distinct_estimate", sketch)
+}
