@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -302,8 +305,212 @@ object SparkEntry {
               |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
               |  FROM orders)
               |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)
+    },
+
+    // --- training-data pipeline operators -------------------------------
+
+    // Exact dedup over an input with planted duplicate copies
+    q("q15_dedup_exact",
+      """WITH inp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM inp GROUP BY 1 ORDER BY kept_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dup = s.sql("""SELECT doc_id, text FROM documents UNION ALL
+                        |SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                        |WHERE doc_id % 5 = 0""".stripMargin)
+      Dedup.exactDedup(dup, "doc_id", "text").orderBy("kept_id")
+    },
+
+    // Normalized (case/whitespace) dedup: upper-cased copies collapse
+    q("q16_dedup_normalized",
+      """WITH inp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+        |       min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM inp GROUP BY 1 ORDER BY kept_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dup = s.sql("""SELECT doc_id, text FROM documents UNION ALL
+                        |SELECT doc_id + 1000000 AS doc_id, upper(text) AS text FROM documents
+                        |WHERE doc_id % 7 = 0""".stripMargin)
+      Dedup.normalizedDedup(dup, "doc_id", "text").orderBy("kept_id")
+    },
+
+    // Token counting, char-class metrics, fingerprint
+    q("q17_text_stats",
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.table("documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.alphaCount(col("text")).cast("long").as("n_alpha"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+        TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+    },
+
+    // Stopword-argmax language ID
+    q("q18_langid", {
+      def hits(w: String) =
+        s"(len(string_split(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' $w ')) - 1)"
+      val scores = TextOps.langMarkers
+        .map { case (l, ws) => l -> ws.map(hits).mkString(" + ") }
+      val scoreCols = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+      val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+      val caseChain = scores
+        .map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, $scoreCols FROM documents),
+         |b AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_pred,
+         |       CAST(s_en AS BIGINT) AS en_hits
+         |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      s.table("documents").select(
+        col("doc_id"),
+        TextOps.languageId(col("text")).as("lang_pred"),
+        TextOps.langScore(col("text"), "en").cast("long").as("en_hits")).orderBy("doc_id")
+    },
+
+    // Quality flag (integer-arithmetic heuristic)
+    q("q19_quality",
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |       (len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+        |        AND length(text) <= 20000
+        |        AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 50
+        |        AND (len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' the ')) - 1
+        |             + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' and ')) - 1
+        |             + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' of ')) - 1
+        |             + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' to ')) - 1) * 100
+        |            >= len(regexp_split_to_array(trim(lower(text)), '\s+')) * 2) AS is_quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.table("documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityFlag(col("text")).as("is_quality")).orderBy("doc_id")
+    },
+
+    // SimHash fingerprint (native expression vs mechanical SQL mirror)
+    q("q20_simhash", simhashOracle) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""SELECT doc_id, graft_simhash(text) AS simhash
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (inverted shingle index)
+    q("q21_dedup_ngram", jaccardOracle) { (s, d) =>
+      view(s, d, "documents")
+      Dedup.ngramJaccardPairs(s.table("documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH banded near-dups, exact-verified; same oracle as q21
+    q("q22_dedup_minhash", jaccardOracle) { (s, d) =>
+      view(s, d, "documents")
+      Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs (exact double math)
+    q("q23_embedding_pairs",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.47
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Dedup.embeddingCosinePairs(s.table("embeddings"), "vec_id", "embedding", 0.47)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Brute-force cosine top-k (exact baseline)
+    q("q24_knn_bruteforce",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+        |         list_dot_product(q.v, c.v)
+        |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) cosine
+        |  FROM q JOIN e c ON q.vec_id != c.vec_id)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Similarity.bruteForceKnn(e, e.where(col("vec_id") < 20), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rk")
+    },
+
+    // IVF approximate top-k: recall vs the exact baseline must clear 0.5
+    q("q25_knn_ivf_recall",
+      "SELECT true AS recall_ok") { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      val queries = e.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", 3)
+      val approx = Similarity.ivfKnn(e, queries, "vec_id", "embedding", 3)
+      Similarity.recallAtK(exact, approx)
+        .select((col("mean_recall") >= 0.5).as("recall_ok"))
+    },
+
+    // Multimodal plumbing: binary payload + batched (stub) decode
+    q("q26_multimodal_decode",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        |       CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.attachContent(s.table("documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id")
     }
   )
+
+  /** DuckDB mirror of [[org.apache.spark.sql.graft.SimHash64]] bit semantics. */
+  private def simhashOracle: String = {
+    def bit(d: Int, k: Int): String =
+      s"(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), ${d + 1}, 1)) - 1) >> $k) & 1 = 1" +
+        " THEN 1 ELSE -1 END)"
+    def nibble(d: Int): String = {
+      val terms = (0 until 4).map { k =>
+        s"(CASE WHEN list_sum(list_transform(toks, w -> ${bit(d, k)})) > 0 THEN ${1 << k} ELSE 0 END)"
+      }
+      s"substr('0123456789abcdef', 1 + ${terms.mkString(" + ")}, 1)"
+    }
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks " +
+      "FROM documents) SELECT doc_id, " +
+      (0 until 16).map(nibble).mkString(" || ") +
+      " AS simhash FROM t ORDER BY doc_id"
+  }
+
+  /** DuckDB brute-force word-5-gram Jaccard pairs at threshold 4/5 (integer compare). */
+  private def jaccardOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 4),
+      |           i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+5], ' '))) sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id id_a, b.doc_id id_b,
+      |         len(list_intersect(a.sh, b.sh)) inter,
+      |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) uni
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+      |FROM pairs WHERE inter * 5 >= uni * 4 ORDER BY id_a, id_b""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

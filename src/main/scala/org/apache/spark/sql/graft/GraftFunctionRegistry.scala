@@ -137,6 +137,15 @@ object GraftFunctionRegistry {
       "_FUNC_(sketch) - distinct count from a serialized distinct-count sketch", Seq(1)) { args =>
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctEstimate(args(0), a, lgK)
+    },
+    // --- text pipeline ---------------------------------------------------
+    fd("graft_simhash",
+      "_FUNC_(text) - 64-bit SimHash fingerprint of the text as 16 hex chars", Seq(1)) { args =>
+      SimHash64(args(0))
+    },
+    fd("graft_hamming_hex",
+      "_FUNC_(a, b) - bitwise hamming distance between two hex fingerprints", Seq(2)) { args =>
+      HammingHex(args(0), args(1))
     }
   )
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
+  import org.apache.spark.sql.graft.SimHash64
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely different text about spark query engines and data sketches"),
+      (3L, "THE QUICK  BROWN fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+  }
+
+  test("simhash: deterministic, near-dup texts are bitwise close") {
+    val a = SimHash64.compute(docs.collect()(0).getString(1))
+    val b = SimHash64.compute(docs.collect()(1).getString(1))
+    val c = SimHash64.compute(docs.collect()(2).getString(1))
+    assert(a.length === 16 && a.matches("[0-9a-f]{16}"))
+    assert(SimHash64.hamming(a, a) === 0)
+    assert(SimHash64.hamming(a, b) < SimHash64.hamming(a, c))
+    // SQL surface agrees with the direct computation
+    docs.createOrReplaceTempView("simhash_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(text) FROM simhash_docs WHERE doc_id = 0").collect()(0).getString(0)
+    assert(viaSql === a)
+    val ham = spark.sql(
+      s"SELECT graft_hamming_hex('$a', '$c')").collect()(0).getInt(0)
+    assert(ham === SimHash64.hamming(a, c))
+  }
+
+  test("exact and normalized dedup") {
+    val exact = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(exact.count() === 4) // no byte-identical dups
+    val norm = Dedup.normalizedDedup(docs, "doc_id", "text")
+    assert(norm.count() === 3) // 0 and 3 collapse (case/whitespace)
+    val kept = norm.where(col("n_copies") === 2).select("kept_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  test("ngram jaccard and minhash LSH agree on near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((0L, 3L)))
+    assert(!exact.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(lsh === exact)
+  }
+
+  test("language id and quality scoring") {
+    val r = docs.select(col("doc_id"), TextOps.languageId(col("text")).as("lang"),
+      TextOps.qualityFlag(col("text")).as("q")).orderBy("doc_id").collect()
+    assert(r.forall(_.getString(1) == "en")) // all fixtures are English-ish
+    assert(r.forall(_.getBoolean(2)))
+    import spark.implicits._
+    val und = Seq((9L, "xyzzy plugh 12345")).toDF("doc_id", "text")
+      .select(TextOps.languageId(col("text"))).collect()
+    assert(und.head.getString(0) === "und")
+  }
+
+  test("knn brute force and IVF") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceKnn(vecs, vecs.where(col("vec_id") < 5),
+      "vec_id", "embedding", 3)
+    assert(exact.count() === 15)
+    assert(exact.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+    val approx = Similarity.ivfKnn(vecs, vecs.where(col("vec_id") < 5),
+      "vec_id", "embedding", 3, nlist = 8, nprobe = 4)
+    val recall = Similarity.recallAtK(exact, approx).collect()(0).getDouble(0)
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  test("multimodal attach + batched decode plumbing") {
+    val media = Multimodal.attachContent(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq === Seq("doc_id", "content", "meta"))
+    val decoded = Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id").collect()
+    assert(decoded.length === 4)
+    val first = decoded(0)
+    val len = docs.collect()(0).getString(1).getBytes("UTF-8").length
+    assert(first === Row(0L, len.toLong, len % 640, (len * 7) % 480, 1 + len % 16))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketches.{DistinctAlgo, DistinctSketchFacade}
+
+/**
+ * Sketches as Structured Streaming state — two integration paths:
+ *   1. the SQL aggregate functions inside a streaming windowed aggregation
+ *      (TypedImperativeAggregate state serializes into the state store);
+ *   2. the pure-JVM sketch facades inside mapGroupsWithState, where the
+ *      serialized sketch image IS the user state (mergeable across
+ *      micro-batches, readable later by approx_count_distinct_estimate).
+ */
+class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
+
+  test("sketch aggregate in a streaming groupBy (complete mode)") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)](spark)
+    val aggregated = input.toDF().toDF("k", "v")
+      .groupBy($"k")
+      .agg(expr("approx_count_distinct_ex(v)").as("nd"),
+        expr("approx_percentile_ex(v, 0.5)").as("p50"))
+    val q = aggregated.writeStream
+      .format("memory").queryName("sketch_stream").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 10L)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(("a", 3L), ("b", 11L), ("b", 12L)): _*)
+      q.processAllAvailable()
+      val out = spark.table("sketch_stream").orderBy("k").collect()
+      assert(out.toSeq === Seq(Row("a", 3L, 2L), Row("b", 3L, 11L)))
+    } finally q.stop()
+  }
+
+  test("CPC facade as mapGroupsWithState user state") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)](spark)
+
+    def update(key: String, rows: Iterator[(String, Long)],
+        state: GroupState[Array[Byte]]): (String, Long) = {
+      val sketch = if (state.exists) {
+        DistinctSketchFacade.fromBytes(DistinctAlgo.CPC, 11, state.get)
+      } else DistinctSketchFacade.create(DistinctAlgo.CPC, 11)
+      rows.foreach { case (_, v) => sketch.update(v) }
+      state.update(sketch.toBytes)
+      (key, sketch.estimate)
+    }
+
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("k", "estimate")
+    val q = counts.writeStream
+      .format("memory").queryName("cpc_state").outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(("x", 1L), ("x", 2L), ("y", 5L))
+      q.processAllAvailable()
+      input.addData(("x", 2L), ("x", 3L)) // state carries across micro-batches
+      q.processAllAvailable()
+      val latest = spark.table("cpc_state")
+        .groupBy("k").agg(max("estimate").as("estimate")).orderBy("k").collect()
+      assert(latest.toSeq === Seq(Row("x", 3L), Row("y", 1L)))
+    } finally q.stop()
+  }
+}
