@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -11,24 +12,26 @@ import org.apache.spark.sql.functions._
  * Scale design:
  *  - Exact/normalized dedup groups by a 128-bit content hash, never by the
  *    raw text, so the shuffle carries 16-byte keys instead of documents.
- *  - Jaccard pair generation uses an inverted shingle index (explode +
- *    equi-join) rather than a cross join: only documents sharing at least
- *    one shingle ever meet, which is a prerequisite for any pair above a
- *    positive threshold anyway. Ultra-frequent shingles (hot keys) can be
- *    dropped via `maxShingleDf` — they only generate candidates whose
- *    verified Jaccard is far below useful thresholds, and removing them
- *    bounds join skew at 100TB scale.
- *  - MinHash banding reduces candidate generation from O(pairs-sharing-a-
- *    shingle) to O(pairs-sharing-a-band): with b bands of r rows a pair of
- *    Jaccard j collides with probability 1-(1-j^r)^b. Defaults (16x4)
- *    give recall > 0.999999 at j >= 0.88 while passing ~1% of j <= 0.3
- *    pairs to verification.
+ *  - Jaccard pair generation is exact via an inverted shingle index with
+ *    PREFIX FILTERING (PPJoin-style): shingles are globally ordered by
+ *    (document frequency, shingle), and only each document's prefix —
+ *    `|s| - ceil(t*|s|) + 1` rarest shingles — is indexed. Any pair with
+ *    Jaccard >= t provably shares its globally-smallest intersection
+ *    element inside both prefixes, so no qualifying pair is lost, while
+ *    the join volume concentrates on RARE shingles (bounding skew: hot
+ *    shingles are exactly the ones prefixes exclude). This is the
+ *    standard scalable exact algorithm for high-threshold similarity
+ *    joins at 100TB.
+ *  - MinHash banding reduces candidate generation to O(pairs-sharing-a-
+ *    band): with b bands of r rows a pair of Jaccard j collides with
+ *    probability 1-(1-j^r)^b. Defaults (16x4) give recall > 0.999999 at
+ *    j >= 0.88 while passing ~1% of j <= 0.3 pairs to verification. The
+ *    hash family is seeded xxhash64 (codegen'd builtin, one pass per
+ *    shingle per hash) — correctness is enforced downstream by exact
+ *    verification, not by the hash choice.
  *  - Thresholds are rational (num/den) and applied with pure integer
  *    arithmetic (`inter * den >= union * num`), eliminating float boundary
  *    ambiguity between engines.
- *  - Hash family is md5-based (`md5(i || '|' || shingle)`, compared as hex
- *    strings) — fully codegen'd builtins, reproducible in any engine with
- *    an md5 function.
  */
 object Dedup {
 
@@ -58,10 +61,10 @@ object Dedup {
     df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
 
   /**
-   * Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
-   * Emits (id_a, id_b, inter, uni) for pairs with Jaccard >= num/den
-   * (integer-exact comparison). `maxShingleDf` drops shingles occurring in
-   * more documents than the cap (skew guard; 0 disables).
+   * Exact n-gram Jaccard near-duplicate pairs via prefix-filtered inverted
+   * index. Emits (id_a, id_b, inter, uni) for pairs with Jaccard >= num/den
+   * (integer-exact comparison); see the object doc for why prefix
+   * filtering loses no qualifying pair.
    */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -69,33 +72,45 @@ object Dedup {
       textCol: String,
       n: Int = 5,
       num: Int = 4,
-      den: Int = 5,
-      maxShingleDf: Int = 0): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    val posting = sets.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = if (maxShingleDf > 0) {
-      val hot = posting.groupBy("s").count().where(col("count") > maxShingleDf).select("s")
-      posting.join(hot, Seq("s"), "left_anti")
-    } else posting
-    val inter = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      den: Int = 5): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val posting = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix = the (sz - ceil(t*sz) + 1) globally-rarest shingles of each doc
+    val ranked = posting.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+      .withColumn("plen", col("sz") - ((col("sz") * num + den - 1).divide(den).cast("int")) + 1)
+      .where(col("rnk") <= col("plen"))
+      .select("id", "s")
+    val candidates = ranked.as("a")
+      .join(ranked.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, num, den)
+  }
+
+  /** Exact-verify candidate pairs against full shingle sets (integer threshold). */
+  private def verifyJaccard(
+      candidates: DataFrame, sets: DataFrame, num: Int, den: Int): DataFrame = {
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
         col("uni").cast("long").as("uni"))
   }
 
-  /** md5-based MinHash signature: `numHashes` hex-string minima over the shingle set. */
+  /**
+   * Seeded-xxhash64 MinHash signature: `numHashes` minima over the shingle
+   * set, one `aggregate` fold per hash (no intermediate arrays).
+   */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+      i => aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(i, s))))
 
   /**
    * MinHash+LSH banded near-duplicate pairs, verified with exact Jaccard.
@@ -118,7 +133,8 @@ object Dedup {
     val sig = sets.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+        b => concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))))))
       .toDF("id", "band", "key")
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -126,15 +142,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val withSets = candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .where(col("inter") * den >= col("uni") * num)
-      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
-        col("uni").cast("long").as("uni"))
+    verifyJaccard(candidates, sets, num, den)
   }
 
   /**

@@ -146,6 +146,10 @@ object GraftFunctionRegistry {
     fd("graft_hamming_hex",
       "_FUNC_(a, b) - bitwise hamming distance between two hex fingerprints", Seq(2)) { args =>
       HammingHex(args(0), args(1))
+    },
+    fd("graft_dot",
+      "_FUNC_(a, b) - dot product of two array<double> columns (primitive loop)", Seq(2)) { args =>
+      DotProduct(args(0), args(1))
     }
   )
 
