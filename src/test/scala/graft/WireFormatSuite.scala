@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.datasketches.cpc.CpcSketch
+import org.apache.datasketches.kll.KllFloatsSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantiles.DoublesSketch
+import org.apache.datasketches.req.ReqSketch
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.conf.GraftConf
+
+/**
+ * Wire-format compatibility in both directions (SURVEY.md §7.4): the BINARY
+ * sketch state must be a genuine DataSketches image, so
+ *  (a) images produced by raw datasketches-java load into the estimators;
+ *  (b) accumulate output loads into raw datasketches-java.
+ * This is what lets summary tables be shared with non-Spark consumers.
+ */
+class WireFormatSuite extends AnyFunSuite with GraftSparkSession {
+
+  private def estimateSql(fn: String, bytes: Array[Byte], extra: String = ""): Row = {
+    import spark.implicits._
+    Seq(bytes).toDF("s").selectExpr(s"$fn(s$extra)").collect()(0)
+  }
+
+  test("raw library images decode through the estimators") {
+    // KLL image built directly with datasketches-java 6.2.0
+    val kll = KllFloatsSketch.newHeapInstance(200)
+    Seq(0f, 1f, 2f, 10f).foreach(kll.update)
+    withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      assert(estimateSql("approx_percentile_estimate", kll.toByteArray, ", 0.5") === Row(2.0))
+    }
+
+    val req = ReqSketch.builder().setK(12).build()
+    Seq(0f, 1f, 2f, 10f).foreach(req.update)
+    withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "REQ") {
+      assert(estimateSql("approx_percentile_estimate", req.toByteArray, ", 0.5") === Row(2.0))
+    }
+
+    val mergeable = DoublesSketch.builder().setK(128).build()
+    Seq(0.0, 1.0, 2.0, 10.0).foreach(mergeable.update)
+    withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "MERGEABLE") {
+      assert(estimateSql("approx_percentile_estimate", mergeable.toByteArray, ", 0.5") === Row(2.0))
+    }
+
+    val cpc = new CpcSketch(11)
+    Seq("a", "b", "c").foreach(cpc.update)
+    assert(estimateSql("approx_count_distinct_estimate", cpc.toByteArray) === Row(3L))
+  }
+
+  test("accumulate output loads in raw datasketches-java") {
+    val qBytes = spark.sql(
+      "SELECT approx_percentile_accumulate(c) FROM VALUES (0), (1), (2), (10) AS t(c)")
+      .collect()(0).getAs[Array[Byte]](0)
+    // default impl is REQ
+    val req = ReqSketch.heapify(Memory.wrap(qBytes))
+    assert(req.getN === 4)
+
+    val dBytes = spark.sql(
+      "SELECT approx_count_distinct_accumulate(c) FROM VALUES ('a'), ('b'), ('c') AS t(c)")
+      .collect()(0).getAs[Array[Byte]](0)
+    val cpc = CpcSketch.heapify(Memory.wrap(dBytes))
+    assert(math.round(cpc.getEstimate) === 3L)
+  }
+
+  test("sketches accumulated in different partitions merge losslessly") {
+    import spark.implicits._
+    // two disjoint halves accumulated separately, combined via SQL; KLL
+    // (k=200) is exact at n=100, so combine must reproduce the one-shot
+    withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      val df = (1 to 100).map(i => (i % 2, i.toDouble)).toDF("part", "v")
+      df.createOrReplaceTempView("halves")
+      val combined = spark.sql(
+        """SELECT approx_percentile_estimate(approx_percentile_combine(s), 0.5) FROM
+          |(SELECT part, approx_percentile_accumulate(v) s FROM halves GROUP BY part)""".stripMargin)
+        .collect()(0)
+      val direct = spark.sql("SELECT approx_percentile_ex(v, 0.5) FROM halves").collect()(0)
+      assert(combined.getDouble(0) === direct.getDouble(0))
+    }
+  }
+}
