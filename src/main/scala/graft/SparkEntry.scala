@@ -477,6 +477,31 @@ object SparkEntry {
       view(s, d, "documents")
       val media = Multimodal.attachContent(s.table("documents"), "doc_id", "text")
       Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id")
+    },
+
+    // Sessionization via session_window (12h gap). Oracle mirrors Spark's
+    // merge rule — verified empirically: an event at exactly last+gap still
+    // MERGES into the session, so a new session starts only when the gap is
+    // STRICTLY exceeded — with a gaps-and-islands window query over micros.
+    q("q27_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 t,
+        |         lag(epoch_ns(ts)//1000) OVER (PARTITION BY user_id ORDER BY ts) p
+        |  FROM events)
+        |SELECT user_id,
+        |       1 + sum(CASE WHEN p IS NOT NULL AND t - p > 43200000000 THEN 1 ELSE 0 END)
+        |         AS n_sessions,
+        |       count(*) AS n_events
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      s.sql("""
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id, session_window(timestamp_micros(ts DIV 1000), '12 hours') w,
+        |         count(*) AS n
+        |  FROM events GROUP BY user_id, session_window(timestamp_micros(ts DIV 1000), '12 hours'))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
     }
   )
 
