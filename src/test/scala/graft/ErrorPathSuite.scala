@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.conf.GraftConf
+
+/** Failure-mode contracts: estimators degrade to null, combiners fail loudly. */
+class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
+
+  test("combine with corrupt bytes fails the query (data-integrity error)") {
+    val e = intercept[SparkException] {
+      spark.sql(
+        "SELECT approx_percentile_combine(s) FROM VALUES (binary('not a sketch')) AS t(s)")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("combine under a mismatched impl conf fails rather than corrupting") {
+    // bytes written as KLL, combined while conf says MERGEABLE
+    val bytes = withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      spark.sql("SELECT approx_percentile_accumulate(c) FROM VALUES (1), (2) AS t(c)")
+        .collect()(0).getAs[Array[Byte]](0)
+    }
+    withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "MERGEABLE") {
+      import spark.implicits._
+      val df = Seq(bytes).toDF("s")
+      df.createOrReplaceTempView("mismatched")
+      intercept[SparkException] {
+        spark.sql("SELECT approx_percentile_combine(s) FROM mismatched").collect()
+      }
+    }
+  }
+
+  test("pmf of a single-value sketch degrades to null (degenerate split points)") {
+    val r = spark.sql(
+      "SELECT approx_pmf_estimate(approx_percentile_accumulate(c), 4) FROM VALUES (7) AS t(c)")
+      .collect()
+    assert(r.toSeq === Seq(Row(null)))
+  }
+
+  test("null-only input produces null estimates, not failures") {
+    val r = spark.sql(
+      """SELECT approx_percentile_ex(c, 0.5), approx_count_distinct_ex(c)
+        |FROM VALUES (CAST(null AS INT)) AS t(c)""".stripMargin).collect()
+    assert(r.toSeq === Seq(Row(null, 0L)))
+  }
+}

@@ -38,6 +38,34 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
     } finally q.stop()
   }
 
+  test("windowed sketch aggregation with watermark (append mode, late data dropped)") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val agg = input.toDF().toDF("t", "v")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window($"t", "1 hour"))
+      .agg(expr("approx_count_distinct_ex(v)").as("nd"))
+    val q = agg.writeStream
+      .format("memory").queryName("wm_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((ts("2021-01-01 00:05:00"), 1L), (ts("2021-01-01 00:10:00"), 2L))
+      q.processAllAvailable()
+      // advance watermark past the first window; its sketch finalizes
+      input.addData((ts("2021-01-01 01:30:00"), 3L))
+      q.processAllAvailable()
+      // late event for the closed window must be dropped, not merged
+      input.addData((ts("2021-01-01 00:20:00"), 99L))
+      input.addData((ts("2021-01-01 03:00:00"), 4L))
+      q.processAllAvailable()
+      val closed = spark.table("wm_stream")
+        .selectExpr("window.start AS s", "nd").orderBy("s").collect()
+      assert(closed.nonEmpty)
+      assert(closed(0).getLong(1) === 2L) // finalized first window: {1,2}, late 99 dropped
+    } finally q.stop()
+  }
+
   test("CPC facade as mapGroupsWithState user state") {
     import spark.implicits._
     val input = MemoryStream[(String, Long)](spark)
