@@ -18,13 +18,18 @@ object Bench {
     // noop sink materializes every row without collecting to the driver.
     def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try exec(fn) catch { case _: Throwable => }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try exec(fn) catch {
+        case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
+    // a failed query reports -1 so a regression can't masquerade as a speedup
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(fn); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

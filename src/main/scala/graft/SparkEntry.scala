@@ -156,22 +156,19 @@ object SparkEntry {
         |   FROM sub, stats GROUP BY n) AS pmf_2,
         |  (SELECT round(sum(CASE WHEN v >= 3*(mx-mn)/4 THEN 1 ELSE 0 END)/n, 9)
         |   FROM sub, stats GROUP BY n) AS pmf_3""".stripMargin) { (s, d) =>
-      s.conf.set(conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY, "KLL") // exact to n<=200
-      view(s, d, "lineitem")
-      s.sql("""
-        |WITH summaries AS (
-        |  SELECT window(l_shipdate, '7 days') w, approx_percentile_accumulate(l_quantity) s
-        |  FROM lineitem WHERE l_orderkey < 40 GROUP BY 1),
-        |merged AS (
-        |  SELECT approx_percentile_combine(s) m FROM summaries
-        |  WHERE w.start >= timestamp'1993-01-01 00:00:00')
-        |SELECT approx_percentile_estimate(m, 0.5) AS p50,
-        |       approx_percentile_estimate(m, 0.95) AS p95,
-        |       round(approx_pmf_estimate(m, 4)[0], 9) AS pmf_0,
-        |       round(approx_pmf_estimate(m, 4)[1], 9) AS pmf_1,
-        |       round(approx_pmf_estimate(m, 4)[2], 9) AS pmf_2,
-        |       round(approx_pmf_estimate(m, 4)[3], 9) AS pmf_3
-        |FROM merged""".stripMargin)
+      // KLL (exact to n<=200) is frozen into this query's plan at analysis
+      // time; restore the previous impl right after so the session default
+      // doesn't leak into queries planned later.
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "lineitem")
+        buildQ04(s)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     },
 
     // #13 approx_count_distinct_ex (exact at this cardinality)
@@ -504,6 +501,21 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY user_id""".stripMargin)
     }
   )
+
+  private def buildQ04(s: SparkSession): DataFrame = s.sql("""
+    |WITH summaries AS (
+    |  SELECT window(l_shipdate, '7 days') w, approx_percentile_accumulate(l_quantity) s
+    |  FROM lineitem WHERE l_orderkey < 40 GROUP BY 1),
+    |merged AS (
+    |  SELECT approx_percentile_combine(s) m FROM summaries
+    |  WHERE w.start >= timestamp'1993-01-01 00:00:00')
+    |SELECT approx_percentile_estimate(m, 0.5) AS p50,
+    |       approx_percentile_estimate(m, 0.95) AS p95,
+    |       round(approx_pmf_estimate(m, 4)[0], 9) AS pmf_0,
+    |       round(approx_pmf_estimate(m, 4)[1], 9) AS pmf_1,
+    |       round(approx_pmf_estimate(m, 4)[2], 9) AS pmf_2,
+    |       round(approx_pmf_estimate(m, 4)[3], 9) AS pmf_3
+    |FROM merged""".stripMargin)
 
   /** DuckDB mirror of [[org.apache.spark.sql.graft.SimHash64]] bit semantics. */
   private def simhashOracle: String = {

@@ -35,12 +35,18 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Distinct word n-gram shingles of the text (assumes >= n words). */
+  /**
+   * Distinct word n-gram shingles of the text. Documents shorter than n
+   * words contribute their whole text as a single shingle (rather than
+   * crashing on a negative-length sequence).
+   */
   def shingles(text: Column, n: Int): Column = {
     val w = TextOps.words(text)
-    array_distinct(transform(
-      sequence(lit(0), size(w) - n),
-      i => array_join(slice(w, i + 1, lit(n)), " ")))
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array(array_join(w, " ")))
   }
 
   /**
@@ -56,7 +62,12 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingles) projection used by the pairwise operators. */
+  /**
+   * (id, shingles) projection used by the pairwise operators. Cached
+   * because it feeds both candidate generation and verification; Spark's
+   * ContextCleaner unpersists the blocks once the query's lineage is
+   * garbage-collected, so repeated invocations don't accumulate forever.
+   */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
 
@@ -157,6 +168,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val withNorm = v.withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .where(col("nrm") > 0) // zero vectors have no direction: NaN cosine otherwise
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

@@ -58,13 +58,19 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("n_frames", IntegerType)))
-    val input = df.select(col(idCol).cast("long"), col("content"), col("meta.byte_len"))
+    val input = df.select(col(idCol).cast("long"), col("content"))
     input.mapPartitions { rows =>
       // per-partition decoder init would go here (codec context, model, ...)
       rows.map { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
         val content = r.getAs[Array[Byte]](1)
-        val (w, h, f) = fakeDecode(content)
-        Row(r.getLong(0), r.getLong(2), w, h, f)
+        if (content == null) {
+          // undecodable payload: keep the row, null feature columns
+          Row(id, null, null, null, null)
+        } else {
+          val (w, h, f) = fakeDecode(content)
+          Row(id, content.length.toLong, w, h, f)
+        }
       }
     }(Encoders.row(outSchema))
   }

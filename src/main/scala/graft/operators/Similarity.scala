@@ -42,11 +42,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // Broadcast the (small) QUERY side and stream the corpus; zero-norm
+    // vectors are excluded on both sides (no direction => NaN cosine, and
+    // NaN sorts above every real similarity under desc ordering).
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .where(col("cn") > 0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .where(col("qn") > 0)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -71,16 +76,19 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .where(dot(col("cv"), col("cv")) > 0)
     val centroids = c.orderBy("cid").limit(nlist)
       .select(col("cid").as("cell"), col("cv").as("centroid"))
-    val assign = Window.partitionBy("cid").orderBy(col("cdist").desc)
+    // cell asc as tiebreak: equidistant (e.g. duplicate) vectors must
+    // assign/probe deterministically across runs and partitionings
+    val assign = Window.partitionBy("cid").orderBy(col("cdist").desc, col("cell"))
     val assigned = c.join(broadcast(centroids))
       .withColumn("cdist", cosine(col("cv"), col("centroid")))
       .withColumn("ark", row_number().over(assign))
       .where(col("ark") === 1)
       .select(col("cid").as("neighbor_id"), col("cv"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("qdist").desc)
+    val probeW = Window.partitionBy("query_id").orderBy(col("qdist").desc, col("cell"))
     val probes = q.join(broadcast(centroids))
       .withColumn("qdist", cosine(col("qv"), col("centroid")))
       .withColumn("prk", row_number().over(probeW))

@@ -34,7 +34,15 @@ private[graft] object DistinctParams {
   }
   def resolveDefault(): (String, Int) = resolve(GraftConf.distinctCntSketchImpl)
 
-  /** Update fn per input type: strings hash their UTF-8 text, integrals as Long. */
+  /**
+   * Update fn per analyzed input type. NB the one-shot aggregate declares
+   * `TypeCollection(StringType, LongType)` in that order deliberately — it
+   * replicates the reference (distinctCntSketches.scala:161), where
+   * implicit coercion resolves sub-long integrals to STRING first; freq
+   * items uses the opposite order (freqItemSketches.scala:173), also
+   * replicated. Estimates are unaffected (cardinality is type-agnostic),
+   * but sketch images only merge with images built from the same domain.
+   */
   def updateFn(dt: DataType): (DistinctSketchFacade, Any) => Unit = dt match {
     case StringType => (buf, v) => buf.update(v.asInstanceOf[UTF8String].toString)
     case LongType => (buf, v) => buf.update(v.asInstanceOf[Long])

@@ -86,12 +86,22 @@ object SimHash64 {
     sb.toString
   }
 
-  /** Hamming distance between two hex fingerprints (driver/SQL helper). */
+  /**
+   * Hamming distance between two hex fingerprints (driver/SQL helper).
+   * Case-insensitive; a non-hex digit or a missing digit (unequal lengths)
+   * counts as a full 4-bit mismatch, so malformed input inflates distance
+   * instead of faking similarity.
+   */
   def hamming(a: String, b: String): Int = {
+    def digit(s: String, i: Int): Int =
+      if (i < s.length) Character.digit(s.charAt(i), 16) else -1
     var dist = 0
     var i = 0
-    while (i < a.length && i < b.length) {
-      dist += java.lang.Integer.bitCount(HEX.indexOf(a.charAt(i)) ^ HEX.indexOf(b.charAt(i)))
+    val len = math.max(a.length, b.length)
+    while (i < len) {
+      val da = digit(a, i)
+      val db = digit(b, i)
+      dist += (if (da < 0 || db < 0) 4 else java.lang.Integer.bitCount(da ^ db))
       i += 1
     }
     dist

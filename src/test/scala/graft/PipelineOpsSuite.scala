@@ -81,6 +81,33 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("short documents shingle to their whole text instead of crashing") {
+    import spark.implicits._
+    val short = Seq((0L, "hello world"), (1L, "hello world"), (2L, "only three words")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(short, "doc_id", "text", n = 5, num = 4, den = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L))) // identical short docs found, no crash
+  }
+
+  test("zero-norm embeddings are excluded, not ranked first as NaN") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+      (3L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .orderBy("rk").collect().map(_.getLong(2))
+    assert(knn.toSeq === Seq(1L, 2L)) // the zero vector never appears
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("hamming is case-insensitive and penalizes malformed/short input") {
+    assert(SimHash64.hamming("FF", "ff") === 0)
+    assert(SimHash64.hamming("ab", "abcd") === 8) // two missing digits = 2*4 bits
+    assert(SimHash64.hamming("zz", "00") === 8)   // non-hex digits = full mismatch
+  }
+
   test("multimodal attach + batched decode plumbing") {
     val media = Multimodal.attachContent(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq === Seq("doc_id", "content", "meta"))
