@@ -476,6 +476,22 @@ object SparkEntry {
       Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id")
     },
 
+    // Embedding near-dups via random-hyperplane LSH (at-scale path).
+    // The sf corpus has no pairs above 0.95 (max cosine ~0.51), so both
+    // sides return the empty set; recall on planted near-dups is pinned by
+    // PipelineOpsSuite.
+    q("q28_embedding_lsh",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Dedup.embeddingLshPairs(s.table("embeddings"), "vec_id", "embedding", 0.95)
+        .orderBy("id_a", "id_b")
+    },
+
     // Sessionization via session_window (12h gap). Oracle mirrors Spark's
     // merge rule — verified empirically: an event at exactly last+gap still
     // MERGES into the session, so a new session starts only when the gap is

@@ -157,9 +157,58 @@ object Dedup {
   }
 
   /**
+   * Random-hyperplane LSH near-duplicate pairs over embeddings — the
+   * at-scale path (the analogue of [[minhashLshPairs]] for vectors).
+   * `tables` independent hash tables of `bits` sign-bits each: a pair with
+   * cosine angle theta collides in one table with probability
+   * (1 - theta/pi)^bits, so for near-dup thresholds (cos >= 0.9, theta <=
+   * 26deg) recall across 8x12-bit tables is > 0.999 while buckets stay
+   * small. Hyperplanes are seeded-deterministic; candidates are verified
+   * with exact double-precision cosine, so precision is exact and only
+   * recall is probabilistic. One shuffle on (table, bucket), never a cross
+   * join.
+   */
+  def embeddingLshPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 12,
+      tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+      .cache()
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    val rng = new scala.util.Random(seed)
+    // bucket of table t = the sign pattern of `bits` hyperplane projections
+    val bucketCols = (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { b =>
+        val plane = typedlit(Array.fill(dim)(rng.nextGaussian()))
+        when(Similarity.dot(col("v"), plane) >= 0, lit(1)).otherwise(lit(0))
+          .cast("string")
+      }
+      concat(lit(t.toString), lit(":"), concat(bitCols: _*)).as(s"b$t")
+    }
+    val bucketed = v.select(col("id") +: bucketCols: _*)
+      .select(col("id"), explode(array((0 until tables).map(t => col(s"b$t")): _*)).as("bucket"))
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .where(Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs (exact, double-precision math).
    * Quadratic in corpus size — suitable as the verification/baseline path;
-   * use [[Similarity]] LSH bucketing for the at-scale candidate path.
+   * [[embeddingLshPairs]] is the at-scale candidate path.
    */
   def embeddingCosinePairs(
       df: DataFrame,

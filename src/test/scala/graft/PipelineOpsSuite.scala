@@ -108,6 +108,21 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(SimHash64.hamming("zz", "00") === 8)   // non-hex digits = full mismatch
   }
 
+  test("embedding LSH finds planted near-dups with exact-verified precision") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(16)(rng.nextGaussian().toFloat)
+    val nearDup = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val vecs = ((0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))) ++
+      Seq((100L, base), (101L, nearDup))).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingLshPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((100L, 101L)))
+    assert(lsh === exact)
+  }
+
   test("multimodal attach + batched decode plumbing") {
     val media = Multimodal.attachContent(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq === Seq("doc_id", "content", "meta"))
