@@ -12,6 +12,10 @@ import org.apache.spark.sql.graft.GraftFunctionRegistry
 class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.expressions.foreach(ext.injectFunction)
+    // summary-table rewrite (no-op unless a summary is registered AND
+    // spark.sql.graft.summaryRewrite.enabled is set)
+    ext.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.SummaryRewriteRule(session))
   }
 }
 

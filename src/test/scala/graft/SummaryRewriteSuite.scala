@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftSummaries
+
+/**
+ * The automatic summary-table rewrite: one-shot sketch aggregates over a
+ * base table are answered from a registered materialized sketch summary
+ * when enabled, with no scan of the base data.
+ */
+class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
+
+  private val basePath = "/root/testdata/sf0.001/events.parquet"
+
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
+        rel.location.rootPaths.map(_.toString)
+    }.flatten
+
+  private def withSummary[T](body: => T): T = {
+    SparkEntry.prep(spark)
+    val events = spark.read.parquet(basePath)
+    events.createOrReplaceTempView("sr_events")
+    val summaryDir = Files.createTempDirectory("graft_summary").toString
+    spark.sql(
+      """SELECT event_type, approx_count_distinct_accumulate(props) AS s
+        |FROM sr_events GROUP BY event_type""".stripMargin)
+      .write.mode("overwrite").parquet(summaryDir)
+    GraftSummaries.registerDistinctSummary(
+      basePath, spark.read.parquet(summaryDir), Seq("event_type"), "props", "s")
+    try body
+    finally GraftSummaries.clear()
+  }
+
+  test("aggregate over the base is answered from the summary when enabled") {
+    withSummary {
+      val sql = """SELECT event_type, approx_count_distinct_ex(props) AS nd
+                  |FROM sr_events GROUP BY event_type ORDER BY event_type""".stripMargin
+      val baseline = spark.sql(sql).collect()
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val rewritten = spark.sql(sql)
+        assert(!scannedPaths(rewritten).exists(_.contains("events.parquet")),
+          "base table must not be scanned")
+        assert(rewritten.collect() === baseline)
+      }
+      // disabled (default): base is scanned
+      assert(scannedPaths(spark.sql(sql)).exists(_.contains("events.parquet")))
+    }
+  }
+
+  test("coarsened grouping (global) and key filters also rewrite") {
+    withSummary {
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val global = spark.sql("SELECT approx_count_distinct_ex(props) AS nd FROM sr_events")
+        assert(!scannedPaths(global).exists(_.contains("events.parquet")))
+        val exactGlobal = spark.sql("SELECT count(DISTINCT props) FROM sr_events")
+          .collect()(0).getLong(0)
+        // tiny cardinality: estimate is exact
+        assert(global.collect()(0).getLong(0) === exactGlobal)
+
+        val filtered = spark.sql(
+          """SELECT approx_count_distinct_ex(props) AS nd FROM sr_events
+            |WHERE event_type IN ('click', 'view')""".stripMargin)
+        assert(!scannedPaths(filtered).exists(_.contains("events.parquet")))
+        val exactFiltered = spark.sql(
+          "SELECT count(DISTINCT props) FROM sr_events WHERE event_type IN ('click', 'view')")
+          .collect()(0).getLong(0)
+        assert(filtered.collect()(0).getLong(0) === exactFiltered)
+      }
+    }
+  }
+
+  test("non-rewritable shapes fall back to the base table") {
+    withSummary {
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        // grouping by a non-key column: must scan the base
+        val byUser = spark.sql(
+          "SELECT user_id, approx_count_distinct_ex(props) FROM sr_events GROUP BY user_id")
+        assert(scannedPaths(byUser).exists(_.contains("events.parquet")))
+        // wrong value column: must scan the base
+        val wrongValue = spark.sql(
+          "SELECT event_type, approx_count_distinct_ex(CAST(user_id AS STRING)) " +
+            "FROM sr_events GROUP BY event_type")
+        assert(scannedPaths(wrongValue).exists(_.contains("events.parquet")))
+        // non-key filter: must scan the base
+        val nonKeyFilter = spark.sql(
+          "SELECT event_type, approx_count_distinct_ex(props) FROM sr_events " +
+            "WHERE user_id > 0 GROUP BY event_type")
+        assert(scannedPaths(nonKeyFilter).exists(_.contains("events.parquet")))
+      }
+    }
+  }
+}
