@@ -185,6 +185,25 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(r.toSeq === Seq(Row(3L)))
   }
 
+  test("sketch aggregates compose with ROLLUP / CUBE / GROUPING SETS") {
+    spark.sql(
+      """SELECT * FROM VALUES
+        |('x', 'a', 1), ('x', 'a', 2), ('x', 'b', 2), ('y', 'a', 3), ('y', 'b', 3)
+        |AS t(k1, k2, v)""".stripMargin).createOrReplaceTempView("rollup_input")
+    val r = spark.sql(
+      """SELECT k1, k2, approx_count_distinct_ex(CAST(v AS BIGINT)) nd,
+        |       approx_percentile_ex(v, 0.5) p50
+        |FROM rollup_input GROUP BY ROLLUP(k1, k2)
+        |ORDER BY k1 NULLS FIRST, k2 NULLS FIRST""".stripMargin).collect()
+    // grand total row: 3 distinct values, median 2
+    assert(r.head === Row(null, null, 3L, 2))
+    assert(r.length === 7) // 1 total + 2 k1 subtotals + 4 leaves
+    val cube = spark.sql(
+      """SELECT k1, k2, approx_count_distinct_ex(CAST(v AS BIGINT)) nd
+        |FROM rollup_input GROUP BY CUBE(k1, k2)""".stripMargin).collect()
+    assert(cube.length === 9)
+  }
+
   test("sketch state round-trips through parquet persistence") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_summaries").toString

@@ -75,6 +75,31 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("quantile summaries rewrite too") {
+    SparkEntry.prep(spark)
+    import graft.conf.GraftConf
+    withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      val base = "/root/testdata/sf0.001/lineitem.parquet"
+      spark.read.parquet(base).createOrReplaceTempView("sr_lineitem")
+      val summaryDir = Files.createTempDirectory("graft_qsummary").toString
+      spark.sql(
+        """SELECT l_returnflag, approx_percentile_accumulate(l_quantity) AS s
+          |FROM sr_lineitem GROUP BY l_returnflag""".stripMargin)
+        .write.mode("overwrite").parquet(summaryDir)
+      GraftSummaries.registerQuantileSummary(
+        base, spark.read.parquet(summaryDir), Seq("l_returnflag"), "l_quantity", "s")
+      try {
+        withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+          val df = spark.sql(
+            """SELECT l_returnflag, approx_percentile_ex(l_quantity, 0.5) AS p50
+              |FROM sr_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          assert(!scannedPaths(df).exists(_.contains("lineitem.parquet")))
+          assert(df.collect().nonEmpty)
+        }
+      } finally GraftSummaries.clear()
+    }
+  }
+
   test("non-rewritable shapes fall back to the base table") {
     withSummary {
       withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
