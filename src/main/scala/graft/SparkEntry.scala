@@ -476,6 +476,35 @@ object SparkEntry {
       Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id")
     },
 
+    // BPE-ish token counting + winnowing (rolling-hash) fingerprints
+    q("q29_text_tokens_fingerprints",
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |           AS n_bpe_tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_bpe_tokens,
+        |         list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+        |                        i -> md5(substr(norm, i, 8))) AS grams
+        |  FROM n),
+        |fp AS (
+        |  SELECT doc_id, n_bpe_tokens,
+        |         list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+        |                       i -> list_min(grams[i:i+3]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, n_bpe_tokens,
+        |       CAST(len(fps) AS BIGINT) AS n_fingerprints, list_min(fps) AS min_fp
+        |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.table("documents").select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        size(TextOps.winnowingFingerprints(col("text"))).cast("long").as("n_fingerprints"),
+        array_min(TextOps.winnowingFingerprints(col("text"))).as("min_fp"))
+        .orderBy("doc_id")
+    },
+
     // Embedding near-dups via random-hyperplane LSH (at-scale path).
     // The sf corpus has no pairs above 0.95 (max cosine ~0.51), so both
     // sides return the empty set; recall on planted near-dups is pinned by

@@ -71,6 +71,34 @@ object TextOps {
   }
 
   /**
+   * BPE-ish subword token count: runs of letters, runs of digits, and
+   * individual punctuation each count as one token (the shape a byte-pair
+   * vocabulary converges to), over the lower-cased text. A cheap,
+   * deterministic stand-in for a real tokenizer's length signal.
+   */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /**
+   * Winnowing document fingerprints (Schleimer et al.): hash every
+   * character k-gram (rolling window over the normalized text), then keep
+   * the minimum hash of each sliding window of `w` consecutive gram
+   * hashes, deduplicated. Guarantees any shared substring of length
+   * >= k+w-1 between two documents yields a shared fingerprint — the
+   * standard plagiarism/near-dup fingerprinting scheme. Pure codegen'd
+   * builtins; md5 hex minima keep it engine-reproducible.
+   */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val m = length(norm) - (k - 1) // number of k-grams
+    val grams = transform(sequence(lit(1), greatest(m, lit(1))),
+      i => md5(norm.substr(i, lit(k)).cast("binary")))
+    array_distinct(transform(
+      sequence(lit(1), greatest(m - (w - 1), lit(1))),
+      i => array_min(slice(grams, i, lit(w)))))
+  }
+
+  /**
    * Heuristic quality flag over integer metrics only (reproducible across
    * engines): enough tokens, bounded length, mostly-alphabetic, and a
    * minimal English stopword rate.
