@@ -497,11 +497,12 @@ object SparkEntry {
         |       CAST(len(fps) AS BIGINT) AS n_fingerprints, list_min(fps) AS min_fp
         |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
       view(s, d, "documents")
-      s.table("documents").select(
-        col("doc_id"),
-        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
-        size(TextOps.winnowingFingerprints(col("text"))).cast("long").as("n_fingerprints"),
-        array_min(TextOps.winnowingFingerprints(col("text"))).as("min_fp"))
+      TextOps.withWinnowingFingerprints(s.table("documents"), "text", "fps")
+        .select(
+          col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"))
         .orderBy("doc_id")
     },
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,15 +87,31 @@ object TextOps {
    * >= k+w-1 between two documents yields a shared fingerprint — the
    * standard plagiarism/near-dup fingerprinting scheme. Pure codegen'd
    * builtins; md5 hex minima keep it engine-reproducible.
+   *
+   * DataFrame-level on purpose: the gram array MUST be materialized as its
+   * own column before the window pass. Inlining it into the window lambda
+   * (a single nested Column expression) re-evaluates every gram hash per
+   * window — higher-order-function lambdas get no subexpression
+   * elimination — turning O(chars*w) into O(chars^2). The two projections
+   * below don't collapse because the gram alias is referenced twice and
+   * is non-cheap.
    */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    val m = length(norm) - (k - 1) // number of k-grams
-    val grams = transform(sequence(lit(1), greatest(m, lit(1))),
-      i => md5(norm.substr(i, lit(k)).cast("binary")))
-    array_distinct(transform(
-      sequence(lit(1), greatest(m - (w - 1), lit(1))),
-      i => array_min(slice(grams, i, lit(w)))))
+  def withWinnowingFingerprints(
+      df: DataFrame,
+      textCol: String,
+      outCol: String,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val norm = "__graft_winnow_norm"
+    val grams = "__graft_winnow_grams"
+    df.withColumn(norm, regexp_replace(lower(col(textCol)), "\\s+", " "))
+      .withColumn(grams, transform(
+        sequence(lit(1), greatest(length(col(norm)) - (k - 1), lit(1))),
+        i => md5(col(norm).substr(i, lit(k)).cast("binary"))))
+      .withColumn(outCol, array_distinct(transform(
+        sequence(lit(1), greatest(size(col(grams)) - (w - 1), lit(1))),
+        i => array_min(slice(col(grams), i, lit(w))))))
+      .drop(norm, grams)
   }
 
   /**
