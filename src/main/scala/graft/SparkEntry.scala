@@ -36,10 +36,16 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
  */
 object SparkEntry {
 
-  /** Idempotent session prep: sketch functions + nanos-timestamp reading. */
+  /** Idempotent session prep: sketch functions + nanos-timestamp reading.
+   *  Every environment-sensitive conf a query depends on is set HERE (not in
+   *  the Verify/Bench mains) so results are identical no matter which
+   *  harness builds the session: UTC pins date-bucketing (q03's
+   *  `unix_timestamp(DATE)` is session-timezone-dependent), nanosAsLong pins
+   *  the TIMESTAMP(NANOS) read path for events.parquet. */
   def prep(spark: SparkSession): SparkSession = {
     Graft.install(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
