@@ -11,6 +11,7 @@ import org.apache.spark.sql.graft.GraftFunctionRegistry
  */
 class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    org.apache.spark.sql.graft.GraftConfEntries.ensureRegistered()
     GraftFunctionRegistry.expressions.foreach(ext.injectFunction)
     // summary-table rewrite (no-op unless a summary is registered AND
     // spark.sql.graft.summaryRewrite.enabled is set)
@@ -21,5 +22,8 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
 
 /** Imperative API mirror of the reference's `DataSketches.install()`. */
 object Graft {
-  def install(spark: SparkSession): Unit = GraftFunctionRegistry.install(spark)
+  def install(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graft.GraftConfEntries.ensureRegistered()
+    GraftFunctionRegistry.install(spark)
+  }
 }

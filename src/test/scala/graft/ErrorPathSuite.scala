@@ -47,4 +47,37 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
         |FROM VALUES (CAST(null AS INT)) AS t(c)""".stripMargin).collect()
     assert(r.toSeq === Seq(Row(null, 0L)))
   }
+
+  test("registered confs reject bad values at SET time with a helpful message") {
+    // non-integer k: typed entry fails immediately, not at plan time
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"SET ${GraftConf.QUANTILE_KLL_K_KEY}=abc").collect()
+    }
+    assert(e1.getMessage.contains(GraftConf.QUANTILE_KLL_K_KEY))
+    // negative k: checkValue message names the parameter
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"SET ${GraftConf.QUANTILE_KLL_K_KEY}=-5").collect()
+    }
+    assert(e2.getMessage.contains("must be positive"))
+    // unknown impl: checkValues lists the accepted algorithms
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"SET ${GraftConf.QUANTILE_SKETCH_IMPL_KEY}=TDIGEST").collect()
+    }
+    assert(e3.getMessage.contains(GraftConf.QUANTILE_SKETCH_IMPL_KEY))
+    // non-power-of-2 map size
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(s"SET ${GraftConf.FREQITEMS_MAX_MAP_SIZE_KEY}=1000").collect()
+    }
+    assert(e4.getMessage.contains("power of 2"))
+  }
+
+  test("registered confs are visible in SET -v with docs and defaults") {
+    val rows = spark.sql("SET -v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filter(_._1.startsWith("spark.sql.dataSketches."))
+    assert(rows.length === 8)
+    val kll = rows.find(_._1 == GraftConf.QUANTILE_KLL_K_KEY).get
+    assert(kll._2 === "200")
+    assert(kll._3.nonEmpty) // doc string present
+  }
 }
