@@ -458,31 +458,50 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     },
 
-    // IVF approximate top-k: recall vs the exact baseline must clear 0.5
+    // IVF approximate top-k: recall vs the exact baseline must clear 0.9,
+    // and the actual recall value is part of the checked output. The IVF
+    // path is fully deterministic (hash-seeded k-means, DECIMAL-exact
+    // centroid means, total tiebreaks), so the oracle pins the measured
+    // value — 29/30 at nlist=8/nprobe=6 on this corpus, whose synthetic
+    // embeddings are near-unclustered (organic max cosine ~0.51), the
+    // worst case for any cell-partitioned index. The >= 0.9 bar guards
+    // against quantizer-quality regressions.
     q("q25_knn_ivf_recall",
-      "SELECT true AS recall_ok") { (s, d) =>
+      "SELECT CAST(0.966667 AS DOUBLE) AS mean_recall, true AS recall_ok") { (s, d) =>
       view(s, d, "embeddings")
       val e = s.table("embeddings")
       val queries = e.where(col("vec_id") < 20)
       val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", 3)
-      val approx = Similarity.ivfKnn(e, queries, "vec_id", "embedding", 3)
+      val approx = Similarity.ivfKnn(e, queries, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 6)
       Similarity.recallAtK(exact, approx)
-        .select((col("mean_recall") >= 0.5).as("recall_ok"))
+        .select(round(col("mean_recall"), 6).as("mean_recall"),
+          (col("mean_recall") >= 0.9).as("recall_ok"))
     },
 
-    // Multimodal plumbing: binary payload + batched (stub) decode
+    // Multimodal: REAL javax.imageio round-trip — synthesize genuine PNG
+    // payloads with per-id dimensions, then decode width/height/frames/
+    // format from the actual bytes. The oracle recomputes the dimension
+    // formula arithmetically: a hash match proves the codec really read
+    // the planted image headers.
     q("q26_multimodal_decode",
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-        |       CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames
+      """SELECT doc_id,
+        |       CAST(1 + doc_id % 16 AS INT) AS width,
+        |       CAST(1 + (doc_id * 7) % 16 AS INT) AS height,
+        |       CAST(1 AS INT) AS n_frames,
+        |       'png' AS format
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       view(s, d, "documents")
-      val media = Multimodal.attachContent(s.table("documents"), "doc_id", "text")
-      Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id")
+      val media = Multimodal.synthesizeImageContent(s.table("documents"), "doc_id")
+      Multimodal.decodeImageFeatures(media, "doc_id")
+        .select("doc_id", "width", "height", "n_frames", "format")
+        .orderBy("doc_id")
     },
 
-    // BPE-ish token counting + winnowing (rolling-hash) fingerprints
+    // BPE-ish token counting + winnowing (rolling-hash) fingerprints.
+    // The oracle recomputes each char-8-gram's Karp-Rabin hash (codepoints,
+    // base 257, mod 1e9+7) NON-rolling — same values as graft_winnow's
+    // rolling formulation, pure integer arithmetic on both engines.
     q("q29_text_tokens_fingerprints",
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
@@ -491,8 +510,18 @@ object SparkEntry {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, n_bpe_tokens,
-        |         list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
-        |                        i -> md5(substr(norm, i, 8))) AS grams
+        |         CASE WHEN length(norm) < 8 THEN
+        |           [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(range(1, length(norm) + 1),
+        |                             p -> CAST(unicode(substr(norm, p, 1)) AS BIGINT))),
+        |            (a, c) -> (a * 257 + c) % 1000000007)]
+        |         ELSE
+        |           list_transform(range(1, length(norm) - 7 + 1), i ->
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(0, 8),
+        |                               j -> CAST(unicode(substr(norm, i + j, 1)) AS BIGINT))),
+        |              (a, c) -> (a * 257 + c) % 1000000007))
+        |         END AS grams
         |  FROM n),
         |fp AS (
         |  SELECT doc_id, n_bpe_tokens,
@@ -512,19 +541,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // Embedding near-dups via random-hyperplane LSH (at-scale path).
-    // The sf corpus has no pairs above 0.95 (max cosine ~0.51), so both
-    // sides return the empty set; recall on planted near-dups is pinned by
-    // PipelineOpsSuite.
+    // Embedding near-dups via random-hyperplane LSH (at-scale path). The
+    // organic corpus tops out at cosine ~0.51, so near-duplicate vectors
+    // are PLANTED (pattern of q15's planted text dups): every 10th vector
+    // gets a +0.001-perturbed copy at id+1M — self-cosine >= 0.99996,
+    // far above the 0.95 threshold, while organic pairs stay far below.
+    // The oracle therefore expects exactly the planted pairs, proving
+    // at-driver-level that LSH recall on true near-dups is 1.0.
     q("q28_embedding_lsh",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.001) FROM base
+        |  WHERE vec_id % 10 = 0)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       view(s, d, "embeddings")
-      Dedup.embeddingLshPairs(s.table("embeddings"), "vec_id", "embedding", 0.95)
+      val base = s.table("embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+      Dedup.embeddingLshPairs(base.unionByName(planted), "vec_id", "embedding", 0.95, dim = 64)
         .orderBy("id_a", "id_b")
     },
 
@@ -586,13 +628,20 @@ object SparkEntry {
       " AS simhash FROM t ORDER BY doc_id"
   }
 
-  /** DuckDB brute-force word-5-gram Jaccard pairs at threshold 4/5 (integer compare). */
+  /** DuckDB brute-force word-5-gram Jaccard pairs at threshold 4/5 (integer
+   *  compare). Documents shorter than 5 words mirror Dedup.shingles's
+   *  fallback: the whole normalized text as a single shingle (DuckDB's
+   *  range(len-4) would otherwise yield an empty list, making any two
+   *  short docs a vacuous 0/0 pair Spark would never emit). */
   private def jaccardOracle: String =
-    """WITH d AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |           range(len(regexp_split_to_array(trim(lower(text)), '\s+')) - 4),
-      |           i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+5], ' '))) sh
-      |  FROM documents),
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+      |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+      |  FROM w),
       |pairs AS (
       |  SELECT a.doc_id id_a, b.doc_id id_b,
       |         len(list_intersect(a.sh, b.sh)) inter,

@@ -63,13 +63,14 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
   /**
-   * (id, shingles) projection used by the pairwise operators. Cached
-   * because it feeds both candidate generation and verification; Spark's
-   * ContextCleaner unpersists the blocks once the query's lineage is
-   * garbage-collected, so repeated invocations don't accumulate forever.
+   * (id, shingles) projection used by the pairwise operators. Caches the
+   * result itself (callers must NOT re-cache) because it feeds both
+   * candidate generation and verification; Spark's ContextCleaner
+   * unpersists the blocks once the query's lineage is garbage-collected,
+   * so repeated invocations don't accumulate forever.
    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")).cache()
 
   /**
    * Exact n-gram Jaccard near-duplicate pairs via prefix-filtered inverted
@@ -84,7 +85,7 @@ object Dedup {
       n: Int = 5,
       num: Int = 4,
       den: Int = 5): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sets = shingleSets(df, idCol, textCol, n)
     val posting = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix = the (sz - ceil(t*sz) + 1) globally-rarest shingles of each doc
@@ -115,13 +116,13 @@ object Dedup {
   }
 
   /**
-   * Seeded-xxhash64 MinHash signature: `numHashes` minima over the shingle
-   * set, one `aggregate` fold per hash (no intermediate arrays).
+   * MinHash signature: `numHashes` minima over the shingle set, via the
+   * native `graft_minhash` expression — one double-hash pass per shingle
+   * (Kirsch-Mitzenmacher family) instead of one full `aggregate` fold of
+   * the array per signature position.
    */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(i, s))))
+    call_function("graft_minhash", sh, lit(numHashes))
 
   /**
    * MinHash+LSH banded near-duplicate pairs, verified with exact Jaccard.
@@ -140,7 +141,7 @@ object Dedup {
       den: Int = 5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sets = shingleSets(df, idCol, textCol, n)
     val sig = sets.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -173,14 +174,17 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
+      dim: Int,
       bits: Int = 12,
       tables: Int = 8,
       seed: Long = 42L): DataFrame = {
+    // `dim` is a parameter (the embedding dimension is fixed at ingestion
+    // and known from the pipeline schema) so building the plan triggers no
+    // driver-side job — and an empty input stays a cheap empty result.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
       .cache()
-    val dim = v.select(size(col("v"))).first().getInt(0)
     val rng = new scala.util.Random(seed)
     // bucket of table t = the sign pattern of `bits` hyperplane projections
     val bucketCols = (0 until tables).map { t =>

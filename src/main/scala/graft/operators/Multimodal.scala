@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,13 +14,15 @@ import org.apache.spark.sql.types._
  * `binary` columns with a typed metadata struct, and run decode /
  * feature-extraction as partition-batched functions.
  *
- * The actual media decode is STUBBED — this container has no image/audio
- * codecs — with a deterministic fake ([[fakeDecode]]) so the Spark-side
- * contract (schema, partitioning, batch shape, null handling) is real and
- * tested; swap `fakeDecode` for a JNI/codec call in production. The
- * mapPartitions boundary is where a real decoder would amortize per-batch
- * init (model load, codec contexts) — the same shape `mapInPandas` gives
- * Python pipelines.
+ * The image path is REAL: [[decodeImageFeatures]] runs an actual
+ * `javax.imageio` codec (pure JVM, no native deps) against the payload
+ * bytes — header-only reads for dimensions, so it never materializes
+ * pixel rasters for large images — and [[synthesizeImageContent]]
+ * produces genuine PNG bytes to exercise it. The `mapPartitions`
+ * boundary is where a production pipeline amortizes per-batch decoder
+ * init (codec contexts, JNI sessions, model weights) — the same shape
+ * `mapInPandas` gives Python pipelines; audio/video would slot into an
+ * identical partition-batched decode with an ffmpeg-style JNI call.
  */
 object Multimodal {
 
@@ -26,7 +33,7 @@ object Multimodal {
 
   /**
    * Wrap a text column as an opaque binary payload + metadata struct —
-   * the shape a real ingestion job produces for media files.
+   * the generic ingestion shape for any media column.
    */
   def attachContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -36,40 +43,84 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         length(col(textCol).cast("binary")).cast("long").as("byte_len")).as("meta"))
 
+  /** Deterministic per-id image dimensions for the synthetic corpus. */
+  def syntheticDims(id: Long): (Int, Int) =
+    (1 + (id % 16).toInt, 1 + ((id * 7) % 16).toInt)
+
   /**
-   * STUB decoder: deterministic fake "media features" derived from the
-   * payload length only. A real implementation decodes `content` (e.g.
-   * libjpeg / ffmpeg via JNI) and returns true dimensions/frames.
+   * Deterministic REAL image payloads: a (1+id%16) x (1+7id%16) RGB PNG
+   * per row, encoded with `javax.imageio` inside `mapPartitions` (the
+   * encoder analogue of the decode boundary). Stands in for reading
+   * image files at ingestion; the bytes are genuine PNG streams any
+   * decoder accepts.
    */
-  def fakeDecode(content: Array[Byte]): (Int, Int, Int) = {
-    val len = content.length
-    (len % 640, (len * 7) % 480, 1 + len % 16)
+  def synthesizeImageContent(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType),
+      StructField("meta", metaType)))
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      val buf = new ByteArrayOutputStream() // one encoder buffer per partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = syntheticDims(id)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        buf.reset()
+        ImageIO.write(img, "png", buf)
+        val bytes = buf.toByteArray
+        Row(id, bytes, Row("image/png", bytes.length.toLong))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /**
-   * Partition-batched decode: content+meta -> decoded feature columns.
-   * Runs as `mapPartitions` over InternalRow batches (zero shuffle; one
-   * decoder context per partition).
+   * Partition-batched REAL image decode: content -> (width, height,
+   * n_frames, format) via `javax.imageio` header reads. Undecodable or
+   * null payloads keep their row with null feature columns (a curation
+   * pipeline filters on them rather than failing the job). Zero shuffle;
+   * one reader context per payload, resolved per partition.
    */
-  def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+  def decodeImageFeatures(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("byte_len", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("n_frames", IntegerType)))
+      StructField("n_frames", IntegerType),
+      StructField("format", StringType)))
     val input = df.select(col(idCol).cast("long"), col("content"))
     input.mapPartitions { rows =>
-      // per-partition decoder init would go here (codec context, model, ...)
       rows.map { r =>
         val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
         val content = r.getAs[Array[Byte]](1)
         if (content == null) {
-          // undecodable payload: keep the row, null feature columns
-          Row(id, null, null, null, null)
+          Row(id, null, null, null, null, null)
         } else {
-          val (w, h, f) = fakeDecode(content)
-          Row(id, content.length.toLong, w, h, f)
+          val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) {
+              Row(id, content.length.toLong, null, null, null, null)
+            } else {
+              val reader = readers.next()
+              try {
+                // seekForwardOnly must be false for getNumImages(allowSearch)
+                reader.setInput(iis, false, true)
+                Row(id, content.length.toLong,
+                  reader.getWidth(0), reader.getHeight(0),
+                  reader.getNumImages(true), reader.getFormatName.toLowerCase)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
         }
       }
     }(Encoders.row(outSchema))

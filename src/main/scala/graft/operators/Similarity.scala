@@ -61,11 +61,93 @@ object Similarity {
   }
 
   /**
-   * IVF-style approximate top-k. Centroids are the first `nlist` corpus
-   * vectors by id (deterministic coarse quantizer — at real scale swap in
-   * k-means centroids; the plan shape is identical). Corpus vectors are
-   * assigned to their nearest centroid once; each query probes the
-   * `nprobe` nearest cells. Returns (query_id, rk, neighbor_id).
+   * The full centroid set packed into ONE broadcastable row:
+   * `cents = array<struct<cell, centroid>>`. Joining this to a big table
+   * is a broadcast nested-loop of exactly one row — effectively free —
+   * and per-row cell argmax/top-n then run as array higher-order
+   * functions inside codegen with ZERO shuffle of the big side.
+   */
+  private def packedCentroids(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+
+  /**
+   * Comparator ordering packed centroids by cosine-to-`v` descending,
+   * then cell ascending — the total tiebreak that makes equidistant
+   * (e.g. duplicate) vectors assign/probe deterministically. |v| is a
+   * constant factor per row, so it's dropped from the cosine.
+   */
+  private def centroidOrder(v: Column, l: Column, r: Column): Column = {
+    def d(c: Column) = {
+      val cent = c.getField("centroid")
+      dot(v, cent) / sqrt(dot(cent, cent))
+    }
+    when(d(l) > d(r), -1).when(d(l) < d(r), 1)
+      .when(l.getField("cell") < r.getField("cell"), -1)
+      .when(l.getField("cell") > r.getField("cell"), 1)
+      .otherwise(0)
+  }
+
+  /**
+   * The `nprobe` nearest cells for vector `v`, as an array ordered by
+   * [[centroidOrder]] (codegen'd per-row array ops — no shuffle, no
+   * per-centroid row blowup).
+   */
+  private def probeCells(v: Column, cents: Column, nprobe: Int): Column =
+    transform(slice(array_sort(cents, (l, r) => centroidOrder(v, l, r)), 1, nprobe),
+      c => c.getField("cell"))
+
+  /** Cell of the max-cosine centroid for vector `v` (ties -> smallest cell). */
+  private def bestCell(v: Column, cents: Column): Column =
+    element_at(probeCells(v, cents, 1), 1)
+
+  /**
+   * Spherical k-means coarse quantizer, entirely in DataFrame ops (an
+   * MLlib-free Lloyd loop). Seed centroids are a deterministic
+   * hash-ordered corpus sample (TakeOrderedAndProject — no full sort);
+   * each iteration assigns every vector to its max-cosine centroid via
+   * [[bestCell]] over the packed one-row broadcast (no shuffle of the
+   * corpus) and recomputes centroids as per-cell means with one
+   * (cell, pos)-keyed partial aggregation. Means are summed as
+   * DECIMAL(28,18), an exact order-independent reduction — centroids
+   * (and therefore IVF results) are bit-identical across runs,
+   * partitionings, and cluster sizes. Cosine normalizes, so centroids
+   * need no re-normalization; cells that lose all members drop out
+   * (fewer, denser cells — standard Lloyd behavior).
+   */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 3): DataFrame = {
+    val c = corpus.select(col(vecCol).as("cv"))
+    // secondary key disambiguates hash collisions between distinct vectors
+    val seedW = Window.orderBy("h", "s")
+    var centroids = c
+      .withColumn("h", xxhash64(col("cv").cast("array<string>")))
+      .withColumn("s", xxhash64(lit(1), col("cv").cast("array<string>")))
+      .orderBy("h", "s")
+      .limit(nlist)
+      .withColumn("cell", row_number().over(seedW).cast("long"))
+      .select(col("cell"), col("cv").as("centroid"))
+    for (_ <- 0 until iters) {
+      centroids = c.join(broadcast(packedCentroids(centroids)))
+        .select(bestCell(col("cv"), col("cents")).as("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(28,18)")) / count(lit(1))).cast("double").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /**
+   * IVF approximate top-k: a [[kmeansCentroids]] coarse quantizer
+   * partitions the corpus into `nlist` cells; corpus vectors are assigned
+   * to their nearest centroid once ([[bestCell]] — no shuffle); each
+   * query probes its `nprobe` nearest cells, turning the cross join into
+   * a cell-equi-join that shuffles each corpus vector exactly once.
+   * Returns (query_id, rk, neighbor_id).
    */
   def ivfKnn(
       corpus: DataFrame,
@@ -74,26 +156,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .where(dot(col("cv"), col("cv")) > 0)
-    val centroids = c.orderBy("cid").limit(nlist)
-      .select(col("cid").as("cell"), col("cv").as("centroid"))
-    // cell asc as tiebreak: equidistant (e.g. duplicate) vectors must
-    // assign/probe deterministically across runs and partitionings
-    val assign = Window.partitionBy("cid").orderBy(col("cdist").desc, col("cell"))
-    val assigned = c.join(broadcast(centroids))
-      .withColumn("cdist", cosine(col("cv"), col("centroid")))
-      .withColumn("ark", row_number().over(assign))
-      .where(col("ark") === 1)
-      .select(col("cid").as("neighbor_id"), col("cv"), col("cell"))
+      .cache()
+    // cached: consumed by both the assign and probe sides — without it the
+    // whole Lloyd chain would execute twice per action
+    val cents = broadcast(packedCentroids(kmeansCentroids(c, "cv", nlist, kmeansIters)).cache())
+    val assigned = c.join(cents)
+      .select(col("cid").as("neighbor_id"), col("cv"),
+        bestCell(col("cv"), col("cents")).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("qdist").desc, col("cell"))
-    val probes = q.join(broadcast(centroids))
-      .withColumn("qdist", cosine(col("qv"), col("centroid")))
-      .withColumn("prk", row_number().over(probeW))
-      .where(col("prk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = q.join(cents)
+      .select(col("query_id"), col("qv"),
+        explode(probeCells(col("qv"), col("cents"), nprobe)).as("cell"))
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))

@@ -45,7 +45,10 @@ object TextOps {
    */
   def wordHits(text: Column, word: String): Column = {
     val padded = concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
-    size(split(padded, lit(s" $word "))) - 1
+    // split's separator is a Java regex: quote so words containing
+    // metacharacters ("c++", "a.b") count literally like the oracle's
+    // plain string_split
+    size(split(padded, lit(java.util.regex.Pattern.quote(s" $word ")))) - 1
   }
 
   /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
@@ -80,39 +83,27 @@ object TextOps {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /**
-   * Winnowing document fingerprints (Schleimer et al.): hash every
-   * character k-gram (rolling window over the normalized text), then keep
+   * Winnowing document fingerprints (Schleimer et al.): Karp-Rabin
+   * rolling hash of every character k-gram of the normalized text, then
    * the minimum hash of each sliding window of `w` consecutive gram
    * hashes, deduplicated. Guarantees any shared substring of length
    * >= k+w-1 between two documents yields a shared fingerprint — the
-   * standard plagiarism/near-dup fingerprinting scheme. Pure codegen'd
-   * builtins; md5 hex minima keep it engine-reproducible.
+   * standard plagiarism/near-dup fingerprinting scheme.
    *
-   * DataFrame-level on purpose: the gram array MUST be materialized as its
-   * own column before the window pass. Inlining it into the window lambda
-   * (a single nested Column expression) re-evaluates every gram hash per
-   * window — higher-order-function lambdas get no subexpression
-   * elimination — turning O(chars*w) into O(chars^2). The two projections
-   * below don't collapse because the gram alias is referenced twice and
-   * is non-cheap.
+   * Runs as the native `graft_winnow` expression: one integer-arithmetic
+   * pass over the characters with a monotonic-deque window minimum —
+   * O(chars) total, versus one md5 digest per character in the previous
+   * builtin-composed formulation. Base-257 mod-1e9+7 hashes over
+   * codepoints keep it reproducible in any integer-SQL engine (the
+   * DuckDB oracle mirrors the same arithmetic).
    */
   def withWinnowingFingerprints(
       df: DataFrame,
       textCol: String,
       outCol: String,
       k: Int = 8,
-      w: Int = 4): DataFrame = {
-    val norm = "__graft_winnow_norm"
-    val grams = "__graft_winnow_grams"
-    df.withColumn(norm, regexp_replace(lower(col(textCol)), "\\s+", " "))
-      .withColumn(grams, transform(
-        sequence(lit(1), greatest(length(col(norm)) - (k - 1), lit(1))),
-        i => md5(col(norm).substr(i, lit(k)).cast("binary"))))
-      .withColumn(outCol, array_distinct(transform(
-        sequence(lit(1), greatest(size(col(grams)) - (w - 1), lit(1))),
-        i => array_min(slice(col(grams), i, lit(w))))))
-      .drop(norm, grams)
-  }
+      w: Int = 4): DataFrame =
+    df.withColumn(outCol, call_function("graft_winnow", col(textCol), lit(k), lit(w)))
 
   /**
    * Heuristic quality flag over integer metrics only (reproducible across

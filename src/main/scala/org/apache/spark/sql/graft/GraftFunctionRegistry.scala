@@ -150,8 +150,28 @@ object GraftFunctionRegistry {
     fd("graft_dot",
       "_FUNC_(a, b) - dot product of two array<double> columns (primitive loop)", Seq(2)) { args =>
       DotProduct(args(0), args(1))
+    },
+    fd("graft_minhash",
+      "_FUNC_(shingles, numHashes) - minhash signature (array<long>) of an " +
+        "array<string> shingle set; one double-hash pass per shingle", Seq(2)) { args =>
+      MinHashSignature(args(0), intLiteral("graft_minhash", "numHashes", args(1)))
+    },
+    fd("graft_winnow",
+      "_FUNC_(text, k, w) - winnowing fingerprints (array<long>): rolling-hash " +
+        "char k-grams, min per sliding window of w, deduplicated", Seq(3)) { args =>
+      WinnowFingerprints(args(0),
+        intLiteral("graft_winnow", "k", args(1)),
+        intLiteral("graft_winnow", "w", args(2)))
     }
   )
+
+  /** Require a foldable integer literal argument (mirrors the quantile
+   *  functions' constant-literal validation). */
+  private def intLiteral(fn: String, param: String, e: Expression): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant integer literal, got ${e.sql}")
+  }
 
   /** Imperatively register all functions into a live session's registry. */
   def install(spark: SparkSession): Unit = {

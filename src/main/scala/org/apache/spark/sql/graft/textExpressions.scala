@@ -1,5 +1,6 @@
 /**
- * Native text-pipeline expressions. Currently: `graft_simhash`.
+ * Native text-pipeline expressions: `graft_simhash`, `graft_hamming_hex`,
+ * `graft_minhash`, `graft_winnow`.
  */
 package org.apache.spark.sql.graft
 
@@ -7,6 +8,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -106,6 +108,153 @@ object SimHash64 {
     }
     dist
   }
+}
+
+/**
+ * `graft_minhash(shingles, numHashes)` — MinHash signature of a shingle
+ * set in ONE hash pass per shingle. Two independent xxhash64 values (h1,
+ * h2) per element generate the whole family g_i = h1 + i*h2
+ * (Kirsch-Mitzenmacher double hashing; h2 forced odd for full period mod
+ * 2^64), so computing all `numHashes` minima costs 2 hashes + numHashes
+ * adds per shingle — versus one full hash pass per signature position in
+ * the higher-order-function formulation (64 aggregate folds in the
+ * previous `Dedup.minhashSignature`). Downstream LSH correctness does not
+ * depend on the hash family (candidates are exact-verified); only recall
+ * does, and double hashing is the standard family for it.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def prettyName: String = "graft_minhash"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(input: ArrayData): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      if (!input.isNullAt(j)) {
+        val s = input.getUTF8String(j)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h2 = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9e3779b97f4a7c15L) | 1L
+        var g = h1
+        var i = 0
+        while (i < numHashes) {
+          if (g < mins(i)) mins(i) = g
+          g += h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `graft_winnow(text, k, w)` — winnowing document fingerprints (Schleimer
+ * et al.): Karp-Rabin rolling hash of every character k-gram of the
+ * whitespace-normalized lower-cased text (codepoints, base 257, mod
+ * 1e9+7 — reproducible in integer SQL for the oracle), then the minimum
+ * of each sliding window of `w` gram hashes, deduplicated in first-seen
+ * order. One pass over the characters with a monotonic deque: O(chars)
+ * total versus one md5 digest per character in the previous builtin
+ * formulation (TextOps history). Texts shorter than k hash to a single
+ * whole-text gram; gram counts shorter than w yield one window.
+ */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+
+  override def prettyName: String = "graft_winnow"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val M = 1000000007L
+  private val B = 257L
+  // B^(k-1) mod M, for removing the outgoing character of the window
+  private val pow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < k) { p = p * B % M; i += 1 }
+    p
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    // normalize: lower-case, any whitespace run -> single space
+    val raw = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val norm = raw.replaceAll("\\s+", " ")
+    // codepoints (not UTF-16 units) so the SQL mirror's per-character
+    // unicode() semantics match beyond the BMP
+    val cps = norm.codePoints().toArray
+    val n = cps.length
+    if (n < k) {
+      // whole text as the single gram
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * B + cps(i)) % M; i += 1 }
+      return new GenericArrayData(Array(h))
+    }
+    val nGrams = n - k + 1
+    // rolling gram hashes + sliding-window minimum via monotonic deque
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val dqIdx = new Array[Int](nGrams)
+    val dqVal = new Array[Long](nGrams)
+    var head = 0
+    var tail = 0 // deque is dqIdx/dqVal[head until tail], values increasing
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      // evict the outgoing character BEFORE the multiply-add, while its
+      // weight is still B^(k-1)
+      if (i >= k) h = (h + M - cps(i - k) * pow % M) % M
+      h = (h * B + cps(i)) % M
+      if (i >= k - 1) {
+        val g = i - (k - 1) // gram index
+        // drop larger-or-equal tail values (keep FIRST min on ties ->
+        // strict <, matching list_min's first-minimum determinism)
+        while (tail > head && dqVal(tail - 1) > h) tail -= 1
+        dqIdx(tail) = g
+        dqVal(tail) = h
+        tail += 1
+        if (dqIdx(head) <= g - w) head += 1
+        // window [g-w+1, g] complete once g >= w-1; also emit the single
+        // clamped window when there are fewer than w grams in total
+        if (g >= w - 1 || g == nGrams - 1) out.add(dqVal(head))
+      }
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    new GenericArrayData(res)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `graft_hamming_hex(a, b)` — bitwise hamming distance of two hex strings. */

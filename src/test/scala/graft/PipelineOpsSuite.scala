@@ -55,6 +55,48 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(lsh === exact)
   }
 
+  test("native minhash: set-order-independent, numHashes minima, discriminative") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("aa", "bb", "cc", "dd")),
+      (2L, Seq("dd", "cc", "bb", "aa")), // same set, different order
+      (3L, Seq("xx", "yy"))).toDF("id", "sh")
+    val sigs = df.select(col("id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 64)
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    // SQL surface: constant-literal validation
+    df.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql("SELECT graft_minhash(sh, 64) FROM mh_docs WHERE id = 1")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql === sigs(1L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(sh, id) FROM mh_docs").collect()
+    }
+    assert(e.getMessage.contains("constant integer literal"))
+  }
+
+  test("native winnowing: shared substring >= k+w-1 shares a fingerprint; short text = 1 gram") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"AAA prefix words $shared zzz suffix"),
+      (2L, s"totally different beginning $shared another ending"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val fps = TextOps.withWinnowingFingerprints(df, "text", "fps")
+      .select("doc_id", "fps").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // winnowing guarantee: a shared substring of length >= k+w-1 (= 11)
+    // yields at least one shared fingerprint
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // shorter than k (= 8) chars: the whole text is the single gram
+    assert(fps(3L).length === 1)
+    // deterministic across invocations
+    val again = TextOps.withWinnowingFingerprints(df, "text", "fps")
+      .select("doc_id", "fps").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again === fps)
+  }
+
   test("language id and quality scoring") {
     val r = docs.select(col("doc_id"), TextOps.languageId(col("text")).as("lang"),
       TextOps.qualityFlag(col("text")).as("q")).orderBy("doc_id").collect()
@@ -115,7 +157,7 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     val nearDup = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
     val vecs = ((0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))) ++
       Seq((100L, base), (101L, nearDup))).toDF("vec_id", "embedding")
-    val lsh = Dedup.embeddingLshPairs(vecs, "vec_id", "embedding", 0.95)
+    val lsh = Dedup.embeddingLshPairs(vecs, "vec_id", "embedding", 0.95, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -123,13 +165,29 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(lsh === exact)
   }
 
-  test("multimodal attach + batched decode plumbing") {
-    val media = Multimodal.attachContent(docs, "doc_id", "text")
+  test("multimodal synthesize + real javax.imageio decode round-trip") {
+    val media = Multimodal.synthesizeImageContent(docs, "doc_id")
     assert(media.schema.fieldNames.toSeq === Seq("doc_id", "content", "meta"))
-    val decoded = Multimodal.decodeFeatures(media, "doc_id").orderBy("doc_id").collect()
+    val decoded = Multimodal.decodeImageFeatures(media, "doc_id").orderBy("doc_id").collect()
     assert(decoded.length === 4)
-    val first = decoded(0)
-    val len = docs.collect()(0).getString(1).getBytes("UTF-8").length
-    assert(first === Row(0L, len.toLong, len % 640, (len * 7) % 480, 1 + len % 16))
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.syntheticDims(id)
+      assert(r.getInt(2) === w)
+      assert(r.getInt(3) === h)
+      assert(r.getInt(4) === 1)
+      assert(r.getString(5) === "png")
+      assert(r.getLong(1) > 0L) // real PNG stream, non-trivial byte length
+    }
+  }
+
+  test("undecodable payloads keep their row with null image features") {
+    val media = Multimodal.attachContent(docs, "doc_id", "text") // text bytes, not an image
+    val decoded = Multimodal.decodeImageFeatures(media, "doc_id").orderBy("doc_id").collect()
+    assert(decoded.length === 4)
+    decoded.foreach { r =>
+      assert(r.getLong(1) > 0L)  // byte_len still reported
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5))
+    }
   }
 }
