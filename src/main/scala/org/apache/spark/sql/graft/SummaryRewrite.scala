@@ -11,19 +11,27 @@
  * grouping is a coarsening of the summary's keys — the sketch-native
  * analogue of materialized-view rewriting.
  *
+ * Keys may be plain base columns or DERIVED buckets — most importantly
+ * tumbling `window(ts, ...)` buckets, the reference's flagship summary
+ * shape. Registering with the summary's defining query captures each
+ * derived key's expression; a query grouping by the same window — or by
+ * any coarser tumbling window whose slide is a multiple of the summary's
+ * (daily sketches answering weekly questions) — rewrites to bucket
+ * arithmetic over the summary's stored window start, never rescanning
+ * the base.
+ *
  * Opt-in via `spark.sql.graft.summaryRewrite.enabled` (results are
  * approximate either way, but the merge tree differs, so estimates may
  * differ within the sketch's error bounds — same caveat as any
  * materialized sketch rollup). The rewrite only fires when the one-shot's
- * frozen sketch parameters match the summary's, and when the value
- * column's hash domain matches what `_accumulate` stored (STRING for
- * distinct-count, any numeric narrowed to float for quantiles).
+ * frozen sketch parameters match the summary's, when the value column's
+ * hash domain matches what `_accumulate` stored, and when the aggregate
+ * carries no FILTER clause (a `agg(...) FILTER (WHERE ...)` must keep
+ * reading the base — the summary cannot apply a row-level filter).
  */
 package org.apache.spark.sql.graft
 
 import java.util.concurrent.ConcurrentHashMap
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
@@ -31,15 +39,29 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType, TimestampType}
+
+/**
+ * One summary key. Plain keys are base columns stored under the same
+ * name; derived keys carry a structure `template` (attribute names
+ * substituted for attribute identities, the tumbling-window slide masked
+ * out) used to match query groupings, plus the window `slide` in
+ * microseconds when the expression is a tumbling window.
+ */
+case class KeySpec(
+    name: String,
+    template: Option[Expression],
+    slide: Option[Long]) {
+  def isPlain: Boolean = template.isEmpty
+}
 
 /** What a registered summary provides for one base table. */
 case class SummarySpec(
     basePath: String,
-    keyCols: Seq[String],
+    keys: Seq[KeySpec],
     valueCol: String,
     sketchCol: String,
-    kind: String, // "distinct" | "quantile"
+    kind: String, // "distinct" | "quantile" | "freq"
     algoName: String,
     param: Int,
     summaryPlan: LogicalPlan)
@@ -53,18 +75,20 @@ object SummaryCatalog {
    * Register `summary` (keys + one sketch column built by `*_accumulate`
    * over `valueCol` of the base parquet table at `basePath`) for rewriting.
    * Sketch algorithm/parameters are captured from the current session conf,
-   * matching what `_accumulate` froze into the summary.
+   * matching what `_accumulate` froze into the summary. Pass the summary's
+   * defining query as `definition` when any key is a derived bucket (e.g.
+   * `window(ts, '1 day')`) so its expression can be matched against query
+   * groupings.
    */
   def registerDistinctSummary(
       basePath: String,
       summary: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      sketchCol: String): Unit = {
+      sketchCol: String,
+      definition: Option[DataFrame] = None): Unit = {
     val (algo, lgK) = DistinctParams.resolveDefault()
-    val plan = summary.queryExecution.analyzed
-    specs.put(normalize(basePath),
-      SummarySpec(normalize(basePath), keyCols, valueCol, sketchCol, "distinct", algo, lgK, plan))
+    register(basePath, summary, keyCols, valueCol, sketchCol, "distinct", algo, lgK, definition)
   }
 
   def registerQuantileSummary(
@@ -72,12 +96,69 @@ object SummaryCatalog {
       summary: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      sketchCol: String): Unit = {
+      sketchCol: String,
+      definition: Option[DataFrame] = None): Unit = {
     val (algo, k) = QuantileParams.resolveDefault()
+    register(basePath, summary, keyCols, valueCol, sketchCol, "quantile", algo, k, definition)
+  }
+
+  def registerFreqItemsSummary(
+      basePath: String,
+      summary: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      sketchCol: String,
+      definition: Option[DataFrame] = None): Unit = {
+    val maxMapSize = FreqParams.resolveMaxMapSize()
+    register(basePath, summary, keyCols, valueCol, sketchCol, "freq", "MISRA_GRIES", maxMapSize,
+      definition)
+  }
+
+  private def register(
+      basePath: String,
+      summary: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      sketchCol: String,
+      kind: String,
+      algo: String,
+      param: Int,
+      definition: Option[DataFrame]): Unit = {
+    val keys = keySpecs(keyCols, definition)
     val plan = summary.queryExecution.analyzed
     specs.put(normalize(basePath),
-      SummarySpec(normalize(basePath), keyCols, valueCol, sketchCol, "quantile", algo, k, plan))
+      SummarySpec(normalize(basePath), keys, valueCol, sketchCol, kind, algo, param, plan))
   }
+
+  /** Extract each key's defining expression from the summary definition.
+   *  Uses the OPTIMIZED plan: the rewrite rule matches query groupings
+   *  mid-optimization, after constant folding has simplified the window
+   *  arithmetic, so the stored template must be folded the same way. */
+  private def keySpecs(keyCols: Seq[String], definition: Option[DataFrame]): Seq[KeySpec] =
+    definition match {
+      case None => keyCols.map(KeySpec(_, None, None))
+      case Some(df) =>
+        df.queryExecution.optimizedPlan match {
+          case Aggregate(_, aggExprs, child, _) =>
+            val aliases = PlanShapes.aliasMap(child)
+            keyCols.map { kc =>
+              val ne = aggExprs.find(_.name == kc).getOrElse(throw new IllegalArgumentException(
+                s"Summary definition has no output column named $kc"))
+              val raw = PlanShapes.substitute(ne match {
+                case Alias(e, _) => e
+                case e => e
+              }, aliases)
+              raw match {
+                case _: AttributeReference => KeySpec(kc, None, None)
+                case e =>
+                  val slide = PlanShapes.tumblingSlide(e)
+                  KeySpec(kc, Some(PlanShapes.template(e, slide)), slide)
+              }
+            }
+          case other => throw new IllegalArgumentException(
+            "Summary definition must be an aggregate query, got: " + other.nodeName)
+        }
+    }
 
   def unregister(basePath: String): Unit = specs.remove(normalize(basePath))
   def clear(): Unit = specs.clear()
@@ -87,7 +168,85 @@ object SummaryCatalog {
   private def normalize(p: String): String = p.stripSuffix("/").replaceFirst("^file:", "")
 }
 
-case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+/** Plan/expression shape helpers shared by registration and rewrite. */
+private[graft] object PlanShapes {
+
+  /** exprId -> defining expression (inlined down to base attrs) for every
+   *  Alias in the Projects of `plan`. */
+  def aliasMap(plan: LogicalPlan): Map[ExprId, Expression] = plan match {
+    case Project(projList, child) =>
+      val below = aliasMap(child)
+      below ++ projList.collect { case a @ Alias(e, _) => a.exprId -> substitute(e, below) }
+    case Filter(_, child) => aliasMap(child)
+    case _ => Map.empty
+  }
+
+  def substitute(e: Expression, m: Map[ExprId, Expression]): Expression =
+    if (m.isEmpty) e
+    else e.transformUp { case a: AttributeReference if m.contains(a.exprId) => m(a.exprId) }
+
+  /**
+   * Identity-free structural fingerprint of a key expression: attributes
+   * become name markers, and (when `slide` is given) every occurrence of
+   * the slide literal becomes a mask — so a daily and a weekly window
+   * over the same column produce the SAME template, differing only in
+   * their extracted slide.
+   */
+  def template(e: Expression, slide: Option[Long]): Expression = {
+    val named = e.transformUp {
+      case a: AttributeReference => Literal.create("graft-attr:" + a.name, StringType)
+    }
+    slide match {
+      case Some(s) => named.transformUp {
+        case Literal(v: Long, LongType) if v == s => Literal(-1L, LongType)
+      }
+      case None => named
+    }
+  }
+
+  /**
+   * The slide (microseconds) of an analyzed tumbling-window struct: the
+   * TimeWindowing rule's output has the slide as the unique `% slide`
+   * divisor inside a named_struct(start, end). Returns None for any other
+   * shape (safe: no window coarsening is attempted).
+   */
+  def tumblingSlide(e: Expression): Option[Long] = e match {
+    case _: CreateNamedStruct =>
+      e.collect { case Remainder(_, Literal(s: Long, LongType), _) => s }.distinct match {
+        case Seq(s) if s > 0 => Some(s)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /**
+   * Rewrite a query-side tumbling-window expression to run over the
+   * summary's stored bucket instead of the base timestamp: every
+   * `precisetimestampconversion(ts, Timestamp, Long)` leaf re-reads the
+   * summary key's window START. Correct whenever the summary slide
+   * divides the query slide (flooring an already-W1-floored timestamp to
+   * W2 is flooring the original, for W1 | W2).
+   */
+  def overSummaryBucket(queryExpr: Expression, summaryKey: Attribute): Option[Expression] = {
+    val start: Option[Expression] = summaryKey.dataType match {
+      case t: StructType =>
+        val i = t.fieldNames.indexOf("start")
+        if (i >= 0 && t.fields(i).dataType == TimestampType) {
+          Some(GetStructField(summaryKey, i, Some("start")))
+        } else None
+      case TimestampType => Some(summaryKey)
+      case _ => None
+    }
+    start.map { s =>
+      queryExpr.transformUp {
+        case p @ PreciseTimestampConversion(_, TimestampType, LongType) => p.copy(child = s)
+      }
+    }
+  }
+}
+
+case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
+  with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SummaryCatalog.isEmpty ||
@@ -100,22 +259,51 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Strip attribute-only Projects / key-only Filters down to the base relation. */
-  private def findBase(plan: LogicalPlan): Option[(SummarySpec, Option[Expression])] =
+  /** What the descent below an Aggregate found. */
+  private case class BaseMatch(
+      spec: SummarySpec,
+      keyFilter: Option[Expression],
+      aliases: Map[ExprId, Expression],
+      notNullRefs: AttributeSet)
+
+  /**
+   * Strip Projects / key-only Filters down to the base relation,
+   * accumulating project-alias definitions (so derived groupings like the
+   * TimeWindowing-generated window struct can be inlined) and tolerating
+   * IsNotNull conjuncts over derived-key source columns (TimeWindowing
+   * inserts them; the summary's own definition filtered identically).
+   */
+  private def findBase(plan: LogicalPlan): Option[BaseMatch] =
     plan match {
       case LogicalRelation(rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
           _, _, _, _) =>
         rel.location.rootPaths.headOption
           .flatMap(p => SummaryCatalog.get(p.toString))
-          .map(s => (s, None))
-      case Project(projectList, child) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        findBase(child)
+          .map(s => BaseMatch(s, None, Map.empty, AttributeSet.empty))
+      case Project(projectList, child) =>
+        if (!projectList.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias])) {
+          return None
+        }
+        findBase(child).map { bm =>
+          val own = projectList.collect {
+            case a @ Alias(e, _) => a.exprId -> PlanShapes.substitute(e, bm.aliases)
+          }
+          bm.copy(aliases = bm.aliases ++ own)
+        }
       case Filter(cond, child) =>
-        findBase(child).flatMap { case (s, existing) =>
-          // only key-referencing filters can move onto the summary
-          if (cond.references.forall(a => s.keyCols.contains(a.name)) && existing.isEmpty) {
-            Some((s, Some(cond)))
-          } else None
+        findBase(child).flatMap { bm =>
+          val plainKeys = bm.spec.keys.filter(_.isPlain).map(_.name).toSet
+          val inlined = PlanShapes.substitute(cond, bm.aliases)
+          var keyConjuncts = Seq.empty[Expression]
+          var notNull = bm.notNullRefs
+          splitConjunctivePredicates(inlined).foreach {
+            case c if c.references.forall(a => plainKeys.contains(a.name)) =>
+              keyConjuncts :+= c
+            case IsNotNull(e) => notNull ++= e.references
+            case _ => return None
+          }
+          val merged = (bm.keyFilter.toSeq ++ keyConjuncts).reduceOption(And)
+          Some(bm.copy(keyFilter = merged, notNullRefs = notNull))
         }
       case _ => None
     }
@@ -125,33 +313,74 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val based = findBase(child)
-    if (based.isEmpty) return None
-    val (spec, filterCond) = based.get
-
-    // groupings must be plain key attributes (a coarsening of the summary keys)
-    val groupAttrs = groupings.map {
-      case a: AttributeReference if spec.keyCols.contains(a.name) => a
-      case _ => return None
-    }
+    val bm = findBase(child).getOrElse(return None)
+    val spec = bm.spec
 
     val summaryOut = spec.summaryPlan.output
     def summaryAttr(name: String): Option[Attribute] = summaryOut.find(_.name == name)
     val sketchAttr = summaryAttr(spec.sketchCol).getOrElse(return None)
 
-    // every output is either a group key or a rewritable one-shot sketch agg
+    // Resolve every grouping to an expression over the summary. Derived
+    // keys land in a projection below the new Aggregate (mirroring how
+    // TimeWindowing itself structures window groupings).
+    val derivedProj = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    var derivedSourceRefs = AttributeSet.empty
+    val groupingRepl: Map[ExprId, NamedExpression] = groupings.map {
+      case a: AttributeReference =>
+        val inlined = PlanShapes.substitute(a, bm.aliases)
+        val repl: NamedExpression = inlined match {
+          case base: AttributeReference =>
+            // plain key column
+            val ks = spec.keys.find(k => k.isPlain && k.name == base.name).getOrElse(return None)
+            summaryAttr(ks.name).getOrElse(return None)
+          case derived =>
+            val slide = PlanShapes.tumblingSlide(derived)
+            val tmpl = PlanShapes.template(derived, slide)
+            val ks = spec.keys.find(k => k.template.contains(tmpl)).getOrElse(return None)
+            val keyAttr = summaryAttr(ks.name).getOrElse(return None)
+            val expr: Expression = (slide, ks.slide) match {
+              case (Some(sq), Some(ss)) if sq == ss => keyAttr
+              case (Some(sq), Some(ss)) if sq % ss == 0 =>
+                PlanShapes.overSummaryBucket(derived, keyAttr).getOrElse(return None)
+              case (None, None) => keyAttr // identical non-window derived bucket
+              case _ => return None
+            }
+            derivedSourceRefs ++= derived.references
+            expr match {
+              case ne: NamedExpression => ne
+              case e =>
+                val al = Alias(e, "__graft_bucket_" + derivedProj.size)()
+                derivedProj += al
+                al.toAttribute
+            }
+        }
+        a.exprId -> repl
+      case _ => return None
+    }.toMap
+
+    // Tolerated IsNotNull filters must only guard derived-key sources.
+    if (!bm.notNullRefs.subsetOf(derivedSourceRefs)) return None
+
+    // every output is either a group key or a rewritable one-shot,
+    // FILTER-free sketch aggregate
     val newAggExprs: Seq[NamedExpression] = aggExprs.map {
-      case a: AttributeReference if spec.keyCols.contains(a.name) =>
-        val repl = summaryAttr(a.name).getOrElse(return None)
-        Alias(repl, a.name)(exprId = a.exprId)
-      case al @ Alias(AggregateExpression(fn, Complete, false, _, _), name) =>
+      case a: AttributeReference if groupingRepl.contains(a.exprId) =>
+        Alias(groupingRepl(a.exprId), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if groupingRepl.contains(a.exprId) =>
+        // group key re-aliased in the output (e.g. `window(...) AS day`)
+        Alias(groupingRepl(a.exprId), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
         val rewritten = rewriteFunction(fn, spec, sketchAttr).getOrElse(return None)
         Alias(rewritten, name)(exprId = al.exprId)
       case _ => return None
     }
 
-    val newGroupings = groupAttrs.map(a => summaryAttr(a.name).getOrElse(return None))
-    val filtered = filterCond match {
+    val newGroupings: Seq[Expression] = groupings.map {
+      case a: AttributeReference => groupingRepl(a.exprId)
+      case _ => return None
+    }
+
+    val filtered = bm.keyFilter match {
       case Some(cond) =>
         val remapped = cond.transform {
           case a: AttributeReference => summaryAttr(a.name).getOrElse(return None)
@@ -159,9 +388,12 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Filter(remapped, spec.summaryPlan)
       case None => spec.summaryPlan
     }
+    val newChild =
+      if (derivedProj.isEmpty) filtered
+      else Project(filtered.output ++ derivedProj, filtered)
     logInfo(s"graft summary rewrite: aggregate over ${spec.basePath} now reads the " +
       s"registered ${spec.kind} summary")
-    Some(Aggregate(newGroupings, newAggExprs, filtered, None))
+    Some(Aggregate(newGroupings, newAggExprs, newChild, None))
   }
 
   /** One-shot agg -> estimate(combine(sketch)), iff params + domain line up. */
@@ -183,6 +415,12 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val combine = AggregateExpression(
         ApproxPercentileCombine(sketchAttr, algo, k), Complete, isDistinct = false)
       Some(ApproxPercentileEstimate(combine, pct, algo, k))
+    case ApproxFreqItemsAgg(childAttr: AttributeReference, maxMapSize, _, _)
+        if spec.kind == "freq" && childAttr.name == spec.valueCol &&
+          childAttr.dataType == StringType && maxMapSize == spec.param =>
+      val combine = AggregateExpression(
+        ApproxFreqItemsCombine(sketchAttr, maxMapSize), Complete, isDistinct = false)
+      Some(ApproxFreqItemsEstimate(combine))
     case _ => None
   }
 }

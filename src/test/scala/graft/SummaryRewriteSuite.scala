@@ -100,6 +100,98 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("aggregates with a FILTER clause are NOT rewritten (would lose the filter)") {
+    withSummary {
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val filteredAgg = spark.sql(
+          """SELECT event_type,
+            |       approx_count_distinct_ex(props) FILTER (WHERE user_id > 50) AS nd
+            |FROM sr_events GROUP BY event_type""".stripMargin)
+        assert(scannedPaths(filteredAgg).exists(_.contains("events.parquet")),
+          "FILTER (WHERE ...) aggregates must keep scanning the base")
+      }
+    }
+  }
+
+  test("freq-items summaries rewrite") {
+    SparkEntry.prep(spark)
+    val events = spark.read.parquet(basePath)
+    events.createOrReplaceTempView("sr_events")
+    val summaryDir = Files.createTempDirectory("graft_fsummary").toString
+    spark.sql(
+      """SELECT event_type, approx_freqitems_accumulate(props) AS s
+        |FROM sr_events GROUP BY event_type""".stripMargin)
+      .write.mode("overwrite").parquet(summaryDir)
+    GraftSummaries.registerFreqItemsSummary(
+      basePath, spark.read.parquet(summaryDir), Seq("event_type"), "props", "s")
+    try {
+      // inline + re-sort: item order among EQUAL counts differs between
+      // merge trees, so compare the (item, count) sets per group
+      val sql = """SELECT event_type, item, estimated
+                  |FROM (SELECT event_type, approx_freqitems(props) AS fi
+                  |      FROM sr_events GROUP BY event_type)
+                  |LATERAL VIEW inline(fi) t AS item, estimated
+                  |ORDER BY event_type, item, estimated""".stripMargin
+      val baseline = spark.sql(sql).collect()
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val rewritten = spark.sql(sql)
+        // tiny cardinality: sketch is exact, so summary answer == base answer
+        assert(rewritten.collect() === baseline)
+        val direct = spark.sql(
+          "SELECT event_type, approx_freqitems(props) FROM sr_events GROUP BY event_type")
+        assert(!scannedPaths(direct).exists(_.contains("events.parquet")))
+      }
+    } finally GraftSummaries.clear()
+  }
+
+  test("window-bucketed summary answers same-grain and coarser window queries") {
+    SparkEntry.prep(spark)
+    val base = "/root/testdata/sf0.001/orders.parquet"
+    spark.read.parquet(base).createOrReplaceTempView("sr_orders")
+    // daily-window summary of distinct clerks, defined with window(ts,'1 day')
+    val defSql =
+      """SELECT window(CAST(o_orderdate AS TIMESTAMP), '1 day') AS day,
+        |       approx_count_distinct_accumulate(o_orderpriority) AS s
+        |FROM sr_orders GROUP BY 1""".stripMargin
+    val summaryDir = Files.createTempDirectory("graft_wsummary").toString
+    spark.sql(defSql).write.mode("overwrite").parquet(summaryDir)
+    GraftSummaries.registerDistinctSummary(
+      base, spark.read.parquet(summaryDir), Seq("day"), "o_orderpriority", "s",
+      definition = Some(spark.sql(defSql)))
+    try {
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        // same grain: group by the identical daily window
+        val daily = spark.sql(
+          """SELECT window(CAST(o_orderdate AS TIMESTAMP), '1 day') AS day,
+            |       approx_count_distinct_ex(o_orderpriority) AS nd
+            |FROM sr_orders GROUP BY 1""".stripMargin)
+        assert(!scannedPaths(daily).exists(_.contains("orders.parquet")),
+          "same-grain window query must read the summary")
+        // coarser grain: weekly windows from the daily summary
+        val weeklySql =
+          """SELECT window(CAST(o_orderdate AS TIMESTAMP), '7 days') AS wk,
+            |       approx_count_distinct_ex(o_orderpriority) AS nd
+            |FROM sr_orders GROUP BY 1 ORDER BY wk""".stripMargin
+        val weekly = spark.sql(weeklySql)
+        assert(!scannedPaths(weekly).exists(_.contains("orders.parquet")),
+          "coarser window query must read the summary")
+        val fromSummary = weekly.collect()
+        // tiny cardinality (5 priorities): estimates are exact, so the
+        // summary-merged answer equals the base answer bucket for bucket
+        val baseline = withSQLConf(GraftSummaries.ENABLED_KEY -> "false") {
+          spark.sql(weeklySql).collect()
+        }
+        assert(fromSummary === baseline)
+        // a non-multiple slide must NOT rewrite
+        val odd = spark.sql(
+          """SELECT window(CAST(o_orderdate AS TIMESTAMP), '36 hours') AS w,
+            |       approx_count_distinct_ex(o_orderpriority) AS nd
+            |FROM sr_orders GROUP BY 1""".stripMargin)
+        assert(scannedPaths(odd).exists(_.contains("orders.parquet")))
+      }
+    } finally GraftSummaries.clear()
+  }
+
   test("non-rewritable shapes fall back to the base table") {
     withSummary {
       withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
