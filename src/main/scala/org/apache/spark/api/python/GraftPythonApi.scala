@@ -12,5 +12,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 object GraftPythonApi {
-  def install(spark: SparkSession): Unit = GraftFunctionRegistry.install(spark)
+  def install(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graft.GraftConfEntries.ensureRegistered()
+    GraftFunctionRegistry.install(spark)
+  }
 }
