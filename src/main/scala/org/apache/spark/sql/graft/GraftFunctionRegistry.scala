@@ -1,11 +1,17 @@
 /**
- * Registration of the 18 sketch SQL functions (reference name surface:
- * shims.scala:32-56). Three mechanisms, mirroring the reference:
+ * Registration of the 21 graft SQL functions — the reference's 18 sketch
+ * functions (name surface: shims.scala:32-56) plus the text/vector
+ * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
  *      (set `spark.sql.extensions=graft.GraftExtensions`);
  *   2. ServiceLoader auto-discovery via
  *      META-INF/services/org.apache.spark.sql.SparkSessionExtensionsProvider;
  *   3. imperative [[GraftFunctionRegistry.install]] on a live session.
+ *
+ * Each function carries full `ExpressionInfo` documentation — usage,
+ * arguments, examples, group, since — so `DESCRIBE FUNCTION EXTENDED`
+ * matches the reference's `FunctionRegistryBase.build`-generated output
+ * (reference: shims.scala:86-97).
  */
 package org.apache.spark.sql.graft
 
@@ -26,139 +32,298 @@ object GraftFunctionRegistry {
     }
   }
 
-  private def fd(name: String, usage: String, arities: Seq[Int])(
+  /**
+   * Build a documented FunctionDescription. `arguments` are (name, doc)
+   * pairs rendered into the `Arguments:` section; `examples` are SQL
+   * lines (query then result) rendered into `Examples:` — both in the
+   * exact format ExpressionInfo validates.
+   */
+  private def fd(
+      name: String,
+      usage: String,
+      arities: Seq[Int],
+      arguments: Seq[(String, String)],
+      examples: Seq[(String, String)],
+      group: String)(
       builder: Seq[Expression] => Expression): FunctionDescription = {
     val checked: Seq[Expression] => Expression = { args =>
       expectArgs(name, arities, args)
       builder(args)
     }
+    val argSection =
+      if (arguments.isEmpty) ""
+      else "\n    Arguments:\n" + arguments.map { case (a, d) =>
+        s"      * $a - $d"
+      }.mkString("\n")
+    val exSection =
+      if (examples.isEmpty) ""
+      else "\n    Examples:\n" + examples.map { case (q, r) =>
+        s"      > $q\n       $r"
+      }.mkString("\n")
     (FunctionIdentifier(name),
-      new ExpressionInfo(GraftFunctionRegistry.getClass.getCanonicalName, null, name, usage, ""),
+      new ExpressionInfo(GraftFunctionRegistry.getClass.getCanonicalName, null, name,
+        usage, argSection, exSection, "", group, "0.1.0", "", "built-in"),
       checked)
   }
+
+  private val sketchArg =
+    "sketch" -> "a BINARY column of serialized sketches produced by the matching _accumulate"
+  private val pctArg =
+    "percentage" -> "constant fraction in [0, 1], or an array of them (returns an array)"
 
   lazy val expressions: Seq[FunctionDescription] = Seq(
     // --- quantiles -----------------------------------------------------
     fd("approx_percentile_ex",
-      "_FUNC_(col, percentage) - approximate percentile(s) of numeric col; " +
-        "algorithm from spark.sql.dataSketches.quantiles.sketchImpl", Seq(2)) { args =>
+      "_FUNC_(col, percentage) - Returns the approximate percentile(s) of numeric `col`; " +
+        "the sketch algorithm and its parameter come from " +
+        "spark.sql.dataSketches.quantiles.sketchImpl (default REQ).",
+      Seq(2),
+      Seq("col" -> "a numeric column (floats are sketched; output preserves the input's type family)",
+        pctArg),
+      Seq("SELECT _FUNC_(col, 0.95) FROM VALUES (0), (1), (2), (10) AS tab(col)" -> "10.0",
+        "SELECT _FUNC_(col, array(0.5, 0.95)) FROM VALUES (0), (1), (2), (10) AS tab(col)"
+          -> "[1.0,10.0]"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolveDefault()
       ApproxPercentileAgg(args(0), args(1), a, k, "approx_percentile_ex")
     },
     fd("approx_percentile_kll",
-      "_FUNC_(col, percentage) - approximate percentile(s) via KLL floats sketch", Seq(2)) { args =>
+      "_FUNC_(col, percentage) - Returns the approximate percentile(s) of `col` via the " +
+        "KLL floats sketch (k from spark.sql.dataSketches.quantiles.kll.k).",
+      Seq(2),
+      Seq("col" -> "a numeric column", pctArg),
+      Seq("SELECT _FUNC_(col, 0.5) FROM VALUES (0), (1), (2) AS tab(col)" -> "1.0"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolve("KLL")
       ApproxPercentileAgg(args(0), args(1), a, k, "approx_percentile_kll")
     },
     fd("approx_percentile_req",
-      "_FUNC_(col, percentage) - approximate percentile(s) via REQ sketch", Seq(2)) { args =>
+      "_FUNC_(col, percentage) - Returns the approximate percentile(s) of `col` via the " +
+        "REQ sketch (relative error, most accurate at the tails; k from " +
+        "spark.sql.dataSketches.quantiles.req.k).",
+      Seq(2),
+      Seq("col" -> "a numeric column", pctArg),
+      Seq("SELECT _FUNC_(col, 0.5) FROM VALUES (0), (1), (2) AS tab(col)" -> "1.0"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolve("REQ")
       ApproxPercentileAgg(args(0), args(1), a, k, "approx_percentile_req")
     },
     fd("approx_percentile_mergeable",
-      "_FUNC_(col, percentage) - approximate percentile(s) via classic mergeable " +
-        "DoublesSketch", Seq(2)) { args =>
+      "_FUNC_(col, percentage) - Returns the approximate percentile(s) of `col` via the " +
+        "classic mergeable DoublesSketch (k from " +
+        "spark.sql.dataSketches.quantiles.mergeable.k).",
+      Seq(2),
+      Seq("col" -> "a numeric column", pctArg),
+      Seq("SELECT _FUNC_(col, 0.5) FROM VALUES (0), (1), (2) AS tab(col)" -> "1.0"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolve("MERGEABLE")
       ApproxPercentileAgg(args(0), args(1), a, k, "approx_percentile_mergeable")
     },
     fd("approx_percentile_accumulate",
-      "_FUNC_(col) - aggregate numeric col into a serialized quantile sketch (binary)",
-      Seq(1)) { args =>
+      "_FUNC_(col) - Aggregates numeric `col` into a serialized quantile sketch (BINARY, " +
+        "DataSketches wire format) for later _combine/_estimate.",
+      Seq(1),
+      Seq("col" -> "a numeric column"),
+      Seq("SELECT approx_percentile_estimate(_FUNC_(col), 0.5) FROM VALUES (0), (1), (2) AS tab(col)"
+        -> "1.0"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolveDefault()
       ApproxPercentileAccumulate(args(0), a, k)
     },
     fd("approx_percentile_combine",
-      "_FUNC_(sketch) - merge serialized quantile sketches into one (binary)", Seq(1)) { args =>
+      "_FUNC_(sketch) - Merges serialized quantile sketches into one (BINARY). Corrupt " +
+        "input fails the query (data-integrity error) rather than degrading silently.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT approx_percentile_estimate(_FUNC_(s), 0.5) FROM " +
+        "(SELECT approx_percentile_accumulate(col) s FROM VALUES (0), (1), (2) tab(col) GROUP BY col % 2)")
+        -> "1.0"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolveDefault()
       ApproxPercentileCombine(args(0), a, k)
     },
     fd("approx_percentile_estimate",
-      "_FUNC_(sketch, percentage) - percentile(s) from a serialized quantile sketch",
-      Seq(2)) { args =>
+      "_FUNC_(sketch, percentage) - Returns the percentile(s) stored in a serialized " +
+        "quantile sketch. Corrupt or unreadable bytes yield NULL.",
+      Seq(2),
+      Seq(sketchArg, pctArg),
+      Seq("SELECT _FUNC_(approx_percentile_accumulate(col), 0.5) FROM VALUES (0), (1), (2) AS tab(col)"
+        -> "1.0"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolveDefault()
       ApproxPercentileEstimate(args(0), args(1), a, k)
     },
     fd("approx_pmf_estimate",
-      "_FUNC_(sketch[, numSplits]) - PMF over numSplits equi-width buckets from a " +
-        "serialized quantile sketch", Seq(1, 2)) { args =>
+      "_FUNC_(sketch[, numSplits]) - Returns the probability mass function over " +
+        "`numSplits` equi-width buckets of [min, max] from a serialized quantile sketch.",
+      Seq(1, 2),
+      Seq(sketchArg,
+        "numSplits" -> "constant positive bucket count (default 9)"),
+      Seq("SELECT _FUNC_(approx_percentile_accumulate(col), 2) FROM VALUES (0), (1), (2), (3) AS tab(col)"
+        -> "[0.5,0.5]"),
+      "agg_funcs") { args =>
       val (a, k) = QuantileParams.resolveDefault()
       val numSplits = if (args.length == 2) args(1) else Literal(9)
       ApproxPmfEstimate(args(0), numSplits, a, k)
     },
     // --- frequent items ------------------------------------------------
     fd("approx_freqitems",
-      "_FUNC_(col) - approximate heavy hitters of a string/integral col as " +
-        "array<struct<item, estimated>>", Seq(1)) { args =>
+      "_FUNC_(col) - Returns the approximate heavy hitters of a string/integral `col` as " +
+        "array<struct<item, estimated>>, most frequent first; exact while the distinct " +
+        "count stays below 0.75 * spark.sql.dataSketches.freqItems.maxMapSize.",
+      Seq(1),
+      Seq("col" -> "a STRING or integral column"),
+      Seq("SELECT inline(_FUNC_(col)) FROM VALUES ('a'), ('a'), ('b') AS tab(col)"
+        -> "a\t2\n       b\t1"),
+      "agg_funcs") { args =>
       ApproxFreqItemsAgg(args(0), FreqParams.resolveMaxMapSize())
     },
     fd("approx_freqitems_accumulate",
-      "_FUNC_(col) - aggregate string col into a serialized freq-items sketch (binary)",
-      Seq(1)) { args =>
+      "_FUNC_(col) - Aggregates string `col` into a serialized frequent-items sketch " +
+        "(BINARY) for later _combine/_estimate.",
+      Seq(1),
+      Seq("col" -> "a STRING column"),
+      Seq("SELECT inline(approx_freqitems_estimate(_FUNC_(col))) FROM VALUES ('a'), ('a') AS tab(col)"
+        -> "a\t2"),
+      "agg_funcs") { args =>
       ApproxFreqItemsAccumulate(args(0), FreqParams.resolveMaxMapSize())
     },
     fd("approx_freqitems_combine",
-      "_FUNC_(sketch) - merge serialized freq-items sketches into one (binary)", Seq(1)) { args =>
+      "_FUNC_(sketch) - Merges serialized frequent-items sketches into one (BINARY).",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT inline(approx_freqitems_estimate(_FUNC_(s))) FROM " +
+        "(SELECT approx_freqitems_accumulate(col) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)")
+        -> "a\t1\n       b\t1"),
+      "agg_funcs") { args =>
       ApproxFreqItemsCombine(args(0), FreqParams.resolveMaxMapSize())
     },
     fd("approx_freqitems_estimate",
-      "_FUNC_(sketch) - frequent items from a serialized freq-items sketch", Seq(1)) { args =>
+      "_FUNC_(sketch) - Returns the frequent items stored in a serialized frequent-items " +
+        "sketch as array<struct<item, estimated>>. Corrupt bytes yield NULL.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq("SELECT inline(_FUNC_(approx_freqitems_accumulate(col))) FROM VALUES ('a') AS tab(col)"
+        -> "a\t1"),
+      "agg_funcs") { args =>
       ApproxFreqItemsEstimate(args(0))
     },
     // --- distinct counts -----------------------------------------------
     fd("approx_count_distinct_ex",
-      "_FUNC_(col) - approximate distinct count of a string/integral col; algorithm " +
-        "from spark.sql.dataSketches.distinctCnt.sketchImpl", Seq(1)) { args =>
+      "_FUNC_(col) - Returns the approximate distinct count of a string/integral `col`; " +
+        "the sketch algorithm comes from spark.sql.dataSketches.distinctCnt.sketchImpl " +
+        "(default CPC).",
+      Seq(1),
+      Seq("col" -> "a STRING or integral column"),
+      Seq("SELECT _FUNC_(col) FROM VALUES (1), (1), (2) AS tab(col)" -> "2"),
+      "agg_funcs") { args =>
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctAgg(args(0), a, lgK, "approx_count_distinct_ex")
     },
     fd("approx_count_distinct_cpc",
-      "_FUNC_(col) - approximate distinct count via CPC sketch", Seq(1)) { args =>
+      "_FUNC_(col) - Returns the approximate distinct count of `col` via the CPC sketch " +
+        "(lgK from spark.sql.dataSketches.distinctCnt.cpc.lgK).",
+      Seq(1),
+      Seq("col" -> "a STRING or integral column"),
+      Seq("SELECT _FUNC_(col) FROM VALUES (1), (1), (2) AS tab(col)" -> "2"),
+      "agg_funcs") { args =>
       val (a, lgK) = DistinctParams.resolve("CPC")
       ApproxCountDistinctAgg(args(0), a, lgK, "approx_count_distinct_cpc")
     },
     fd("approx_count_distinct_hll",
-      "_FUNC_(col) - approximate distinct count via HLL sketch", Seq(1)) { args =>
+      "_FUNC_(col) - Returns the approximate distinct count of `col` via the HLL sketch " +
+        "(lgK from spark.sql.dataSketches.distinctCnt.hll.lgK). The reference plugin " +
+        "runs CPC under this name; graft deliberately runs a true HllSketch.",
+      Seq(1),
+      Seq("col" -> "a STRING or integral column"),
+      Seq("SELECT _FUNC_(col) FROM VALUES (1), (1), (2) AS tab(col)" -> "2"),
+      "agg_funcs") { args =>
       val (a, lgK) = DistinctParams.resolve("HLL")
       ApproxCountDistinctAgg(args(0), a, lgK, "approx_count_distinct_hll")
     },
     fd("approx_count_distinct_accumulate",
-      "_FUNC_(col) - aggregate string col into a serialized distinct-count sketch (binary)",
-      Seq(1)) { args =>
+      "_FUNC_(col) - Aggregates string `col` into a serialized distinct-count sketch " +
+        "(BINARY) for later _combine/_estimate.",
+      Seq(1),
+      Seq("col" -> "a STRING column (cast integral columns to STRING to match the hash domain)"),
+      Seq("SELECT approx_count_distinct_estimate(_FUNC_(col)) FROM VALUES ('a'), ('b') AS tab(col)"
+        -> "2"),
+      "agg_funcs") { args =>
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctAccumulate(args(0), a, lgK)
     },
     fd("approx_count_distinct_combine",
-      "_FUNC_(sketch) - merge serialized distinct-count sketches into one (binary)",
-      Seq(1)) { args =>
+      "_FUNC_(sketch) - Merges serialized distinct-count sketches into one (BINARY).",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT approx_count_distinct_estimate(_FUNC_(s)) FROM " +
+        "(SELECT approx_count_distinct_accumulate(col) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)")
+        -> "2"),
+      "agg_funcs") { args =>
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctCombine(args(0), a, lgK)
     },
     fd("approx_count_distinct_estimate",
-      "_FUNC_(sketch) - distinct count from a serialized distinct-count sketch", Seq(1)) { args =>
+      "_FUNC_(sketch) - Returns the distinct count stored in a serialized distinct-count " +
+        "sketch. Corrupt bytes yield NULL.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq("SELECT _FUNC_(approx_count_distinct_accumulate(col)) FROM VALUES ('a') AS tab(col)" -> "1"),
+      "agg_funcs") { args =>
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctEstimate(args(0), a, lgK)
     },
     // --- text pipeline ---------------------------------------------------
     fd("graft_simhash",
-      "_FUNC_(text) - 64-bit SimHash fingerprint of the text as 16 hex chars", Seq(1)) { args =>
+      "_FUNC_(text) - Returns the 64-bit SimHash fingerprint of `text` (lower-cased " +
+        "whitespace tokens) as 16 lowercase hex chars; near-identical documents get " +
+        "bitwise-close fingerprints.",
+      Seq(1),
+      Seq("text" -> "a STRING column"),
+      Seq("SELECT length(_FUNC_('hello world'))" -> "16"),
+      "hash_funcs") { args =>
       SimHash64(args(0))
     },
     fd("graft_hamming_hex",
-      "_FUNC_(a, b) - bitwise hamming distance between two hex fingerprints", Seq(2)) { args =>
+      "_FUNC_(a, b) - Returns the bitwise hamming distance between two hex fingerprints; " +
+        "non-hex or missing digits count as a full 4-bit mismatch.",
+      Seq(2),
+      Seq("a" -> "a hex STRING", "b" -> "a hex STRING"),
+      Seq("SELECT _FUNC_('ff', '0f')" -> "4"),
+      "hash_funcs") { args =>
       HammingHex(args(0), args(1))
     },
     fd("graft_dot",
-      "_FUNC_(a, b) - dot product of two array<double> columns (primitive loop)", Seq(2)) { args =>
+      "_FUNC_(a, b) - Returns the dot product of two array<double> columns as a " +
+        "primitive loop (bit-identical to sequential summation).",
+      Seq(2),
+      Seq("a" -> "an ARRAY<DOUBLE> column", "b" -> "an ARRAY<DOUBLE> column"),
+      Seq("SELECT _FUNC_(array(1d, 2d), array(3d, 4d))" -> "11.0"),
+      "math_funcs") { args =>
       DotProduct(args(0), args(1))
     },
     fd("graft_minhash",
-      "_FUNC_(shingles, numHashes) - minhash signature (array<long>) of an " +
-        "array<string> shingle set; one double-hash pass per shingle", Seq(2)) { args =>
+      "_FUNC_(shingles, numHashes) - Returns the MinHash signature (array<long> of " +
+        "`numHashes` minima) of an array<string> shingle set; one double-hash pass per " +
+        "shingle (Kirsch-Mitzenmacher family).",
+      Seq(2),
+      Seq("shingles" -> "an ARRAY<STRING> column (e.g. word n-grams)",
+        "numHashes" -> "constant positive signature length"),
+      Seq("SELECT size(_FUNC_(array('a', 'b'), 64))" -> "64"),
+      "hash_funcs") { args =>
       MinHashSignature(args(0), intLiteral("graft_minhash", "numHashes", args(1)))
     },
     fd("graft_winnow",
-      "_FUNC_(text, k, w) - winnowing fingerprints (array<long>): rolling-hash " +
-        "char k-grams, min per sliding window of w, deduplicated", Seq(3)) { args =>
+      "_FUNC_(text, k, w) - Returns winnowing document fingerprints (array<long>): " +
+        "Karp-Rabin rolling hashes of the character k-grams of the normalized text, " +
+        "minimum per sliding window of w, deduplicated. Any shared substring of " +
+        "length >= k+w-1 between two documents yields a shared fingerprint.",
+      Seq(3),
+      Seq("text" -> "a STRING column (lower-cased, whitespace-normalized internally)",
+        "k" -> "constant positive character-gram length",
+        "w" -> "constant positive window length in grams"),
+      Seq("SELECT size(_FUNC_('abc', 8, 4))" -> "1"),
+      "hash_funcs") { args =>
       WinnowFingerprints(args(0),
         intLiteral("graft_winnow", "k", args(1)),
         intLiteral("graft_winnow", "w", args(2)))

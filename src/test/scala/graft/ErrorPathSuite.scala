@@ -71,6 +71,20 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
     assert(e4.getMessage.contains("power of 2"))
   }
 
+  test("DESCRIBE FUNCTION EXTENDED shows usage, arguments and examples") {
+    val out = spark.sql("DESCRIBE FUNCTION EXTENDED approx_percentile_ex")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(out.contains("Usage:"))
+    assert(out.contains("approx_percentile_ex(col, percentage)"))
+    assert(out.contains("Arguments:"))
+    assert(out.contains("percentage - constant fraction"))
+    assert(out.contains("Examples:"))
+    assert(out.contains("> SELECT approx_percentile_ex(col, 0.95)"))
+    val winnow = spark.sql("DESCRIBE FUNCTION EXTENDED graft_winnow")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(winnow.contains("Arguments:") && winnow.contains("Examples:"))
+  }
+
   test("registered confs are visible in SET -v with docs and defaults") {
     val rows = spark.sql("SET -v").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
