@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Streaming variants of the pipeline operators: bounded-state dedup and
+ *  session_window sessionization. */
+class StreamingPipelineSuite extends AnyFunSuite with GraftSparkSession {
+
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  test("streaming dedup drops in-horizon duplicates and evicts state at the watermark") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val deduped = StreamingOps.dedupByContent(
+      input.toDF().toDF("t", "doc_id", "text"), "text", "t", "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts("2021-01-01 00:00:00"), 1L, "alpha"),
+        (ts("2021-01-01 00:01:00"), 2L, "alpha"), // in-horizon dup: dropped
+        (ts("2021-01-01 00:02:00"), 3L, "beta"))
+      q.processAllAvailable()
+      // advance the watermark far past the horizon -> "alpha" state evicted
+      input.addData((ts("2021-01-01 02:00:00"), 4L, "gamma"))
+      q.processAllAvailable()
+      // same content after eviction: re-emitted (horizon-bounded semantics)
+      input.addData((ts("2021-01-01 02:01:00"), 5L, "alpha"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 3L, 4L, 5L)) // 2 dropped as dup; 5 survives post-eviction
+    } finally q.stop()
+  }
+
+  test("normalized streaming dedup collapses case/whitespace variants") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val deduped = StreamingOps.dedupByContent(
+      input.toDF().toDF("t", "doc_id", "text"), "text", "t", "10 minutes",
+      normalized = true)
+    val q = deduped.writeStream
+      .format("memory").queryName("ndedup_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts("2021-01-01 00:00:00"), 1L, "Hello  World"),
+        (ts("2021-01-01 00:01:00"), 2L, "hello world")) // normalized dup
+      q.processAllAvailable()
+      val ids = spark.table("ndedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions with correct bounds") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val sessions = StreamingOps.sessionize(
+      input.toDF().toDF("t", "user"), "user", "t", "30 minutes", "1 minute")
+    val q = sessions.writeStream
+      .format("memory").queryName("session_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two bursts for u1 separated by > gap, one event for u2
+      input.addData(
+        (ts("2021-01-01 00:00:00"), "u1"),
+        (ts("2021-01-01 00:10:00"), "u1"),
+        (ts("2021-01-01 01:00:00"), "u1"),
+        (ts("2021-01-01 00:05:00"), "u2"))
+      q.processAllAvailable()
+      // advance watermark far enough to close everything
+      input.addData((ts("2021-01-01 12:00:00"), "u3"))
+      q.processAllAvailable()
+      val out = spark.table("session_stream")
+        .select("user", "session_start", "n_events")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(out === Seq(
+        ("u1", "2021-01-01 00:00:00.0", 2L), // burst merged: gap 10m < 30m
+        ("u1", "2021-01-01 01:00:00.0", 1L), // 50m gap -> new session
+        ("u2", "2021-01-01 00:05:00.0", 1L)))
+    } finally q.stop()
+  }
+}
