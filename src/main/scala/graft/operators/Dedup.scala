@@ -86,17 +86,26 @@ object Dedup {
       num: Int = 4,
       den: Int = 5): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val posting = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // All index-side plumbing runs on the shingle's xxhash64, not the
+    // string: the df-join and candidate self-join shuffle 8-byte longs
+    // instead of n-word strings. Lossless: prefix filtering only needs ONE
+    // consistent global rarity order — (df, hash) is as valid as
+    // (df, shingle) — and a hash collision merely merges two tokens'
+    // postings, generating EXTRA candidates that exact verification
+    // removes. No qualifying pair can be lost because equal shingles
+    // always have equal hashes.
+    val posting = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("df"))
     // prefix = the (sz - ceil(t*sz) + 1) globally-rarest shingles of each doc
-    val ranked = posting.join(dfreq, "s")
+    val ranked = posting.join(dfreq, "h")
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
       .withColumn("plen", col("sz") - ((col("sz") * num + den - 1).divide(den).cast("int")) + 1)
       .where(col("rnk") <= col("plen"))
-      .select("id", "s")
+      .select("id", "h")
     val candidates = ranked.as("a")
-      .join(ranked.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .join(ranked.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(candidates, sets, num, den)
@@ -143,10 +152,12 @@ object Dedup {
     val rows = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n)
     val sig = sets.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // band key = xxhash64 of the band's signature slice: the self-join
+    // shuffles (band, 8-byte long) instead of a stringified slice. A hash
+    // collision only adds candidates, which exact verification removes.
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))))))
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .toDF("id", "band", "key")
     val candidates = banded.as("a")
       .join(banded.as("b"),

@@ -67,7 +67,7 @@ object Similarity {
    * and per-row cell argmax/top-n then run as array higher-order
    * functions inside codegen with ZERO shuffle of the big side.
    */
-  private def packedCentroids(centroids: DataFrame): DataFrame =
+  private[operators] def packedCentroids(centroids: DataFrame): DataFrame =
     centroids.agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
 
   /**
@@ -76,7 +76,7 @@ object Similarity {
    * (e.g. duplicate) vectors assign/probe deterministically. |v| is a
    * constant factor per row, so it's dropped from the cosine.
    */
-  private def centroidOrder(v: Column, l: Column, r: Column): Column = {
+  private[operators] def centroidOrder(v: Column, l: Column, r: Column): Column = {
     def d(c: Column) = {
       val cent = c.getField("centroid")
       dot(v, cent) / sqrt(dot(cent, cent))
@@ -92,12 +92,12 @@ object Similarity {
    * [[centroidOrder]] (codegen'd per-row array ops — no shuffle, no
    * per-centroid row blowup).
    */
-  private def probeCells(v: Column, cents: Column, nprobe: Int): Column =
+  private[operators] def probeCells(v: Column, cents: Column, nprobe: Int): Column =
     transform(slice(array_sort(cents, (l, r) => centroidOrder(v, l, r)), 1, nprobe),
       c => c.getField("cell"))
 
   /** Cell of the max-cosine centroid for vector `v` (ties -> smallest cell). */
-  private def bestCell(v: Column, cents: Column): Column =
+  private[operators] def bestCell(v: Column, cents: Column): Column =
     element_at(probeCells(v, cents, 1), 1)
 
   /**
