@@ -570,6 +570,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Benchmark decontamination: flag corpus docs sharing any word-8-gram
+    // with the "eval benchmark" (docs with id % 50 = 0). The corpus gets
+    // planted contaminated copies at id+2M; the benchmark originals flag
+    // themselves (they are in the corpus too). The oracle recomputes the
+    // shared-shingle counts brute-force on raw shingles; Spark joins on
+    // xxhash64(shingle) (collision-safe at these set sizes).
+    q("q30_decontamination",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0)),
+        |shs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 7),
+        |                     i -> array_to_string(ws[i+1:i+8], ' '))) END sh
+        |  FROM w),
+        |bsh AS (SELECT DISTINCT s FROM (SELECT unnest(sh) s FROM shs WHERE doc_id % 50 = 0 AND doc_id < 2000000)),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(sh) s FROM shs) c JOIN bsh USING (s)
+        |  GROUP BY doc_id)
+        |SELECT doc_id AS id, CAST(n AS BIGINT) AS n_shared
+        |FROM hits WHERE n >= 1 ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val planted = bench.select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.contaminatedDocs(docs.unionByName(planted), bench, "doc_id", "text",
+        n = 8, minShared = 1)
+        .orderBy("id")
+    },
+
     // Sessionization via session_window (12h gap). Oracle mirrors Spark's
     // merge rule — verified empirically: an event at exactly last+gap still
     // MERGES into the session, so a new session starts only when the gap is

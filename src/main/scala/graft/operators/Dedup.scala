@@ -169,6 +169,40 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: corpus documents sharing at least
+   * `minShared` distinct word n-gram shingles with ANY benchmark document
+   * (the standard eval-set contamination check before training). Returns
+   * (id, n_shared).
+   *
+   * Scale design: the benchmark side (eval sets — megabytes) collapses to
+   * a DISTINCT set of 8-byte shingle hashes and BROADCASTS; the corpus
+   * never shuffles — each partition streams through a broadcast hash
+   * join, then aggregates per-doc match counts map-side. A 64-bit hash
+   * collision could flag a clean document with probability ~|shingles|^2
+   * / 2^65 — negligible against the n-gram false-positive rate of the
+   * check itself.
+   */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    // shingles() distincts per document, so count(*) after the join counts
+    // distinct shared shingles
+    val c = corpus.select(col(idCol).as("id"),
+      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+    val b = benchmark
+      .select(explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+      .distinct()
+    c.join(broadcast(b), "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /**
    * Random-hyperplane LSH near-duplicate pairs over embeddings — the
    * at-scale path (the analogue of [[minhashLshPairs]] for vectors).
    * `tables` independent hash tables of `bits` sign-bits each: a pair with

@@ -97,6 +97,31 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(again === fps)
   }
 
+  test("decontamination flags docs sharing shingles with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // contains benchmark 8-gram
+      (2L, "totally unrelated words about completely different things here now"),
+      (3L, "prefix one two three four five six seven eight suffix")).toDF("doc_id", "text")
+    val benchmark = Seq(Tuple1("one two three four five six seven eight")).toDF("text")
+    val flagged = Dedup.contaminatedDocs(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.keySet === Set(1L, 3L))
+    assert(flagged(3L) === 1L) // exactly the planted 8-gram
+  }
+
+  test("winnowing handles non-ASCII codepoints deterministically") {
+    import spark.implicits._
+    val shared = "curiosité café déjà vu 😀 emoji tail words" // é, à, non-BMP emoji
+    val df = Seq(
+      (1L, s"head $shared end one"),
+      (2L, s"other start $shared closing")).toDF("doc_id", "text")
+    val fps = TextOps.withWinnowingFingerprints(df, "text", "fps")
+      .select("doc_id", "fps").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty) // shared substring guarantee holds
+    assert(fps(1L).forall(h => h >= 0 && h < 1000000007L))  // hashes stay in the mod field
+  }
+
   test("language id and quality scoring") {
     val r = docs.select(col("doc_id"), TextOps.languageId(col("text")).as("lang"),
       TextOps.qualityFlag(col("text")).as("q")).orderBy("doc_id").collect()
