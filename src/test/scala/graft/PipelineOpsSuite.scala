@@ -148,6 +148,23 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("ivf recall is high on clustered data (k-means finds the clusters)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 5 well-separated cluster directions, 40 points each with small jitter
+    val centers = Array.fill(5)(Array.fill(16)(rng.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(vecs, queries, "vec_id", "embedding", 5)
+    val approx = Similarity.ivfKnn(vecs, queries, "vec_id", "embedding", 5,
+      nlist = 5, nprobe = 1) // probing ONE cell must suffice when clusters are real
+    val recall = Similarity.recallAtK(exact, approx).collect()(0).getDouble(0)
+    assert(recall >= 0.9, s"expected clustered recall >= 0.9 at nprobe=1, got $recall")
+  }
+
   test("short documents shingle to their whole text instead of crashing") {
     import spark.implicits._
     val short = Seq((0L, "hello world"), (1L, "hello world"), (2L, "only three words")).toDF("doc_id", "text")
