@@ -38,4 +38,39 @@ class SourcesSuite extends AnyFunSuite with GraftSparkSession {
       .selectExpr("approx_count_distinct_estimate(unbase64(s64)) AS nd").collect()
     assert(back.toSeq === Seq(Row(3L)))
   }
+
+  test("orc sink/source carries raw binary sketch state natively") {
+    val dir = Files.createTempDirectory("graft_orc_rt").toString
+    spark.sql(
+      """SELECT k, approx_percentile_accumulate(v) AS s
+        |FROM VALUES ('a', 1), ('a', 2), ('a', 10), ('b', 5) AS t(k, v)
+        |GROUP BY k""".stripMargin)
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+      .selectExpr("approx_percentile_estimate(approx_percentile_combine(s), 0.5) AS p50")
+      .collect()
+    // {1,2,5,10} merged across groups; EXCLUSIVE p50 over n=4 = element
+    // floor(0.5*4)+1 = the 3rd in sort order
+    assert(back.toSeq === Seq(Row(5.0)))
+  }
+
+  test("json source feeds operators; sketch state via base64") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.json"),
+      """{"doc_id": 1, "text": "alpha beta gamma"}
+        |{"doc_id": 2, "text": "alpha beta gamma"}
+        |{"doc_id": 3, "text": "entirely different content"}
+        |""".stripMargin)
+    val docs = spark.read.json(s"$dir/docs.json")
+    val dedup = graft.operators.Dedup.exactDedup(docs, "doc_id", "text")
+    assert(dedup.count() === 2)
+    // JSON export of sketch state, base64 like CSV
+    val out = Files.createTempDirectory("graft_json_rt").toString
+    docs.selectExpr("base64(approx_freqitems_accumulate(text)) AS s64")
+      .write.mode("overwrite").json(out)
+    val items = spark.read.json(out)
+      .selectExpr("inline(approx_freqitems_estimate(unbase64(s64)))")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(items("alpha beta gamma") === 2L)
+  }
 }
