@@ -257,6 +257,45 @@ object SparkEntry {
         |ORDER BY estimated DESC, item""".stripMargin)
     },
 
+    // Theta set-operation sketches (beyond reference surface): audience
+    // overlap between the first two activity days from independently-
+    // built sketches — union, intersection, and difference cardinalities
+    // (day slices chosen because every user emits every event type, so
+    // event-type sets are all identical). Exact at this cardinality
+    // (150 users << 2^12 nominal entries; set ops of exact sketches are
+    // exact), so the oracle computes true set sizes.
+    q("q31_theta_set_ops",
+      """WITH d AS (
+        |  SELECT user_id,
+        |         epoch_ns(ts)//86400000000000
+        |           - (SELECT min(epoch_ns(ts)//86400000000000) FROM events) AS day
+        |  FROM events)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM d WHERE day = 0
+        |   UNION SELECT user_id FROM d WHERE day = 1)) AS n_union,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM d WHERE day = 0
+        |   INTERSECT SELECT DISTINCT user_id FROM d WHERE day = 1)) AS n_inter,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM d WHERE day = 0
+        |   EXCEPT SELECT DISTINCT user_id FROM d WHERE day = 1)) AS n_a_only""".stripMargin) {
+      (s, d) =>
+      view(s, d, "events")
+      s.sql("""
+        |WITH dd AS (
+        |  SELECT user_id,
+        |         ts DIV 86400000000000
+        |           - (SELECT min(ts DIV 86400000000000) FROM events) AS day
+        |  FROM events),
+        |s AS (
+        |  SELECT theta_accumulate(CASE WHEN day = 0 THEN CAST(user_id AS STRING) END) ask,
+        |         theta_accumulate(CASE WHEN day = 1 THEN CAST(user_id AS STRING) END) bsk
+        |  FROM dd),
+        |u AS (SELECT ask AS sk FROM s UNION ALL SELECT bsk FROM s)
+        |SELECT (SELECT theta_estimate(theta_union(sk)) FROM u) AS n_union,
+        |       (SELECT theta_estimate(theta_intersect(sk)) FROM u) AS n_inter,
+        |       theta_estimate(theta_a_not_b(ask, bsk)) AS n_a_only
+        |FROM s""".stripMargin)
+    },
+
     // --- relational engine surface (stock Spark, exercised + benched) ---
     q("q12_agg_pricing",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -27,6 +27,7 @@ object GraftConf {
   val DISTINCT_CNT_SKETCH_IMPL_KEY = "spark.sql.dataSketches.distinctCnt.sketchImpl"
   val DISTINCT_CNT_CPC_LGK_KEY = "spark.sql.dataSketches.distinctCnt.cpc.lgK"
   val DISTINCT_CNT_HLL_LGK_KEY = "spark.sql.dataSketches.distinctCnt.hll.lgK"
+  val THETA_LGK_KEY = "spark.sql.dataSketches.theta.lgK"
 
   /** Default quantile algorithm: REQ, k=12 (reference: DataSketchConf.scala:36-55). */
   def quantileSketchImpl: String = GraftConfEntries.getString(GraftConfEntries.QUANTILE_SKETCH_IMPL)
@@ -42,4 +43,7 @@ object GraftConf {
     GraftConfEntries.getString(GraftConfEntries.DISTINCT_CNT_SKETCH_IMPL)
   def distinctCntCpcLgK: Int = GraftConfEntries.getInt(GraftConfEntries.DISTINCT_CNT_CPC_LGK)
   def distinctCntHllLgK: Int = GraftConfEntries.getInt(GraftConfEntries.DISTINCT_CNT_HLL_LGK)
+
+  /** Theta set-operation sketches: exact below 2^lgK distinct items. */
+  def thetaLgK: Int = GraftConfEntries.getInt(GraftConfEntries.THETA_LGK)
 }

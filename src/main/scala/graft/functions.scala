@@ -51,4 +51,21 @@ object functions {
     F.call_function("approx_count_distinct_combine", sketch)
   def approx_count_distinct_estimate(sketch: Column): Column =
     F.call_function("approx_count_distinct_estimate", sketch)
+
+  // --- theta set-operation sketches ------------------------------------
+  def theta_accumulate(col: Column): Column = F.call_function("theta_accumulate", col)
+  def theta_union(sketch: Column): Column = F.call_function("theta_union", sketch)
+  def theta_intersect(sketch: Column): Column = F.call_function("theta_intersect", sketch)
+  def theta_a_not_b(a: Column, b: Column): Column = F.call_function("theta_a_not_b", a, b)
+  def theta_estimate(sketch: Column): Column = F.call_function("theta_estimate", sketch)
+
+  // --- text / vector pipeline ------------------------------------------
+  def graft_simhash(text: Column): Column = F.call_function("graft_simhash", text)
+  def graft_hamming_hex(a: Column, b: Column): Column =
+    F.call_function("graft_hamming_hex", a, b)
+  def graft_dot(a: Column, b: Column): Column = F.call_function("graft_dot", a, b)
+  def graft_minhash(shingles: Column, numHashes: Int): Column =
+    F.call_function("graft_minhash", shingles, F.lit(numHashes))
+  def graft_winnow(text: Column, k: Int, w: Int): Column =
+    F.call_function("graft_winnow", text, F.lit(k), F.lit(w))
 }

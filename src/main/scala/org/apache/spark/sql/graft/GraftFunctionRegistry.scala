@@ -273,6 +273,56 @@ object GraftFunctionRegistry {
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctEstimate(args(0), a, lgK)
     },
+    // --- theta set-operation sketches (beyond the reference surface) -----
+    fd("theta_accumulate",
+      "_FUNC_(col) - Aggregates a string/integral `col` into a serialized theta " +
+        "sketch (BINARY) supporting set operations: union, intersection, and " +
+        "difference cardinalities between independently-sketched sets. Exact below " +
+        "2^spark.sql.dataSketches.theta.lgK distinct items.",
+      Seq(1),
+      Seq("col" -> "a STRING or integral column"),
+      Seq("SELECT theta_estimate(_FUNC_(col)) FROM VALUES ('a'), ('b'), ('a') AS tab(col)" -> "2"),
+      "agg_funcs") { args =>
+      ThetaAccumulate(args(0), ThetaParams.resolveLgK())
+    },
+    fd("theta_union",
+      "_FUNC_(sketch) - Merges serialized theta sketches into their union (BINARY).",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT theta_estimate(_FUNC_(s)) FROM " +
+        "(SELECT theta_accumulate(col) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)") -> "2"),
+      "agg_funcs") { args =>
+      ThetaUnionAgg(args(0), ThetaParams.resolveLgK())
+    },
+    fd("theta_intersect",
+      "_FUNC_(sketch) - Intersects serialized theta sketches (BINARY); NULL for an " +
+        "empty group (an empty intersection has no defined identity).",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT theta_estimate(_FUNC_(s)) FROM " +
+        "(SELECT theta_accumulate(col) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)") -> "0"),
+      "agg_funcs") { args =>
+      ThetaIntersectAgg(args(0), ThetaParams.resolveLgK())
+    },
+    fd("theta_a_not_b",
+      "_FUNC_(a, b) - The theta difference sketch A \\ B of two serialized sketches " +
+        "(BINARY); NULL on corrupt input.",
+      Seq(2),
+      Seq("a" -> "a BINARY theta sketch", "b" -> "a BINARY theta sketch"),
+      Seq(("SELECT theta_estimate(_FUNC_(theta_accumulate(col), theta_accumulate(col))) " +
+        "FROM VALUES ('a') AS tab(col)") -> "0"),
+      "agg_funcs") { args =>
+      ThetaANotB(args(0), args(1))
+    },
+    fd("theta_estimate",
+      "_FUNC_(sketch) - The cardinality stored in a serialized theta sketch; NULL on " +
+        "corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq("SELECT _FUNC_(theta_accumulate(col)) FROM VALUES ('a'), ('b') AS tab(col)" -> "2"),
+      "agg_funcs") { args =>
+      ThetaEstimate(args(0))
+    },
     // --- text pipeline ---------------------------------------------------
     fd("graft_simhash",
       "_FUNC_(text) - Returns the 64-bit SimHash fingerprint of `text` (lower-cased " +

@@ -92,6 +92,15 @@ object GraftConfEntries {
       .checkValue(_ > 0, "The parameter `lgK` must be positive.")
       .createWithDefault(12)
 
+  val THETA_LGK: ConfigEntry[Int] =
+    buildConf("spark.sql.dataSketches.theta.lgK")
+      .doc("The log2 nominal entry count of the theta set-operation sketches " +
+        "(theta_accumulate/union/intersect); sketches are exact below 2^lgK " +
+        "distinct items.")
+      .intConf
+      .checkValue(v => v >= 4 && v <= 26, "The parameter `lgK` must be in [4, 26].")
+      .createWithDefault(12)
+
   /**
    * Forces object initialization, registering every entry above into
    * SQLConf's static registry. Called from `Graft.install` so the entries
