@@ -177,6 +177,45 @@ object SparkEntry {
       }
     },
 
+    // approx_cdf_estimate + approx_rank_estimate (beyond reference surface;
+    // same exact-region design as q04: KLL is exact for this small group,
+    // EXCLUSIVE rank of v = fraction of items strictly below v, CDF uses
+    // the same un-offset split points as the PMF)
+    q("q32_quantile_cdf_rank",
+      """WITH sub AS (
+        |  SELECT l_quantity v FROM lineitem WHERE l_orderkey < 40),
+        |stats AS (SELECT min(v) mn, max(v) mx, count(*) n FROM sub)
+        |SELECT
+        |  round((SELECT sum(CASE WHEN v < 25.0 THEN 1 ELSE 0 END)/n FROM sub, stats GROUP BY n), 9)
+        |    AS rank_25,
+        |  round((SELECT sum(CASE WHEN v < 1*(mx-mn)/4 THEN 1 ELSE 0 END)/n FROM sub, stats GROUP BY n, mn, mx), 9)
+        |    AS cdf_0,
+        |  round((SELECT sum(CASE WHEN v < 2*(mx-mn)/4 THEN 1 ELSE 0 END)/n FROM sub, stats GROUP BY n, mn, mx), 9)
+        |    AS cdf_1,
+        |  round((SELECT sum(CASE WHEN v < 3*(mx-mn)/4 THEN 1 ELSE 0 END)/n FROM sub, stats GROUP BY n, mn, mx), 9)
+        |    AS cdf_2,
+        |  CAST(1.0 AS DOUBLE) AS cdf_3""".stripMargin) { (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "lineitem")
+        s.sql("""
+          |WITH m AS (
+          |  SELECT approx_percentile_accumulate(l_quantity) s
+          |  FROM lineitem WHERE l_orderkey < 40)
+          |SELECT round(approx_rank_estimate(s, 25.0), 9) AS rank_25,
+          |       round(approx_cdf_estimate(s, 4)[0], 9) AS cdf_0,
+          |       round(approx_cdf_estimate(s, 4)[1], 9) AS cdf_1,
+          |       round(approx_cdf_estimate(s, 4)[2], 9) AS cdf_2,
+          |       round(approx_cdf_estimate(s, 4)[3], 9) AS cdf_3
+          |FROM m""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // #13 approx_count_distinct_ex (exact at this cardinality)
     q("q05_distinct_users",
       "SELECT count(DISTINCT user_id) AS n_users FROM events") { (s, d) =>

@@ -29,6 +29,13 @@ object functions {
   def approx_pmf_estimate(sketch: Column): Column =
     F.call_function("approx_pmf_estimate", sketch)
 
+  def approx_cdf_estimate(sketch: Column, numSplits: Column): Column =
+    F.call_function("approx_cdf_estimate", sketch, numSplits)
+  def approx_cdf_estimate(sketch: Column): Column =
+    F.call_function("approx_cdf_estimate", sketch)
+  def approx_rank_estimate(sketch: Column, value: Column): Column =
+    F.call_function("approx_rank_estimate", sketch, value)
+
   // --- frequent items --------------------------------------------------
   def approx_freqitems(col: Column): Column = F.call_function("approx_freqitems", col)
   def approx_freqitems_accumulate(col: Column): Column =

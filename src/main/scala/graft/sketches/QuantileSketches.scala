@@ -56,6 +56,12 @@ sealed trait QuantileSketchFacade {
   def merge(other: QuantileSketchFacade): Unit
   def quantiles(ranks: Array[Double]): Array[Double]
   def pmf(numSplits: Int): Array[Double]
+  /** Cumulative ranks at the same (un-offset) split points as [[pmf]];
+   *  the final element is always 1.0. */
+  def cdf(numSplits: Int): Array[Double]
+  /** Normalized rank of `value` under the EXCLUSIVE criterion
+   *  (= fraction of items strictly below `value`). */
+  def rank(value: Double): Double
   def toBytes: Array[Byte]
 
   protected def splitPoints(min: Double, max: Double, numSplits: Int): Array[Double] = {
@@ -99,6 +105,11 @@ private final class KllFacade(var impl: KllFloatsSketch, k: Int) extends Quantil
     val sp = splitPoints(impl.getMinItem.toDouble, impl.getMaxItem.toDouble, numSplits)
     impl.getPMF(sp.map(_.toFloat), CRITERIA)
   }
+  override def cdf(numSplits: Int): Array[Double] = {
+    val sp = splitPoints(impl.getMinItem.toDouble, impl.getMaxItem.toDouble, numSplits)
+    impl.getCDF(sp.map(_.toFloat), CRITERIA)
+  }
+  override def rank(value: Double): Double = impl.getRank(value.toFloat, CRITERIA)
   override def toBytes: Array[Byte] = impl.toByteArray
 }
 
@@ -115,6 +126,11 @@ private final class ReqFacade(var impl: ReqSketch, k: Int) extends QuantileSketc
     val sp = splitPoints(impl.getMinItem.toDouble, impl.getMaxItem.toDouble, numSplits)
     impl.getPMF(sp.map(_.toFloat), CRITERIA)
   }
+  override def cdf(numSplits: Int): Array[Double] = {
+    val sp = splitPoints(impl.getMinItem.toDouble, impl.getMaxItem.toDouble, numSplits)
+    impl.getCDF(sp.map(_.toFloat), CRITERIA)
+  }
+  override def rank(value: Double): Double = impl.getRank(value.toFloat, CRITERIA)
   override def toBytes: Array[Byte] = impl.toByteArray
 }
 
@@ -136,5 +152,10 @@ private final class MergeableFacade(var impl: UpdateDoublesSketch, k: Int)
     val sp = splitPoints(impl.getMinItem, impl.getMaxItem, numSplits)
     impl.getPMF(sp, CRITERIA)
   }
+  override def cdf(numSplits: Int): Array[Double] = {
+    val sp = splitPoints(impl.getMinItem, impl.getMaxItem, numSplits)
+    impl.getCDF(sp, CRITERIA)
+  }
+  override def rank(value: Double): Double = impl.getRank(value, CRITERIA)
   override def toBytes: Array[Byte] = impl.toByteArray
 }

@@ -166,6 +166,31 @@ object GraftFunctionRegistry {
       val numSplits = if (args.length == 2) args(1) else Literal(9)
       ApproxPmfEstimate(args(0), numSplits, a, k)
     },
+    fd("approx_cdf_estimate",
+      "_FUNC_(sketch[, numSplits]) - Returns the cumulative distribution over " +
+        "`numSplits` equi-width buckets of [min, max] from a serialized quantile " +
+        "sketch; the final element is always 1.0.",
+      Seq(1, 2),
+      Seq(sketchArg,
+        "numSplits" -> "constant positive bucket count (default 9)"),
+      Seq("SELECT _FUNC_(approx_percentile_accumulate(col), 2) FROM VALUES (0), (1), (2), (3) AS tab(col)"
+        -> "[0.5,1.0]"),
+      "agg_funcs") { args =>
+      val (a, k) = QuantileParams.resolveDefault()
+      val numSplits = if (args.length == 2) args(1) else Literal(9)
+      ApproxCdfEstimate(args(0), numSplits, a, k)
+    },
+    fd("approx_rank_estimate",
+      "_FUNC_(sketch, value) - Returns the normalized rank of `value` (fraction of " +
+        "sketched items strictly below it); `value` may vary per row.",
+      Seq(2),
+      Seq(sketchArg, "value" -> "a numeric probe value (per-row expression allowed)"),
+      Seq("SELECT _FUNC_(approx_percentile_accumulate(col), 2.0) FROM VALUES (0), (1), (2), (3) AS tab(col)"
+        -> "0.5"),
+      "agg_funcs") { args =>
+      val (a, k) = QuantileParams.resolveDefault()
+      ApproxRankEstimate(args(0), args(1), a, k)
+    },
     // --- frequent items ------------------------------------------------
     fd("approx_freqitems",
       "_FUNC_(col) - Returns the approximate heavy hitters of a string/integral `col` as " +

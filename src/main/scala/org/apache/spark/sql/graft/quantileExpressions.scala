@@ -428,3 +428,131 @@ case class ApproxPmfEstimate(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * `approx_cdf_estimate(sketch[, numSplits])` — scalar: cumulative
+ * distribution over the same un-offset split points as
+ * [[ApproxPmfEstimate]]; the final element is always 1.0. BEYOND the
+ * reference surface (it stops at PMF) — the natural companion estimator
+ * from the same sketch state.
+ */
+case class ApproxCdfEstimate(
+    left: Expression,
+    right: Expression,
+    algoName: String,
+    k: Int)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  private val algo = QuantileAlgo.fromString(algoName)
+
+  override def prettyName: String = "approx_cdf_estimate"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val numSplits: Integer = right.eval() match {
+    case null => null
+    case i: Int => i
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) {
+      defaultCheck
+    } else if (!right.foldable) {
+      TypeCheckFailure(s"The number of splits must be a constant literal, but got $right")
+    } else if (numSplits == null) {
+      TypeCheckFailure("Number of splits must not be null")
+    } else if (numSplits <= 1) {
+      TypeCheckFailure(s"Number of splits must be greater than 1, but got $numSplits")
+    } else {
+      TypeCheckSuccess
+    }
+  }
+
+  @transient private[this] lazy val decodeFn: Any => Any = { (bytesRaw: Any) =>
+    try {
+      val buf = QuantileSketchFacade.fromBytes(algo, k, bytesRaw.asInstanceOf[Array[Byte]])
+      if (buf.isEmpty) null else new GenericArrayData(buf.cdf(numSplits))
+    } catch {
+      case NonFatal(_) =>
+        logWarning(s"Illegal input bytes for $algoName quantile sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(bytes: Any, splits: Any): Any = decodeFn(bytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addReferenceObj("decodeFn", decodeFn, classOf[Any => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (bytes, _) =>
+      s"""
+         |Object $result = $fn.apply($bytes);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * `approx_rank_estimate(sketch, value)` — scalar: the normalized rank of
+ * `value` under the EXCLUSIVE criterion (fraction of items strictly
+ * below `value`). `value` is an ordinary per-row expression, so ranks of
+ * a whole column of probes can be computed against one sketch. BEYOND
+ * the reference surface (quantile -> value but no value -> rank inverse).
+ */
+case class ApproxRankEstimate(
+    left: Expression,
+    right: Expression,
+    algoName: String,
+    k: Int)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  private val algo = QuantileAlgo.fromString(algoName)
+
+  override def prettyName: String = "approx_rank_estimate"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  @transient private[this] lazy val decodeFn: (Any, Any) => Any = { (bytesRaw, valueRaw) =>
+    try {
+      val buf = QuantileSketchFacade.fromBytes(algo, k, bytesRaw.asInstanceOf[Array[Byte]])
+      if (buf.isEmpty) null
+      else java.lang.Double.valueOf(buf.rank(valueRaw.asInstanceOf[Double]))
+    } catch {
+      case NonFatal(_) =>
+        logWarning(s"Illegal input bytes for $algoName quantile sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(bytes: Any, value: Any): Any = decodeFn(bytes, value)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addReferenceObj("decodeFn", decodeFn,
+      classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (bytes, value) =>
+      s"""
+         |Object $result = $fn.apply($bytes, $value);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (java.lang.Double) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

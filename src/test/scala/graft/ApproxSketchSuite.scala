@@ -204,6 +204,31 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(cube.length === 9)
   }
 
+  test("approx_cdf_estimate and approx_rank_estimate from sketch state") {
+    spark.sql("SELECT approx_percentile_accumulate(c) AS s FROM VALUES (0), (1), (2), (3) AS t(c)")
+      .createOrReplaceTempView("cdf_sketch")
+    // EXCLUSIVE rank = fraction strictly below the probe
+    val ranks = spark.sql(
+      """SELECT approx_rank_estimate(s, 0.0), approx_rank_estimate(s, 2.0),
+        |       approx_rank_estimate(s, 99.0) FROM cdf_sketch""".stripMargin).collect()
+    assert(ranks.toSeq === Seq(Row(0.0, 0.5, 1.0)))
+    // numSplits=2 over [0,3]: un-offset split point at 1.5 -> [P(<1.5), 1.0]
+    val cdf = spark.sql("SELECT approx_cdf_estimate(s, 2) FROM cdf_sketch")
+      .collect()(0).getSeq[Double](0)
+    assert(cdf === Seq(0.5, 1.0))
+    // per-row probe values against one broadcast sketch
+    val perRow = spark.sql(
+      """SELECT approx_rank_estimate(s, CAST(v AS DOUBLE)) FROM cdf_sketch
+        |CROSS JOIN VALUES (1), (3) AS probes(v) ORDER BY 1""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(perRow === Seq(0.25, 0.75))
+    // corrupt bytes -> null; empty sketch -> null
+    val nulls = spark.sql(
+      "SELECT approx_cdf_estimate(binary('junk'), 4), approx_rank_estimate(binary('junk'), 1.0)")
+      .collect()
+    assert(nulls.toSeq === Seq(Row(null, null)))
+  }
+
   test("sketch state round-trips through parquet persistence") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_summaries").toString
