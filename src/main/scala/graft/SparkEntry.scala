@@ -216,6 +216,28 @@ object SparkEntry {
       }
     },
 
+    // reservoir_sample (beyond reference surface): per-group uniform
+    // sampling. Groups here have <= 7 rows < k=10, so the reservoir keeps
+    // EVERYTHING — the sorted sample equals the sorted group values
+    // exactly (the sketch's RNG only engages past k). The global column
+    // exercises the over-full path (n > k): its size is deterministic
+    // even though its contents are random.
+    q("q33_reservoir_sample",
+      """SELECT l_orderkey,
+        |       list_sort(list(CAST(l_quantity AS VARCHAR))) AS sample,
+        |       100 AS global_sample_size
+        |FROM lineitem WHERE l_orderkey < 40
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""
+        |SELECT l_orderkey,
+        |       sort_array(reservoir_sample(CAST(l_quantity AS STRING), 10)) AS sample,
+        |       (SELECT size(reservoir_sample(CAST(l_orderkey AS STRING), 100))
+        |        FROM lineitem) AS global_sample_size
+        |FROM lineitem WHERE l_orderkey < 40
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    },
+
     // #13 approx_count_distinct_ex (exact at this cardinality)
     q("q05_distinct_users",
       "SELECT count(DISTINCT user_id) AS n_users FROM events") { (s, d) =>

@@ -59,6 +59,16 @@ object functions {
   def approx_count_distinct_estimate(sketch: Column): Column =
     F.call_function("approx_count_distinct_estimate", sketch)
 
+  // --- reservoir sampling ----------------------------------------------
+  def reservoir_sample(col: Column, k: Int): Column =
+    F.call_function("reservoir_sample", col, F.lit(k))
+  def reservoir_accumulate(col: Column, k: Int): Column =
+    F.call_function("reservoir_accumulate", col, F.lit(k))
+  def reservoir_combine(sketch: Column, k: Int): Column =
+    F.call_function("reservoir_combine", sketch, F.lit(k))
+  def reservoir_estimate(sketch: Column): Column =
+    F.call_function("reservoir_estimate", sketch)
+
   // --- theta set-operation sketches ------------------------------------
   def theta_accumulate(col: Column): Column = F.call_function("theta_accumulate", col)
   def theta_union(sketch: Column): Column = F.call_function("theta_union", sketch)

@@ -298,6 +298,50 @@ object GraftFunctionRegistry {
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctEstimate(args(0), a, lgK)
     },
+    // --- reservoir sampling (beyond the reference surface) ---------------
+    fd("reservoir_sample",
+      "_FUNC_(col, k) - Returns a uniform random sample of up to `k` values of a " +
+        "string column (mergeable one-pass reservoir; per-partition partial " +
+        "reservoirs union into an unbiased whole-stream sample). Keeps everything " +
+        "while the group has <= k rows.",
+      Seq(2),
+      Seq("col" -> "a STRING column",
+        "k" -> "constant positive maximum sample size"),
+      Seq("SELECT sort_array(_FUNC_(col, 10)) FROM VALUES ('a'), ('b') AS tab(col)"
+        -> "[\"a\",\"b\"]"),
+      "agg_funcs") { args =>
+      ReservoirSampleAgg(args(0), intLiteral("reservoir_sample", "k", args(1)))
+    },
+    fd("reservoir_accumulate",
+      "_FUNC_(col, k) - Aggregates a string column into a serialized reservoir " +
+        "sample sketch (BINARY) for later _combine/_estimate.",
+      Seq(2),
+      Seq("col" -> "a STRING column", "k" -> "constant positive maximum sample size"),
+      Seq("SELECT reservoir_estimate(_FUNC_(col, 10)).n FROM VALUES ('a'), ('b') AS tab(col)"
+        -> "2"),
+      "agg_funcs") { args =>
+      ReservoirAccumulate(args(0), intLiteral("reservoir_accumulate", "k", args(1)))
+    },
+    fd("reservoir_combine",
+      "_FUNC_(sketch, k) - Merges serialized reservoir sketches into one unbiased " +
+        "reservoir (BINARY), downsampling to `k` if needed.",
+      Seq(2),
+      Seq(sketchArg, "k" -> "constant positive maximum sample size of the merged reservoir"),
+      Seq(("SELECT reservoir_estimate(_FUNC_(s, 10)).n FROM " +
+        "(SELECT reservoir_accumulate(col, 10) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)")
+        -> "2"),
+      "agg_funcs") { args =>
+      ReservoirCombine(args(0), intLiteral("reservoir_combine", "k", args(1)))
+    },
+    fd("reservoir_estimate",
+      "_FUNC_(sketch) - Reads a serialized reservoir sketch: " +
+        "struct<n: total stream size, samples: the sampled values>. NULL on corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq("SELECT _FUNC_(reservoir_accumulate(col, 10)).n FROM VALUES ('a') AS tab(col)" -> "1"),
+      "agg_funcs") { args =>
+      ReservoirEstimate(args(0))
+    },
     // --- theta set-operation sketches (beyond the reference surface) -----
     fd("theta_accumulate",
       "_FUNC_(col) - Aggregates a string/integral `col` into a serialized theta " +
