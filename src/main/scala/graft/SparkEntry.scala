@@ -238,6 +238,26 @@ object SparkEntry {
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
     },
 
+    // varopt_sample (beyond reference surface): weighted sampling. Buckets
+    // of 10 docs < k=20, so the sketch keeps every item with its EXACT
+    // original weight — inline'd rows equal the raw (bucket, id, length)
+    // tuples.
+    q("q34_varopt_sample",
+      """SELECT doc_id % 50 AS bucket, CAST(doc_id AS VARCHAR) AS item,
+        |       CAST(length(text) AS DOUBLE) AS weight
+        |FROM documents ORDER BY bucket, item""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""
+        |WITH s AS (
+        |  SELECT doc_id % 50 AS bucket,
+        |         varopt_sample(CAST(doc_id AS STRING),
+        |                       CAST(length(text) AS DOUBLE), 20) AS smp
+        |  FROM documents GROUP BY 1)
+        |SELECT bucket, t.item, t.weight
+        |FROM s LATERAL VIEW inline(smp) t AS item, weight
+        |ORDER BY bucket, item""".stripMargin)
+    },
+
     // #13 approx_count_distinct_ex (exact at this cardinality)
     q("q05_distinct_users",
       "SELECT count(DISTINCT user_id) AS n_users FROM events") { (s, d) =>

@@ -59,6 +59,16 @@ object functions {
   def approx_count_distinct_estimate(sketch: Column): Column =
     F.call_function("approx_count_distinct_estimate", sketch)
 
+  // --- varopt weighted sampling ----------------------------------------
+  def varopt_sample(col: Column, weight: Column, k: Int): Column =
+    F.call_function("varopt_sample", col, weight, F.lit(k))
+  def varopt_accumulate(col: Column, weight: Column, k: Int): Column =
+    F.call_function("varopt_accumulate", col, weight, F.lit(k))
+  def varopt_combine(sketch: Column, k: Int): Column =
+    F.call_function("varopt_combine", sketch, F.lit(k))
+  def varopt_estimate(sketch: Column): Column =
+    F.call_function("varopt_estimate", sketch)
+
   // --- reservoir sampling ----------------------------------------------
   def reservoir_sample(col: Column, k: Int): Column =
     F.call_function("reservoir_sample", col, F.lit(k))

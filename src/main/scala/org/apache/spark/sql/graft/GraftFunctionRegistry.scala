@@ -298,6 +298,52 @@ object GraftFunctionRegistry {
       val (a, lgK) = DistinctParams.resolveDefault()
       ApproxCountDistinctEstimate(args(0), a, lgK)
     },
+    // --- varopt weighted sampling (beyond the reference surface) ---------
+    fd("varopt_sample",
+      "_FUNC_(col, weight, k) - Returns a variance-optimal WEIGHTED sample of up to " +
+        "`k` values as array<struct<item, weight>>: inclusion probability is " +
+        "proportional to weight, and adjusted weights keep subset-sum estimates " +
+        "unbiased. Keeps everything (exact weights) while the group has <= k rows.",
+      Seq(3),
+      Seq("col" -> "a STRING column",
+        "weight" -> "a positive DOUBLE weight per row (null/non-positive rows are skipped)",
+        "k" -> "constant positive maximum sample size"),
+      Seq("SELECT size(_FUNC_(col, w, 10)) FROM VALUES ('a', 2.0), ('b', 1.0) AS tab(col, w)"
+        -> "2"),
+      "agg_funcs") { args =>
+      VarOptSampleAgg(args(0), args(1), intLiteral("varopt_sample", "k", args(2)))
+    },
+    fd("varopt_accumulate",
+      "_FUNC_(col, weight, k) - Aggregates a weighted string column into a serialized " +
+        "varopt sample sketch (BINARY) for later _combine/_estimate.",
+      Seq(3),
+      Seq("col" -> "a STRING column", "weight" -> "a positive DOUBLE weight per row",
+        "k" -> "constant positive maximum sample size"),
+      Seq("SELECT varopt_estimate(_FUNC_(col, 1.0, 10)).n FROM VALUES ('a'), ('b') AS tab(col)"
+        -> "2"),
+      "agg_funcs") { args =>
+      VarOptAccumulate(args(0), args(1), intLiteral("varopt_accumulate", "k", args(2)))
+    },
+    fd("varopt_combine",
+      "_FUNC_(sketch, k) - Merges serialized varopt sketches into one unbiased " +
+        "weighted sample (BINARY).",
+      Seq(2),
+      Seq(sketchArg, "k" -> "constant positive maximum sample size of the merged sketch"),
+      Seq(("SELECT varopt_estimate(_FUNC_(s, 10)).n FROM " +
+        "(SELECT varopt_accumulate(col, 1.0, 10) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)")
+        -> "2"),
+      "agg_funcs") { args =>
+      VarOptCombine(args(0), intLiteral("varopt_combine", "k", args(1)))
+    },
+    fd("varopt_estimate",
+      "_FUNC_(sketch) - Reads a serialized varopt sketch: struct<n: total stream " +
+        "size, samples: array<struct<item, weight>>>. NULL on corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq("SELECT _FUNC_(varopt_accumulate(col, 1.0, 10)).n FROM VALUES ('a') AS tab(col)" -> "1"),
+      "agg_funcs") { args =>
+      VarOptEstimate(args(0))
+    },
     // --- reservoir sampling (beyond the reference surface) ---------------
     fd("reservoir_sample",
       "_FUNC_(col, k) - Returns a uniform random sample of up to `k` values of a " +

@@ -51,4 +51,31 @@ class ReservoirSuite extends AnyFunSuite with GraftSparkSession {
     }
     assert(e.getMessage.contains("constant integer literal"))
   }
+
+  test("varopt: under-full keeps exact weights; weighted inclusion beyond k") {
+    val exact = spark.sql(
+      """SELECT inline(varopt_sample(col, w, 10)) FROM VALUES
+        |  ('a', 5.0), ('b', 1.0), ('c', 2.5) AS t(col, w)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(exact === Seq(("a", 5.0), ("b", 1.0), ("c", 2.5)))
+    // over-full: heavy item (weight 1000 vs 1) is virtually always kept
+    val over = spark.sql(
+      """SELECT inline(varopt_sample(CAST(id AS STRING),
+        |  CASE WHEN id = 0 THEN 1000.0 ELSE 1.0 END, 20)) FROM range(2000)""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(over.length === 20)
+    assert(over.contains("0"), "heavy item must be sampled")
+    // lifecycle + total-weight conservation: sum of adjusted weights of
+    // an unbiased sample estimates the total stream weight exactly
+    // (varopt preserves total mass across merge)
+    val est = spark.sql(
+      """WITH s AS (
+        |  SELECT id % 4 g, varopt_accumulate(CAST(id AS STRING), 2.0, 25) sk
+        |  FROM range(1000) GROUP BY 1)
+        |SELECT varopt_estimate(varopt_combine(sk, 25)) FROM s""".stripMargin)
+      .collect()(0).getStruct(0)
+    assert(est.getLong(0) === 1000L)
+    val totalWeight = est.getSeq[Row](1).map(_.getDouble(1)).sum
+    assert(math.abs(totalWeight - 2000.0) < 1e-6)
+  }
 }
