@@ -545,6 +545,42 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Duplicate-cluster resolution: connected components over the exact
+    // Jaccard near-dup pair graph — comp = smallest doc_id of the cluster
+    // (the canonical keeper). Oracle computes the transitive closure of
+    // the same brute-force pair set with a recursive CTE.
+    q("q35_dedup_clusters",
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT dst AS id, min(src) AS comp FROM reach GROUP BY dst ORDER BY id""".stripMargin) {
+      (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id")
+        .orderBy("id")
+    },
+
     // Embedding-cosine near-dup pairs (exact double math)
     q("q23_embedding_pairs",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

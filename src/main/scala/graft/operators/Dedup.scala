@@ -169,6 +169,52 @@ object Dedup {
   }
 
   /**
+   * Connected components of the near-duplicate pair graph — the step
+   * that turns pairwise matches into DUPLICATE CLUSTERS so exactly one
+   * canonical document per cluster survives (pairs alone under-delete:
+   * a~b and b~c must collapse to one survivor even when a!~c directly).
+   * Returns (id, comp) where comp = the smallest id in the component —
+   * `comp` is the canonical keeper, `id != comp` rows are the deletes.
+   *
+   * Scale design: iterative min-label propagation in DataFrame ops —
+   * per round one shuffle keyed on the edge endpoints, labels cached.
+   * Rounds needed = graph diameter, which for near-dup clusters is tiny
+   * (dup clusters are dense cliques-of-cliques, not long chains); the
+   * driver-side loop reads ONE aggregated long per round (the label sum,
+   * monotonically decreasing — unchanged sum proves a fixpoint since
+   * labels only ever decrease), never the labels themselves.
+   */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    var lastSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("comp").as("nbrComp")), "nbr")
+        .groupBy("id")
+        .agg(min(col("nbrComp")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .cache()
+      val nextSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == lastSum
+      lastSum = nextSum
+      iter += 1
+    }
+    labels
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least
    * `minShared` distinct word n-gram shingles with ANY benchmark document
    * (the standard eval-set contamination check before training). Returns

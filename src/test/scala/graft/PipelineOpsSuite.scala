@@ -97,6 +97,19 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(again === fps)
   }
 
+  test("connected components resolve transitive duplicate chains") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3 (1~3 only transitively), pair 5-6, singletons 4 and 7
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(nodes, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // deletes = everything whose comp differs from its own id
+    assert(comps.count { case (id, c) => id != c } === 3)
+  }
+
   test("decontamination flags docs sharing shingles with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
