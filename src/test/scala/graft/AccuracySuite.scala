@@ -55,4 +55,37 @@ class AccuracySuite extends AnyFunSuite with GraftSparkSession {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sketch === exact)
   }
+
+  test("theta set-operation error < 3% above the exact region (15k keys)") {
+    lineitem
+    // l_orderkey cardinality ~15k >> 2^12 nominal entries: estimates are
+    // approximate; union/intersect of over-capacity sketches must stay
+    // within theta's error bounds
+    val exact = spark.sql("SELECT count(DISTINCT l_orderkey) FROM li").collect()(0).getLong(0)
+    val r = spark.sql(
+      """WITH s AS (
+        |  SELECT l_orderkey % 2 AS g, theta_accumulate(l_orderkey) sk
+        |  FROM li GROUP BY 1)
+        |SELECT theta_estimate(theta_union(sk)),
+        |       theta_estimate(theta_intersect(sk)) FROM s""".stripMargin).collect()(0)
+    val unionEst = r.getLong(0)
+    val unionErr = math.abs(unionEst - exact).toDouble / exact
+    assert(unionErr < 0.03, s"union est=$unionEst exact=$exact err=$unionErr")
+    // even/odd orderkey sets are disjoint: intersection estimate must be
+    // a tiny fraction of the union even above capacity
+    assert(r.getLong(1) < exact / 20)
+  }
+
+  test("reservoir sampling is unbiased enough: halves get ~half the sample (60k rows)") {
+    lineitem
+    val sample = spark.sql(
+      "SELECT reservoir_sample(CAST(l_orderkey AS STRING), 2000) FROM li")
+      .collect()(0).getSeq[String](0)
+    assert(sample.length === 2000)
+    val median = spark.sql("SELECT approx_percentile_ex(l_orderkey, 0.5) FROM li")
+      .collect()(0).getLong(0)
+    val below = sample.count(_.toLong <= median)
+    // binomial(2000, ~0.5): 6 sigma ~ 134
+    assert(math.abs(below - 1000) < 150, s"below-median count $below should be ~1000")
+  }
 }

@@ -96,6 +96,26 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(est.toSeq === Seq(Row(2.0))) // {1,2,10} from the finalized window
   }
 
+  test("theta and reservoir aggregates compose with streaming groupBy") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)](spark)
+    val agg = input.toDF().toDF("k", "v")
+      .groupBy($"k")
+      .agg(expr("theta_estimate(theta_accumulate(v))").as("nd"),
+        expr("size(reservoir_sample(CAST(v AS STRING), 100))").as("ns"))
+    val q = agg.writeStream
+      .format("memory").queryName("theta_stream").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 2L), ("b", 9L))
+      q.processAllAvailable()
+      input.addData(("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      val out = spark.table("theta_stream").orderBy("k").collect()
+      assert(out.toSeq === Seq(Row("a", 3L, 4), Row("b", 2L, 2)))
+    } finally q.stop()
+  }
+
   test("CPC facade as mapGroupsWithState user state") {
     import spark.implicits._
     val input = MemoryStream[(String, Long)](spark)
