@@ -654,6 +654,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Multimodal audio: REAL javax.sound WAV round-trip — synthesize
+    // genuine 16-bit mono PCM WAV payloads with per-id parameters, then
+    // decode sample rate/channels/frames from the actual bytes. The
+    // oracle recomputes the parameter formulas arithmetically.
+    q("q36_multimodal_audio",
+      """SELECT doc_id,
+        |       8000 AS sample_rate,
+        |       1 AS channels,
+        |       CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        |       'wav' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.synthesizeAudioContent(s.table("documents"), "doc_id")
+      Multimodal.decodeAudioFeatures(media, "doc_id")
+        .select("doc_id", "sample_rate", "channels", "n_frames", "format")
+        .orderBy("doc_id")
+    },
+
     // BPE-ish token counting + winnowing (rolling-hash) fingerprints.
     // The oracle recomputes each char-8-gram's Karp-Rabin hash (codepoints,
     // base 257, mod 1e9+7) NON-rolling — same values as graft_winnow's

@@ -1,9 +1,10 @@
 package graft.operators
 
 import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -78,6 +79,79 @@ object Multimodal {
         ImageIO.write(img, "png", buf)
         val bytes = buf.toByteArray
         Row(id, bytes, Row("image/png", bytes.length.toLong))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic per-id audio parameters for the synthetic corpus. */
+  def syntheticAudio(id: Long): (Int, Int) =
+    (8000, 100 + (id % 400).toInt) // (sample rate Hz, frame count)
+
+  /**
+   * Deterministic REAL audio payloads: a 16-bit mono PCM WAV per row
+   * (sine-ish samples derived from the id), encoded with
+   * `javax.sound.sampled` inside `mapPartitions` — genuine WAV streams
+   * any decoder accepts, zero native deps.
+   */
+  def synthesizeAudioContent(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType),
+      StructField("meta", metaType)))
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (rate, frames) = syntheticAudio(id)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val sample = (math.sin((id % 16 + 1) * i * 0.05) * 8000).toInt
+          pcm(2 * i) = (sample & 0xff).toByte
+          pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val buf = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+        val bytes = buf.toByteArray
+        Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Partition-batched REAL audio decode: content -> (sample_rate,
+   * channels, n_frames, format) via `javax.sound.sampled` header reads.
+   * Undecodable or null payloads keep their row with null features.
+   */
+  def decodeAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("byte_len", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("format", StringType)))
+    val input = df.select(col(idCol).cast("long"), col("content"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
+        val content = r.getAs[Array[Byte]](1)
+        if (content == null) {
+          Row(id, null, null, null, null, null)
+        } else {
+          try {
+            val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(content))
+            val fmt = aff.getFormat
+            Row(id, content.length.toLong,
+              fmt.getSampleRate.toInt, fmt.getChannels,
+              aff.getFrameLength.toLong, aff.getType.getExtension)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              Row(id, content.length.toLong, null, null, null, null)
+          }
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -236,6 +236,25 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("multimodal audio synthesize + real javax.sound decode round-trip") {
+    val media = Multimodal.synthesizeAudioContent(docs, "doc_id")
+    val decoded = Multimodal.decodeAudioFeatures(media, "doc_id").orderBy("doc_id").collect()
+    assert(decoded.length === 4)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (rate, frames) = Multimodal.syntheticAudio(id)
+      assert(r.getInt(2) === rate)
+      assert(r.getInt(3) === 1)
+      assert(r.getLong(4) === frames.toLong)
+      assert(r.getString(5) === "wav")
+    }
+    // image bytes are not audio: audio decoder keeps rows, nulls features
+    val img = Multimodal.synthesizeImageContent(docs, "doc_id")
+    val cross = Multimodal.decodeAudioFeatures(img, "doc_id").collect()
+    assert(cross.length === 4)
+    assert(cross.forall(r => r.isNullAt(2) && r.isNullAt(4)))
+  }
+
   test("undecodable payloads keep their row with null image features") {
     val media = Multimodal.attachContent(docs, "doc_id", "text") // text bytes, not an image
     val decoded = Multimodal.decodeImageFeatures(media, "doc_id").orderBy("doc_id").collect()
