@@ -61,7 +61,12 @@ object Multimodal {
       StructField("content", BinaryType),
       StructField("meta", metaType)))
     df.select(col(idCol).cast("long")).mapPartitions { rows =>
-      val buf = new ByteArrayOutputStream() // one encoder buffer per partition
+      // per-partition codec context: one PNG writer + buffer reused for the
+      // whole batch (ImageIO.write would re-scan the writer registry per
+      // call — exactly the per-row overhead the mapPartitions boundary is
+      // there to amortize)
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val buf = new ByteArrayOutputStream()
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h) = syntheticDims(id)
@@ -76,7 +81,11 @@ object Multimodal {
           y += 1
         }
         buf.reset()
-        ImageIO.write(img, "png", buf)
+        val ios = ImageIO.createImageOutputStream(buf)
+        try {
+          writer.setOutput(ios)
+          writer.write(img)
+        } finally ios.close()
         val bytes = buf.toByteArray
         Row(id, bytes, Row("image/png", bytes.length.toLong))
       }
