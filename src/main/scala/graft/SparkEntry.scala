@@ -221,17 +221,20 @@ object SparkEntry {
     // EVERYTHING — the sorted sample equals the sorted group values
     // exactly (the sketch's RNG only engages past k). The global column
     // exercises the over-full path (n > k): its size is deterministic
-    // even though its contents are random.
+    // even though its contents are random. The sample is emitted as a
+    // comma-joined STRING, not ARRAY: the driver's pandas-based row sort
+    // crashes on array cells (unhashable numpy.ndarray).
     q("q33_reservoir_sample",
       """SELECT l_orderkey,
-        |       list_sort(list(CAST(l_quantity AS VARCHAR))) AS sample,
+        |       array_to_string(list_sort(list(CAST(l_quantity AS VARCHAR))), ',') AS sample,
         |       100 AS global_sample_size
         |FROM lineitem WHERE l_orderkey < 40
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
       view(s, d, "lineitem")
       s.sql("""
         |SELECT l_orderkey,
-        |       sort_array(reservoir_sample(CAST(l_quantity AS STRING), 10)) AS sample,
+        |       array_join(sort_array(reservoir_sample(CAST(l_quantity AS STRING), 10)), ',')
+        |         AS sample,
         |       (SELECT size(reservoir_sample(CAST(l_orderkey AS STRING), 100))
         |        FROM lineitem) AS global_sample_size
         |FROM lineitem WHERE l_orderkey < 40
@@ -614,25 +617,31 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     },
 
-    // IVF approximate top-k: recall vs the exact baseline must clear 0.9,
-    // and the actual recall value is part of the checked output. The IVF
-    // path is fully deterministic (hash-seeded k-means, DECIMAL-exact
-    // centroid means, total tiebreaks), so the oracle pins the measured
-    // value — 29/30 at nlist=8/nprobe=6 on this corpus, whose synthetic
-    // embeddings are near-unclustered (organic max cosine ~0.51), the
-    // worst case for any cell-partitioned index. The >= 0.9 bar guards
-    // against quantizer-quality regressions.
+    // IVF approximate top-k: recall vs the exact baseline must clear 0.9.
+    // The measured recall value itself is corpus-dependent (the synthetic
+    // embeddings are near-unclustered — organic max cosine ~0.51, the
+    // worst case for any cell-partitioned index — and each sf draws a
+    // different corpus), so the oracle checks a scale-independent contract
+    // instead of pinning one corpus's measurement: the query count is
+    // recomputed from the data and the >= 0.9 bar guards quantizer
+    // quality at EVERY shipped sf. Parameter sweep (deterministic):
+    // nlist=16/nprobe=12/iters=3 gives recall 0.933/0.983/0.933 at
+    // sf0.001/0.01/0.1; the old 8/6/3 dipped to 0.867 off-sf0.01. The
+    // high nprobe:nlist ratio is inherent to this corpus — the synthetic
+    // vectors are near-uniform on the sphere, so true neighbors sit near
+    // cell boundaries; on naturally clustered data nprobe/nlist shrinks.
     q("q25_knn_ivf_recall",
-      "SELECT CAST(0.966667 AS DOUBLE) AS mean_recall, true AS recall_ok") { (s, d) =>
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin) { (s, d) =>
       view(s, d, "embeddings")
       val e = s.table("embeddings")
       val queries = e.where(col("vec_id") < 20)
       val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", 3)
       val approx = Similarity.ivfKnn(e, queries, "vec_id", "embedding", 3,
-        nlist = 8, nprobe = 6)
+        nlist = 16, nprobe = 12)
       Similarity.recallAtK(exact, approx)
-        .select(round(col("mean_recall"), 6).as("mean_recall"),
-          (col("mean_recall") >= 0.9).as("recall_ok"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"), (col("mean_recall") >= 0.9).as("recall_ok"))
     },
 
     // Multimodal: REAL javax.imageio round-trip — synthesize genuine PNG
@@ -781,14 +790,17 @@ object SparkEntry {
     // merge rule — verified empirically: an event at exactly last+gap still
     // MERGES into the session, so a new session starts only when the gap is
     // STRICTLY exceeded — with a gaps-and-islands window query over micros.
+    // NB: DuckDB's integer sum() yields HUGEINT (int128); pandas-based
+    // hashers canonicalize that differently from Spark's BIGINT, so every
+    // integer aggregate in the oracle must be CAST to BIGINT explicitly.
     q("q27_sessionize",
       """WITH o AS (
         |  SELECT user_id, epoch_ns(ts)//1000 t,
         |         lag(epoch_ns(ts)//1000) OVER (PARTITION BY user_id ORDER BY ts) p
         |  FROM events)
         |SELECT user_id,
-        |       1 + sum(CASE WHEN p IS NOT NULL AND t - p > 43200000000 THEN 1 ELSE 0 END)
-        |         AS n_sessions,
+        |       CAST(1 + sum(CASE WHEN p IS NOT NULL AND t - p > 43200000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       view(s, d, "events")

@@ -180,20 +180,27 @@ object Dedup {
    * per round one shuffle keyed on the edge endpoints, labels cached.
    * Rounds needed = graph diameter, which for near-dup clusters is tiny
    * (dup clusters are dense cliques-of-cliques, not long chains); the
-   * driver-side loop reads ONE aggregated long per round (the label sum,
+   * driver-side loop reads ONE aggregated scalar per round (the label sum,
    * monotonically decreasing — unchanged sum proves a fixpoint since
-   * labels only ever decrease), never the labels themselves.
+   * labels only ever decrease), never the labels themselves. The probe
+   * sums as DECIMAL(38,0) (exact, cannot overflow for any realistic id
+   * domain) and coalesces the empty-input NULL to 0, so an empty `nodes`
+   * returns an empty result instead of throwing.
    */
   def connectedComponents(
       nodes: DataFrame,
       edges: DataFrame,
       idCol: String = "id",
       maxIter: Int = 20): DataFrame = {
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
     val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
-    var lastSum = labels.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var lastSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -204,10 +211,10 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .cache()
-      val nextSum = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == lastSum
+      converged = nextSum.compareTo(lastSum) == 0
       lastSum = nextSum
       iter += 1
     }

@@ -11,7 +11,8 @@ import graft.operators.TextOps
  *
  * State-bounded by design — at 100 TB/day the state store, not the
  * micro-batch, is what fails first:
- *  - dedup keys the state on a 16-byte content hash (never the document)
+ *  - dedup keys the state on the 16-byte binary md5 digest (never the
+ *    document, never the 32-char hex rendering)
  *    and uses `dropDuplicatesWithinWatermark`, so entries are evicted once
  *    the watermark passes — memory is bounded by the dedup horizon, not
  *    the stream's lifetime. Duplicates arriving WITHIN the horizon are
@@ -37,9 +38,11 @@ object StreamingOps {
       eventTimeCol: String,
       watermarkDelay: String,
       normalized: Boolean = false): DataFrame = {
+    // unhex folds the 32-char hex rendering back to the true 16-byte
+    // digest, halving per-key state size vs keying on the hex string
     val key: Column =
-      if (normalized) TextOps.fingerprint(col(textCol))
-      else md5(col(textCol).cast("binary"))
+      if (normalized) unhex(TextOps.fingerprint(col(textCol)))
+      else unhex(md5(col(textCol).cast("binary")))
     df.withColumn("__graft_content_hash", key)
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__graft_content_hash")

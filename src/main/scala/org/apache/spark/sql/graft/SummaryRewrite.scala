@@ -264,14 +264,17 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       spec: SummarySpec,
       keyFilter: Option[Expression],
       aliases: Map[ExprId, Expression],
-      notNullRefs: AttributeSet)
+      notNullGuards: Seq[Expression])
 
   /**
    * Strip Projects / key-only Filters down to the base relation,
    * accumulating project-alias definitions (so derived groupings like the
-   * TimeWindowing-generated window struct can be inlined) and tolerating
-   * IsNotNull conjuncts over derived-key source columns (TimeWindowing
-   * inserts them; the summary's own definition filtered identically).
+   * TimeWindowing-generated window struct can be inlined). IsNotNull
+   * conjuncts are collected rather than vetoing here; [[tryRewrite]]
+   * tolerates exactly those whose child is a subexpression of a derived
+   * grouping used by the query (the guard TimeWindowing inserts; the
+   * summary's own definition filtered identically) and vetoes the rest —
+   * e.g. `nullif(ts, X) IS NOT NULL` genuinely filters rows.
    */
   private def findBase(plan: LogicalPlan): Option[BaseMatch] =
     plan match {
@@ -279,7 +282,7 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           _, _, _, _) =>
         rel.location.rootPaths.headOption
           .flatMap(p => SummaryCatalog.get(p.toString))
-          .map(s => BaseMatch(s, None, Map.empty, AttributeSet.empty))
+          .map(s => BaseMatch(s, None, Map.empty, Nil))
       case Project(projectList, child) =>
         if (!projectList.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias])) {
           return None
@@ -295,15 +298,15 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           val plainKeys = bm.spec.keys.filter(_.isPlain).map(_.name).toSet
           val inlined = PlanShapes.substitute(cond, bm.aliases)
           var keyConjuncts = Seq.empty[Expression]
-          var notNull = bm.notNullRefs
+          var guards = bm.notNullGuards
           splitConjunctivePredicates(inlined).foreach {
             case c if c.references.forall(a => plainKeys.contains(a.name)) =>
               keyConjuncts :+= c
-            case IsNotNull(e) => notNull ++= e.references
+            case IsNotNull(e) => guards :+= e
             case _ => return None
           }
           val merged = (bm.keyFilter.toSeq ++ keyConjuncts).reduceOption(And)
-          Some(bm.copy(keyFilter = merged, notNullRefs = notNull))
+          Some(bm.copy(keyFilter = merged, notNullGuards = guards))
         }
       case _ => None
     }
@@ -324,7 +327,7 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // keys land in a projection below the new Aggregate (mirroring how
     // TimeWindowing itself structures window groupings).
     val derivedProj = scala.collection.mutable.ArrayBuffer.empty[Alias]
-    var derivedSourceRefs = AttributeSet.empty
+    val derivedExprs = scala.collection.mutable.ArrayBuffer.empty[Expression]
     val groupingRepl: Map[ExprId, NamedExpression] = groupings.map {
       case a: AttributeReference =>
         val inlined = PlanShapes.substitute(a, bm.aliases)
@@ -345,7 +348,7 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
               case (None, None) => keyAttr // identical non-window derived bucket
               case _ => return None
             }
-            derivedSourceRefs ++= derived.references
+            derivedExprs += derived
             expr match {
               case ne: NamedExpression => ne
               case e =>
@@ -358,8 +361,15 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }.toMap
 
-    // Tolerated IsNotNull filters must only guard derived-key sources.
-    if (!bm.notNullRefs.subsetOf(derivedSourceRefs)) return None
+    // An IsNotNull conjunct is tolerable only if its child IS (a
+    // subexpression of) a derived grouping this query uses — exactly the
+    // null guard TimeWindowing inserts for the window's time expression.
+    // Any other IsNotNull (e.g. over nullif(ts, X)) filters rows the
+    // summary still contains, so it vetoes the rewrite.
+    if (!bm.notNullGuards.forall(g =>
+        derivedExprs.exists(d => d.exists(_.semanticEquals(g))))) {
+      return None
+    }
 
     // every output is either a group key or a rewritable one-shot,
     // FILTER-free sketch aggregate

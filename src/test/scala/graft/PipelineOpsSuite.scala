@@ -110,6 +110,13 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(comps.count { case (id, c) => id != c } === 3)
   }
 
+  test("connected components on empty input return empty (no NPE)") {
+    import spark.implicits._
+    val nodes = Seq.empty[Long].toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(nodes, edges, "doc_id").collect().isEmpty)
+  }
+
   test("decontamination flags docs sharing shingles with the benchmark") {
     import spark.implicits._
     val corpus = Seq(

@@ -188,6 +188,17 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
             |       approx_count_distinct_ex(o_orderpriority) AS nd
             |FROM sr_orders GROUP BY 1""".stripMargin)
         assert(scannedPaths(odd).exists(_.contains("orders.parquet")))
+        // IsNotNull over a COMPUTED expression of the derived-key source
+        // is a real row filter, not TimeWindowing's bare guard — must veto
+        // the rewrite (regression: the guard tolerance used to swallow it)
+        val computedNotNull = spark.sql(
+          """SELECT window(CAST(o_orderdate AS TIMESTAMP), '1 day') AS day,
+            |       approx_count_distinct_ex(o_orderpriority) AS nd
+            |FROM sr_orders
+            |WHERE nullif(CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1995-01-01') IS NOT NULL
+            |GROUP BY 1""".stripMargin)
+        assert(scannedPaths(computedNotNull).exists(_.contains("orders.parquet")),
+          "IsNotNull over a computed expression must keep scanning the base")
       }
     } finally GraftSummaries.clear()
   }
