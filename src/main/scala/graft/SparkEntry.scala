@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -784,6 +784,118 @@ object SparkEntry {
       Dedup.contaminatedDocs(docs.unionByName(planted), bench, "doc_id", "text",
         n = 8, minShared = 1)
         .orderBy("id")
+    },
+
+    // Gopher-style repetition/boilerplate signals, computed array-locally
+    // (no shuffle). The oracle replays the same token/gram constructions
+    // with DuckDB list functions; fractions are integer-count divisions
+    // rounded to 9 dp on both sides.
+    q("q37_repetition_signals",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |         CASE WHEN len(ws) >= 2 THEN
+        |           list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |         CASE WHEN len(ws) >= 3 THEN
+        |           list_transform(range(1, len(ws) - 1),
+        |                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM w)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_words,
+        |       round(1 - len(list_distinct(ws)) / len(ws), 9) AS dup_word_frac,
+        |       CASE WHEN len(g3) > 0
+        |            THEN round(1 - len(list_distinct(g3)) / len(g3), 9)
+        |            ELSE 0.0 END AS dup_3gram_frac,
+        |       CASE WHEN len(g2) > 0
+        |            THEN round(list_max(list_transform(list_distinct(g2),
+        |                         g -> len(list_filter(g2, x -> x = g)))) / len(g2), 9)
+        |            ELSE 0.0 END AS top_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.repetitionSignals(s.table("documents"), "text")
+        .select("doc_id", "n_words", "dup_word_frac", "dup_3gram_frac", "top_2gram_frac")
+        .orderBy("doc_id")
+    },
+
+    // As-of join (an operator Spark lacks natively; see AsofJoin's scale
+    // notes): every purchase matched to the user's most recent click at
+    // or before the purchase time. The oracle is DuckDB's NATIVE ASOF
+    // LEFT JOIN — two independent implementations of the same semantics.
+    // events.ts is epoch-nanos BIGINT on the Spark side (nanosAsLong)
+    // but DuckDB reads the same parquet at MICRO precision — both sides
+    // emit micros (nanos DIV 1000 vs epoch_ns // 1000, as in q27).
+    q("q38_asof_join",
+      """SELECT l.event_id, l.user_id, epoch_ns(l.ts)//1000 AS t,
+        |       epoch_ns(r.ts)//1000 AS last_click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsofJoin.asofBackward(purchases, clicks, "user_id", "ts", outCol = "last_click_ts")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("t"),
+          expr("last_click_ts DIV 1000").as("last_click_ts"))
+        .orderBy("event_id")
+    },
+
+    // Deterministic stratified sampling: exactly 5 docs per language,
+    // ranked by md5(id) — a seedless uniform draw both engines replay
+    // bit-identically (md5 hex strings compare identically everywhere).
+    q("q39_stratified_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 5 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Sampling.stratifiedSample(
+        s.table("documents").select("doc_id", "lang"), Seq("lang"), "doc_id", 5)
+        .orderBy("lang", "doc_id")
+    },
+
+    // PII-style pattern scrubbing counts. The organic corpus is clean
+    // word-soup, so pattern-bearing copies are PLANTED (q15's pattern):
+    // every 100th doc gets a copy at id+3M with an appended contact line.
+    // Patterns stay in the Java-regex ∩ RE2 common dialect so both
+    // engines' non-overlapping leftmost-match counts agree exactly.
+    q("q40_pattern_signals",
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         text || ' reach alice.w@example.com or bob@test.org call 555-123-4567 see https://docs.example.com/guide'
+        |  FROM documents WHERE doc_id % 100 = 0)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(lower(text), '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS BIGINT) AS n_urls
+        |FROM all_docs ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" reach alice.w@example.com or bob@test.org" +
+            " call 555-123-4567 see https://docs.example.com/guide")).as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          TextOps.patternCount(lower(col("text")),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}").cast("long").as("n_emails"),
+          TextOps.patternCount(lower(col("text")),
+            "[0-9]{3}-[0-9]{3}-[0-9]{4}").cast("long").as("n_phones"),
+          TextOps.patternCount(lower(col("text")),
+            "https?://[^\\s]+").cast("long").as("n_urls"))
+        .orderBy("doc_id")
     },
 
     // Sessionization via session_window (12h gap). Oracle mirrors Spark's

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (point-in-time) join — an operator Spark's join surface lacks
+ * natively (see SURVEY.md §2.2 "Joins"): for every left row, the most
+ * recent right row of the same key with `right.ts <= left.ts`
+ * (inclusive, matching DuckDB/Trino `ASOF JOIN` semantics).
+ *
+ * Scale design — union + running window, NOT a range join:
+ *  - A naive `l JOIN r ON l.key = r.key AND l.ts >= r.ts` + argmax
+ *    explodes to O(|l_k| * |r_k|) rows per key before pruning; at 100 TB
+ *    a hot key turns that quadratic. This implementation UNIONS the two
+ *    sides, sorts each key's timeline once, and carries the latest right
+ *    timestamp forward with `last(..., ignoreNulls)` over a running
+ *    frame — O(n log n) per key, ONE shuffle on the key, no row blowup.
+ *  - Spark evaluates the unbounded-preceding frame incrementally
+ *    (UnboundedPrecedingWindowFunctionFrame), so the window adds a
+ *    single linear pass after the sort.
+ *  - Equal timestamps: right rows order before left rows (kind 0 < 1),
+ *    so a right row at exactly `left.ts` matches — the inclusive bound
+ *    the SQL engines' ASOF uses.
+ *  - Skew: a pathologically hot key serializes through one partition's
+ *    sort — the same bound as merge-join-based ASOF in native engines;
+ *    pre-splitting by coarse time bucket (seeding each bucket with the
+ *    previous bucket's last right row) is the standard mitigation when
+ *    one key exceeds a partition.
+ */
+object AsofJoin {
+
+  /**
+   * For each row of `left`, attach the greatest `right.tsCol` that is
+   * <= `left.tsCol` within the same `keyCol` as `outCol` (null when the
+   * key has no right row at or before the left timestamp), plus any
+   * `payloadCols` from that right row as `outCol + "_" + name`.
+   */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      outCol: String = "asof_ts",
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    val r = right.select((col(keyCol) +: col(tsCol) +: payloadCols.map(col)): _*)
+      .withColumn("__graft_kind", lit(0))
+      .withColumn("__graft_rv", struct((col(tsCol) +: payloadCols.map(col)): _*))
+      .drop(payloadCols: _*)
+    val l = left.withColumn("__graft_kind", lit(1))
+    // allowMissingColumns: right rows take nulls for left's payload
+    // columns (and vice versa for __graft_rv); they are filtered out after
+    // the window anyway.
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__graft_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("__graft_m", last(col("__graft_rv"), ignoreNulls = true).over(w))
+      .where(col("__graft_kind") === 1)
+    val extras = (outCol -> col("__graft_m").getField(tsCol)) +:
+      payloadCols.map(p => (s"${outCol}_$p", col("__graft_m").getField(p)))
+    extras.foldLeft(matched) { case (df, (name, c)) => df.withColumn(name, c) }
+      .drop("__graft_kind", "__graft_rv", "__graft_m")
+  }
+}

@@ -105,6 +105,58 @@ object TextOps {
       w: Int = 4): DataFrame =
     df.withColumn(outCol, call_function("graft_winnow", col(textCol), lit(k), lit(w)))
 
+  /** Non-overlapping match count of `pattern` (leftmost-first, the same
+   *  semantics as the oracle's `regexp_extract_all`); patterns must stay
+   *  within the Java∩RE2 common dialect (no backrefs/lookaround). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /**
+   * Gopher-style repetition/boilerplate signals, per document:
+   *  - `n_words` — whitespace token count;
+   *  - `dup_word_frac` — fraction of tokens that repeat an earlier token
+   *    (1 - distinct/total);
+   *  - `dup_3gram_frac` — same over word 3-grams (the classic "repeated
+   *    phrase" signal);
+   *  - `top_2gram_frac` — share of the document's 2-grams claimed by its
+   *    single most frequent 2-gram (boilerplate/chant detector).
+   *
+   * Scale design: everything is computed ARRAY-LOCALLY with codegen'd
+   * higher-order functions — no explode, no shuffle; the corpus streams
+   * through map tasks untouched. The top-2-gram count is
+   * O(distinct-grams x grams) per document — the price of staying
+   * shuffle-free, cheaper at corpus scale than shuffling every n-gram of
+   * every document through an explode+groupBy. Gram arrays are
+   * materialized as their own projection columns first: expressions
+   * inlined into HOF lambdas get no subexpression elimination.
+   */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    val withArrays = df
+      .withColumn("__w", words(col(textCol)))
+      .withColumn("__g2", when(size(col("__w")) >= 2,
+          transform(sequence(lit(0), size(col("__w")) - 2),
+            i => concat_ws(" ", get(col("__w"), i), get(col("__w"), i + 1))))
+        .otherwise(emptyArr))
+      .withColumn("__g3", when(size(col("__w")) >= 3,
+          transform(sequence(lit(0), size(col("__w")) - 3),
+            i => concat_ws(" ", get(col("__w"), i), get(col("__w"), i + 1),
+              get(col("__w"), i + 2))))
+        .otherwise(emptyArr))
+    withArrays
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("dup_word_frac",
+        round(lit(1) - size(array_distinct(col("__w"))) / size(col("__w")), 9))
+      .withColumn("dup_3gram_frac", when(size(col("__g3")) > 0,
+          round(lit(1) - size(array_distinct(col("__g3"))) / size(col("__g3")), 9))
+        .otherwise(lit(0.0)))
+      .withColumn("top_2gram_frac", when(size(col("__g2")) > 0,
+          round(array_max(transform(array_distinct(col("__g2")),
+            g => size(filter(col("__g2"), x => x === g)))) / size(col("__g2")), 9))
+        .otherwise(lit(0.0)))
+      .drop("__w", "__g2", "__g3")
+  }
+
   /**
    * Heuristic quality flag over integer metrics only (reproducible across
    * engines): enough tokens, bounded length, mostly-alphabetic, and a

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, Sampling, TextOps}
+
+/** Round-3 curation operators: as-of join, repetition signals,
+  * deterministic stratified sampling, pattern counts. */
+class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
+
+  test("asof backward join: inclusive bound, no-match null, per-key isolation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l-a"), // right rows at 7 and 10: inclusive -> matches 10
+      (1L, 5L, "l-b"),  // only right row <= 5 is none (7 > 5) -> null
+      (2L, 8L, "l-c"),  // key 2 has right at 3 -> 3 (key 1 rows invisible)
+      (3L, 9L, "l-d"))  // key 3 has no right rows at all -> null
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 7L), (1L, 10L), (2L, 3L), (2L, 99L)).toDF("k", "t")
+    val out = AsofJoin.asofBackward(left, right, "k", "t")
+      .select("k", "t", "payload", "asof_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, 10L, "l-a", 10L),
+      (1L, 5L, "l-b", null),
+      (2L, 8L, "l-c", 3L),
+      (3L, 9L, "l-d", null)))
+  }
+
+  test("asof join carries right payload columns") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 4L, "old"), (1L, 9L, "new"), (1L, 11L, "future"))
+      .toDF("k", "t", "v")
+    val row = AsofJoin.asofBackward(left, right, "k", "t", payloadCols = Seq("v"))
+      .select("asof_ts", "asof_ts_v").collect()(0)
+    assert((row.getLong(0), row.getString(1)) === ((9L, "new")))
+  }
+
+  test("repetition signals quantify duplicate words, 3-grams, and top bigram") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f g h"),          // all distinct
+      (1L, "spam spam spam spam"),      // fully repetitive
+      (2L, "x y x y x y z"),            // dominant "x y" bigram
+      (3L, "one"),                      // too short for any gram
+      (4L, "alpha beta"))               // exactly one bigram, no 3-gram
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df, "text")
+      .select("doc_id", "n_words", "dup_word_frac", "dup_3gram_frac", "top_2gram_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) === ((8L, 0.0, 0.0, 0.142857143))) // 7 distinct bigrams: top = 1/7
+    assert(out(1L)._1 === 4L)
+    assert(out(1L)._2 === 0.75)                    // 1 distinct of 4
+    assert(out(1L)._3 === 0.5)                     // "spam spam spam" x2 -> 1 distinct of 2
+    assert(out(1L)._4 === 1.0)                     // "spam spam" claims all 3 bigrams
+    assert(out(2L)._4 === 0.5)                     // "x y" 3 of 6 bigrams
+    assert(out(3L) === ((1L, 0.0, 0.0, 0.0)))      // guards, not NaN/divide-by-zero
+    assert(out(4L) === ((2L, 0.0, 0.0, 1.0)))      // single bigram is trivially the top
+  }
+
+  test("stratified sample: exact quota, deterministic across partitionings") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+    val a = Sampling.stratifiedSample(df, Seq("stratum"), "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.size === 20)
+    assert(a.groupBy(_._2).forall(_._2.size == 5))
+    // same rows no matter how the input is partitioned
+    val b = Sampling.stratifiedSample(df.repartition(13), Seq("stratum"), "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // quota larger than the stratum: returns everything, no padding
+    val tiny = Seq((1L, "only")).toDF("id", "stratum")
+    assert(Sampling.stratifiedSample(tiny, Seq("stratum"), "id", 5).count() === 1)
+  }
+
+  test("pattern counts match planted occurrences") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "clean text with no contact info at all"),
+      (1L, "mail a@b.io and c.d@e.org, dial 555-123-4567 twice 555-987-6543, at https://x.io/p"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.patternCount(lower(col("text")), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}").as("e"),
+      TextOps.patternCount(lower(col("text")), "[0-9]{3}-[0-9]{3}-[0-9]{4}").as("p"),
+      TextOps.patternCount(lower(col("text")), "https?://[^\\s]+").as("u"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(0L) === ((0, 0, 0)))
+    assert(out(1L) === ((2, 2, 1)))
+  }
+}
