@@ -803,7 +803,12 @@ object SparkEntry {
         |           list_transform(range(1, len(ws) - 1),
         |                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
         |         ELSE CAST([] AS VARCHAR[]) END AS g3
-        |  FROM w)
+        |  FROM w),
+        |srt AS (SELECT doc_id, ws, g2, g3, list_sort(g2) AS s2 FROM g),
+        |runs AS (
+        |  SELECT doc_id, ws, g2, g3, s2,
+        |         list_filter(range(0, len(s2)), i -> i = 0 OR s2[i+1] != s2[i]) AS starts
+        |  FROM srt)
         |SELECT doc_id,
         |       CAST(len(ws) AS BIGINT) AS n_words,
         |       round(1 - len(list_distinct(ws)) / len(ws), 9) AS dup_word_frac,
@@ -811,10 +816,11 @@ object SparkEntry {
         |            THEN round(1 - len(list_distinct(g3)) / len(g3), 9)
         |            ELSE 0.0 END AS dup_3gram_frac,
         |       CASE WHEN len(g2) > 0
-        |            THEN round(list_max(list_transform(list_distinct(g2),
-        |                         g -> len(list_filter(g2, x -> x = g)))) / len(g2), 9)
+        |            THEN round(list_max(list_transform(range(1, len(starts) + 1),
+        |                         j -> (CASE WHEN j = len(starts) THEN len(s2)
+        |                               ELSE starts[j+1] END) - starts[j])) / len(g2), 9)
         |            ELSE 0.0 END AS top_2gram_frac
-        |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |FROM runs ORDER BY doc_id""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       TextOps.repetitionSignals(s.table("documents"), "text")
         .select("doc_id", "n_words", "dup_word_frac", "dup_3gram_frac", "top_2gram_frac")

@@ -123,12 +123,13 @@ object TextOps {
    *
    * Scale design: everything is computed ARRAY-LOCALLY with codegen'd
    * higher-order functions — no explode, no shuffle; the corpus streams
-   * through map tasks untouched. The top-2-gram count is
-   * O(distinct-grams x grams) per document — the price of staying
-   * shuffle-free, cheaper at corpus scale than shuffling every n-gram of
-   * every document through an explode+groupBy. Gram arrays are
-   * materialized as their own projection columns first: expressions
-   * inlined into HOF lambdas get no subexpression elimination.
+   * through map tasks untouched. The top-2-gram count sorts the gram
+   * array and takes the longest equal run — O(n log n) per document
+   * (NOT O(distinct x n) count-each-distinct, which quadratic-blows on
+   * long repetitive documents — the very documents this signal exists
+   * to catch). Gram arrays are materialized as their own projection
+   * columns first: expressions inlined into HOF lambdas get no
+   * subexpression elimination.
    */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
     val emptyArr = array().cast("array<string>")
@@ -150,11 +151,22 @@ object TextOps {
       .withColumn("dup_3gram_frac", when(size(col("__g3")) > 0,
           round(lit(1) - size(array_distinct(col("__g3"))) / size(col("__g3")), 9))
         .otherwise(lit(0.0)))
+      // Longest equal run of the SORTED gram array = count of the most
+      // frequent gram. Every intermediate (sorted array, run starts) is
+      // materialized as its own column — referencing a computed array
+      // from inside a HOF lambda re-evaluates it PER ELEMENT (no CSE in
+      // lambdas), which would turn the O(n log n) scan quadratic.
+      .withColumn("__s2", array_sort(col("__g2")))
+      .withColumn("__starts", filter(sequence(lit(0), size(col("__s2")) - 1),
+        i => (i === 0) || get(col("__s2"), i) =!= get(col("__s2"), i - 1)))
       .withColumn("top_2gram_frac", when(size(col("__g2")) > 0,
-          round(array_max(transform(array_distinct(col("__g2")),
-            g => size(filter(col("__g2"), x => x === g)))) / size(col("__g2")), 9))
+          round(array_max(zip_with(
+            col("__starts"),
+            concat(slice(col("__starts"), lit(2), size(col("__starts")) - 1),
+              array(size(col("__s2")))),
+            (a, b) => b - a)) / size(col("__g2")), 9))
         .otherwise(lit(0.0)))
-      .drop("__w", "__g2", "__g3")
+      .drop("__w", "__g2", "__g3", "__s2", "__starts")
   }
 
   /**
