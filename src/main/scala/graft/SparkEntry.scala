@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -902,6 +902,32 @@ object SparkEntry {
           TextOps.patternCount(lower(col("text")),
             "https?://[^\\s]+").cast("long").as("n_urls"))
         .orderBy("doc_id")
+    },
+
+    // Bucketed range join (point-in-interval). Spark plans the naive
+    // non-equi join as BroadcastNestedLoopJoin; RangeJoin derives a
+    // bucket equi-key instead (see its scale notes). The oracle is the
+    // naive BETWEEN join — fine at oracle scale, the very plan the
+    // operator exists to avoid at corpus scale. IEEE double +-500
+    // arithmetic is bit-identical in both engines, so boundary
+    // comparisons agree exactly.
+    q("q41_range_join",
+      """SELECT i.o_orderkey AS interval_id, CAST(count(*) AS BIGINT) AS n_in_range
+        |FROM orders p
+        |JOIN (SELECT o_orderkey, o_totalprice - 500 AS lo, o_totalprice + 500 AS hi
+        |      FROM orders WHERE o_orderkey % 200 = 0) i
+        |  ON p.o_totalprice BETWEEN i.lo AND i.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "orders")
+      val o = s.table("orders")
+      val intervals = o.where(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          (col("o_totalprice") - 500).as("lo"),
+          (col("o_totalprice") + 500).as("hi"))
+      val points = o.select(col("o_totalprice").as("p"))
+      RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", bucketWidth = 1000.0)
+        .groupBy("interval_id").agg(count(lit(1)).as("n_in_range"))
+        .orderBy("interval_id")
     },
 
     // Sessionization via session_window (12h gap). Oracle mirrors Spark's

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.TextOps
 
@@ -67,4 +68,66 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /**
+   * Streaming per-key admission quota: pass through at most `k` rows per
+   * key, then drop the rest — the ingestion-side "cap documents per
+   * domain/source" control of a curation pipeline, as a custom stateful
+   * operator (`flatMapGroupsWithState`) rather than an aggregation.
+   *
+   * State is ONE Long per key (rows admitted so far) and is removed by
+   * an event-time timeout `stateTtlMs` after the key's LATEST event
+   * (anchoring the TTL to the watermark instead would expire everything
+   * the moment the watermark first jumps) — so state is bounded by the
+   * number of keys active within the horizon, not the stream's lifetime
+   * (same bound class as [[dedupByContent]]). After expiry a key's
+   * quota resets: the documented per-horizon-quota semantics, not a
+   * lifetime quota. `eventTimeCol` must be a TIMESTAMP column.
+   *
+   * Which k rows win within one micro-batch is arrival-order dependent
+   * (inherent to admission control under concurrency); the COUNT
+   * admitted is exact.
+   */
+  def quotaPerKey(
+      df: DataFrame,
+      keyCol: String,
+      eventTimeCol: String,
+      watermarkDelay: String,
+      k: Int,
+      stateTtlMs: Long = 24L * 3600 * 1000): DataFrame = {
+    require(k > 0, s"quota must be positive, got $k")
+    require(stateTtlMs > 0, s"state TTL must be positive, got $stateTtlMs")
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    val tsIdx = df.schema.fieldIndex(eventTimeCol)
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyCol)))(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(0L)
+            val admitted = Vector.newBuilder[Row]
+            var nAdmitted = 0L
+            var maxEventMs = Long.MinValue
+            rows.foreach { r =>
+              val t = r.getAs[java.sql.Timestamp](tsIdx).getTime
+              if (t > maxEventMs) maxEventMs = t
+              if (seen + nAdmitted < k) {
+                admitted += r
+                nAdmitted += 1
+              }
+            }
+            state.update(seen + nAdmitted)
+            // timeout must land strictly past the current watermark; a
+            // fully-late batch clamps to watermark+1 (expires next batch)
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            admitted.result().iterator
+          }
+      }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Sampling, TextOps}
+import graft.operators.{AsofJoin, RangeJoin, Sampling, TextOps}
 
 /** Round-3 curation operators: as-of join, repetition signals,
   * deterministic stratified sampling, pattern counts. */
@@ -76,6 +76,30 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     // quota larger than the stratum: returns everything, no padding
     val tiny = Seq((1L, "only")).toDF("id", "stratum")
     assert(Sampling.stratifiedSample(tiny, Seq("stratum"), "id", 5).count() === 1)
+  }
+
+  test("range join matches the naive non-equi join and avoids the nested loop") {
+    import spark.implicits._
+    val points = (0 until 200).map(i => i.toDouble).toDF("p")
+    val intervals = Seq(
+      (1L, 10.0, 20.0),    // inclusive: 10..20 -> 11 points
+      (2L, 19.5, 19.6),    // sub-bucket interval -> 0 integer points
+      (3L, 150.0, 500.0),  // runs past the data -> 150..199 = 50 points
+      (4L, 60.0, 50.0))    // hi < lo: empty by definition
+      .toDF("ivl_id", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", bucketWidth = 25.0)
+    val counts = out.groupBy("ivl_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 11L, 3L -> 50L))
+    // plan must be an equi-join on the derived cell, not a nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // agrees with the naive non-equi join row for row
+    val naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("ivl_id", "p").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out.select("ivl_id", "p").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === naive)
   }
 
   test("pattern counts match planted occurrences") {

@@ -60,6 +60,43 @@ class StreamingPipelineSuite extends AnyFunSuite with GraftSparkSession {
     } finally q.stop()
   }
 
+  test("streaming quota admits k rows per key, then resets after state expiry") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)](spark)
+    val admitted = StreamingOps.quotaPerKey(
+      input.toDF().toDF("t", "domain", "doc_id"),
+      "domain", "t", "1 minute", k = 2, stateTtlMs = 10 * 60 * 1000)
+    val q = admitted.writeStream
+      .format("memory").queryName("quota_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // 3 docs for d1 in one batch: only 2 admitted
+      input.addData(
+        (ts("2021-01-01 00:00:00"), "d1", 1L),
+        (ts("2021-01-01 00:00:10"), "d1", 2L),
+        (ts("2021-01-01 00:00:20"), "d1", 3L),
+        (ts("2021-01-01 00:00:30"), "d2", 4L))
+      q.processAllAvailable()
+      // quota carried across batches: d1 is full, d2 has one slot left
+      input.addData(
+        (ts("2021-01-01 00:01:00"), "d1", 5L),
+        (ts("2021-01-01 00:01:00"), "d2", 6L))
+      q.processAllAvailable()
+      assert(spark.table("quota_stream").count() === 4) // 2 of d1, 2 of d2
+      // push the watermark far past the TTL -> quota state expires
+      input.addData((ts("2021-01-01 06:00:00"), "d3", 7L))
+      q.processAllAvailable()
+      // d1 re-admits after expiry (per-horizon quota semantics)
+      input.addData((ts("2021-01-01 06:00:10"), "d1", 8L))
+      q.processAllAvailable()
+      val ids = spark.table("quota_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(Set(5L, 6L)) === Set(6L)) // d1's 5 rejected, d2's 6 admitted
+      assert(ids.contains(7L) && ids.contains(8L))
+      assert(ids.size === 6)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions with correct bounds") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)
