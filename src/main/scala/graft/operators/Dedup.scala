@@ -63,14 +63,26 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
   /**
-   * (id, shingles) projection used by the pairwise operators. Caches the
-   * result itself (callers must NOT re-cache) because it feeds both
-   * candidate generation and verification; Spark's ContextCleaner
-   * unpersists the blocks once the query's lineage is garbage-collected,
-   * so repeated invocations don't accumulate forever.
+   * Distinct word n-gram shingle HASHES via the native
+   * `graft_word_shingles` expression — one tokenize + hash-chain pass,
+   * no gram-string materialization (the string construction dominated
+   * the shingle-heavy operators: 6.8s of an 11s pass at sf0.1). All
+   * pairwise set logic (inverted index, intersection counts) is
+   * collision-equivalent on the 64-bit hashes: words cannot contain
+   * whitespace, so gram strings and word sequences are in bijection.
+   */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text, lit(n))
+
+  /**
+   * (id, shingle-hash set) projection used by the pairwise operators.
+   * Caches the result itself (callers must NOT re-cache) because it
+   * feeds both candidate generation and verification; Spark's
+   * ContextCleaner unpersists the blocks once the query's lineage is
+   * garbage-collected, so repeated invocations don't accumulate forever.
    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")).cache()
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh")).cache()
 
   /**
    * Exact n-gram Jaccard near-duplicate pairs via prefix-filtered inverted
@@ -86,16 +98,16 @@ object Dedup {
       num: Int = 4,
       den: Int = 5): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    // All index-side plumbing runs on the shingle's xxhash64, not the
-    // string: the df-join and candidate self-join shuffle 8-byte longs
-    // instead of n-word strings. Lossless: prefix filtering only needs ONE
-    // consistent global rarity order — (df, hash) is as valid as
-    // (df, shingle) — and a hash collision merely merges two tokens'
-    // postings, generating EXTRA candidates that exact verification
-    // removes. No qualifying pair can be lost because equal shingles
-    // always have equal hashes.
+    // The shingle sets ARE 8-byte hashes (graft_word_shingles), so the
+    // df-join and candidate self-join shuffle longs, never n-word
+    // strings. Lossless: prefix filtering only needs ONE consistent
+    // global rarity order — (df, hash) is as valid as (df, shingle) —
+    // and a hash collision merely merges two tokens' postings,
+    // generating EXTRA candidates that exact verification removes. No
+    // qualifying pair can be lost because equal shingles always have
+    // equal hashes.
     val posting = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+      explode(col("sh")).as("h"))
     val dfreq = posting.groupBy("h").agg(count(lit(1)).as("df"))
     // prefix = the (sz - ceil(t*sz) + 1) globally-rarest shingles of each doc
     val ranked = posting.join(dfreq, "h")
@@ -242,12 +254,12 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       minShared: Int = 1): DataFrame = {
-    // shingles() distincts per document, so count(*) after the join counts
-    // distinct shared shingles
+    // shingleHashes() distincts per document, so count(*) after the join
+    // counts distinct shared shingles
     val c = corpus.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+      explode(shingleHashes(col(textCol), n)).as("h"))
     val b = benchmark
-      .select(explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("h"))
+      .select(explode(shingleHashes(col(textCol), n)).as("h"))
       .distinct()
     c.join(broadcast(b), "h")
       .groupBy("id")

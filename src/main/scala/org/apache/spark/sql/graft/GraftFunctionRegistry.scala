@@ -478,6 +478,18 @@ object GraftFunctionRegistry {
       "hash_funcs") { args =>
       MinHashSignature(args(0), intLiteral("graft_minhash", "numHashes", args(1)))
     },
+    fd("graft_word_shingles",
+      "_FUNC_(text, n) - Returns the DISTINCT 64-bit hashes (array<long>) of the word " +
+        "n-gram shingles of `text` (trimmed, lower-cased, whitespace-split) without " +
+        "materializing gram strings; texts shorter than n words produce the single " +
+        "whole-text shingle hash.",
+      Seq(2),
+      Seq("text" -> "a STRING column",
+        "n" -> "constant positive shingle width in words"),
+      Seq("SELECT size(_FUNC_('a b c d', 3))" -> "2"),
+      "hash_funcs") { args =>
+      WordShingleHashes(args(0), intLiteral("graft_word_shingles", "n", args(1)))
+    },
     fd("graft_winnow",
       "_FUNC_(text, k, w) - Returns winnowing document fingerprints (array<long>): " +
         "Karp-Rabin rolling hashes of the character k-grams of the normalized text, " +

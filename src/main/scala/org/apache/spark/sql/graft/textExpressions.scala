@@ -121,27 +121,47 @@ object SimHash64 {
  * previous `Dedup.minhashSignature`). Downstream LSH correctness does not
  * depend on the hash family (candidates are exact-verified); only recall
  * does, and double hashing is the standard family for it.
+ *
+ * Accepts either raw `array<string>` shingles or pre-hashed
+ * `array<long>` shingle keys (the `graft_word_shingles` output): for
+ * longs, (h1, h2) derive from two seeded `XXH64.hashLong` calls instead
+ * of byte-range hashes — same family, no string round-trip.
  */
 case class MinHashSignature(child: Expression, numHashes: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
 
   require(numHashes > 0, "numHashes must be positive")
 
+  private def longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def prettyName: String = "graft_minhash"
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(StringType), ArrayType(LongType)))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
   def compute(input: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val isLong = longInput
     val n = input.numElements()
     var j = 0
     while (j < n) {
       if (!input.isNullAt(j)) {
-        val s = input.getUTF8String(j)
-        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        val h2 = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9e3779b97f4a7c15L) | 1L
+        var h1 = 0L
+        var h2 = 0L
+        if (isLong) {
+          val v = input.getLong(j)
+          h1 = XXH64.hashLong(v, 42L)
+          h2 = XXH64.hashLong(v, 0x9e3779b97f4a7c15L) | 1L
+        } else {
+          val s = input.getUTF8String(j)
+          h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          h2 = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9e3779b97f4a7c15L) | 1L
+        }
         var g = h1
         var i = 0
         while (i < numHashes) {
@@ -251,6 +271,83 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `graft_word_shingles(text, n)` — DISTINCT 64-bit hashes of the word
+ * n-gram shingles of `text`, without ever materializing a gram string:
+ * tokenize (trim, lower-case, split on whitespace — the exact semantics
+ * of `TextOps.words` / the oracles' `regexp_split_to_array`), xxhash64
+ * each word once, then chain the n word hashes of each gram through
+ * seeded `XXH64.hashLong` (order-dependent). Texts shorter than n words
+ * produce the single whole-text shingle hash, mirroring
+ * `Dedup.shingles`'s short-document rule.
+ *
+ * Word-equality is collision-equivalent to string-shingle equality:
+ * words cannot contain whitespace, so the " "-joined gram string is in
+ * bijection with the word sequence; two grams hash equal iff their word
+ * sequences match (modulo ~2^-64 hash collisions, the same model the
+ * pairwise operators already accept when joining on xxhash64 keys).
+ * Replaces the builtin-composed `array_join(slice(words))` construction
+ * whose per-gram string/array allocation dominated shingle-heavy
+ * operators (measured 6.8s of an 11s decontamination+Jaccard pass at
+ * sf0.1).
+ */
+case class WordShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n > 0, "n must be positive")
+
+  override def prettyName: String = "graft_word_shingles"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val SEED_WORD = 42L
+  private val SEED_GRAM = 0x9e3779b97f4a7c15L
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val w = words.length
+    val wh = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      val b = words(i).getBytes("UTF-8")
+      wh(i) = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, SEED_WORD)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (w < n) {
+      var g = SEED_GRAM
+      i = 0
+      while (i < w) { g = XXH64.hashLong(wh(i), g); i += 1 }
+      out.add(g)
+    } else {
+      var s = 0
+      while (s <= w - n) {
+        var g = SEED_GRAM
+        var j = 0
+        while (j < n) { g = XXH64.hashLong(wh(s + j), g); j += 1 }
+        out.add(g)
+        s += 1
+      }
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    new GenericArrayData(res)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingleHashes].getName)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 

@@ -117,6 +117,33 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(Dedup.connectedComponents(nodes, edges, "doc_id").collect().isEmpty)
   }
 
+  test("word shingle hashes mirror string shingles: counts, sharing, short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"),
+      (1L, "x y a b c d e f"),    // shares the 4 later 5-grams' words with 0? no — shifted
+      (2L, "a b c d e f"),        // identical to 0: identical hash set
+      (3L, "one two"),            // shorter than n -> single whole-text shingle
+      (4L, "ONE   two"))          // case/whitespace-normalized same as 3
+      .toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+      Dedup.shingleHashes(col("text"), 5).as("hs"),
+      Dedup.shingles(col("text"), 5).as("ss"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[String](2)))).toMap
+    // per-doc distinct counts agree with the string construction
+    both.foreach { case (id, (hs, ss)) => assert(hs.size === ss.size, s"doc $id") }
+    // identical texts -> identical hash sets; distinct texts -> disjoint here
+    assert(both(0L)._1 === both(2L)._1)
+    assert(both(3L)._1 === both(4L)._1) // normalization matches words()
+    assert(both(3L)._1.size === 1)
+    // doc 1 contains doc 0's full word sequence -> shares all of doc 0's grams
+    assert(both(0L)._1.toSet.subsetOf(both(1L)._1.toSet))
+    // SQL surface
+    val viaSql = spark.sql("SELECT size(graft_word_shingles('a b c d', 3))")
+      .collect()(0).getInt(0)
+    assert(viaSql === 2)
+  }
+
   test("decontamination flags docs sharing shingles with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
