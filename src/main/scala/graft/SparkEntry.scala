@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity,
+  SkewJoin, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -902,6 +903,48 @@ object SparkEntry {
           TextOps.patternCount(lower(col("text")),
             "https?://[^\\s]+").cast("long").as("n_urls"))
         .orderBy("doc_id")
+    },
+
+    // Multimodal video: REAL multi-frame animated GIFs written with
+    // javax.imageio's sequence writer, then the frame count decoded back
+    // from the actual container bytes (getNumImages(allowSearch=true)).
+    // The oracle recomputes the parameter formulas arithmetically: a
+    // hash match proves the codec really walked the planted frames.
+    q("q42_multimodal_video",
+      """SELECT doc_id,
+        |       CAST(1 + doc_id % 8 AS INT) AS width,
+        |       CAST(1 + (doc_id * 3) % 8 AS INT) AS height,
+        |       CAST(2 + doc_id % 6 AS INT) AS n_frames,
+        |       'gif' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.synthesizeVideoContent(s.table("documents"), "doc_id")
+      Multimodal.decodeImageFeatures(media, "doc_id")
+        .select("doc_id", "width", "height", "n_frames", "format")
+        .orderBy("doc_id")
+    },
+
+    // Salted skew join: result must be IDENTICAL to the plain equi-join
+    // (the oracle runs the plain join) — proving salting is a pure
+    // physical rewrite. The aggregate sums as DECIMAL (exact,
+    // order-independent) per the q12 pattern.
+    q("q43_salted_join",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 4000) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem", "orders")
+      val large = s.table("lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity"))
+      val small = s.table("orders").where(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedEquiJoin(large, small, Seq("o_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
     },
 
     // Bucketed range join (point-in-interval). Spark plans the naive

@@ -92,6 +92,59 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Deterministic per-id video (animated-GIF) parameters. */
+  def syntheticVideo(id: Long): (Int, Int, Int) =
+    (1 + (id % 8).toInt, 1 + ((id * 3) % 8).toInt, 2 + (id % 6).toInt) // (w, h, frames)
+
+  /**
+   * Deterministic REAL "video" payloads: a multi-frame animated GIF per
+   * row, written with `javax.imageio`'s GIF sequence writer (pure JVM) —
+   * the closest genuine frame-sequence container available without
+   * native codecs. [[decodeImageFeatures]] reads the true frame count
+   * back via `getNumImages(allowSearch = true)`, so the n_frames column
+   * is really decoded from the container, not echoed metadata. A
+   * production mp4/webm path replaces only the codec inside the same
+   * partition-batched boundary (ffmpeg/JNI), as the object doc notes.
+   */
+  def synthesizeVideoContent(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("content", BinaryType),
+      StructField("meta", metaType)))
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val buf = new ByteArrayOutputStream()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, frames) = syntheticVideo(id)
+        buf.reset()
+        val ios = ImageIO.createImageOutputStream(buf)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < frames) {
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, ((id * 31 + f * 131 + x * 7 + y) & 0xffffff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally ios.close()
+        val bytes = buf.toByteArray
+        Row(id, bytes, Row("image/gif", bytes.length.toLong))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Deterministic per-id audio parameters for the synthetic corpus. */
   def syntheticAudio(id: Long): (Int, Int) =
     (8000, 100 + (id % 400).toInt) // (sample rate Hz, frame count)

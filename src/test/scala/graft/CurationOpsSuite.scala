@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, RangeJoin, Sampling, TextOps}
+import graft.operators.{AsofJoin, Multimodal, RangeJoin, Sampling, SkewJoin, TextOps}
 
 /** Round-3 curation operators: as-of join, repetition signals,
   * deterministic stratified sampling, pattern counts. */
@@ -100,6 +100,35 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .select("ivl_id", "p").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(out.select("ivl_id", "p").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet === naive)
+  }
+
+  test("salted join equals the plain join row for row") {
+    import spark.implicits._
+    // one hot key (1) plus normals — salting must not change the multiset
+    val large = ((1 to 50).map(i => (1L, i.toDouble)) ++
+      Seq((2L, 100.0), (3L, 7.0), (9L, 1.0))).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "unmatched")).toDF("k", "tag")
+    val salted = SkewJoin.saltedEquiJoin(large, small, Seq("k"), salts = 4)
+      .select("k", "v", "tag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    val plain = large.join(small, "k").select("k", "v", "tag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+    assert(salted === plain)
+    assert(salted.count(_._1 == 1L) === 50)
+  }
+
+  test("animated GIF synthesis round-trips frame counts through a real decode") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 5L, 11L).toDF("doc_id")
+    val decoded = Multimodal.decodeImageFeatures(
+      Multimodal.synthesizeVideoContent(df, "doc_id"), "doc_id")
+      .select("doc_id", "width", "height", "n_frames", "format")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    for (id <- Seq(0L, 1L, 5L, 11L)) {
+      val (w, h, f) = Multimodal.syntheticVideo(id)
+      assert(decoded(id) === ((w, h, f, "gif")), s"doc $id")
+    }
   }
 
   test("pattern counts match planted occurrences") {
