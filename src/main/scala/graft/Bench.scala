@@ -23,18 +23,25 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
-    // a failed query reports -1 so a regression can't masquerade as a speedup
+    // a failed query reports -1 so a regression can't masquerade as a
+    // speedup; min-of-reps damps the shared machine's load noise (up to
+    // 3x swings observed between identical runs)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { exec(fn); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { exec(fn); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

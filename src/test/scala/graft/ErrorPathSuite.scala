@@ -48,6 +48,16 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
     assert(r.toSeq === Seq(Row(null, 0L)))
   }
 
+  test("word-shingle hashing: null text stays null, non-literal n rejected") {
+    val r = spark.sql(
+      "SELECT graft_word_shingles(CAST(null AS STRING), 5)").collect()
+    assert(r.toSeq === Seq(Row(null)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b', c) FROM VALUES (3) AS t(c)").collect()
+    }
+    assert(e.getMessage.contains("constant integer literal"))
+  }
+
   test("registered confs reject bad values at SET time with a helpful message") {
     // non-integer k: typed entry fails immediately, not at plan time
     val e1 = intercept[IllegalArgumentException] {
