@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity,
-  SkewJoin, TextOps}
+import graft.operators.{AsofJoin, Dedup, Embeddings, Multimodal, RangeJoin, Sampling,
+  Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -903,6 +903,32 @@ object SparkEntry {
           TextOps.patternCount(lower(col("text")),
             "https?://[^\\s]+").cast("long").as("n_urls"))
         .orderBy("doc_id")
+    },
+
+    // Random-projection dimensionality reduction: the oracle REBUILDS
+    // the identical ±1 sign matrix from the same md5(seed:j:i) formula
+    // and projects with list_dot_product — sequential double sums are
+    // bit-identical across the engines (see q23/q24), rounded to 9 dp
+    // anyway for safety.
+    q("q44_random_projection",
+      """WITH m AS (
+        |  SELECT j, list(CASE WHEN strpos('01234567',
+        |                        substr(md5('42:' || j || ':' || i), 1, 1)) > 0
+        |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS row
+        |  FROM range(16) t1(j), range(64) t2(i)
+        |  GROUP BY j)
+        |SELECT e.vec_id, CAST(m.j AS INT) AS dim,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), m.row), 9) AS val
+        |FROM embeddings e, m
+        |WHERE e.vec_id < 50
+        |ORDER BY e.vec_id, dim""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Embeddings.randomProjection(
+        s.table("embeddings").where(col("vec_id") < 50), "embedding", "proj",
+        inDim = 64, outDim = 16, seed = 42L)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"), round(col("v"), 9).as("val"))
+        .orderBy("vec_id", "dim")
     },
 
     // Multimodal video: REAL multi-frame animated GIFs written with

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-column preprocessing for the similarity/dedup operators:
+ * L2 normalization and random-projection dimensionality reduction.
+ *
+ * Random projection (Achlioptas-style ±1 signs) preserves pairwise
+ * distances within (1±eps) at outDim = O(log n / eps^2) — the standard
+ * way to cut the cosine-arithmetic cost of brute-force/IVF/LSH stages
+ * by 4-8x before indexing. The sign matrix derives from md5(seed:j:i),
+ * so it is reproducible bit-for-bit anywhere (the DuckDB oracle
+ * rebuilds the identical matrix from the same formula) with zero RNG
+ * state to ship; it broadcasts to executors as a plan literal
+ * (outDim x inDim doubles — a few KB), and each row projects with
+ * outDim codegen'd `graft_dot` calls. No shuffle, no UDF.
+ */
+object Embeddings {
+
+  /** ±1 sign matrix (outDim rows x inDim cols): +1 iff the first hex
+   *  char of md5("seed:j:i") is 0-7 (i.e. its top bit is 0). */
+  def projectionMatrix(inDim: Int, outDim: Int, seed: Long): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        md.reset()
+        val d = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0x8) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /**
+   * Append `outCol` = the `outDim`-dimensional ±1 random projection of
+   * `vecCol` (read as array<double>).
+   */
+  def randomProjection(
+      df: DataFrame,
+      vecCol: String,
+      outCol: String,
+      inDim: Int,
+      outDim: Int,
+      seed: Long = 42L): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dimensions must be positive")
+    val m = typedlit(projectionMatrix(inDim, outDim, seed))
+    df.withColumn(outCol,
+      transform(m, row => Similarity.dot(col(vecCol).cast("array<double>"), row)))
+  }
+
+  /**
+   * Append `outCol` = `vecCol` scaled to unit L2 norm (null-norm rows
+   * keep a null output: no direction exists). The norm is materialized
+   * as its own column first — dividing inside the transform lambda
+   * would re-evaluate the dot product per element (no CSE in lambdas).
+   */
+  def normalizeL2(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val v: Column = col(vecCol).cast("array<double>")
+    df.withColumn("__graft_norm", sqrt(Similarity.dot(v, v)))
+      .withColumn(outCol, when(col("__graft_norm") > 0,
+        transform(v, x => x / col("__graft_norm"))))
+      .drop("__graft_norm")
+  }
+}

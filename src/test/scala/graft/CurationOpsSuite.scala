@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Multimodal, RangeJoin, Sampling, SkewJoin, TextOps}
+import graft.operators.{AsofJoin, Embeddings, Multimodal, RangeJoin, Sampling, SkewJoin,
+  TextOps}
 
 /** Round-3 curation operators: as-of join, repetition signals,
   * deterministic stratified sampling, pattern counts. */
@@ -129,6 +130,30 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       val (w, h, f) = Multimodal.syntheticVideo(id)
       assert(decoded(id) === ((w, h, f, "gif")), s"doc $id")
     }
+  }
+
+  test("random projection roughly preserves relative distances; L2 normalize") {
+    import spark.implicits._
+    // three vectors: a ~ b (near), c far from both
+    val a = Array.fill(64)(1.0)
+    val b = a.clone(); b(0) = 0.9
+    val c = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val df = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq)).toDF("id", "v")
+    val proj = Embeddings.randomProjection(df, "v", "p", 64, 16)
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj.values.forall(_.size == 16))
+    def d2(x: Seq[Double], y: Seq[Double]) = x.zip(y).map { case (u, w) => (u - w) * (u - w) }.sum
+    assert(d2(proj(1L), proj(2L)) < d2(proj(1L), proj(3L)))
+    // projection is deterministic across invocations
+    val again = Embeddings.randomProjection(df, "v", "p", 64, 16)
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again === proj)
+    // normalize: unit norm, zero vector -> null
+    val z = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
+    val n = Embeddings.normalizeL2(z, "v", "u").select("id", "u")
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(n(1L).get === Seq(0.6, 0.8))
+    assert(n(2L).isEmpty)
   }
 
   test("pattern counts match planted occurrences") {
