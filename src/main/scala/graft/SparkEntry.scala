@@ -905,6 +905,79 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // The curation funnel: exact dedup -> quality filter -> benchmark
+    // decontamination -> stratified sample, composed end to end from the
+    // individual operators, reporting each stage's surviving count in
+    // one row. The oracle replays the ENTIRE funnel in SQL (q15 + q19 +
+    // q30 + q39's formulas chained) — proving the operators compose
+    // without interfering, not just pass in isolation.
+    q("q45_curation_funnel",
+      """WITH inp AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM inp GROUP BY md5(text)),
+        |deduped AS (SELECT i.* FROM inp i JOIN kept USING (doc_id)),
+        |quality AS (
+        |  SELECT * FROM deduped
+        |  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+        |    AND length(text) <= 20000
+        |    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 50
+        |    AND (len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' the ')) - 1
+        |         + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' and ')) - 1
+        |         + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' of ')) - 1
+        |         + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' to ')) - 1) * 100
+        |        >= len(regexp_split_to_array(trim(lower(text)), '\s+')) * 2),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM quality),
+        |shs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 7),
+        |                     i -> array_to_string(ws[i+1:i+8], ' '))) END sh
+        |  FROM w),
+        |bw AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |       FROM documents WHERE doc_id % 50 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT unnest(CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |                       ELSE list_distinct(list_transform(range(len(ws) - 7),
+        |                              i -> array_to_string(ws[i+1:i+8], ' '))) END) s
+        |    FROM bw)),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) s FROM shs) c
+        |  JOIN bsh USING (s)),
+        |clean AS (SELECT * FROM quality
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |smp AS (SELECT doc_id FROM (
+        |          SELECT doc_id, row_number() OVER (PARTITION BY lang
+        |                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rnk
+        |          FROM clean) WHERE rnk <= 10)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM inp) AS n_raw,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM deduped) AS n_dedup,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM quality) AS n_quality,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_clean,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val inp = docs.select("doc_id", "text", "lang").unionByName(
+        docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      val deduped = inp.join(
+        Dedup.exactDedup(inp, "doc_id", "text").select(col("kept_id").as("doc_id")),
+        "doc_id")
+      val quality = deduped.where(TextOps.qualityFlag(col("text")))
+      val bench = docs.where(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val contaminated = Dedup.contaminatedDocs(quality, bench, "doc_id", "text",
+        n = 8, minShared = 1).select(col("id").as("doc_id"))
+      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      val sample = Sampling.stratifiedSample(
+        clean.select("doc_id", "lang"), Seq("lang"), "doc_id", 10)
+      inp.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(sample.agg(count(lit(1)).as("n_sample")))
+    },
+
     // Random-projection dimensionality reduction: the oracle REBUILDS
     // the identical ±1 sign matrix from the same md5(seed:j:i) formula
     // and projects with list_dot_product — sequential double sums are
