@@ -95,4 +95,6 @@ object functions {
     F.call_function("graft_minhash", shingles, F.lit(numHashes))
   def graft_winnow(text: Column, k: Int, w: Int): Column =
     F.call_function("graft_winnow", text, F.lit(k), F.lit(w))
+  def graft_word_shingles(text: Column, n: Int): Column =
+    F.call_function("graft_word_shingles", text, F.lit(n))
 }
