@@ -958,17 +958,24 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       val docs = s.table("documents")
+      // Each stage feeds multiple consumers (the next stage + its own
+      // count); Spark re-derives a DataFrame subtree per consumer (no
+      // cross-branch CSE), so the stages are cached — the in-memory
+      // analogue of a production funnel's per-stage parquet
+      // materialization. ContextCleaner evicts the blocks with the
+      // lineage.
       val inp = docs.select("doc_id", "text", "lang").unionByName(
         docs.where(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+        .cache()
       val deduped = inp.join(
         Dedup.exactDedup(inp, "doc_id", "text").select(col("kept_id").as("doc_id")),
         "doc_id")
-      val quality = deduped.where(TextOps.qualityFlag(col("text")))
+      val quality = deduped.where(TextOps.qualityFlag(col("text"))).cache()
       val bench = docs.where(col("doc_id") % 50 === 0).select("doc_id", "text")
       val contaminated = Dedup.contaminatedDocs(quality, bench, "doc_id", "text",
         n = 8, minShared = 1).select(col("id").as("doc_id"))
-      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+      val clean = quality.join(contaminated, Seq("doc_id"), "left_anti").cache()
       val sample = Sampling.stratifiedSample(
         clean.select("doc_id", "lang"), Seq("lang"), "doc_id", 10)
       inp.agg(count(lit(1)).as("n_raw"))
