@@ -905,6 +905,39 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Sketches meet the curation corpus: per-source profile (doc count,
+    // median token count via KLL — exact at 25-row groups — and exact
+    // distinct languages at cardinality 5). The oracle uses the
+    // EXCLUSIVE-rank formula of q01/q02 over the same token expression.
+    q("q46_source_profile",
+      """WITH t AS (
+        |  SELECT source, lang,
+        |         CAST(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS REAL)
+        |              AS DOUBLE) v
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) rn,
+        |         count(*) OVER (PARTITION BY source) n
+        |  FROM t),
+        |p AS (
+        |  SELECT source,
+        |         max(CASE WHEN rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n) THEN v END)
+        |           AS p50_tokens
+        |  FROM ranked GROUP BY source),
+        |l AS (SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+        |      FROM t GROUP BY source)
+        |SELECT p.source, CAST(l.n_docs AS BIGINT) AS n_docs, p.p50_tokens,
+        |       CAST(l.n_langs AS BIGINT) AS n_langs
+        |FROM p JOIN l USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""
+        |SELECT source, count(*) AS n_docs,
+        |       approx_percentile_kll(CAST(size(split(trim(lower(text)), '\\s+')) AS DOUBLE),
+        |                             0.5) AS p50_tokens,
+        |       approx_count_distinct_ex(lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    },
+
     // The curation funnel: exact dedup -> quality filter -> benchmark
     // decontamination -> stratified sample, composed end to end from the
     // individual operators, reporting each stage's surviving count in

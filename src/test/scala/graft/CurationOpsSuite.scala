@@ -30,6 +30,16 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       (3L, 9L, "l-d", null)))
   }
 
+  test("asof join plans exactly one shuffle + sort + window") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 7L)).toDF("k", "t")
+    val plan = AsofJoin.asofBackward(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Join"), plan) // union+window, never a join
+  }
+
   test("asof join carries right payload columns") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")
