@@ -905,6 +905,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // TF-IDF characteristic terms per document, top-3. Ranking runs on
+    // the ROUNDED score (6 dp) with the term as tiebreak, so ln()
+    // last-ulp differences between engines cannot flip ranks.
+    q("q47_tfidf_terms",
+      """WITH docs100 AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM docs100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM docs100)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, score FROM (
+        |  SELECT t.doc_id, t.term,
+        |         round(t.tf * ln(n.n_docs / d.df), 6) AS score,
+        |         row_number() OVER (PARTITION BY t.doc_id
+        |           ORDER BY round(t.tf * ln(n.n_docs / d.df), 6) DESC, t.term) AS rk
+        |  FROM tf t JOIN dfreq d USING (term), n)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.tfIdfTopTerms(
+        s.table("documents").where(col("doc_id") < 100), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")
+    },
+
     // Sketches meet the curation corpus: per-source profile (doc count,
     // median token count via KLL — exact at 25-row groups — and exact
     // distinct languages at cardinality 5). The oracle uses the

@@ -170,6 +170,34 @@ object TextOps {
   }
 
   /**
+   * Top-`k` characteristic terms per document by tf-idf. Scale shape:
+   * tokenize+explode, per-(doc, term) counts (one shuffle with map-side
+   * combine), document frequencies as a second small aggregate that
+   * BROADCASTS back (vocabulary << corpus), then a per-doc window top-k
+   * (WindowGroupLimit prunes map-side). Scores are rounded to 6 dp and
+   * ranked by (rounded score, term), so the ranking is reproducible
+   * across engines — last-ulp `ln` differences sit ~1e-10 below the
+   * rounding grain.
+   */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = df.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"), col("score"))
+  }
+
+  /**
    * Heuristic quality flag over integer metrics only (reproducible across
    * engines): enough tokens, bounded length, mostly-alphabetic, and a
    * minimal English stopword rate.
