@@ -905,6 +905,43 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Per-source boilerplate detection. The organic corpus has no real
+    // boilerplate (max 3/25 docs share a 3-gram), so footers are
+    // PLANTED in a MINORITY of every source's docs — the plant
+    // condition uses doc_id DIV 20 because source cycles with doc_id
+    // % 20, so a plain doc_id % 4 would footer ALL docs of 5 sources
+    // and none elsewhere. Footer-interior grams hit 7/25 docs >= the
+    // 1/5 bar; organic grams stay <= 3/25. Integer-rational threshold.
+    q("q48_boilerplate",
+      """WITH d AS (
+        |  SELECT source,
+        |         CASE WHEN (doc_id // 20) % 4 = 0
+        |              THEN text || ' subscribe to ' || source || ' newsletter for daily updates now'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM d),
+        |g AS (
+        |  SELECT source,
+        |         unnest(CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |                     ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                            i -> array_to_string(ws[i+1:i+5], ' '))) END) AS gram
+        |  FROM w),
+        |c AS (SELECT source, gram, count(*) AS n_docs FROM g GROUP BY 1, 2),
+        |t AS (SELECT source, count(*) AS total_docs FROM d GROUP BY 1)
+        |SELECT c.source, c.gram, c.n_docs, t.total_docs
+        |FROM c JOIN t USING (source)
+        |WHERE c.n_docs * 5 >= t.total_docs * 1
+        |ORDER BY source, gram""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val planted = s.table("documents").select(col("source"),
+        when(expr("(doc_id DIV 20) % 4") === 0,
+          concat(col("text"), lit(" subscribe to "), col("source"),
+            lit(" newsletter for daily updates now")))
+          .otherwise(col("text")).as("text"))
+      TextOps.boilerplateNgrams(planted, "source", "text", n = 5, num = 1, den = 5)
+        .orderBy("source", "gram")
+    },
+
     // TF-IDF characteristic terms per document, top-3. Ranking runs on
     // the ROUNDED score (6 dp) with the term as tiebreak, so ln()
     // last-ulp differences between engines cannot flip ranks.

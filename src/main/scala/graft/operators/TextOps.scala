@@ -170,6 +170,37 @@ object TextOps {
   }
 
   /**
+   * Per-source boilerplate n-grams: word n-grams appearing in at least
+   * `num/den` of a source's documents (site footers, navigation chrome,
+   * license blurbs — the text a curation pipeline strips before
+   * training). The threshold is rational and enforced in integer
+   * arithmetic. Returns (source, gram, n_docs, total_docs).
+   *
+   * Scale shape: per-doc DISTINCT shingles explode to (source, gram)
+   * counts — one shuffle with map-side combine; per-source doc totals
+   * are a tiny aggregate broadcast back. Gram STRINGS are kept in this
+   * operator (unlike the hash-only dedup path) because the output is a
+   * human-reviewed strip-list; the heavy side still shuffles only
+   * (source, gram) pairs that exist.
+   */
+  def boilerplateNgrams(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int,
+      num: Int,
+      den: Int): DataFrame = {
+    val perDoc = df.select(col(sourceCol).as("source"),
+      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val counts = perDoc.groupBy("source", "gram").agg(count(lit(1)).as("n_docs"))
+    val totals = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("total_docs"))
+    counts.join(broadcast(totals), "source")
+      .where(col("n_docs") * den >= col("total_docs") * num)
+      .select(col("source"), col("gram"), col("n_docs"), col("total_docs"))
+  }
+
+  /**
    * Top-`k` characteristic terms per document by tf-idf. Scale shape:
    * tokenize+explode, per-(doc, term) counts (one shuffle with map-side
    * combine), document frequencies as a second small aggregate that
