@@ -933,12 +933,13 @@ object SparkEntry {
         |WHERE c.n_docs * 5 >= t.total_docs * 1
         |ORDER BY source, gram""".stripMargin) { (s, d) =>
       view(s, d, "documents")
-      val planted = s.table("documents").select(col("source"),
+      val planted = s.table("documents").select(col("source"), col("doc_id"),
         when(expr("(doc_id DIV 20) % 4") === 0,
           concat(col("text"), lit(" subscribe to "), col("source"),
             lit(" newsletter for daily updates now")))
           .otherwise(col("text")).as("text"))
-      TextOps.boilerplateNgrams(planted, "source", "text", n = 5, num = 1, den = 5)
+      TextOps.boilerplateNgrams(planted, "source", "doc_id", "text",
+        n = 5, num = 1, den = 5)
         .orderBy("source", "gram")
     },
 

@@ -174,30 +174,49 @@ object TextOps {
    * `num/den` of a source's documents (site footers, navigation chrome,
    * license blurbs — the text a curation pipeline strips before
    * training). The threshold is rational and enforced in integer
-   * arithmetic. Returns (source, gram, n_docs, total_docs).
+   * arithmetic. Returns (source, gram, n_docs, total_docs) — gram as a
+   * STRING, because the output is a human-reviewed strip-list.
    *
-   * Scale shape: per-doc DISTINCT shingles explode to (source, gram)
-   * counts — one shuffle with map-side combine; per-source doc totals
-   * are a tiny aggregate broadcast back. Gram STRINGS are kept in this
-   * operator (unlike the hash-only dedup path) because the output is a
-   * human-reviewed strip-list; the heavy side still shuffles only
-   * (source, gram) pairs that exist.
+   * Scale shape, two phases:
+   *  1. HASH-ONLY counting: per-doc distinct shingle hashes explode to
+   *     (source, hash) counts — one shuffle of longs with map-side
+   *     combine; per-source totals broadcast back; survivors of the
+   *     threshold are a tiny broadcastable set.
+   *  2. String resolution only where needed: documents containing at
+   *     least one surviving hash (a broadcast semi-join on hashes) are
+   *     re-shingled as strings; each candidate gram re-hashes via the
+   *     same `graft_word_shingles` chain (a gram IS its own single
+   *     n-word shingle) and joins the surviving set. Gram-string
+   *     construction — the dominant cost of the naive one-phase shape,
+   *     measured ~2x the whole rest of the operator — thus touches
+   *     only boilerplate-bearing documents, typically a small fraction
+   *     of the corpus.
    */
   def boilerplateNgrams(
       df: DataFrame,
       sourceCol: String,
+      idCol: String,
       textCol: String,
       n: Int,
       num: Int,
       den: Int): DataFrame = {
-    val perDoc = df.select(col(sourceCol).as("source"),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
-    val counts = perDoc.groupBy("source", "gram").agg(count(lit(1)).as("n_docs"))
-    val totals = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("total_docs"))
-    counts.join(broadcast(totals), "source")
+    val docs = df.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      col(textCol).as("text"))
+    val hashed = docs.select(col("source"), col("id"),
+      explode(Dedup.shingleHashes(col("text"), n)).as("h"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("total_docs"))
+    val surviving = hashed.groupBy("source", "h").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(totals), "source")
       .where(col("n_docs") * den >= col("total_docs") * num)
+    val candidateDocs = hashed
+      .join(broadcast(surviving.select("source", "h")), Seq("source", "h"), "left_semi")
+      .select("source", "id").distinct()
+    val candidateGrams = docs.join(candidateDocs, Seq("source", "id"), "left_semi")
+      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .withColumn("h", element_at(Dedup.shingleHashes(col("gram"), n), 1))
+    candidateGrams.join(broadcast(surviving), Seq("source", "h"))
       .select(col("source"), col("gram"), col("n_docs"), col("total_docs"))
+      .distinct()
   }
 
   /**
