@@ -905,6 +905,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SimHash-banded near-dup pairs (lossless for hamming <= 3 with 4
+    // bands, by pigeonhole). Exact copies are PLANTED (q15 pattern) so
+    // the output is non-empty (hamming 0 pairs); the oracle recomputes
+    // simhash with the q20 mirror and filters ALL pairs by a bit-count
+    // hamming — the banded plan must equal the brute-force filter.
+    q("q49_simhash_pairs", {
+      val ham = "CAST(list_sum(list_transform(range(1, 17), i -> " +
+        "bit_count(xor(strpos('0123456789abcdef', substr(a.simhash, i, 1)) - 1, " +
+        "strpos('0123456789abcdef', substr(b.simhash, i, 1)) - 1)))) AS BIGINT)"
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |      FROM src),
+         |s AS (SELECT doc_id, $simhashNibbles AS simhash FROM t)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE $ham <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.simhashNearDupPairs(docs.unionByName(planted), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
     // Per-source boilerplate detection. The organic corpus has no real
     // boilerplate (max 3/25 docs share a 3-gram), so footers are
     // PLANTED in a MINORITY of every source's docs — the plant
@@ -1233,6 +1261,21 @@ object SparkEntry {
       "FROM documents) SELECT doc_id, " +
       (0 until 16).map(nibble).mkString(" || ") +
       " AS simhash FROM t ORDER BY doc_id"
+  }
+
+  /** Per-doc simhash select list over a `toks` CTE column (shared by the
+   *  q20 oracle above and q49's pair oracle). */
+  private def simhashNibbles: String = {
+    def bit(d: Int, k: Int): String =
+      s"(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), ${d + 1}, 1)) - 1) >> $k) & 1 = 1" +
+        " THEN 1 ELSE -1 END)"
+    def nibble(d: Int): String = {
+      val terms = (0 until 4).map { k =>
+        s"(CASE WHEN list_sum(list_transform(toks, w -> ${bit(d, k)})) > 0 THEN ${1 << k} ELSE 0 END)"
+      }
+      s"substr('0123456789abcdef', 1 + ${terms.mkString(" + ")}, 1)"
+    }
+    (0 until 16).map(nibble).mkString(" || ")
   }
 
   /** DuckDB brute-force word-5-gram Jaccard pairs at threshold 4/5 (integer

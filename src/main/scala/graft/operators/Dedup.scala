@@ -268,6 +268,47 @@ object Dedup {
   }
 
   /**
+   * SimHash-banded near-duplicate pairs: candidates agree on at least
+   * one of `bands` equal slices of the 64-bit fingerprint, then verify
+   * with exact hamming distance. LOSSLESS for `maxHamming < bands` by
+   * pigeonhole — k bit flips can dirty at most k bands, leaving one
+   * intact — so the result equals the all-pairs hamming filter while
+   * the join only shuffles (band, 4-byte slice) keys. The cheapest of
+   * the three near-dup families (one 64-bit fingerprint per doc, no
+   * shingle sets), at the price of the coarsest similarity notion.
+   */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 16 % bands == 0, s"bands must divide 16, got $bands")
+    require(maxHamming < bands,
+      s"banding is only lossless for maxHamming < bands, got $maxHamming >= $bands")
+    val bandLen = 16 / bands
+    val sim = df.select(col(idCol).as("id"),
+      call_function("graft_simhash", col(textCol)).as("sh")).cache()
+    val banded = sim.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => col("sh").substr(b * bandLen + 1, lit(bandLen)))))
+      .toDF("id", "band", "key")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sim.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sim.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming",
+        call_function("graft_hamming_hex", col("sh_a"), col("sh_b")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
    * Random-hyperplane LSH near-duplicate pairs over embeddings — the
    * at-scale path (the analogue of [[minhashLshPairs]] for vectors).
    * `tables` independent hash tables of `bits` sign-bits each: a pair with

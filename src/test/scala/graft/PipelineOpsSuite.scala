@@ -117,6 +117,29 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(Dedup.connectedComponents(nodes, edges, "doc_id").collect().isEmpty)
   }
 
+  test("simhash banding equals brute-force hamming filter (lossless <= 3 of 4 bands)") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base.where(col("doc_id") === 0L)
+      .select((col("doc_id") + 100).as("doc_id"), col("text"))
+    val all = base.unionByName(planted).cache()
+    val banded = Dedup.simhashNearDupPairs(all, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same fingerprints
+    val sims = all.select(col("doc_id"),
+      call_function("graft_simhash", col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      h = SimHash64.hamming(sa, sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(banded === brute)
+    assert(banded.contains((0L, 100L, 0L))) // the planted exact copy
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(all, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("word shingle hashes mirror string shingles: counts, sharing, short docs") {
     import spark.implicits._
     val df = Seq(
