@@ -283,6 +283,14 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         rel.location.rootPaths.headOption
           .flatMap(p => SummaryCatalog.get(p.toString))
           .map(s => BaseMatch(s, None, Map.empty, Nil))
+      // DataSource V2 path (spark.sql.sources.useV1SourceList excludes
+      // parquet): same root-path lookup through the FileTable's index.
+      // Both shapes occur — DataSourceV2Relation before pushdown,
+      // DataSourceV2ScanRelation after V2ScanRelationPushDown runs.
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2BaseMatch(r.table)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        v2BaseMatch(r.relation.table)
       case Project(projectList, child) =>
         if (!projectList.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias])) {
           return None
@@ -308,6 +316,16 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           val merged = (bm.keyFilter.toSeq ++ keyConjuncts).reduceOption(And)
           Some(bm.copy(keyFilter = merged, notNullGuards = guards))
         }
+      case _ => None
+    }
+
+  private def v2BaseMatch(
+      table: org.apache.spark.sql.connector.catalog.Table): Option[BaseMatch] =
+    table match {
+      case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+        ft.fileIndex.rootPaths.headOption
+          .flatMap(p => SummaryCatalog.get(p.toString))
+          .map(s => BaseMatch(s, None, Map.empty, Nil))
       case _ => None
     }
 

@@ -20,6 +20,18 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     df.queryExecution.optimizedPlan.collect {
       case LogicalRelation(rel: HadoopFsRelation, _, _, _, _) =>
         rel.location.rootPaths.map(_.toString)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.rootPaths.map(_.toString)
+          case _ => Nil
+        }
     }.flatten
 
   private def withSummary[T](body: => T): T = {
@@ -201,6 +213,29 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
           "IsNotNull over a computed expression must keep scanning the base")
       }
     } finally GraftSummaries.clear()
+  }
+
+  test("rewrite also fires for DataSource V2 parquet relations") {
+    withSQLConf("spark.sql.sources.useV1SourceList" -> "") {
+      withSummary {
+        val sql = """SELECT event_type, approx_count_distinct_ex(props) AS nd
+                    |FROM sr_events GROUP BY event_type ORDER BY event_type""".stripMargin
+        // confirm the base really plans as V2 under this conf
+        val v2Base = spark.read.parquet(basePath)
+          .queryExecution.optimizedPlan.collect {
+            case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+            case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+          }
+        assert(v2Base.nonEmpty, "expected a V2 relation under useV1SourceList=''")
+        val baseline = spark.sql(sql).collect()
+        withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+          val rewritten = spark.sql(sql)
+          assert(!scannedPaths(rewritten).exists(_.contains("events.parquet")),
+            "V2 base table must not be scanned")
+          assert(rewritten.collect() === baseline)
+        }
+      }
+    }
   }
 
   test("non-rewritable shapes fall back to the base table") {
