@@ -1134,6 +1134,49 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     },
 
+    // Two-stage ANN: coarse top-50 in md5-seeded random-projected 16-d
+    // space, exact rerank of those candidates in full 64-d. The oracle
+    // replays the ENTIRE two-stage algorithm in SQL — possible because
+    // the projection matrix is md5-derived (q44) and every cosine is a
+    // sequential double sum (q23/q24) — so the match is row-exact, not
+    // a recall bar.
+    q("q50_projected_knn",
+      """WITH pm AS (
+        |  SELECT j, list(CASE WHEN strpos('01234567',
+        |                        substr(md5('42:' || j || ':' || i), 1, 1)) > 0
+        |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS row
+        |  FROM range(16) t1(j), range(64) t2(i) GROUP BY j),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |pv AS (
+        |  SELECT e.vec_id, list(list_dot_product(e.v, pm.row) ORDER BY pm.j) AS p
+        |  FROM e, pm GROUP BY e.vec_id),
+        |q AS (SELECT * FROM pv WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_dot_product(q.p, c.p)
+        |                    / (sqrt(list_dot_product(q.p, q.p))
+        |                       * sqrt(list_dot_product(c.p, c.p))) DESC, c.vec_id) rk
+        |  FROM q JOIN pv c ON q.vec_id != c.vec_id),
+        |cand AS (SELECT qid, cid FROM coarse WHERE rk <= 50),
+        |rr AS (
+        |  SELECT cand.qid, cand.cid,
+        |         row_number() OVER (PARTITION BY cand.qid
+        |           ORDER BY list_dot_product(eq.v, ec.v)
+        |                    / (sqrt(list_dot_product(eq.v, eq.v))
+        |                       * sqrt(list_dot_product(ec.v, ec.v))) DESC, cand.cid) rk
+        |  FROM cand
+        |  JOIN e eq ON eq.vec_id = cand.qid
+        |  JOIN e ec ON ec.vec_id = cand.cid)
+        |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id
+        |FROM rr WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Similarity.projectedKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, m = 50)
+        .orderBy("query_id", "rk")
+    },
+
     // Multimodal video: REAL multi-frame animated GIFs written with
     // javax.imageio's sequence writer, then the frame count decoded back
     // from the actual container bytes (getNumImages(allowSearch=true)).

@@ -182,6 +182,50 @@ object Similarity {
   }
 
   /**
+   * Two-stage approximate top-k: coarse search in a random-projected
+   * low-dimensional space (`outDim`, default 16 — see
+   * [[Embeddings.randomProjection]]), keeping `m` candidates per query,
+   * then EXACT rerank of only those candidates in the full space. The
+   * standard cost/recall knob at corpus scale: the expensive scan runs
+   * over outDim/inDim of the bytes (a 4x cut at 64->16), and exactness
+   * errors are confined to candidates the coarse stage missed — raise
+   * `m` to trade cost for recall. Fully deterministic: the projection
+   * matrix is md5-derived, cosines are sequential double sums, ties
+   * break on neighbor id. Returns (query_id, rk, neighbor_id).
+   */
+  def projectedKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 50,
+      inDim: Int = 64,
+      outDim: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(m >= k, s"coarse candidate count m=$m must be >= k=$k")
+    def projected(df: DataFrame): DataFrame =
+      Embeddings.randomProjection(df, vecCol, "__p", inDim, outDim, seed)
+    // coarse: brute-force in the projected space, but only m survivors
+    val coarse = bruteForceKnn(
+      projected(corpus).select(col(idCol), col("__p").as(vecCol)),
+      projected(queries).select(col(idCol), col("__p").as(vecCol)),
+      idCol, vecCol, m)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank of the candidates in full dimension
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = coarse.join(q, "query_id").join(full, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  /**
    * Mean recall@k of `approx` against `exact`, both in
    * (query_id, rk, neighbor_id) shape. Driver-side scalar for assertions.
    */

@@ -218,6 +218,36 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("projected two-stage knn: near-exact on clustered data, graceful on uniform") {
+    import spark.implicits._
+    // clustered corpus (the realistic case): projection keeps clusters apart
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(64)(rng.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cq = vecs.where(col("vec_id") < 20)
+    val cExact = Similarity.bruteForceKnn(vecs, cq, "vec_id", "embedding", 5)
+    // m = cluster size: the coarse stage reliably keeps the right
+    // CLUSTER; exact rerank then restores the fine in-cluster order
+    val cApprox = Similarity.projectedKnn(vecs, cq, "vec_id", "embedding",
+      k = 5, m = 40, inDim = 64, outDim = 16)
+    val cRecall = Similarity.recallAtK(cExact, cApprox).collect()(0).getDouble(0)
+    assert(cRecall >= 0.9, s"expected clustered recall >= 0.9, got $cRecall")
+    // near-uniform corpus (the adversarial case: neighbors ~equidistant):
+    // recall is moderate but must not degrade when m widens
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", 3).cache()
+    val wide = Similarity.projectedKnn(e, queries, "vec_id", "embedding", k = 3, m = 50)
+    val rWide = Similarity.recallAtK(exact, wide).collect()(0).getDouble(0)
+    val narrow = Similarity.projectedKnn(e, queries, "vec_id", "embedding", k = 3, m = 3)
+    val rNarrow = Similarity.recallAtK(exact, narrow).collect()(0).getDouble(0)
+    assert(rWide >= 0.4, s"uniform-corpus recall collapsed: $rWide")
+    assert(rWide >= rNarrow, s"wider candidate set must not lose recall: $rWide < $rNarrow")
+  }
+
   test("ivf recall is high on clustered data (k-means finds the clusters)") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
