@@ -833,8 +833,11 @@ object SparkEntry {
     // or before the purchase time. The oracle is DuckDB's NATIVE ASOF
     // LEFT JOIN — two independent implementations of the same semantics.
     // events.ts is epoch-nanos BIGINT on the Spark side (nanosAsLong)
-    // but DuckDB reads the same parquet at MICRO precision — both sides
-    // emit micros (nanos DIV 1000 vs epoch_ns // 1000, as in q27).
+    // but DuckDB reads the same parquet at MICRO precision — so its ASOF
+    // COMPARES micro-truncated timestamps. The Spark side must truncate
+    // to micros BEFORE the as-of (not just in the output): a click and a
+    // purchase landing in the same microsecond with the click later by
+    // sub-micro nanos must still match, as it does in DuckDB.
     q("q38_asof_join",
       """SELECT l.event_id, l.user_id, epoch_ns(l.ts)//1000 AS t,
         |       epoch_ns(r.ts)//1000 AS last_click_ts
@@ -845,13 +848,12 @@ object SparkEntry {
       view(s, d, "events")
       val ev = s.table("events")
       val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts"))
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"))
+        .select(col("user_id"), expr("ts DIV 1000").as("ts"))
       AsofJoin.asofBackward(purchases, clicks, "user_id", "ts", outCol = "last_click_ts")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("t"),
-          expr("last_click_ts DIV 1000").as("last_click_ts"))
+          col("ts").as("t"), col("last_click_ts"))
         .orderBy("event_id")
     },
 

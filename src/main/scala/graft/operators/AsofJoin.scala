@@ -44,7 +44,13 @@ object AsofJoin {
       tsCol: String,
       outCol: String = "asof_ts",
       payloadCols: Seq[String] = Nil): DataFrame = {
-    val r = right.select((col(keyCol) +: col(tsCol) +: payloadCols.map(col)): _*)
+    // A right row with a null timestamp can never be "the most recent at
+    // or before" anything, but unfiltered it would still build a non-null
+    // __graft_rv struct, sort FIRST under ascending order (nulls first),
+    // and be picked by last(..., ignoreNulls) for left rows that precede
+    // any real match. Drop such rows before the union.
+    val r = right.where(col(tsCol).isNotNull)
+      .select((col(keyCol) +: col(tsCol) +: payloadCols.map(col)): _*)
       .withColumn("__graft_kind", lit(0))
       .withColumn("__graft_rv", struct((col(tsCol) +: payloadCols.map(col)): _*))
       .drop(payloadCols: _*)

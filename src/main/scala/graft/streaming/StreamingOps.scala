@@ -100,7 +100,14 @@ object StreamingOps {
     implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
     implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
     val tsIdx = df.schema.fieldIndex(eventTimeCol)
-    df.withWatermark(eventTimeCol, watermarkDelay)
+    // A null event time cannot anchor the TTL (getTime would NPE) and a
+    // null key stringified as "null" would silently share a quota with a
+    // literal "null" key — drop both up front. Null-keyed/null-timed rows
+    // never count against any quota; route them to a quarantine sink
+    // upstream if they must be kept. With nulls gone, String.valueOf
+    // below only ever renders real keys.
+    df.where(col(keyCol).isNotNull && col(eventTimeCol).isNotNull)
+      .withWatermark(eventTimeCol, watermarkDelay)
       .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyCol)))(Encoders.STRING)
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -290,7 +290,18 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         v2BaseMatch(r.table)
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        v2BaseMatch(r.relation.table)
+        // V2ScanRelationPushDown REMOVES pushed partition filters from the
+        // logical plan, so a scan carrying any pushed predicate must not
+        // match as an unfiltered base (the rewrite would answer the
+        // unfiltered aggregate for a filtered query). Only a provably
+        // predicate-free FileScan qualifies; any other Scan type is
+        // opaque to this check and is vetoed too.
+        r.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan
+              if fs.partitionFilters.isEmpty && fs.dataFilters.isEmpty =>
+            v2BaseMatch(r.relation.table)
+          case _ => None
+        }
       case Project(projectList, child) =>
         if (!projectList.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias])) {
           return None

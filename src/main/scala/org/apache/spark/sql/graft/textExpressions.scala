@@ -280,12 +280,17 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 /**
  * `graft_word_shingles(text, n)` — DISTINCT 64-bit hashes of the word
  * n-gram shingles of `text`, without ever materializing a gram string:
- * tokenize (trim, lower-case, split on whitespace — the exact semantics
- * of `TextOps.words` / the oracles' `regexp_split_to_array`), xxhash64
- * each word once, then chain the n word hashes of each gram through
- * seeded `XXH64.hashLong` (order-dependent). Texts shorter than n words
- * produce the single whole-text shingle hash, mirroring
- * `Dedup.shingles`'s short-document rule.
+ * tokenize with the EXACT semantics of `TextOps.words` =
+ * `split(trim(lower(text)), "\\s+")` — Spark `lower`/`trim` (trim strips
+ * U+0020 only, NOT tab/newline) and Spark `split` with its default
+ * limit -1 (leading/trailing empty tokens are kept) — then xxhash64
+ * each word once and chain the n word hashes of each gram through
+ * seeded `XXH64.hashLong` (order-dependent). Replicating the builtins
+ * exactly (rather than Java `String.trim`/2-arg `split`) keeps the
+ * hash<->string bijection intact for texts with leading/trailing
+ * tab/newline whitespace. Texts shorter than n words produce the single
+ * whole-text shingle hash, mirroring `Dedup.shingles`'s
+ * short-document rule.
  *
  * Word-equality is collision-equivalent to string-shingle equality:
  * words cannot contain whitespace, so the " "-joined gram string is in
@@ -311,7 +316,10 @@ case class WordShingleHashes(child: Expression, n: Int)
   private val SEED_GRAM = 0x9e3779b97f4a7c15L
 
   def compute(input: UTF8String): ArrayData = {
-    val words = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // UTF8String.toLowerCase / .trim are the same methods Spark's
+    // Lower / StringTrim evaluate; split(_, -1) matches StringSplit's
+    // default limit (keeps trailing empty tokens).
+    val words = input.toLowerCase.trim.toString.split("\\s+", -1)
     val w = words.length
     val wh = new Array[Long](w)
     var i = 0

@@ -40,6 +40,22 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(!plan.contains("Join"), plan) // union+window, never a join
   }
 
+  test("asof join ignores right rows with a null timestamp") {
+    import spark.implicits._
+    // regression: a null-ts right row sorted FIRST under asc ordering and
+    // was picked by last(..., ignoreNulls) for left rows preceding any
+    // real match, attaching its payload instead of returning no-match
+    val left = Seq((1L, 2L, "early"), (1L, 10L, "late")).toDF("k", "t", "payload")
+    val right = Seq((1L, None, "bad"), (1L, Some(5L), "good"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right, "k", "t", payloadCols = Seq("v"))
+      .select("payload", "asof_ts", "asof_ts_v")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2))).toSet
+    assert(out === Set(("early", null, null), ("late", 5L, "good")))
+  }
+
   test("asof join carries right payload columns") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")

@@ -147,7 +147,10 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       (1L, "x y a b c d e f"),    // shares the 4 later 5-grams' words with 0? no — shifted
       (2L, "a b c d e f"),        // identical to 0: identical hash set
       (3L, "one two"),            // shorter than n -> single whole-text shingle
-      (4L, "ONE   two"))          // case/whitespace-normalized same as 3
+      (4L, "ONE   two"),          // case/whitespace-normalized same as 3
+      (5L, "\tfoo bar baz\n"),    // Spark trim keeps \t/\n -> empty edge tokens
+      (6L, " foo  bar baz "),     // Spark trim strips the spaces -> no empties
+      (7L, "foo bar baz"))        // words() equal to 6, NOT to 5
       .toDF("doc_id", "text")
     val both = df.select(col("doc_id"),
       Dedup.shingleHashes(col("text"), 5).as("hs"),
@@ -161,6 +164,13 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(both(3L)._1.size === 1)
     // doc 1 contains doc 0's full word sequence -> shares all of doc 0's grams
     assert(both(0L)._1.toSet.subsetOf(both(1L)._1.toSet))
+    // tokenizer parity with TextOps.words: Spark trim strips only spaces,
+    // so \t/\n survive as empty edge tokens — hash-shingle equality must
+    // track STRING-shingle equality exactly on such texts (regression:
+    // Java String.trim/split collapsed 5 onto 6/7)
+    assert(both(6L)._1 === both(7L)._1)
+    assert(both(5L)._1 !== both(7L)._1)
+    assert(both(5L)._2 !== both(7L)._2) // the string side distinguishes them too
     // SQL surface
     val viaSql = spark.sql("SELECT size(graft_word_shingles('a b c d', 3))")
       .collect()(0).getInt(0)

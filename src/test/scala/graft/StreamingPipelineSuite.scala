@@ -97,6 +97,30 @@ class StreamingPipelineSuite extends AnyFunSuite with GraftSparkSession {
     } finally q.stop()
   }
 
+  test("streaming quota drops null-key/null-time rows and keeps literal 'null' keys distinct") {
+    import spark.implicits._
+    val input = MemoryStream[(Option[java.sql.Timestamp], Option[String], Long)](spark)
+    val admitted = StreamingOps.quotaPerKey(
+      input.toDF().toDF("t", "domain", "doc_id"),
+      "domain", "t", "1 minute", k = 1, stateTtlMs = 10 * 60 * 1000)
+    val q = admitted.writeStream
+      .format("memory").queryName("quota_null_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // regression: a null event time NPE'd in the state function, and a
+      // null key stringified to "null" shared its quota with this real key
+      input.addData(
+        (Some(ts("2021-01-01 00:00:00")), None, 1L),             // null key: dropped
+        (Some(ts("2021-01-01 00:00:01")), Some("null"), 2L),     // literal "null": admitted
+        (None, Some("d1"), 3L),                                  // null time: dropped
+        (Some(ts("2021-01-01 00:00:02")), Some("d1"), 4L))       // admitted
+      q.processAllAvailable()
+      val ids = spark.table("quota_null_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions with correct bounds") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)

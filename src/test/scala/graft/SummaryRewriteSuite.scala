@@ -238,6 +238,45 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("V2 scan carrying pushed partition filters is NOT treated as an unfiltered base") {
+    // V2ScanRelationPushDown REMOVES partition filters from the logical
+    // plan, so after pushdown a partition-filtered query looks like a bare
+    // Aggregate over the scan. Regression: the ScanRelation base match
+    // accepted it and answered the UNFILTERED summary aggregate.
+    SparkEntry.prep(spark)
+    val partDir = Files.createTempDirectory("graft_partbase").toString
+    spark.read.parquet(basePath).write.mode("overwrite")
+      .partitionBy("event_type").parquet(partDir)
+    withSQLConf("spark.sql.sources.useV1SourceList" -> "") {
+      spark.read.parquet(partDir).createOrReplaceTempView("sr_events_part")
+      val summaryDir = Files.createTempDirectory("graft_partsummary").toString
+      spark.sql(
+        """SELECT event_type, approx_count_distinct_accumulate(props) AS s
+          |FROM sr_events_part GROUP BY event_type""".stripMargin)
+        .write.mode("overwrite").parquet(summaryDir)
+      GraftSummaries.registerDistinctSummary(
+        partDir, spark.read.parquet(summaryDir), Seq("event_type"), "props", "s")
+      try {
+        withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+          val filteredSql =
+            """SELECT approx_count_distinct_ex(props) AS nd FROM sr_events_part
+              |WHERE event_type IN ('click', 'view')""".stripMargin
+          val exact = spark.sql(
+            """SELECT count(DISTINCT props) FROM sr_events_part
+              |WHERE event_type IN ('click', 'view')""".stripMargin).collect()(0).getLong(0)
+          // the filter lands in the scan as a partition filter; the query
+          // must NOT be answered from the unfiltered summary
+          assert(spark.sql(filteredSql).collect()(0).getLong(0) === exact)
+          // unfiltered aggregate over the same V2 table still rewrites
+          val unfiltered = spark.sql(
+            "SELECT approx_count_distinct_ex(props) AS nd FROM sr_events_part")
+          assert(!scannedPaths(unfiltered).exists(_.contains(partDir)),
+            "unfiltered V2 aggregate should still be answered from the summary")
+        }
+      } finally GraftSummaries.clear()
+    }
+  }
+
   test("non-rewritable shapes fall back to the base table") {
     withSummary {
       withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
