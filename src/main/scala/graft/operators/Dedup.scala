@@ -336,18 +336,14 @@ object Dedup {
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
       .cache()
-    val rng = new scala.util.Random(seed)
-    // bucket of table t = the sign pattern of `bits` hyperplane projections
-    val bucketCols = (0 until tables).map { t =>
-      val bitCols = (0 until bits).map { b =>
-        val plane = typedlit(Array.fill(dim)(rng.nextGaussian()))
-        when(Similarity.dot(col("v"), plane) >= 0, lit(1)).otherwise(lit(0))
-          .cast("string")
-      }
-      concat(lit(t.toString), lit(":"), concat(bitCols: _*)).as(s"b$t")
-    }
-    val bucketed = v.select(col("id") +: bucketCols: _*)
-      .select(col("id"), explode(array((0 until tables).map(t => col(s"b$t")): _*)).as("bucket"))
+    // All `tables * bits` sign-projections in ONE fused native pass
+    // (graft_lsh_buckets), emitting a LONG bucket id per table with
+    // disjoint ranges — the composed per-bit formulation inlined
+    // tables*bits*dim literal doubles into the plan and overflowed the
+    // JIT budget, and shuffled string keys instead of longs.
+    val bucketed = v.select(col("id"),
+      explode(call_function("graft_lsh_buckets", col("v"),
+        lit(dim), lit(bits), lit(tables), lit(seed))).as("bucket"))
     val candidates = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -81,7 +81,10 @@ object Multimodal {
           y += 1
         }
         buf.reset()
-        val ios = ImageIO.createImageOutputStream(buf)
+        // MemoryCacheImageOutputStream explicitly: ImageIO.createImageOutputStream
+        // defaults to a FileCache stream that spools every payload through a
+        // disk temp file (one create+delete per row)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
         try {
           writer.setOutput(ios)
           writer.write(img)
@@ -118,7 +121,9 @@ object Multimodal {
         val id = r.getLong(0)
         val (w, h, frames) = syntheticVideo(id)
         buf.reset()
-        val ios = ImageIO.createImageOutputStream(buf)
+        // memory-cached for the same reason as the image path: no per-row
+        // disk temp file
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
         try {
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
@@ -241,7 +246,10 @@ object Multimodal {
         if (content == null) {
           Row(id, null, null, null, null, null)
         } else {
-          val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+          // memory-cached: the default createImageInputStream spools the
+          // payload to a disk temp file per row
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(content))
           try {
             val readers = ImageIO.getImageReaders(iis)
             if (!readers.hasNext) {

@@ -467,6 +467,25 @@ object GraftFunctionRegistry {
       "math_funcs") { args =>
       DotProduct(args(0), args(1))
     },
+    fd("graft_lsh_buckets",
+      "_FUNC_(v, dim, bits, tables, seed) - Returns the random-hyperplane LSH bucket ids " +
+        "(array<long> of `tables` entries, disjoint id ranges per table) of an " +
+        "array<double> vector: per table, the sign pattern of `bits` Gaussian projections " +
+        "packed as (table << bits) | signBits. One fused loop over all planes.",
+      Seq(5),
+      Seq("v" -> "an ARRAY<DOUBLE> column",
+        "dim" -> "constant vector dimension",
+        "bits" -> "constant hyperplanes (bucket bits) per table, in [1, 56]",
+        "tables" -> "constant number of hash tables",
+        "seed" -> "constant plane-matrix seed"),
+      Seq("SELECT size(_FUNC_(array(1d, 2d), 2, 12, 8, 42))" -> "8"),
+      "hash_funcs") { args =>
+      LshBuckets(args(0),
+        intLiteral("graft_lsh_buckets", "dim", args(1)),
+        intLiteral("graft_lsh_buckets", "bits", args(2)),
+        intLiteral("graft_lsh_buckets", "tables", args(3)),
+        longLiteral("graft_lsh_buckets", "seed", args(4)))
+    },
     fd("graft_minhash",
       "_FUNC_(shingles, numHashes) - Returns the MinHash signature (array<long> of " +
         "`numHashes` minima) of an array<string> shingle set; one double-hash pass per " +
@@ -511,6 +530,14 @@ object GraftFunctionRegistry {
    *  functions' constant-literal validation). */
   private def intLiteral(fn: String, param: String, e: Expression): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant integer literal, got ${e.sql}")
+  }
+
+  /** Require a foldable integer-or-long literal argument. */
+  private def longLiteral(fn: String, param: String, e: Expression): Long = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
     case _ => throw new IllegalArgumentException(
       s"Function $fn requires $param to be a constant integer literal, got ${e.sql}")
   }

@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /**
@@ -56,4 +56,80 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/**
+ * `graft_lsh_buckets(v, dim, bits, tables, seed)` — the random-hyperplane
+ * LSH bucket ids of an `array<double>` vector: for each of `tables`
+ * hash tables, project the vector onto `bits` Gaussian hyperplanes and
+ * pack the sign pattern into a LONG bucket id of
+ * `(table << bits) | signBits` (disjoint id ranges per table, so one
+ * exploded column joins all tables at once). One fused primitive loop
+ * over `tables * bits` planes replaces the `tables * bits` separate
+ * dot-product expressions + per-bit string concatenation the composed
+ * formulation needs — that expression tree inlines `tables * bits * dim`
+ * literal doubles into codegen and overflows the JIT's method budget.
+ * The plane matrix is drawn driver-side from `new scala.util.Random
+ * (seed)` in table-major, bit-major, component-minor order (the same
+ * stream the composed formulation drew), serialized with the expression.
+ *
+ * Cosine-LSH guarantee: two vectors at angle theta land in the same
+ * bucket of one table with probability `(1 - theta/pi)^bits`; `tables`
+ * independent tables make overall recall `1 - (1 - p)^tables`.
+ */
+case class LshBuckets(child: Expression, dim: Int, bits: Int, tables: Int, seed: Long)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(dim > 0 && tables > 0, "dim and tables must be positive")
+  require(bits > 0 && bits <= 56, "bits must be in [1, 56]") // leaves room for the table tag
+
+  override def prettyName: String = "graft_lsh_buckets"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // Flattened [tables * bits * dim] plane matrix; rebuilt deterministically
+  // on each executor after serialization (cheaper than shipping ~50KB of
+  // doubles with every task binary).
+  @transient private lazy val planes: Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables * bits * dim)(rng.nextGaussian())
+  }
+
+  def compute(input: ArrayData): ArrayData = {
+    val p = planes
+    val n = math.min(input.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    var off = 0
+    while (t < tables) {
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += input.getDouble(i) * p(off + i)
+          i += 1
+        }
+        acc = (acc << 1) | (if (dot >= 0) 1L else 0L)
+        off += dim
+        b += 1
+      }
+      out(t) = (t.toLong << bits) | acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBuckets", this, classOf[LshBuckets].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
