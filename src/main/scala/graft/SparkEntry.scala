@@ -1273,6 +1273,91 @@ object SparkEntry {
         |         count(*) AS n
         |  FROM events GROUP BY user_id, session_window(timestamp_micros(ts DIV 1000), '12 hours'))
         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    },
+
+    // Accent-insensitive dedup: diacritics folded by the native
+    // graft_fold_accents (NFD, drop combining marks, NFC) before the
+    // whitespace/case fingerprint; DuckDB mirrors with utf8proc
+    // strip_accents. The organic corpus is ASCII, so accent variants are
+    // PLANTED (q16's pattern): every 9th doc gets a copy at id+2M with
+    // vowels swapped for accented forms — 56 two-copy groups at sf0.01.
+    q("q51_dedup_accent",
+      """WITH inp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, translate(text, 'aeiou', 'áéíóú')
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT md5(regexp_replace(strip_accents(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |       min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM inp GROUP BY 1 ORDER BY kept_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val dup = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "áéíóú").as("text")))
+      Dedup.accentDedup(dup, "doc_id", "text").orderBy("kept_id")
+    },
+
+    // Paragraph-level dedup (the Dolma/RefinedWeb curation step): each
+    // paragraph survives only at its FIRST corpus-wide occurrence
+    // (smallest (id, pos)). The word-soup corpus has no paragraph breaks,
+    // so structure is PLANTED: every doc is prefixed with one of 5 shared
+    // boilerplate headers — docs 0-4 keep both paragraphs, every later
+    // doc keeps only its own text. The oracle replays the exact
+    // first-occurrence rule ((id, pos) encoded as id*1e6+pos; pos < 1e6
+    // always, ids < 1e6 here, so the encoding is order-preserving).
+    q("q52_paragraph_dedup",
+      """WITH docs AS (
+        |  SELECT doc_id AS id,
+        |         concat('shared header ', CAST(doc_id % 5 AS VARCHAR), chr(10), chr(10), text) AS t
+        |  FROM documents),
+        |sp AS (SELECT id, string_split(t, chr(10)||chr(10)) AS paras FROM docs),
+        |paras AS (
+        |  SELECT id, u.pos AS pos, u.para AS para FROM (
+        |    SELECT id, unnest(list_transform(range(len(paras)),
+        |      i -> {'pos': i, 'para': paras[i+1]})) AS u
+        |    FROM sp)),
+        |winners AS (SELECT md5(para) AS h, min(id*1000000+pos) AS w FROM paras GROUP BY 1),
+        |kept AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_kept
+        |  FROM paras
+        |  WHERE id*1000000+pos IN (SELECT w FROM winners)
+        |  GROUP BY id)
+        |SELECT d.id, CAST(len(sp.paras) AS BIGINT) AS n_paras,
+        |       coalesce(k.n_kept, 0) AS n_kept, coalesce(k.text_kept, '') AS text_kept
+        |FROM docs d JOIN sp USING (id) LEFT JOIN kept k ON d.id = k.id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val inp = s.table("documents").select(col("doc_id"),
+        concat(lit("shared header "), (col("doc_id") % 5).cast("string"),
+          lit("\n\n"), col("text")).as("text"))
+      Dedup.paragraphDedup(inp, "doc_id", "text").orderBy("id")
+    },
+
+    // Token-budget sequence packing: per-lang shards, 256-token budget,
+    // deterministic md5(id) layout order. All-integer arithmetic, so the
+    // oracle replays the running sum exactly (sum cast to BIGINT — DuckDB
+    // window sum over BIGINT yields HUGEINT, which the driver's pandas
+    // hashing canonicalizes differently).
+    q("q53_pack_sequences",
+      """WITH toks AS (
+        |  SELECT lang AS shard, doc_id AS id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |acc AS (
+        |  SELECT shard, id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |             ORDER BY md5(CAST(id AS VARCHAR)), id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tokens_before
+        |  FROM toks)
+        |SELECT shard, id, n_tokens, tokens_before // 256 AS seq_id,
+        |       tokens_before % 256 AS seq_offset
+        |FROM acc ORDER BY shard, id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.packSequences(s.table("documents"), "doc_id", "text", "lang", 256)
+        .orderBy("shard", "id")
     }
   )
 

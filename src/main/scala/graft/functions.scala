@@ -99,4 +99,6 @@ object functions {
     F.call_function("graft_winnow", text, F.lit(k), F.lit(w))
   def graft_word_shingles(text: Column, n: Int): Column =
     F.call_function("graft_word_shingles", text, F.lit(n))
+  def graft_fold_accents(text: Column): Column =
+    F.call_function("graft_fold_accents", text)
 }

@@ -63,6 +63,66 @@ object Dedup {
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Accent-insensitive dedup: [[normalizedDedup]] with diacritics folded
+   * (native `graft_fold_accents`: NFD-decompose, drop combining marks,
+   * NFC-recompose) before the whitespace/case fingerprint, so "café",
+   * "CAFE" and "cafe" collapse to one group. The fold semantics match
+   * DuckDB/utf8proc `strip_accents` on Latin diacritics, which is what
+   * makes the operator oracle-checkable cross-engine. Same scale shape as
+   * the other hash dedups: the shuffle carries 16-byte md5 keys, and the
+   * fold short-circuits on pure-ASCII text (the common case in web
+   * corpora) without allocating.
+   */
+  def accentDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(regexp_replace(
+        call_function("graft_fold_accents", lower(col(textCol))), "\\s+", " "))
+        .as("content_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * Paragraph-level dedup (the Dolma/RefinedWeb curation step): split each
+   * document on `sep`, keep every paragraph only at its FIRST occurrence
+   * corpus-wide — the smallest (id, position) — and strip repeats
+   * (boilerplate headers/footers, syndicated blocks) from all later
+   * documents. Returns one row per input document: (id, n_paras, n_kept,
+   * text_kept) where fully-deduplicated documents survive with an empty
+   * text_kept (downstream length filters drop them; silently losing rows
+   * here would skew corpus accounting).
+   *
+   * Scale design: first-occurrence selection is `min(struct(id, pos))`
+   * grouped by the paragraph's md5 — a partially-aggregable shuffle of
+   * 16-byte hashes + 12-byte positions (no window sort, and paragraph
+   * TEXT never rides this shuffle). Winning positions then left-semi join
+   * the exploded paragraphs on (id, pos), and reassembly groups by id —
+   * the text crosses exactly two shuffles, both on uniform keys (md5
+   * can't skew; a boilerplate paragraph repeated a billion times is ONE
+   * group of partially-aggregated minima, not a hot reduce key).
+   */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep), -1).as("paras"))
+    val paras = docs.select(col("id"), posexplode(col("paras")).as(Seq("pos", "para")))
+    val winners = paras
+      .groupBy(md5(col("para").cast("binary")).as("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"))
+    val kept = paras.join(winners, Seq("id", "pos"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as("text_kept"))
+    docs.select(col("id"), size(col("paras")).cast("long").as("n_paras"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /**
    * Distinct word n-gram shingle HASHES via the native
    * `graft_word_shingles` expression — one tokenize + hash-chain pass,
    * no gram-string materialization (the string construction dominated

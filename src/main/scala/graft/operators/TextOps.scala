@@ -202,18 +202,39 @@ object TextOps {
       den: Int): DataFrame = {
     val docs = df.select(col(sourceCol).as("source"), col(idCol).as("id"),
       col(textCol).as("text"))
-    val hashed = docs.select(col("source"), col("id"),
-      explode(Dedup.shingleHashes(col("text"), n)).as("h"))
+    // The per-doc hash arrays feed BOTH the df-count aggregate and the
+    // candidate-document probe, and Spark does no cross-branch CSE —
+    // uncached, the corpus-wide tokenize+shingle pass re-runs per branch.
+    // Cached form is one array<long> row per doc (~8 bytes/token), far
+    // smaller than the raw text it replaces in those rescans.
+    val hashArrays = docs.select(col("source"), col("id"),
+      Dedup.shingleHashes(col("text"), n).as("hs")).cache()
+    val hashed = hashArrays.select(col("source"), col("id"),
+      explode(col("hs")).as("h"))
     val totals = docs.groupBy("source").agg(count(lit(1)).as("total_docs"))
+    // `surviving` (grams above the df threshold — tiny by construction) is
+    // likewise referenced twice; cache so the corpus aggregate runs once.
     val surviving = hashed.groupBy("source", "h").agg(count(lit(1)).as("n_docs"))
       .join(broadcast(totals), "source")
       .where(col("n_docs") * den >= col("total_docs") * num)
+      .cache()
     val candidateDocs = hashed
       .join(broadcast(surviving.select("source", "h")), Seq("source", "h"), "left_semi")
       .select("source", "id").distinct()
+    // Resolve hash -> gram string POSITIONALLY: shingleHashes and shingles
+    // both emit distinct entries in first-occurrence order over the same
+    // gram sequence, so index i of one is index i of the other (modulo a
+    // 2^-64 hash collision, the model every hash join here accepts).
+    // Re-hashing the gram STRING instead would silently drop grams whose
+    // word sequence has an empty edge token (leading \t / trailing \n
+    // documents): the gram string round-trips through trim/split
+    // differently than the in-document gram.
     val candidateGrams = docs.join(candidateDocs, Seq("source", "id"), "left_semi")
-      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("gram"))
-      .withColumn("h", element_at(Dedup.shingleHashes(col("gram"), n), 1))
+      .select(col("source"),
+        Dedup.shingleHashes(col("text"), n).as("hs"),
+        Dedup.shingles(col("text"), n).as("gs"))
+      .select(col("source"), col("gs"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("source"), col("h"), element_at(col("gs"), col("pos") + 1).as("gram"))
     candidateGrams.join(broadcast(surviving), Seq("source", "h"))
       .select(col("source"), col("gram"), col("n_docs"), col("total_docs"))
       .distinct()
@@ -245,6 +266,44 @@ object TextOps {
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"), col("score"))
+  }
+
+  /**
+   * Token-budget sequence packing — assign each document a training
+   * sequence id and a token offset inside it, the layout step that turns
+   * a curated corpus into fixed-length training sequences. Documents are
+   * laid out contiguously in a deterministic seedless-shuffled order
+   * (md5 of the id, as the sampling operators use) and a document is
+   * assigned to the sequence where its first token lands:
+   * `seq = floor(tokens_before / budget)`, `offset = tokens_before %
+   * budget` — the streaming-concat packing rule, replayable exactly in
+   * plain SQL (all-integer arithmetic).
+   *
+   * Scale design: packing is per-shard (`shardCol` — a language, source,
+   * or an explicit shard key), so the running sum is a window over
+   * bounded partitions, never a single global sort; sequence ids are
+   * only unique within a shard, mirroring how real pipelines pack
+   * per-worker. Tokens are whitespace tokens ([[words]]).
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val toks = df.select(col(shardCol).as("shard"), col(idCol).as("id"),
+      size(words(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("tokens_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("shard"), col("id"), col("n_tokens"),
+        expr(s"tokens_before DIV $budget").as("seq_id"), // integer div, not double
+
+        (col("tokens_before") % budget).as("seq_offset"))
   }
 
   /**

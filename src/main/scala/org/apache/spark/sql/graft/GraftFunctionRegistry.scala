@@ -458,6 +458,16 @@ object GraftFunctionRegistry {
       "hash_funcs") { args =>
       HammingHex(args(0), args(1))
     },
+    fd("graft_fold_accents",
+      "_FUNC_(text) - Strips diacritics (NFD-decompose, drop combining marks, " +
+        "NFC-recompose): á→a, ñ→n, ü→u etc. Non-Latin scripts pass through; " +
+        "pure-ASCII inputs short-circuit.",
+      Seq(1),
+      Seq("text" -> "a STRING column"),
+      Seq("SELECT _FUNC_('café')" -> "cafe"),
+      "string_funcs") { args =>
+      FoldAccents(args(0))
+    },
     fd("graft_dot",
       "_FUNC_(a, b) - Returns the dot product of two array<double> columns as a " +
         "primitive loop (bit-identical to sequential summation).",

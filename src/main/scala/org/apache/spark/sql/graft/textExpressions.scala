@@ -381,3 +381,67 @@ case class HammingHex(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * `graft_fold_accents(text)` — strip diacritics: NFD-decompose, drop
+ * combining marks (Unicode categories Mn/Me/Mc), NFC-recompose. Maps
+ * á→a, é→e, ñ→n, ü→u, ç→c etc. while leaving non-Latin scripts and
+ * base punctuation untouched — the standard text-normalization step
+ * before tokenization/dedup so that accent variants of the same word
+ * collapse. Pure-ASCII inputs short-circuit without allocating (the
+ * overwhelmingly common case in web corpora).
+ *
+ * Matches DuckDB's `strip_accents` (utf8proc) on Latin diacritics —
+ * both reduce to "remove combining marks after canonical
+ * decomposition" — which is what makes the operator oracle-checkable.
+ */
+case class FoldAccents(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_fold_accents"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    FoldAccents.fold(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.FoldAccents.fold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FoldAccents {
+  import java.text.Normalizer
+
+  def fold(input: UTF8String): UTF8String = {
+    // ASCII fast path: bytes < 0x80 can't carry diacritics
+    val nb = input.numBytes()
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    var i = 0L
+    var ascii = true
+    while (ascii && i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return input
+    val s = input.toString
+    val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var j = 0
+    while (j < decomposed.length) {
+      val c = decomposed.charAt(j)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK && t != Character.ENCLOSING_MARK &&
+          t != Character.COMBINING_SPACING_MARK) {
+        sb.append(c)
+      }
+      j += 1
+    }
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+}

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Embeddings, Multimodal, RangeJoin, Sampling, SkewJoin,
-  TextOps}
+import graft.operators.{AsofJoin, Dedup, Embeddings, Multimodal, RangeJoin, Sampling,
+  SkewJoin, TextOps}
 
 /** Round-3 curation operators: as-of join, repetition signals,
   * deterministic stratified sampling, pattern counts. */
@@ -195,5 +195,105 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     assert(out(0L) === ((0, 0, 0)))
     assert(out(1L) === ((2, 2, 1)))
+  }
+
+  test("fold accents strips diacritics, passes ASCII and non-Latin through") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "café às ñü ÀÉÎ"),
+      (1L, "plain ascii text!"),
+      (2L, "日本語 και русский"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = df.select(col("id"), graft.functions.graft_fold_accents(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(0L).get === "cafe as nu AEI")
+    assert(out(1L).get === "plain ascii text!")
+    // NFD leaves CJK untouched; й decomposes to и + combining breve, so
+    // the mark strips — exactly what DuckDB/utf8proc strip_accents does
+    // ('русский' -> 'русскии', verified), keeping the oracle parity
+    assert(out(2L).get === "日本語 και русскии")
+    assert(out(3L).isEmpty)
+  }
+
+  test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "header\n\nbody ten\n\nfooter"),
+      (20L, "header\n\nbody twenty\n\nfooter"), // header+footer dropped (seen in 10)
+      (30L, "header\n\nfooter"))                // fully deduplicated -> empty
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) === ((3L, 3L, "header\n\nbody ten\n\nfooter")))
+    assert(out(20L) === ((3L, 1L, "body twenty")))
+    assert(out(30L) === ((2L, 0L, "")))
+  }
+
+  test("sequence packing: contiguous offsets within a shard, budget arithmetic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "one two three"),        // 3 tokens
+      (2L, "a", "four five six seven"),  // 4 tokens
+      (3L, "a", "eight nine"),           // 2 tokens
+      (4L, "b", "x y z"))                // separate shard restarts at 0
+      .toDF("doc_id", "lang", "text")
+    val rows = TextOps.packSequences(df, "doc_id", "text", "lang", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // layout order inside a shard is md5(id)-determined; verify the
+    // invariants instead of the order: offsets are the running sum mod
+    // budget, seq ids the running sum div budget, shard b starts fresh
+    val a = rows.filter(_._1 == "a").sortBy(t => t._4 * 4 + t._5)
+    assert(a.map(_._3).sum === 9L)
+    var before = 0L
+    a.foreach { t =>
+      assert(t._4 === before / 4 && t._5 === before % 4, s"row $t at before=$before")
+      before += t._3
+    }
+    val b = rows.filter(_._1 == "b")
+    assert(b === Array(("b", 4L, 3L, 0L, 0L)))
+  }
+
+  test("native word-shingle hashes match string shingles on tab/newline-edged text") {
+    import spark.implicits._
+    // regression: Java String.trim/2-arg split vs Spark trim (U+0020
+    // only)/split(-1) diverge exactly on texts with leading \t or
+    // trailing \n — the hash<->string bijection must hold there too
+    val texts = Seq(
+      "\tleading tab text here now",
+      "trailing newline text here now\n",
+      " \t mixed \n ws \t text ",
+      "",
+      "short\n")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val n = 3
+    val out = df.select(col("id"),
+      size(graft.functions.graft_word_shingles(col("t"), n)).as("nh"),
+      size(Dedup.shingles(col("t"), n)).as("ns"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    out.foreach { case (id, nh, ns) =>
+      assert(nh === ns, s"hash/string shingle count diverged for text ${texts(id.toInt)}")
+    }
+    // hash array and gram array are POSITIONALLY aligned (both distinct in
+    // first-occurrence order) — the invariant boilerplateNgrams's phase-2
+    // gram resolution relies on
+    val aligned = df.select(
+      size(graft.functions.graft_word_shingles(col("t"), n)).as("a"),
+      size(Dedup.shingles(col("t"), n)).as("b")).collect()
+    aligned.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // for grams of NON-empty tokens the gram string round-trips: hashing
+    // the gram text alone reproduces the in-document gram hash (texts with
+    // empty edge tokens — leading \t — don't round-trip, which is exactly
+    // why phase-2 resolution is positional, not re-hashed)
+    val clean = Seq((0L, "alpha beta gamma delta epsilon")).toDF("id", "t")
+    val parity = clean.select(
+      graft.functions.graft_word_shingles(col("t"), n).as("hs"),
+      transform(Dedup.shingles(col("t"), n),
+        g => element_at(graft.functions.graft_word_shingles(g, n), 1)).as("rehash"))
+      .collect()
+    parity.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
   }
 }
