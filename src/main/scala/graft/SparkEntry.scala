@@ -1358,6 +1358,36 @@ object SparkEntry {
       view(s, d, "documents")
       TextOps.packSequences(s.table("documents"), "doc_id", "text", "lang", 256)
         .orderBy("shard", "id")
+    },
+
+    // Incremental (bloom-prefiltered) dedup of a new batch against the
+    // existing corpus: exact copies of every 4th doc must be dropped,
+    // "novel tail" variants (planted twice, ids +6M/+7M) survive and
+    // collapse in-batch to their min id. The bloom filter only PRUNES —
+    // the oracle is the plain exact anti-join semantics, so a bloom
+    // false positive that slipped past verification would hash-mismatch.
+    q("q54_incremental_dedup",
+      """WITH newb AS (
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, concat(text, ' novel tail') FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, concat(text, ' novel tail') FROM documents WHERE doc_id % 10 = 0),
+        |ex AS (SELECT DISTINCT md5(text) AS h FROM documents),
+        |nh AS (SELECT doc_id, md5(text) AS h FROM newb)
+        |SELECT h AS content_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM nh WHERE h NOT IN (SELECT h FROM ex)
+        |GROUP BY 1 ORDER BY kept_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      def tail(m: Long) = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + m).as("doc_id"),
+          concat(col("text"), lit(" novel tail")).as("text"))
+      val newBatch = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionAll(tail(6000000L)).unionAll(tail(7000000L))
+      Dedup.incrementalDedup(newBatch, docs, "doc_id", "text", expectedItems = 1000L)
+        .orderBy("kept_id")
     }
   )
 

@@ -101,4 +101,8 @@ object functions {
     F.call_function("graft_word_shingles", text, F.lit(n))
   def graft_fold_accents(text: Column): Column =
     F.call_function("graft_fold_accents", text)
+  def graft_bloom_agg(value: Column, expectedItems: Long): Column =
+    F.call_function("graft_bloom_agg", value, F.lit(expectedItems))
+  def graft_might_contain(bloom: Column, value: Column): Column =
+    F.call_function("graft_might_contain", bloom, value)
 }

@@ -123,6 +123,55 @@ object Dedup {
   }
 
   /**
+   * Incremental corpus dedup — the INGESTION pattern: which new-batch
+   * documents are genuinely new relative to an existing corpus? Returns
+   * [[exactDedup]]-shaped rows (content_hash, kept_id, n_copies) for the
+   * new-batch content that does NOT already exist (in-batch duplicates
+   * still collapse to their min id).
+   *
+   * Scale design — the existing corpus is never shuffled:
+   *  1. ONE aggregate over the existing side builds a bloom filter of its
+   *     content hashes (`graft_bloom_agg`, wrapping Spark's runtime-filter
+   *     bloom: partial filters OR-merge map-side, so the shuffle carries a
+   *     filter per partition, not hashes). It enters the probe as a SCALAR
+   *     SUBQUERY — evaluated once, shipped to every probe task as a
+   *     constant, exactly how Spark's own injected runtime filters ride.
+   *  2. `might_contain = false` rows are DEFINITELY new — the
+   *     overwhelming majority of a typical increment passes with no join
+   *     at all.
+   *  3. Only maybe-dup rows (true dups + false positives) are verified:
+   *     their distinct hashes BROADCAST to a semi-join over the existing
+   *     scan, and the confirmed hits broadcast back as an anti-join. Both
+   *     verify joins broadcast the small side, so the 100 TB existing
+   *     corpus is only ever SCANNED (twice), never exchanged. Correctness
+   *     never depends on the bloom parameters — `expectedItems` only
+   *     tunes how much volume reaches verification.
+   */
+  def incrementalDedup(
+      newDf: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val newHashed = newDf.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("h"))
+    val exHashes = existing.select(md5(col(textCol).cast("binary")).as("h"))
+    val bloom = exHashes.agg(
+      graft.functions.graft_bloom_agg(col("h"), expectedItems).as("bf")).scalar()
+    val flagged = newHashed
+      .withColumn("maybe", graft.functions.graft_might_contain(bloom, col("h")))
+    val maybe = flagged.where(col("maybe")).select("id", "h")
+    val confirmedDup = exHashes
+      .join(broadcast(maybe.select("h").distinct()), Seq("h"), "left_semi")
+      .distinct()
+    val genuinelyNew = flagged.where(!col("maybe")).select("id", "h")
+      .unionByName(maybe.join(broadcast(confirmedDup), Seq("h"), "left_anti"))
+    genuinelyNew
+      .groupBy(col("h").as("content_hash"))
+      .agg(min(col("id")).as("kept_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /**
    * Distinct word n-gram shingle HASHES via the native
    * `graft_word_shingles` expression — one tokenize + hash-chain pass,
    * no gram-string materialization (the string construction dominated

@@ -69,6 +69,127 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Buffered per-key state for [[asofEnrich]]: left rows awaiting the
+   *  watermark, right rows still matchable, and the key's latest event
+   *  time (anchors the idle TTL). Row values are stored as plain value
+   *  arrays (kryo state encoding), never whole Row objects with schemas.
+   *  Public only because `Encoders.kryo` rejects non-public classes —
+   *  not part of the operator's API. */
+  case class AsofState(
+      lefts: List[Array[Any]],
+      rights: List[(Long, Array[Any])],
+      lastEventMs: Long)
+
+  /**
+   * Streaming as-of enrich — the streaming analogue of
+   * [[graft.operators.AsofJoin.asofBackward]]: every left-stream row is
+   * enriched with the most recent right-stream row of the same key with
+   * `right.ts <= left.ts` (inclusive), emitted in append mode once the
+   * watermark passes the left row's event time (at which point every
+   * right row at or before it has arrived, so the match is FINAL —
+   * out-of-order arrival across the two streams cannot change it).
+   * Unmatched left rows emit with null `outCol`/payloads (left-join
+   * semantics, as in batch). Spark's stream-stream join surface cannot
+   * express the argmax directly (a time-range join emits ALL rights in
+   * the window), hence the custom stateful operator.
+   *
+   * State bound (the 100 TB/day failure mode): per key, only (a) left
+   * rows younger than the watermark delay, (b) right rows younger than
+   * the watermark, plus (c) ONE floor row — the latest right at or
+   * before the watermark, which is still the answer for a future left
+   * that precedes the next right. Everything older is evicted each
+   * invocation, and idle keys are removed wholesale by an event-time
+   * timeout `stateTtlMs` after the key's latest event (anchored to the
+   * key's OWN latest event, not the watermark — see [[quotaPerKey]]).
+   * So state is bounded by the in-horizon working set, not stream
+   * lifetime. `tsCol` must be a TIMESTAMP column present on BOTH sides;
+   * ties on exact equal right timestamps resolve arbitrarily (same as
+   * the batch operator's window ordering).
+   */
+  def asofEnrich(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      payloadCols: Seq[String] = Nil,
+      outCol: String = "asof_ts",
+      stateTtlMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(stateTtlMs > 0, s"state TTL must be positive, got $stateTtlMs")
+    // Null keys/timestamps can neither be watermarked nor matched — drop
+    // up front (quarantine upstream if they must be kept), as quotaPerKey.
+    val l = left.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__graft_kind", lit(1))
+    val r = right.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol),
+        struct((col(tsCol).as("__ts") +: payloadCols.map(col)): _*).as("__graft_rv"),
+        lit(0).as("__graft_kind"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withWatermark(tsCol, watermarkDelay)
+    val uSchema = u.schema
+    val nLeft = left.schema.size
+    val kindIdx = uSchema.fieldIndex("__graft_kind")
+    val rvIdx = uSchema.fieldIndex("__graft_rv")
+    val tsIdx = uSchema.fieldIndex(tsCol)
+    val payloadFields = payloadCols.map(p => right.schema(right.schema.fieldIndex(p)))
+    val outSchema = StructType(left.schema.fields.toSeq ++
+      (StructField(outCol, right.schema(right.schema.fieldIndex(tsCol)).dataType,
+        nullable = true) +:
+        payloadFields.map(f => StructField(s"${outCol}_${f.name}", f.dataType,
+          nullable = true))))
+    val nOut = 1 + payloadCols.size
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[AsofState] = Encoders.kryo[AsofState]
+
+    u.groupByKey((row: Row) => String.valueOf(row.getAs[Any](keyCol)))(Encoders.STRING)
+      .flatMapGroupsWithState[AsofState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(Nil, Nil, Long.MinValue))
+          var lefts = st0.lefts
+          var rights = st0.rights
+          var lastEvent = st0.lastEventMs
+          rows.foreach { row =>
+            val t = row.getAs[java.sql.Timestamp](tsIdx).getTime
+            if (t > lastEvent) lastEvent = t
+            if (row.getInt(kindIdx) == 1) lefts ::= row.toSeq.toArray
+            else rights ::= (t, row.getStruct(rvIdx).toSeq.toArray)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          def lts(lv: Array[Any]): Long = lv(tsIdx).asInstanceOf[java.sql.Timestamp].getTime
+          val (ready, pending) = lefts.partition(lv => lts(lv) <= wm)
+          val sortedRights = rights.sortBy(_._1)
+          val out = ready.map { lv =>
+            val t = lts(lv)
+            // latest right at or before the left ts (list is tiny: the
+            // in-horizon rows of one key in one micro-batch)
+            val m = sortedRights.foldLeft(null: Array[Any]) {
+              case (acc, (rts, rv)) => if (rts <= t) rv else acc
+            }
+            val tail = if (m == null) Seq.fill[Any](nOut)(null) else m.toSeq
+            Row.fromSeq(lv.take(nLeft).toSeq ++ tail)
+          }
+          // evict finalized rights, keeping the single floor row
+          val (future, past) = sortedRights.partition(_._1 > wm)
+          val keptRights = past.lastOption.toList ++ future
+          val idleExpired = pending.isEmpty && lastEvent != Long.MinValue &&
+            wm >= lastEvent + stateTtlMs
+          if (idleExpired || (pending.isEmpty && keptRights.isEmpty)) {
+            state.remove()
+          } else {
+            state.update(AsofState(pending, keptRights, lastEvent))
+            // pending lefts must flush as soon as the watermark advances
+            // (wm+1 fires on the next no-data batch); an idle key with
+            // only a floor row just ages out
+            val target = if (pending.nonEmpty) wm + 1 else lastEvent + stateTtlMs
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /**
    * Streaming per-key admission quota: pass through at most `k` rows per
    * key, then drop the rest — the ingestion-side "cap documents per

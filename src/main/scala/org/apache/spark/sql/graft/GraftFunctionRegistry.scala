@@ -17,7 +17,9 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression,
+  ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 object GraftFunctionRegistry {
 
@@ -467,6 +469,40 @@ object GraftFunctionRegistry {
       Seq("SELECT _FUNC_('café')" -> "cafe"),
       "string_funcs") { args =>
       FoldAccents(args(0))
+    },
+    fd("graft_bloom_agg",
+      "_FUNC_(value[, expectedItems]) - Aggregates values of any atomic type into a " +
+        "serialized bloom filter (BINARY) keyed by xxhash64, sized for expectedItems " +
+        "(default 1000000). Probe with graft_might_contain. Wraps Spark's runtime-filter " +
+        "bloom aggregate: partial filters OR-merge, so the shuffle carries one filter " +
+        "per partition, never the values.",
+      Seq(1, 2),
+      Seq("value" -> "the column to add to the filter",
+        "expectedItems" -> "expected distinct count (a constant literal; sizes the filter)"),
+      Seq(("SELECT graft_might_contain((SELECT graft_bloom_agg(c) " +
+        "FROM VALUES ('x') AS t(c)), 'x')") -> "true"),
+      "agg_funcs") { args =>
+      val hashed = new XxHash64(Seq(args(0)), 42L)
+      if (args.length == 1) new BloomFilterAggregate(hashed)
+      else {
+        // an INT literal (`graft_bloom_agg(c, 10)`) must widen to the
+        // BIGINT the underlying aggregate requires; Cast of a foldable
+        // stays foldable, so its own literal check still passes
+        new BloomFilterAggregate(hashed,
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.LongType))
+      }
+    },
+    fd("graft_might_contain",
+      "_FUNC_(bloom, value) - Probes a graft_bloom_agg filter: false means the value " +
+        "was DEFINITELY never added; true means it may have been (false-positive rate " +
+        "set by the filter size).",
+      Seq(2),
+      Seq("bloom" -> "a BINARY bloom filter from graft_bloom_agg",
+        "value" -> "the value to probe (hashed the same way as at build)"),
+      Seq.empty,
+      "predicate_funcs") { args =>
+      BloomFilterMightContain(args(0), new XxHash64(Seq(args(1)), 42L))
     },
     fd("graft_dot",
       "_FUNC_(a, b) - Returns the dot product of two array<double> columns as a " +

@@ -197,6 +197,36 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out(1L) === ((2, 2, 1)))
   }
 
+  test("incremental dedup: existing content dropped, in-batch dups collapse, no shuffle join") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val newb = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"))
+      .toDF("id", "text")
+    val out = Dedup.incrementalDedup(newb, existing, "id", "text", expectedItems = 100L)
+    val byId = out.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // alpha already exists -> dropped; gamma collapses in-batch; delta new
+    assert(byId === Map(11L -> 2L, 13L -> 1L))
+    // the existing corpus must only be scanned, never exchanged through a
+    // shuffle join: both verify joins broadcast the small (new) side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("bloom agg + might_contain SQL surface: no false negatives, sane negatives") {
+    // might_contain requires its filter side to be a constant or scalar
+    // subquery (Spark's own runtime-filter restriction) — the idiomatic
+    // SQL shape is a scalar subquery over the corpus
+    val r = spark.sql(
+      """SELECT graft_might_contain(
+        |         (SELECT graft_bloom_agg(c, 10) FROM VALUES ('x'), ('y'), ('z') AS t(c)),
+        |         'x') AS hit,
+        |       graft_might_contain(
+        |         (SELECT graft_bloom_agg(c, 10) FROM VALUES ('x'), ('y'), ('z') AS t(c)),
+        |         'definitely absent') AS miss""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
   test("fold accents strips diacritics, passes ASCII and non-Latin through") {
     import spark.implicits._
     val df = Seq(

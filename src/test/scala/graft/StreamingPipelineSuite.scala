@@ -150,4 +150,47 @@ class StreamingPipelineSuite extends AnyFunSuite with GraftSparkSession {
         ("u2", "2021-01-01 00:05:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("streaming as-of enrich: final matches, null no-match, floor row survives eviction") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val lin = MemoryStream[(java.sql.Timestamp, String, Long)](spark)
+    val rin = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val out = StreamingOps.asofEnrich(
+      lin.toDF().toDF("ts", "k", "amount"),
+      rin.toDF().toDF("ts", "k", "page"),
+      "k", "ts", "10 seconds", payloadCols = Seq("page"))
+    val q = out.writeStream
+      .format("memory").queryName("asof_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // rights and lefts interleaved within one batch; nothing can emit
+      // until the watermark passes each left's ts
+      rin.addData((t(100), "a", "p1"), (t(105), "a", "p2"), (t(100), "b", "q1"))
+      lin.addData((t(103), "a", 7L), (t(106), "a", 8L), (t(99), "b", 9L))
+      q.processAllAvailable()
+      // advance the watermark past all three lefts (wm = 195-10 = 185);
+      // this also EVICTS a's rights at 100/105 down to the floor row (105)
+      lin.addData((t(195), "a", 10L))
+      q.processAllAvailable()
+      // a left between the floor and the next right must still match the
+      // floor; one after the new right must match the new right
+      rin.addData((t(200), "a", "p3"))
+      lin.addData((t(198), "a", 11L), (t(202), "a", 12L))
+      q.processAllAvailable()
+      rin.addData((t(400), "b", "q2")) // watermark push only
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream")
+        .collect().map(r => (r.getLong(2),
+          if (r.isNullAt(3)) null else r.getTimestamp(3).getTime / 1000,
+          if (r.isNullAt(4)) null else r.getString(4))).toSet
+      assert(rows === Set(
+        (7L, 100L, "p1"),   // a@103 -> right@100
+        (8L, 105L, "p2"),   // a@106 -> right@105 (inclusive would be 106; latest <= wins)
+        (9L, null, null),   // b@99 precedes b's only right@100 -> no match
+        (10L, 105L, "p2"),  // a@195 -> floor row kept across eviction
+        (11L, 105L, "p2"),  // a@198 -> floor still (200 > 198)
+        (12L, 200L, "p3"))) // a@202 -> right@200
+    } finally q.stop()
+  }
 }
