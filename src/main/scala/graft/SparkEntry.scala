@@ -1388,8 +1388,57 @@ object SparkEntry {
         .unionAll(tail(6000000L)).unionAll(tail(7000000L))
       Dedup.incrementalDedup(newBatch, docs, "doc_id", "text", expectedItems = 1000L)
         .orderBy("kept_id")
+    },
+
+    // Corpus mixing: per-source rational sampling rates via the 15-hex-
+    // digit md5 fraction of the id against precomputed 2^60-scaled
+    // integer thresholds — the oracle embeds the SAME BigInt-derived
+    // literals (mixOracleCase below), so no float ever enters either
+    // engine's comparison.
+    q("q55_weighted_mix",
+      s"""WITH v AS (
+         |  SELECT doc_id, source,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+         |  FROM documents)
+         |SELECT doc_id, source FROM v
+         |WHERE hv < $mixOracleCase
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Sampling.weightedMix(s.table("documents"), "doc_id", "source",
+          mixRates.toMap, mixDefault)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // Sequence-length cap: clip to the first 40 normalized tokens with
+    // kept-count and truncation flag (corpus accounting).
+    q("q56_truncate_tokens",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(ws[1:40], ' ') AS clipped,
+        |       CAST(least(len(ws), 40) AS BIGINT) AS n_tokens_kept,
+        |       len(ws) > 40 AS was_truncated
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.truncateToTokens(s.table("documents"), "text", "clipped", 40)
+        .select("doc_id", "clipped", "n_tokens_kept", "was_truncated")
+        .orderBy("doc_id")
     }
   )
+
+  /** q55's mixture: listed sources at their own rate, the rest at 1/4. */
+  private val mixRates: Seq[(String, (Int, Int))] =
+    Seq("src0" -> (3, 4), "src1" -> (1, 2), "src2" -> (1, 10), "src3" -> (0, 1))
+  private val mixDefault: (Int, Int) = (1, 4)
+
+  /** The identical floor(2^60*num/den) thresholds [[graft.operators.Sampling.weightedMix]]
+   *  computes, rendered as a SQL CASE over the source — the oracle and the
+   *  operator share one integer definition of the cut. */
+  private def mixOracleCase: String = {
+    def thresh(r: (Int, Int)): Long = (BigInt(2).pow(60) * r._1 / r._2).toLong
+    mixRates.map { case (s, r) => s"WHEN '$s' THEN ${thresh(r)}" }
+      .mkString("CASE source ", " ", s" ELSE ${thresh(mixDefault)} END")
+  }
 
   private def buildQ04(s: SparkSession): DataFrame = s.sql("""
     |WITH summaries AS (

@@ -37,4 +37,42 @@ object Sampling {
       .where(col("__graft_rnk") <= k)
       .drop("__graft_rnk")
   }
+
+  /** The 2^60 hash-fraction denominator of [[weightedMix]]: 15 md5 hex
+   *  digits read as an integer are uniform on [0, 2^60). */
+  private val HashSpace: BigInt = BigInt(2).pow(60)
+
+  /**
+   * Corpus mixing — the "data mixture" step of a training pipeline: keep
+   * each stratum's rows at its own RATIONAL sampling rate (`num/den`,
+   * e.g. `"web" -> (1, 10)` keeps ~10%), rows from unlisted strata at
+   * `defaultRate`. A row is kept iff the integer value of the first 15
+   * md5 hex digits of its id falls below `floor(2^60 * num/den)` —
+   * seedless and exactly reproducible on every run, partitioning, and
+   * engine (thresholds are precomputed BigInt literals; no float ever
+   * enters the comparison).
+   *
+   * Scale design: a pure map-side filter — NO shuffle, no RNG state, no
+   * per-partition coordination; rates can be retuned and re-run with
+   * byte-identical selection of the surviving rows (and supersets nest:
+   * raising a rate only ADDS rows, the property mixture sweeps rely on).
+   */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, (Int, Int)],
+      defaultRate: (Int, Int) = (1, 1)): DataFrame = {
+    def thresh(r: (Int, Int)): Long = {
+      val (num, den) = r
+      require(den > 0 && num >= 0 && num <= den, s"rate must be in [0,1], got $num/$den")
+      (HashSpace * num / den).toLong
+    }
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val cutoff = rates.toSeq.sortBy(_._1).foldRight(lit(thresh(defaultRate))) {
+      case ((s, r), alt) => when(col(stratumCol) === s, lit(thresh(r))).otherwise(alt)
+    }
+    df.where(hv < cutoff)
+  }
 }

@@ -307,6 +307,27 @@ object TextOps {
   }
 
   /**
+   * Clip each document to its first `maxTokens` whitespace tokens (the
+   * sequence-length cap applied before packing/training). Clipping is
+   * defined over the NORMALIZED token stream ([[words]]: lower-cased,
+   * whitespace-split) and reassembles with single spaces, so the output
+   * is engine-reproducible; adds `n_tokens_kept` and a `was_truncated`
+   * flag (corpus accounting — silent truncation skews length stats).
+   * Array-local codegen'd builtins only: no shuffle, no UDF.
+   */
+  def truncateToTokens(
+      df: DataFrame,
+      textCol: String,
+      outCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val w = words(col(textCol))
+    df.withColumn(outCol, array_join(slice(w, 1, maxTokens), " "))
+      .withColumn("n_tokens_kept", least(size(w), lit(maxTokens)).cast("long"))
+      .withColumn("was_truncated", size(w) > maxTokens)
+  }
+
+  /**
    * Heuristic quality flag over integer metrics only (reproducible across
    * engines): enough tokens, bounded length, mostly-alphabetic, and a
    * minimal English stopword rate.

@@ -227,6 +227,34 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(r.getBoolean(1) === false)
   }
 
+  test("weighted mix: rate bounds, supersets nest, stable under repartition") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    def kept(rates: Map[String, (Int, Int)], default: (Int, Int)) =
+      Sampling.weightedMix(df, "id", "src", rates, default)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept(Map("a" -> ((1, 1)), "b" -> ((0, 1))), (1, 1)) ===
+      (0L until 400L by 2).toSet) // 1/1 keeps all of a, 0/1 none of b
+    val quarter = kept(Map.empty, (1, 4))
+    val half = kept(Map.empty, (1, 2))
+    assert(quarter.subsetOf(half)) // raising a rate only ADDS rows
+    assert(math.abs(half.size - 200) < 60, s"got ${half.size} of ~200")
+    // selection is a function of the id alone, not the partitioning
+    val repart = Sampling.weightedMix(df.repartition(13), "id", "src", Map.empty, (1, 2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repart === half)
+  }
+
+  test("truncate to tokens clips, counts, and flags") {
+    import spark.implicits._
+    val df = Seq((0L, "One two THREE four five"), (1L, "short text")).toDF("id", "text")
+    val out = TextOps.truncateToTokens(df, "text", "clipped", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(0L) === (("one two three", 3L, true)))
+    assert(out(1L) === (("short text", 2L, false)))
+  }
+
   test("fold accents strips diacritics, passes ASCII and non-Latin through") {
     import spark.implicits._
     val df = Seq(
