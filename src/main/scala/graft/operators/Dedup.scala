@@ -158,8 +158,15 @@ object Dedup {
     val exHashes = existing.select(md5(col(textCol).cast("binary")).as("h"))
     val bloom = exHashes.agg(
       graft.functions.graft_bloom_agg(col("h"), expectedItems).as("bf")).scalar()
+    // Cached: `flagged` feeds both the definitely-new arm and the
+    // maybe-dup verification, and Spark's LeftSemi/Anti-through-Union
+    // pushdown would otherwise replicate the whole verify subtree into
+    // every union branch of the new batch (re-scanning the EXISTING side
+    // once per branch). Cached form is (id, 16-byte hash, bool) per
+    // new-batch row — the small side by definition.
     val flagged = newHashed
       .withColumn("maybe", graft.functions.graft_might_contain(bloom, col("h")))
+      .cache()
     val maybe = flagged.where(col("maybe")).select("id", "h")
     val confirmedDup = exHashes
       .join(broadcast(maybe.select("h").distinct()), Seq("h"), "left_semi")

@@ -1,5 +1,5 @@
 /**
- * Registration of the 38 graft SQL functions — the reference's 18 sketch
+ * Registration of the 43 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
