@@ -1423,8 +1423,56 @@ object SparkEntry {
       TextOps.truncateToTokens(s.table("documents"), "text", "clipped", 40)
         .select("doc_id", "clipped", "n_tokens_kept", "was_truncated")
         .orderBy("doc_id")
+    },
+
+    // Overlapping token-window chunking (24-token windows, 8 overlap →
+    // step 16): chunk starts are multiples of the step, so chunk_id is
+    // pure integer arithmetic both engines replay identically.
+    q("q57_chunk_documents",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 16)) AS s FROM t)
+        |SELECT doc_id, s // 16 AS chunk_id,
+        |       CAST(least(24, len(ws) - s) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(ws[s+1:s+24], ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.chunkDocuments(s.table("documents"), "doc_id", "text", 24, 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Deterministic 8/1/1 train/val/test assignment over disjoint hash
+    // ranges — same 2^60 space as q55, same shared-literal oracle
+    // pattern (splitOracleCase).
+    q("q58_split_assignment",
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+         |  FROM documents)
+         |SELECT doc_id, $splitOracleCase AS split
+         |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Sampling.assignSplits(s.table("documents"), "doc_id", splitWeights)
+        .select("doc_id", "split").orderBy("doc_id")
     }
   )
+
+  /** q58's split mixture: 80% train, 10% val, 10% test. */
+  private val splitWeights: Seq[(String, Int)] =
+    Seq("train" -> 8, "val" -> 1, "test" -> 1)
+
+  /** The identical cumulative floor(2^60*cum/total) boundaries
+   *  [[graft.operators.Sampling.assignSplits]] computes, as a SQL CASE. */
+  private def splitOracleCase: String = {
+    val total = splitWeights.map(_._2).sum
+    val bounds = splitWeights.map(_._2).scanLeft(0)(_ + _).tail
+      .map(c => (BigInt(2).pow(60) * c / total).toLong)
+    splitWeights.init.zip(bounds.init).map { case ((name, _), b) =>
+      s"WHEN hv < $b THEN '$name'"
+    }.mkString("CASE ", " ", s" ELSE '${splitWeights.last._1}' END")
+  }
 
   /** q55's mixture: listed sources at their own rate, the rest at 1/4. */
   private val mixRates: Seq[(String, (Int, Int))] =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,36 @@ object Sampling {
       case ((s, r), alt) => when(col(stratumCol) === s, lit(thresh(r))).otherwise(alt)
     }
     df.where(hv < cutoff)
+  }
+
+  /**
+   * Deterministic disjoint split assignment (train/val/test): partition
+   * the 2^60 hash space of [[weightedMix]] into consecutive ranges
+   * proportional to the integer `weights`, and label each row by the
+   * range its id's hash fraction falls in. Every row gets EXACTLY one
+   * label (disjoint and exhaustive by construction), membership is a
+   * pure function of the id — stable across runs, partitionings,
+   * engines, and additions to the corpus (a new document never moves an
+   * old one between splits). Pure map-side `when` chain over precomputed
+   * BigInt boundaries; no shuffle, no RNG.
+   */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights, got $splits")
+    val total = splits.map(_._2).sum
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail
+      .map(c => (HashSpace * c / total).toLong)
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    // the last range's bound is 2^60 itself == the hash-value supremum,
+    // so the final otherwise is unreachable but keeps the column non-null
+    val label = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), b), alt) => when(hv < b, lit(name)).otherwise(alt)
+    }
+    df.withColumn(outCol, label)
   }
 }

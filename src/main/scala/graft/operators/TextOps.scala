@@ -307,6 +307,42 @@ object TextOps {
   }
 
   /**
+   * Split each document into overlapping token-window chunks (the
+   * retrieval/context-window layout step): chunk `i` covers tokens
+   * `[i*(chunkTokens-overlap), ...+chunkTokens)` of the normalized
+   * token stream, so consecutive chunks share `overlap` tokens. Emits
+   * one row per (doc, chunk): (id, chunk_id, n_chunk_tokens, chunk
+   * text). All-integer start arithmetic — `chunk_id = start / step` —
+   * replayable exactly in any SQL engine.
+   *
+   * Scale design: chunking is array-local (`sequence` + `slice` inside
+   * one projection, then a generator) — zero shuffle; output row count
+   * is ~`n_tokens/step` per doc, bounded and predictable. The token
+   * array is materialized as its own column first (no CSE inside HOF
+   * lambdas).
+   */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    df.select(col(idCol).as("id"), words(col(textCol)).as("__w"))
+      .withColumn("__chunks",
+        transform(sequence(lit(0), size(col("__w")) - 1, lit(step)),
+          s => array_join(slice(col("__w"), s + 1, lit(chunkTokens)), " ")))
+      .select(col("id"), col("__w"), posexplode(col("__chunks")).as(Seq("chunk_id", "chunk")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), size(col("__w")) - col("chunk_id") * step)
+          .cast("long").as("n_chunk_tokens"),
+        col("chunk"))
+  }
+
+  /**
    * Clip each document to its first `maxTokens` whitespace tokens (the
    * sequence-length cap applied before packing/training). Clipping is
    * defined over the NORMALIZED token stream ([[words]]: lower-cased,

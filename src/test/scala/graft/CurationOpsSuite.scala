@@ -245,6 +245,40 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(repart === half)
   }
 
+  test("chunking covers every token with the configured overlap") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b")).toDF("id", "text")
+    val out = TextOps.chunkDocuments(df, "id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // step 3: starts 0,3,6,9 -> windows of 4 tokens, last clipped
+    assert(doc1.map(_._4).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(doc1.map(_._3).toSeq === Seq(4L, 4L, 4L, 1L))
+    // consecutive chunks share exactly `overlap` tokens
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").takeRight(1).toSeq === b._4.split(" ").take(1).toSeq)
+    }
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq === Seq("a b"))
+  }
+
+  test("split assignment is disjoint, exhaustive, and id-stable") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val out = Sampling.assignSplits(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 1000) // exactly one label per row
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 800) < 60, counts.toString)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // membership is a pure function of the id: a corpus subset or
+    // repartitioning never moves a row between splits
+    val subset = Sampling.assignSplits(df.where(col("id") < 100).repartition(7), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(out(id) === s) }
+  }
+
   test("truncate to tokens clips, counts, and flags") {
     import spark.implicits._
     val df = Seq((0L, "One two THREE four five"), (1L, "short text")).toDF("id", "text")
