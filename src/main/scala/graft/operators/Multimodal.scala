@@ -117,6 +117,24 @@ object Multimodal {
     df.select(col(idCol).cast("long")).mapPartitions { rows =>
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val buf = new ByteArrayOutputStream()
+      // One fixed 3-3-2 RGB palette shared by every frame in the batch:
+      // GIF is palette-indexed, and handing the writer TYPE_INT_RGB
+      // frames forces a full color-quantization (palette derivation +
+      // nearest-color search per pixel) PER FRAME. Pre-indexed frames
+      // skip that entirely — the dominant cost of the encode at bench
+      // scale — and the decoded width/height/frame-count (what the
+      // pipeline extracts) are identical.
+      val palette = new Array[Int](256)
+      var p = 0
+      while (p < 256) {
+        val r8 = ((p >> 5) & 0x7) * 255 / 7
+        val g8 = ((p >> 2) & 0x7) * 255 / 7
+        val b8 = (p & 0x3) * 255 / 3
+        palette(p) = (r8 << 16) | (g8 << 8) | b8
+        p += 1
+      }
+      val cm = new java.awt.image.IndexColorModel(8, 256, palette, 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h, frames) = syntheticVideo(id)
@@ -129,12 +147,13 @@ object Multimodal {
           writer.prepareWriteSequence(null)
           var f = 0
           while (f < frames) {
-            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val raster = img.getRaster
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                img.setRGB(x, y, ((id * 31 + f * 131 + x * 7 + y) & 0xffffff).toInt)
+                raster.setSample(x, y, 0, (id * 31 + f * 131 + x * 7 + y).toInt & 0xff)
                 x += 1
               }
               y += 1
@@ -240,6 +259,19 @@ object Multimodal {
       StructField("format", StringType)))
     val input = df.select(col(idCol).cast("long"), col("content"))
     input.mapPartitions { rows =>
+      // Reader reuse: resolving a reader through ImageIO.getImageReaders
+      // walks the service registry and allocates a fresh reader PER ROW.
+      // Sniffing the container magic and caching one reader per format
+      // amortizes that to once per (partition, format) — the decoder-init
+      // cost this mapPartitions boundary exists to amortize. Unknown
+      // magics still fall back to the registry scan.
+      val readerCache = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+      def sniffFormat(b: Array[Byte]): String =
+        if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+        else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+        else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+        else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+        else ""
       rows.map { r =>
         val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
         val content = r.getAs[Array[Byte]](1)
@@ -251,18 +283,34 @@ object Multimodal {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(content))
           try {
-            val readers = ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) {
+            val fmt = sniffFormat(content)
+            val reader =
+              if (fmt.nonEmpty) {
+                readerCache.getOrElseUpdate(fmt,
+                  ImageIO.getImageReadersByFormatName(fmt).next())
+              } else {
+                val readers = ImageIO.getImageReaders(iis)
+                if (readers.hasNext) readers.next() else null
+              }
+            if (reader == null) {
               Row(id, content.length.toLong, null, null, null, null)
             } else {
-              val reader = readers.next()
               try {
                 // seekForwardOnly must be false for getNumImages(allowSearch)
                 reader.setInput(iis, false, true)
                 Row(id, content.length.toLong,
                   reader.getWidth(0), reader.getHeight(0),
                   reader.getNumImages(true), reader.getFormatName.toLowerCase)
-              } finally reader.dispose()
+              } catch {
+                // right magic, rotten body (truncated/corrupt container):
+                // null features, like any other undecodable payload
+                case _: java.io.IOException =>
+                  Row(id, content.length.toLong, null, null, null, null)
+              } finally {
+                // cached readers are reset (releasing the stream) and
+                // reused; registry-resolved ones are disposed outright
+                if (fmt.nonEmpty) reader.setInput(null) else reader.dispose()
+              }
             }
           } finally iis.close()
         }
