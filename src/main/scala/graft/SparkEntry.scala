@@ -1456,6 +1456,142 @@ object SparkEntry {
       view(s, d, "documents")
       Sampling.assignSplits(s.table("documents"), "doc_id", splitWeights)
         .select("doc_id", "split").orderBy("doc_id")
+    },
+
+    // Reference-corpus LM coverage quality (integerized CCNet-style
+    // filter): vocabulary (count >= 2) and bigram set trained on the
+    // doc_id % 7 = 0 slice, every document scored for OOV rate and
+    // bigram coverage. All counts are integers (a float log-prob sum
+    // would be summation-order-sensitive); fractions are integer-count
+    // divisions rounded to 9 dp on both sides (the q37 pattern). Spark
+    // joins on xxhash64 token/bigram hashes, the oracle on the strings —
+    // collision-equivalent (the model every hash join here accepts).
+    q("q59_lm_quality",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT unnest(ws) w FROM t WHERE doc_id % 7 = 0)
+        |  GROUP BY w HAVING count(*) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+        |                        i -> ws[i+1] || ' ' || ws[i+2])) g
+        |  FROM t WHERE len(ws) >= 2),
+        |refbg AS (SELECT DISTINCT g FROM bg WHERE doc_id % 7 = 0),
+        |tok AS (SELECT doc_id, unnest(ws) w FROM t),
+        |oov AS (SELECT doc_id, count(*) n FROM tok
+        |        WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id),
+        |kb AS (SELECT doc_id, count(*) n FROM bg
+        |       WHERE g IN (SELECT g FROM refbg) GROUP BY doc_id)
+        |SELECT t.doc_id AS id,
+        |       CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(oov.n, 0) AS BIGINT) AS n_oov,
+        |       round(coalesce(oov.n, 0) / CAST(len(ws) AS DOUBLE), 9) AS oov_frac,
+        |       CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(kb.n, 0) AS BIGINT) AS n_known_bigrams,
+        |       CASE WHEN len(ws) >= 2
+        |            THEN round(coalesce(kb.n, 0) / CAST(len(ws) - 1 AS DOUBLE), 9)
+        |            ELSE 0.0 END AS bigram_cov
+        |FROM t LEFT JOIN oov USING (doc_id) LEFT JOIN kb USING (doc_id)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      TextOps.lmCoverageSignals(docs, docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", minCount = 2)
+        .orderBy("id")
+    },
+
+    // PII redaction (the scrub step q40 only counts): URLs, then emails,
+    // then phone numbers replaced with tags, each count measured on the
+    // text AFTER the previous replacement — the oracle chains the same
+    // three regexp_replace stages, in the Java-regex ∩ RE2 common
+    // dialect q40 established. Pattern-bearing copies are PLANTED
+    // (q40's exact planting) since the organic corpus is clean.
+    q("q60_pii_redact",
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         text || ' reach alice.w@example.com or bob@test.org call 555-123-4567 see https://docs.example.com/guide'
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |s0 AS (SELECT doc_id AS id, lower(text) t FROM all_docs),
+        |s1 AS (SELECT id,
+        |              CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) n_urls,
+        |              regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') t FROM s0),
+        |s2 AS (SELECT id, n_urls,
+        |              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) n_emails,
+        |              regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') t FROM s1),
+        |s3 AS (SELECT id, n_urls, n_emails,
+        |              CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) n_phones,
+        |              regexp_replace(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') t FROM s2)
+        |SELECT id, t AS clean_text, n_urls, n_emails, n_phones
+        |FROM s3 ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" reach alice.w@example.com or bob@test.org" +
+            " call 555-123-4567 see https://docs.example.com/guide")).as("text"))
+      TextOps.redactPii(docs.unionByName(planted), "doc_id", "text")
+        .orderBy("id")
+    },
+
+    // Int8-quantized two-stage KNN: coarse search over per-vector-scaled
+    // integer vectors (exact integer dots — zero float-summation
+    // sensitivity), exact rerank of the survivors (q50's pattern on the
+    // bytes-per-dimension axis instead of the dimension-count axis).
+    // round() is half-away-from-zero in BOTH engines (verified), so the
+    // quantized vectors are identical.
+    q("q61_quantized_knn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |nz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 s
+        |       FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |pv AS (SELECT vec_id, list_transform(v, x -> CAST(round(x / s) AS DOUBLE)) p FROM nz),
+        |q AS (SELECT vec_id, p FROM pv WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_dot_product(q.p, c.p)
+        |                    / (sqrt(list_dot_product(q.p, q.p))
+        |                       * sqrt(list_dot_product(c.p, c.p))) DESC, c.vec_id) rk
+        |  FROM q JOIN pv c ON q.vec_id != c.vec_id),
+        |cand AS (SELECT qid, cid FROM coarse WHERE rk <= 50),
+        |rr AS (
+        |  SELECT cand.qid, cand.cid,
+        |         row_number() OVER (PARTITION BY cand.qid
+        |           ORDER BY list_dot_product(eq.v, ec.v)
+        |                    / (sqrt(list_dot_product(eq.v, eq.v))
+        |                       * sqrt(list_dot_product(ec.v, ec.v))) DESC, cand.cid) rk
+        |  FROM cand
+        |  JOIN e eq ON eq.vec_id = cand.qid
+        |  JOIN e ec ON ec.vec_id = cand.cid)
+        |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id
+        |FROM rr WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Similarity.quantizedKnn(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, m = 50)
+        .orderBy("query_id", "rk")
+    },
+
+    // Semi-structured JSON props: extraction (get_json_object — Spark's
+    // codegen'd JSON path builtin vs DuckDB's json_extract_string) feeding
+    // a grouped aggregate with integer bucketing. Exercises the
+    // scalar-JSON delegated category of SURVEY.md §2.2 on the events
+    // table's props column.
+    q("q62_json_extract",
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) AS BIGINT) AS n_buckets
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      s.table("events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          countDistinct(floor(k / lit(10)).cast("long")).as("n_buckets"))
+        .orderBy("event_type")
     }
   )
 

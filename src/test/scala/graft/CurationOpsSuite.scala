@@ -388,4 +388,67 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
   }
+
+  test("lm coverage signals: oov and bigram counts against a reference slice") {
+    import spark.implicits._
+    // reference corpus: "the cat sat" twice, "the dog ran" once
+    //   vocab (minCount=2): the (3x), cat (2x), sat (2x)
+    //   bigrams: {the cat, cat sat, the dog, dog ran}
+    val ref = Seq("the cat sat", "the cat sat", "the dog ran").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat sat"),      // 0 oov; both bigrams known
+      (11L, "the cat flew"),     // flew oov; "the cat" known, "cat flew" not
+      (12L, "zz qq"),            // all oov; bigram unknown
+      (13L, "cat"))              // known token, no bigrams
+      .toDF("doc_id", "text")
+    val out = TextOps.lmCoverageSignals(docs, ref, "doc_id", "text", minCount = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out(0) === ((10L, 3L, 0L, 2L, 2L, 1.0)))
+    assert(out(1) === ((11L, 3L, 1L, 2L, 1L, 0.5)))
+    assert(out(2) === ((12L, 2L, 2L, 1L, 0L, 0.0)))
+    assert(out(3) === ((13L, 1L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("pii redaction replaces urls, emails, phones with tags and counts each") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "See https://a.example.com/x?e=a@b.co then mail Bob@Test.org or call 555-123-4567"),
+      (2L, "clean text with no contact info at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, "doc_id", "text").orderBy("id").collect()
+    val r1 = out(0)
+    // the email inside the URL was consumed by the <URL> tag, not double-counted
+    assert(r1.getString(1) === "see <URL> then mail <EMAIL> or call <PHONE>")
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4)) === ((1L, 1L, 1L)))
+    val r2 = out(1)
+    assert(r2.getString(1) === "clean text with no contact info at all")
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === ((0L, 0L, 0L)))
+  }
+
+  test("int8 quantization: integer steps, max component at +-127, zero preserved") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5, -1.0, 0.0, 0.25))).toDF("id", "v")
+    val q = df.select(graft.operators.Similarity.int8Quantize(col("v")).as("q"))
+      .collect()(0).getSeq[Double](0)
+    // scale = 1.0/127; 0.5 -> round(63.5) = 64 (half away from zero)
+    assert(q === Seq(64.0, -127.0, 0.0, 32.0))
+  }
+
+  test("quantized knn: top-k matches exact brute force on well-separated vectors") {
+    import spark.implicits._
+    val dim = 8
+    // orthogonal-ish corpus: basis vectors plus noise-free copies scaled
+    val corpus = (0 until 6).map { i =>
+      (i.toLong, (0 until dim).map(j => if (j == i) 1.0f else 0.02f * ((i + j) % 3)))
+    }.toDF("id", "v")
+    val queries = corpus.where(col("id") < 2)
+    val exact = graft.operators.Similarity.bruteForceKnn(corpus, queries, "id", "v", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val approx = graft.operators.Similarity.quantizedKnn(corpus, queries, "id", "v", 3, m = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(approx === exact)
+  }
 }
