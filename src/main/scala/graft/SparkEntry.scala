@@ -484,10 +484,11 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")
     },
 
-    // Stopword-argmax language ID
+    // Stopword-argmax language ID (hits = exact token-equality counts
+    // over the shared whitespace tokenization, both engines)
     q("q18_langid", {
       def hits(w: String) =
-        s"(len(string_split(' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ', ' $w ')) - 1)"
+        s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x = '$w'))"
       val scores = TextOps.langMarkers
         .map { case (l, ws) => l -> ws.map(hits).mkString(" + ") }
       val scoreCols = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
@@ -515,10 +516,10 @@ object SparkEntry {
         |       (len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
         |        AND length(text) <= 20000
         |        AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 50
-        |        AND (len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' the ')) - 1
-        |             + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' and ')) - 1
-        |             + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' of ')) - 1
-        |             + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' to ')) - 1) * 100
+        |        AND (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'the'))
+        |             + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'and'))
+        |             + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'of'))
+        |             + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'to'))) * 100
         |            >= len(regexp_split_to_array(trim(lower(text)), '\s+')) * 2) AS is_quality
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       view(s, d, "documents")
@@ -1047,10 +1048,10 @@ object SparkEntry {
         |  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
         |    AND length(text) <= 20000
         |    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 50
-        |    AND (len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' the ')) - 1
-        |         + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' and ')) - 1
-        |         + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' of ')) - 1
-        |         + len(string_split(' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ', ' to ')) - 1) * 100
+        |    AND (len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'the'))
+        |         + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'and'))
+        |         + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'of'))
+        |         + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x = 'to'))) * 100
         |        >= len(regexp_split_to_array(trim(lower(text)), '\s+')) * 2),
         |w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM quality),
         |shs AS (
@@ -1585,13 +1586,90 @@ object SparkEntry {
         |       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) AS BIGINT) AS n_buckets
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       view(s, d, "events")
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      // k is projected ONCE before the aggregate: inlined into the agg
+      // expressions, the JSON parse would run per referencing aggregate
       s.table("events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(k).as("sum_k"),
-          countDistinct(floor(k / lit(10)).cast("long")).as("n_buckets"))
+          sum(col("k")).as("sum_k"),
+          countDistinct(floor(col("k") / lit(10)).cast("long")).as("n_buckets"))
         .orderBy("event_type")
+    },
+
+    // Term-distribution drift between two corpus snapshots (even vs odd
+    // doc ids as the A/B halves). Drift = |cnt_a*total_b - cnt_b*total_a|
+    // — the cross-multiplied relative-frequency difference, ALL-integer,
+    // so the top-k ranking has zero float sensitivity; ties break on the
+    // term string (both engines compare ASCII lowercase words
+    // identically).
+    q("q63_term_drift",
+      """WITH ca AS (
+        |  SELECT term, count(*) cnt_a FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) term
+        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY term),
+        |cb AS (
+        |  SELECT term, count(*) cnt_b FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) term
+        |    FROM documents WHERE doc_id % 2 = 1) GROUP BY term),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) term,
+        |         coalesce(cnt_a, 0) cnt_a, coalesce(cnt_b, 0) cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) total_a,
+        |               CAST(sum(cnt_b) AS BIGINT) total_b FROM j)
+        |SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+        |       CAST(abs(cnt_a * total_b - cnt_b * total_a) AS BIGINT) AS drift
+        |FROM j, tot
+        |ORDER BY drift DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      TextOps.termDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "text", k = 20)
+        .orderBy(col("drift").desc, col("term"))
+    },
+
+    // Frequency capping over duplicate clusters: q35's components, but
+    // keeping up to 2 docs per cluster (down-weighting, not collapsing).
+    // Survivor rank is md5(id) — the seedless draw both engines replay
+    // bit-identically.
+    q("q64_cluster_cap",
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT dst AS id, min(src) AS comp FROM reach GROUP BY dst),
+        |r AS (SELECT id, comp,
+        |        CAST(row_number() OVER (PARTITION BY comp
+        |               ORDER BY md5(CAST(id AS VARCHAR)), id) AS INT) rk
+        |      FROM comp)
+        |SELECT id, comp, rk, rk <= 2 AS kept FROM r ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.capClusters(docs.select(col("doc_id")), edges, "doc_id", k = 2)
+        .orderBy("id")
     }
   )
 

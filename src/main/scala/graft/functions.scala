@@ -91,6 +91,7 @@ object functions {
   def graft_hamming_hex(a: Column, b: Column): Column =
     F.call_function("graft_hamming_hex", a, b)
   def graft_dot(a: Column, b: Column): Column = F.call_function("graft_dot", a, b)
+  def graft_int8_quantize(v: Column): Column = F.call_function("graft_int8_quantize", v)
   def graft_lsh_buckets(v: Column, dim: Int, bits: Int, tables: Int, seed: Long): Column =
     F.call_function("graft_lsh_buckets", v, F.lit(dim), F.lit(bits), F.lit(tables), F.lit(seed))
   def graft_minhash(shingles: Column, numHashes: Int): Column =

@@ -350,6 +350,36 @@ object Dedup {
   }
 
   /**
+   * Frequency capping over duplicate clusters: resolve pairwise matches
+   * into components ([[connectedComponents]]) and keep at most `k`
+   * documents per cluster — the step between near-dup detection and
+   * "delete all but one": repeated-but-valuable content (boilerplate
+   * templates, popular quotes) is DOWN-WEIGHTED to k copies instead of
+   * collapsed to one. Survivors are ranked inside each cluster by
+   * md5(id) (the seedless uniform draw the sampling operators use), so
+   * the kept set is identical on every run, partitioning, and engine.
+   * Returns (id, comp, rk, kept).
+   *
+   * Scale shape: component labels from the propagation loop, then ONE
+   * window over comp — WindowGroupLimit prunes to per-partition top-k
+   * before the shuffle, so a pathological million-document cluster
+   * moves only k rows per upstream partition.
+   */
+  def capClusters(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      k: Int = 2): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(nodes, edges, idCol)
+    val w = Window.partitionBy("comp")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    labels.withColumn("rk", row_number().over(w).cast("int"))
+      .withColumn("kept", col("rk") <= k)
+  }
+
+  /**
    * Benchmark decontamination: corpus documents sharing at least
    * `minShared` distinct word n-gram shingles with ANY benchmark document
    * (the standard eval-set contamination check before training). Returns

@@ -235,12 +235,14 @@ object Similarity {
    * engine: a quantized dot is a sum of integer products bounded by
    * dim*127^2, far inside a double's 2^53 exact-integer range, so
    * scores carry NO floating-point summation-order sensitivity.
-   * Zero vectors must be excluded upstream (scale 0 has no inverse).
+   *
+   * Runs as the native one-pass `graft_int8_quantize` expression (see
+   * [[org.apache.spark.sql.graft.Int8Quantize]]): the builtin-composed
+   * `transform(v, x -> round(x / scale))` re-evaluated the embedded
+   * array_max scale PER ELEMENT (no CSE inside lambda bodies) —
+   * O(dim^2) + one array allocation per element.
    */
-  def int8Quantize(v: Column): Column = {
-    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
-    transform(v, x => round(x / scale).cast("double"))
-  }
+  def int8Quantize(v: Column): Column = call_function("graft_int8_quantize", v)
 
   /**
    * Two-stage approximate top-k over int8-quantized vectors: coarse
@@ -262,12 +264,10 @@ object Similarity {
       k: Int,
       m: Int = 50): DataFrame = {
     require(m >= k, s"coarse candidate count m=$m must be >= k=$k")
-    def quantized(df: DataFrame): DataFrame = {
-      val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      // drop zero vectors BEFORE quantizing: scale = 0 yields NaN steps
-      v.where(array_max(transform(col("__v"), x => abs(x))) > 0)
-        .select(col(idCol), int8Quantize(col("__v")).as(vecCol))
-    }
+    // zero vectors quantize to all zeros and are dropped by
+    // bruteForceKnn's zero-norm filter — no pre-filter pass needed
+    def quantized(df: DataFrame): DataFrame =
+      df.select(col(idCol), int8Quantize(col(vecCol).cast("array<double>")).as(vecCol))
     val coarse = bruteForceKnn(quantized(corpus), quantized(queries), idCol, vecCol, m)
       .select(col("query_id"), col("neighbor_id"))
     val full = corpus.select(col(idCol).as("neighbor_id"),

@@ -38,18 +38,17 @@ object TextOps {
   def punctCount(text: Column): Column = countClass(text, "[^.,;:!?]")
 
   /**
-   * Number of occurrences of `word` as a standalone token, via plain
-   * (non-overlapping) split on " word " over the padded normalized text.
-   * Adjacent repeats count once per non-overlapping match — deterministic
-   * and mirrored by `len(string_split(...))-1` in the oracle.
+   * Number of occurrences of `word` as a standalone token: an exact
+   * equality count over [[words]]. One tokenize pass feeds every marker
+   * (tokenization sits OUTSIDE the filter lambda, so physical
+   * subexpression elimination shares it across the 16 langScore
+   * markers); the previous padded-split formulation re-ran a
+   * regexp_replace + split PER MARKER — 32 regex passes per document
+   * through languageId — and undercounted adjacent repeats
+   * (non-overlapping " w w w " matching).
    */
-  def wordHits(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
-    // split's separator is a Java regex: quote so words containing
-    // metacharacters ("c++", "a.b") count literally like the oracle's
-    // plain string_split
-    size(split(padded, lit(java.util.regex.Pattern.quote(s" $word ")))) - 1
-  }
+  def wordHits(text: Column, word: String): Column =
+    size(filter(words(text), w => w === lit(word)))
 
   /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -447,6 +446,46 @@ object TextOps {
           .otherwise(lit(0.0)))
       .select("id", "n_tokens", "n_oov", "oov_frac",
         "n_bigrams", "n_known_bigrams", "bigram_cov")
+  }
+
+  /**
+   * Term-distribution drift between two corpus snapshots (the data-mix
+   * monitoring step a continuously-ingested 100 TB corpus needs): for
+   * every term, occurrence counts in `dfA` and `dfB` and an
+   * integer-exact drift rank. Drift is |cntA*totalB - cntB*totalA| —
+   * the cross-multiplied difference of the two relative frequencies
+   * scaled by totalA*totalB, so ranking needs NO floating division:
+   * counts bounded by 2^31 tokens per side keep the product inside a
+   * 63-bit long. Returns the top `k` drifting terms with both counts
+   * (0 for a term absent from one side — the appear/disappear case that
+   * matters most).
+   *
+   * Scale shape: one (term)-keyed count aggregate per side with map-side
+   * partial combine, a full outer join on the term, two one-row total
+   * broadcasts, one global top-k (TakeOrderedAndProject — never a full
+   * sort).
+   */
+  def termDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      k: Int): DataFrame = {
+    def counts(df: DataFrame) =
+      df.select(explode(words(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val a = counts(dfA).withColumnRenamed("cnt", "cnt_a")
+    val b = counts(dfB).withColumnRenamed("cnt", "cnt_b")
+    val totals = a.agg(sum(col("cnt_a")).as("total_a"))
+      .crossJoin(b.agg(sum(col("cnt_b")).as("total_b")))
+    val joined = a.join(b, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("drift",
+        abs(col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a")))
+    joined
+      .orderBy(col("drift").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
   }
 
   /** The PII patterns [[redactPii]] scrubs, applied in list order. URLs go

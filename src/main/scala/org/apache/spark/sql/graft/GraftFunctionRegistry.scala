@@ -513,6 +513,16 @@ object GraftFunctionRegistry {
       "math_funcs") { args =>
       DotProduct(args(0), args(1))
     },
+    fd("graft_int8_quantize",
+      "_FUNC_(v) - Returns the symmetric int8 quantization of an array<double> vector " +
+        "as integer-valued doubles: scale = max(abs(x))/127, components rounded half " +
+        "away from zero; the all-zero vector quantizes to all zeros. One primitive pass.",
+      Seq(1),
+      Seq("v" -> "an ARRAY<DOUBLE> column"),
+      Seq("SELECT _FUNC_(array(0.5d, -1.0d))" -> "[64.0,-127.0]"),
+      "math_funcs") { args =>
+      Int8Quantize(args(0))
+    },
     fd("graft_lsh_buckets",
       "_FUNC_(v, dim, bits, tables, seed) - Returns the random-hyperplane LSH bucket ids " +
         "(array<long> of `tables` entries, disjoint id ranges per table) of an " +

@@ -437,6 +437,41 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(q === Seq(64.0, -127.0, 0.0, 32.0))
   }
 
+  test("term drift ranks appear/disappear terms by cross-multiplied counts") {
+    import spark.implicits._
+    // A: 4 tokens total; B: 4 tokens total. "zz" only in A (2x),
+    // "qq" only in B (1x), "aa" balanced.
+    val a = Seq((1L, "aa zz zz bb")).toDF("id", "text")
+    val b = Seq((2L, "aa bb bb qq")).toDF("id", "text")
+    val out = graft.operators.TextOps.termDrift(a, b, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // drift = |cnt_a*4 - cnt_b*4|: zz->8, bb->4, qq->4, aa->0
+    assert(out.map(_._1).toSeq === Seq("zz", "bb", "qq", "aa"))
+    assert(out.head === (("zz", 2L, 0L, 8L)))
+    assert(out.last._4 === 0L)
+  }
+
+  test("cluster cap keeps at most k per component, deterministically") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    // {1,2,3} one cluster, {4,5} another, {6} singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.capClusters(nodes, edges, "id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val byComp = out.groupBy(_._2)
+    assert(byComp.keySet === Set(1L, 4L, 6L))
+    assert(byComp(1L).count(_._4) === 2) // 3-cluster capped at 2
+    assert(byComp(4L).count(_._4) === 2)
+    assert(byComp(6L).count(_._4) === 1)
+    // ranks are 1..n within each component
+    byComp.values.foreach(c => assert(c.map(_._3).sorted === (1 to c.length).toSeq))
+    // deterministic: same result on a different partitioning
+    val out2 = graft.operators.Dedup.capClusters(
+      nodes.repartition(7), edges.repartition(3), "id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.toSet === out2.toSet)
+  }
+
   test("quantized knn: top-k matches exact brute force on well-separated vectors") {
     import spark.implicits._
     val dim = 8
