@@ -102,6 +102,10 @@ object functions {
     F.call_function("graft_word_shingles", text, F.lit(n))
   def graft_fold_accents(text: Column): Column =
     F.call_function("graft_fold_accents", text)
+  def graft_marker_hits(text: Column, words: Seq[String]): Column =
+    F.call_function("graft_marker_hits", (text +: words.map(F.lit)): _*)
+  def graft_repetition_stats(text: Column): Column =
+    F.call_function("graft_repetition_stats", text)
   def graft_bloom_agg(value: Column, expectedItems: Long): Column =
     F.call_function("graft_bloom_agg", value, F.lit(expectedItems))
   def graft_might_contain(bloom: Column, value: Column): Column =

@@ -38,17 +38,26 @@ object TextOps {
   def punctCount(text: Column): Column = countClass(text, "[^.,;:!?]")
 
   /**
+   * Exact token-equality counts of constant marker words over ONE
+   * tokenize pass ([[words]] semantics), as array<long> in marker
+   * order — the native `graft_marker_hits` expression
+   * ([[org.apache.spark.sql.graft.MarkerHits]]). One hash lookup per
+   * token; full whole-stage codegen. The builtin alternatives both
+   * lose: a padded-split per marker re-runs regexp_replace + split per
+   * marker (32 regex passes/doc through languageId), and
+   * `filter(words(text), eq)` is a higher-order function —
+   * CodegenFallback, evaluated interpreted with per-element boxing
+   * (measured ~4x on the langid bench query).
+   */
+  def markerHits(text: Column, ws: Seq[String]): Column =
+    call_function("graft_marker_hits", (text +: ws.map(lit)): _*)
+
+  /**
    * Number of occurrences of `word` as a standalone token: an exact
-   * equality count over [[words]]. One tokenize pass feeds every marker
-   * (tokenization sits OUTSIDE the filter lambda, so physical
-   * subexpression elimination shares it across the 16 langScore
-   * markers); the previous padded-split formulation re-ran a
-   * regexp_replace + split PER MARKER — 32 regex passes per document
-   * through languageId — and undercounted adjacent repeats
-   * (non-overlapping " w w w " matching).
+   * equality count over [[words]] (adjacent repeats each count).
    */
   def wordHits(text: Column, word: String): Column =
-    size(filter(words(text), w => w === lit(word)))
+    element_at(markerHits(text, Seq(word)), 1)
 
   /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -57,15 +66,27 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "que"),
     "fr" -> Seq("le", "la", "les", "des"))
 
-  def langScore(text: Column, lang: String): Column =
-    langMarkers.toMap.apply(lang).map(w => wordHits(text, w)).reduce(_ + _)
+  def langScore(text: Column, lang: String): Column = {
+    val ws = langMarkers.toMap.apply(lang)
+    val hits = markerHits(text, ws)
+    ws.indices.map(i => element_at(hits, i + 1)).reduce(_ + _)
+  }
 
   /**
    * Stopword-count argmax language ID. Ties break in `langMarkers` order;
-   * all-zero scores -> "und" (undetermined).
+   * all-zero scores -> "und" (undetermined). All 16 marker counts come
+   * from ONE `graft_marker_hits` subtree — every score/comparison
+   * references the same expression, which physical subexpression
+   * elimination evaluates once per row.
    */
   def languageId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, _) => lang -> langScore(text, lang) }
+    val hits = markerHits(text, langMarkers.flatMap(_._2))
+    var off = 0
+    val scores = langMarkers.map { case (lang, ws) =>
+      val s = ws.indices.map(i => element_at(hits, off + i + 1)).reduce(_ + _)
+      off += ws.size
+      lang -> s
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, score), alt) =>
       when(score === best && best > 0, lit(lang)).otherwise(alt)
@@ -120,52 +141,29 @@ object TextOps {
    *  - `top_2gram_frac` — share of the document's 2-grams claimed by its
    *    single most frequent 2-gram (boilerplate/chant detector).
    *
-   * Scale design: everything is computed ARRAY-LOCALLY with codegen'd
-   * higher-order functions — no explode, no shuffle; the corpus streams
-   * through map tasks untouched. The top-2-gram count sorts the gram
-   * array and takes the longest equal run — O(n log n) per document
-   * (NOT O(distinct x n) count-each-distinct, which quadratic-blows on
-   * long repetitive documents — the very documents this signal exists
-   * to catch). Gram arrays are materialized as their own projection
-   * columns first: expressions inlined into HOF lambdas get no
-   * subexpression elimination.
+   * Scale design: all counts come from ONE pass of the native
+   * `graft_repetition_stats` expression
+   * ([[org.apache.spark.sql.graft.RepetitionStats]]) — no explode, no
+   * shuffle, the corpus streams through map tasks untouched; the
+   * fractions are plain codegen'd arithmetic over the count array (the
+   * single `__st` subtree is shared by subexpression elimination). The
+   * previous array-local higher-order formulation
+   * (transform/array_sort/zip_with) computed identical values but HOFs
+   * are CodegenFallback — interpreted evaluation, per-element boxing,
+   * and an O(n log n) sort where one counting pass suffices.
    */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
-    val emptyArr = array().cast("array<string>")
-    val withArrays = df
-      .withColumn("__w", words(col(textCol)))
-      .withColumn("__g2", when(size(col("__w")) >= 2,
-          transform(sequence(lit(0), size(col("__w")) - 2),
-            i => concat_ws(" ", get(col("__w"), i), get(col("__w"), i + 1))))
-        .otherwise(emptyArr))
-      .withColumn("__g3", when(size(col("__w")) >= 3,
-          transform(sequence(lit(0), size(col("__w")) - 3),
-            i => concat_ws(" ", get(col("__w"), i), get(col("__w"), i + 1),
-              get(col("__w"), i + 2))))
-        .otherwise(emptyArr))
-    withArrays
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("dup_word_frac",
-        round(lit(1) - size(array_distinct(col("__w"))) / size(col("__w")), 9))
-      .withColumn("dup_3gram_frac", when(size(col("__g3")) > 0,
-          round(lit(1) - size(array_distinct(col("__g3"))) / size(col("__g3")), 9))
+    def st(i: Int) = element_at(col("__st"), i)
+    df.withColumn("__st", call_function("graft_repetition_stats", col(textCol)))
+      .withColumn("n_words", st(1))
+      .withColumn("dup_word_frac", round(lit(1) - st(2) / st(1), 9))
+      .withColumn("dup_3gram_frac", when(st(5) > 0,
+          round(lit(1) - st(6) / st(5), 9))
         .otherwise(lit(0.0)))
-      // Longest equal run of the SORTED gram array = count of the most
-      // frequent gram. Every intermediate (sorted array, run starts) is
-      // materialized as its own column — referencing a computed array
-      // from inside a HOF lambda re-evaluates it PER ELEMENT (no CSE in
-      // lambdas), which would turn the O(n log n) scan quadratic.
-      .withColumn("__s2", array_sort(col("__g2")))
-      .withColumn("__starts", filter(sequence(lit(0), size(col("__s2")) - 1),
-        i => (i === 0) || get(col("__s2"), i) =!= get(col("__s2"), i - 1)))
-      .withColumn("top_2gram_frac", when(size(col("__g2")) > 0,
-          round(array_max(zip_with(
-            col("__starts"),
-            concat(slice(col("__starts"), lit(2), size(col("__starts")) - 1),
-              array(size(col("__s2")))),
-            (a, b) => b - a)) / size(col("__g2")), 9))
+      .withColumn("top_2gram_frac", when(st(3) > 0,
+          round(st(4) / st(3), 9))
         .otherwise(lit(0.0)))
-      .drop("__w", "__g2", "__g3", "__s2", "__starts")
+      .drop("__st")
   }
 
   /**

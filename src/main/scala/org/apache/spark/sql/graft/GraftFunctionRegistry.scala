@@ -513,6 +513,31 @@ object GraftFunctionRegistry {
       "math_funcs") { args =>
       DotProduct(args(0), args(1))
     },
+    fd("graft_marker_hits",
+      "_FUNC_(text, w1, ..., wN) - Returns exact token-equality counts of up to 32 " +
+        "constant marker words over one whitespace tokenization of lower(trim(text)), " +
+        "as array<long> in marker order. One hash lookup per token.",
+      (2 to 33),
+      Seq("text" -> "a STRING column",
+        "w1..wN" -> "constant marker words (each a string literal)"),
+      Seq("SELECT _FUNC_('the cat the', 'the', 'cat')" -> "[2,1]"),
+      "string_funcs") { args =>
+      MarkerHits(args(0),
+        args.tail.zipWithIndex.map { case (e, i) =>
+          stringLiteral("graft_marker_hits", s"w${i + 1}", e)
+        })
+    },
+    fd("graft_repetition_stats",
+      "_FUNC_(text) - Returns the Gopher-style repetition counts of a document in one " +
+        "tokenize pass, as array<long>: [n_words, n_distinct_words, n_2grams, " +
+        "top_2gram_count, n_3grams, n_distinct_3grams]. Grams compare by chained " +
+        "xxhash64 (the standard 2^-64 collision model).",
+      Seq(1),
+      Seq("text" -> "a STRING column"),
+      Seq("SELECT _FUNC_('a b a b')" -> "[4,2,3,2,2,2]"),
+      "string_funcs") { args =>
+      RepetitionStats(args(0))
+    },
     fd("graft_int8_quantize",
       "_FUNC_(v) - Returns the symmetric int8 quantization of an array<double> vector " +
         "as integer-valued doubles: scale = max(abs(x))/127, components rounded half " +
@@ -584,6 +609,14 @@ object GraftFunctionRegistry {
 
   /** Require a foldable integer literal argument (mirrors the quantile
    *  functions' constant-literal validation). */
+  /** Require a foldable string literal argument. */
+  private def stringLiteral(fn: String, param: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant string literal, got ${e.sql}")
+  }
+
   private def intLiteral(fn: String, param: String, e: Expression): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case _ => throw new IllegalArgumentException(

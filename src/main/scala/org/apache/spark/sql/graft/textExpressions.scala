@@ -445,3 +445,141 @@ object FoldAccents {
     UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
 }
+
+/**
+ * `graft_marker_hits(text, w1, ..., wN)` — exact token-equality counts of
+ * N constant marker words over ONE tokenize pass, as `array<long>` in
+ * marker order. Tokenization replicates `TextOps.words` exactly (Spark
+ * `lower`/`trim`/`split("\s+", -1)` — the same semantics
+ * [[WordShingleHashes]] pins), and each token costs one hash-map lookup,
+ * so scoring 16 language markers is O(chars + tokens) per document.
+ *
+ * Replaces per-marker builtin formulations: the padded-split version ran
+ * a regexp_replace + split PER MARKER (32 regex passes per document
+ * through the 4-language argmax), and the `filter(words(text), eq)`
+ * version fell out of whole-stage codegen entirely — higher-order
+ * functions are CodegenFallback, evaluated interpreted with per-element
+ * boxing.
+ */
+case class MarkerHits(child: Expression, markers: Seq[String])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(markers.nonEmpty, "at least one marker word is required")
+
+  override def prettyName: String = "graft_marker_hits"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // read-only after construction — the expression instance is shared
+  // across concurrently-running tasks in one JVM, so per-call state must
+  // stay on the stack
+  @transient private lazy val slot: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    markers.zipWithIndex.foreach { case (w, i) =>
+      if (!m.containsKey(w)) m.put(w, i)
+    }
+    m
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val out = new Array[Long](markers.length)
+    val words = input.toLowerCase.trim.toString.split("\\s+", -1)
+    var i = 0
+    while (i < words.length) {
+      val s = slot.get(words(i))
+      if (s != null) out(s) += 1L
+      i += 1
+    }
+    // a marker listed twice mirrors its first slot's count
+    var j = 0
+    while (j < markers.length) {
+      val f = slot.get(markers(j))
+      if (f != j) out(j) = out(f)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerHits", this, classOf[MarkerHits].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `graft_repetition_stats(text)` — the integer counts behind the
+ * Gopher-style repetition signals, in ONE tokenize pass, as
+ * `array<long>`:
+ *
+ *   [0] n_words            whitespace tokens ([[MarkerHits]] semantics)
+ *   [1] n_distinct_words
+ *   [2] n_2grams           word 2-grams (= max(n_words-1, 0))
+ *   [3] top_2gram_count    multiplicity of the most frequent 2-gram
+ *   [4] n_3grams
+ *   [5] n_distinct_3grams
+ *
+ * Grams are compared by chained xxhash64 of the token hashes — the
+ * collision model (~2^-64) every hash-keyed operator here accepts.
+ * Replaces the array-local higher-order formulation
+ * (transform/array_sort/zip_with): HOFs are CodegenFallback — evaluated
+ * interpreted, boxing every element — and the sort made the top-gram
+ * count O(n log n) where one counting pass is O(n).
+ */
+case class RepetitionStats(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_repetition_stats"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val SEED_WORD = 42L
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toLowerCase.trim.toString.split("\\s+", -1)
+    val n = words.length
+    val wh = new Array[Long](n)
+    val distinctWords = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) {
+      val b = words(i).getBytes("UTF-8")
+      wh(i) = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, SEED_WORD)
+      distinctWords.add(words(i))
+      i += 1
+    }
+    val g2counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    var top2 = 0L
+    i = 0
+    while (i + 1 < n) {
+      val g = XXH64.hashLong(wh(i + 1), wh(i))
+      val c = g2counts.merge(g, 1L, (a, b) => a + b)
+      if (c > top2) top2 = c
+      i += 1
+    }
+    val g3set = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i + 2 < n) {
+      g3set.add(XXH64.hashLong(wh(i + 2), XXH64.hashLong(wh(i + 1), wh(i))))
+      i += 1
+    }
+    val n2 = math.max(n - 1, 0).toLong
+    val n3 = math.max(n - 2, 0).toLong
+    new GenericArrayData(Array[Long](
+      n.toLong, distinctWords.size.toLong, n2, top2, n3, g3set.size.toLong))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this, classOf[RepetitionStats].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -437,6 +437,32 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(q === Seq(64.0, -127.0, 0.0, 32.0))
   }
 
+  test("marker hits: one-pass token-equality counts, edge whitespace, repeats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The the THE cat"),          // case folding; adjacent repeats all count
+      (2L, "\tthe cat\n"),              // tab/newline edges (Spark trim is U+0020-only)
+      (3L, "other words entirely"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+      graft.functions.graft_marker_hits(col("t"), Seq("the", "cat")).as("h"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(out(0) === ((1L, Seq(3L, 1L))))
+    assert(out(1) === ((2L, Seq(1L, 1L))))
+    assert(out(2) === ((3L, Seq(0L, 0L))))
+    // parity with the SQL-expressible filter-count the oracles use
+    val parity = df.select(
+      graft.functions.graft_marker_hits(col("t"), Seq("the")).getItem(0).as("native"),
+      size(filter(TextOps.words(col("t")), w => w === lit("the"))).cast("long").as("builtin"))
+      .collect()
+    parity.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // a duplicated marker mirrors its first slot
+    val dup = df.where(col("id") === 1)
+      .select(graft.functions.graft_marker_hits(col("t"), Seq("the", "the")))
+      .collect()(0).getSeq[Long](0)
+    assert(dup === Seq(3L, 3L))
+  }
+
   test("term drift ranks appear/disappear terms by cross-multiplied counts") {
     import spark.implicits._
     // A: 4 tokens total; B: 4 tokens total. "zz" only in A (2x),
@@ -470,6 +496,42 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       nodes.repartition(7), edges.repartition(3), "id", k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
     assert(out.toSet === out2.toSet)
+  }
+
+  test("term drift plans a global top-k, never a full sort") {
+    import spark.implicits._
+    val a = Seq((1L, "x y z")).toDF("id", "text")
+    val b = Seq((2L, "x q r")).toDF("id", "text")
+    val plan = graft.operators.TextOps.termDrift(a, b, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("cluster cap adds exactly one shuffle beyond the component labels") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val plan = graft.operators.Dedup.capClusters(nodes, edges, "id", k = 2)
+      .queryExecution.executedPlan.toString
+    // the rank window is ONE comp-keyed exchange over the (cached)
+    // component labels; the kept flag adds no further movement
+    assert("Exchange hashpartitioning\\(comp".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("quantized knn coarse pass broadcasts queries and never shuffles the corpus") {
+    import spark.implicits._
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, (0 until 4).map(j => (i * 4 + j + 1).toFloat))).toDF("id", "v")
+    val queries = corpus.where(col("id") < 2)
+    val df = graft.operators.Similarity.quantizedKnn(corpus, queries, "id", "v", 2, m = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // non-equi self-exclusion join
+    // coarse top-m prunes map-side before its shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the quantize is the native one-pass expression, not a lambda (in the
+    // executed plan ConvertToLocalRelation pre-evaluates it for this local
+    // test relation, so pin it in the analyzed plan)
+    assert(df.queryExecution.analyzed.toString.contains("graft_int8_quantize"), plan)
   }
 
   test("quantized knn: top-k matches exact brute force on well-separated vectors") {
