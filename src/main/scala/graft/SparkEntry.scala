@@ -1670,6 +1670,23 @@ object SparkEntry {
         .select("id_a", "id_b")
       Dedup.capClusters(docs.select(col("doc_id")), edges, "doc_id", k = 2)
         .orderBy("id")
+    },
+
+    // Frame sampling: every 2nd frame of each synthesized animated GIF
+    // becomes its own row, dimensions decoded per frame from the real
+    // container bytes. The oracle replays the frame-count/dimension
+    // parameter formulas arithmetically — a hash match proves the codec
+    // walked and measured the planted frames.
+    q("q65_frame_sample",
+      """SELECT doc_id, CAST(u AS INT) AS frame_idx,
+        |       CAST(1 + doc_id % 8 AS INT) AS width,
+        |       CAST(1 + (doc_id * 3) % 8 AS INT) AS height
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 6, 2)) u FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.synthesizeVideoContent(s.table("documents"), "doc_id")
+      Multimodal.sampleFrames(media, "doc_id", every = 2)
+        .orderBy("doc_id", "frame_idx")
     }
   )
 

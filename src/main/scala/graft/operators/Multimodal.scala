@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.AudioSystem
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -188,19 +188,42 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val (rate, frames) = syntheticAudio(id)
-        val pcm = new Array[Byte](frames * 2)
+        // canonical 44-byte RIFF/WAVE PCM header written directly —
+        // byte-identical to AudioSystem.write's output for 16-bit mono
+        // PCM, without the per-row writer-registry lookup and
+        // AudioInputStream/stream allocations it costs
+        val dataLen = frames * 2
+        val bytes = new Array[Byte](44 + dataLen)
+        def le32(off: Int, v: Int): Unit = {
+          bytes(off) = (v & 0xff).toByte
+          bytes(off + 1) = ((v >> 8) & 0xff).toByte
+          bytes(off + 2) = ((v >> 16) & 0xff).toByte
+          bytes(off + 3) = ((v >> 24) & 0xff).toByte
+        }
+        def le16(off: Int, v: Int): Unit = {
+          bytes(off) = (v & 0xff).toByte
+          bytes(off + 1) = ((v >> 8) & 0xff).toByte
+        }
+        def tag(off: Int, s: String): Unit = {
+          var i = 0
+          while (i < 4) { bytes(off + i) = s.charAt(i).toByte; i += 1 }
+        }
+        tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+        tag(12, "fmt "); le32(16, 16) // PCM fmt chunk length
+        le16(20, 1) // PCM
+        le16(22, 1) // mono
+        le32(24, rate)
+        le32(28, rate * 2) // byte rate
+        le16(32, 2) // block align
+        le16(34, 16) // bits per sample
+        tag(36, "data"); le32(40, dataLen)
         var i = 0
         while (i < frames) {
           val sample = (math.sin((id % 16 + 1) * i * 0.05) * 8000).toInt
-          pcm(2 * i) = (sample & 0xff).toByte
-          pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+          bytes(44 + 2 * i) = (sample & 0xff).toByte
+          bytes(44 + 2 * i + 1) = ((sample >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
-        val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
-        val buf = new ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
-        val bytes = buf.toByteArray
         Row(id, bytes, Row("audio/wav", bytes.length.toLong))
       }
     }(Encoders.row(outSchema))
@@ -236,6 +259,53 @@ object Multimodal {
           } catch {
             case _: javax.sound.sampled.UnsupportedAudioFileException =>
               Row(id, content.length.toLong, null, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Frame sampling over video-like containers: every `every`-th frame of
+   * each payload becomes its own output row (doc_id, frame_idx, width,
+   * height) with dimensions REALLY decoded per frame from the container
+   * bytes — the generator-shaped multimodal op (one input row, N output
+   * rows) a frame-level training pipeline starts from. A production
+   * pipeline appends the extracted frame bytes/tensor per row; the
+   * decode boundary, batching, and row-explosion shape are exactly this.
+   * Zero shuffle: rows explode inside the same `mapPartitions` pass, one
+   * cached GIF reader per partition. Undecodable payloads yield no rows
+   * (filter on [[decodeImageFeatures]] to audit them).
+   */
+  def sampleFrames(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every > 0, s"frame stride must be positive, got $every")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val input = df.select(col(idCol).cast("long"), col("content"))
+    input.mapPartitions { rows =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0) || content == null) Nil
+        else {
+          val id = r.getLong(0)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(content))
+          // materialized eagerly: the stream closes before flatMap pulls
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n by every).map { f =>
+              Row(id, f, reader.getWidth(f), reader.getHeight(f))
+            }.toVector
+          } catch {
+            case _: java.io.IOException => Nil
+          } finally {
+            reader.setInput(null)
+            iis.close()
           }
         }
       }

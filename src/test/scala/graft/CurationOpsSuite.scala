@@ -437,6 +437,26 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(q === Seq(64.0, -127.0, 0.0, 32.0))
   }
 
+  test("frame sampling explodes real GIF frames at the stride, skips junk payloads") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 5L).toDF("doc_id") // 2, 3, 7 frames respectively
+    val media = Multimodal.synthesizeVideoContent(ids, "doc_id")
+    val out = Multimodal.sampleFrames(media, "doc_id", every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(0L).map(_._2).sorted === Seq(0))        // 2 frames -> idx 0
+    assert(byDoc(1L).map(_._2).sorted === Seq(0, 2))     // 3 frames -> 0, 2
+    assert(byDoc(5L).map(_._2).sorted === Seq(0, 2, 4, 6)) // 7 frames
+    // decoded dims match the synthesis parameters for every sampled frame
+    out.foreach { case (id, _, w, h) =>
+      val (ew, eh, _) = Multimodal.syntheticVideo(id)
+      assert((w, h) === ((ew, eh)))
+    }
+    // junk bytes produce no rows instead of failing the task
+    val junk = Seq((9L, "GIF8 but not really".getBytes("UTF-8"))).toDF("doc_id", "content")
+    assert(Multimodal.sampleFrames(junk, "doc_id", 2).count() === 0)
+  }
+
   test("marker hits: one-pass token-equality counts, edge whitespace, repeats") {
     import spark.implicits._
     val df = Seq(

@@ -39,6 +39,24 @@ class SourcesSuite extends AnyFunSuite with GraftSparkSession {
     assert(back.toSeq === Seq(Row(3L)))
   }
 
+  test("json lines source feeds sketch aggregates and pipeline text ops") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val json = s"$dir/docs.json"
+    Files.writeString(java.nio.file.Paths.get(json),
+      """{"id": 1, "text": "the quick brown fox", "score": 4.5}
+        |{"id": 2, "text": "the lazy dog", "score": 1.5}
+        |{"id": 3, "text": "the quick blue fox", "score": 4.5}
+        |""".stripMargin)
+    val df = spark.read.json(json)
+    df.createOrReplaceTempView("json_docs")
+    val r = spark.sql(
+      "SELECT approx_count_distinct_ex(score), " +
+        "element_at(graft_marker_hits(text, 'the'), 1) AS hits " +
+        "FROM json_docs GROUP BY text ORDER BY min(id)").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 1L, 1L))
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L))
+  }
+
   test("orc sink/source carries raw binary sketch state natively") {
     val dir = Files.createTempDirectory("graft_orc_rt").toString
     spark.sql(
