@@ -40,6 +40,33 @@ class StreamingPipelineSuite extends AnyFunSuite with GraftSparkSession {
     } finally q.stop()
   }
 
+  test("stateless text operators apply to streams unchanged") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    // map-only operators (native expressions + codegen'd builtins) need no
+    // state, watermark, or output-mode ceremony on a stream
+    val out = graft.operators.TextOps.redactPii(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("lang", graft.operators.TextOps.languageId(col("clean_text")))
+    val q = out.writeStream
+      .format("memory").queryName("stateless_text").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (1L, "mail the team at a@b.co and see https://x.example.com of the site"),
+        (2L, "der die und das"))
+      q.processAllAvailable()
+      val rows = spark.table("stateless_text")
+        .select("id", "clean_text", "n_emails", "n_urls", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sortBy(_._1)
+      assert(rows(0)._2 === "mail the team at <EMAIL> and see <URL> of the site")
+      assert((rows(0)._3, rows(0)._4) === ((1L, 1L)))
+      assert(rows(0)._5 === "en")
+      assert(rows(1)._5 === "de")
+    } finally q.stop()
+  }
+
   test("normalized streaming dedup collapses case/whitespace variants") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
