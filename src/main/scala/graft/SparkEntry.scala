@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Embeddings, Multimodal, RangeJoin, Sampling,
-  Similarity, SkewJoin, TextOps}
+import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, Multimodal, RangeJoin,
+  Sampling, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -1687,6 +1687,47 @@ object SparkEntry {
       val media = Multimodal.synthesizeVideoContent(s.table("documents"), "doc_id")
       Multimodal.sampleFrames(media, "doc_id", every = 2)
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // Ordered event funnel: first signup, first click strictly after it,
+    // first purchase strictly after that — each within 3 days (micros)
+    // of the previous step. Pure integer timestamp comparisons; the
+    // oracle chains the identical min-aggregate stages.
+    q("q66_event_funnel",
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 AND t <= t1 + 259200000000
+        |       GROUP BY e.user_id, t1),
+        |s3 AS (SELECT e.user_id, min(t) t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 259200000000
+        |       GROUP BY e.user_id, t2)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events").select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("t"))
+      EventOps.funnelStages(ev, "user_id", "event_type", "t",
+        Seq("signup", "click", "purchase"), within = 259200000000L)
+        .orderBy("user_id")
+    },
+
+    // Retention cohort triangle on integer day buckets: cohort = first
+    // active day bucket, cells count distinct users per
+    // (cohort, offset). All-integer arithmetic end to end.
+    q("q67_retention_cohorts",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, (epoch_ns(ts)//1000) // 86400000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) cohort_bucket FROM a GROUP BY user_id)
+        |SELECT cohort_bucket, wk - cohort_bucket AS bucket_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events").select(col("user_id"), expr("ts DIV 1000").as("t"))
+      EventOps.retentionCohorts(ev, "user_id", "t", bucket = 86400000000L)
+        .orderBy("cohort_bucket", "bucket_offset")
     }
   )
 

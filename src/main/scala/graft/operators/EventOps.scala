@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over (user, type, timestamp) streams — the
+ * funnel/cohort queries product pipelines run next to sessionization
+ * ([[graft.streaming.StreamingOps.sessionize]]) and point-in-time
+ * enrichment ([[AsofJoin]]). Timestamps are integer epoch values
+ * (micros here, any unit works), so every comparison is exact in any
+ * engine.
+ */
+object EventOps {
+
+  /**
+   * Ordered multi-step funnel: for each user, the FIRST occurrence of
+   * `steps.head`, then the first occurrence of each later step STRICTLY
+   * AFTER the previous step's time and within `within` time units of it.
+   * Returns one row per user who entered the funnel:
+   * (user_id, t1, ..., tn) with nulls from the first step the user
+   * dropped at — count(t_k) over the result is the classic funnel
+   * stage-conversion report.
+   *
+   * Scale design: each stage is one filter + min-aggregate keyed on the
+   * user (map-side partial combine) and one user-keyed join against the
+   * previous stage — no windows, no per-user event sorting, no row
+   * blowup; all stage frames are one row per qualifying user, far
+   * smaller than the event stream, so AQE broadcasts them as the funnel
+   * narrows.
+   */
+  def funnelStages(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      within: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got ${steps.size}")
+    require(within > 0, s"within must be positive, got $within")
+    val base = events.select(col(userCol).as("user_id"), col(typeCol).as("__et"),
+      col(tsCol).as("__t"))
+    val first = base.where(col("__et") === steps.head)
+      .groupBy("user_id").agg(min(col("__t")).as("t1"))
+    // each stage frame: one row per user who reached that stage, carrying
+    // every earlier stage time (functionally user-determined, grouped
+    // along so no re-join is needed)
+    val stages = steps.tail.zipWithIndex.scanLeft(first) { case (prev, (step, i)) =>
+      val tPrev = s"t${i + 1}"
+      val tCur = s"t${i + 2}"
+      base.where(col("__et") === step)
+        .join(prev, "user_id")
+        .where(col("__t") > col(tPrev) && col("__t") <= col(tPrev) + within)
+        .groupBy((col("user_id") +: (1 to i + 1).map(k => col(s"t$k"))): _*)
+        .agg(min(col("__t")).as(tCur))
+    }
+    // left-join each stage's new column back so drop-offs keep their row
+    // with nulls from the stage they missed
+    stages.tail.zipWithIndex.foldLeft(first) { case (acc, (stage, i)) =>
+      acc.join(stage.select(col("user_id"), col(s"t${i + 2}")), Seq("user_id"), "left")
+    }
+  }
+
+  /**
+   * Retention cohorts on integer time buckets: each user's cohort is
+   * their first active bucket (`floor(ts / bucket)`); the output counts
+   * distinct users per (cohort_bucket, bucket_offset) — the classic
+   * triangle retention matrix, built entirely from integer arithmetic
+   * so any SQL engine reproduces it exactly.
+   *
+   * Scale design: one distinct over (user, bucket) — the only pass over
+   * the raw events — then a user-keyed min-aggregate and join (both
+   * reuse the same key), and a final small aggregate over the matrix
+   * cells.
+   */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    // integer `div`, not floor(double division): an epoch-nanos timestamp
+    // (~1.7e18) already exceeds a double's 2^53 exact range before the
+    // divide, which would misbucket boundary events
+    val active = events
+      .select(col(userCol).as("user_id"),
+        expr(s"`$tsCol` div $bucket").as("wk"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min(col("wk")).as("cohort_bucket"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_bucket"), (col("wk") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+}

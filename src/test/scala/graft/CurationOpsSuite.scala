@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsofJoin, Dedup, Embeddings, Multimodal, RangeJoin, Sampling,
-  SkewJoin, TextOps}
+import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, Multimodal, RangeJoin,
+  Sampling, SkewJoin, TextOps}
 
 /** Round-3 curation operators: as-of join, repetition signals,
   * deterministic stratified sampling, pattern counts. */
@@ -435,6 +435,48 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect()(0).getSeq[Double](0)
     // scale = 1.0/127; 0.5 -> round(63.5) = 64 (half away from zero)
     assert(q === Seq(64.0, -127.0, 0.0, 32.0))
+  }
+
+  test("event funnel: ordered steps, per-step window, drop-offs keep nulls") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes: signup@10, click@15 (<=10+20), purchase@30 (<=15+20)
+      (1L, "signup", 10L), (1L, "click", 15L), (1L, "purchase", 30L),
+      // user 2 drops at click: click happened BEFORE signup, never after
+      (2L, "click", 5L), (2L, "signup", 10L),
+      // user 3: click inside window but purchase outside click+20
+      (3L, "signup", 0L), (3L, "click", 20L), (3L, "purchase", 41L),
+      // user 4: no signup at all -> not in the funnel
+      (4L, "click", 1L), (4L, "purchase", 2L),
+      // user 1 noise: later signup/clicks must not shift the mins
+      (1L, "signup", 50L), (1L, "click", 11L))
+      .toDF("user_id", "event_type", "t")
+    val out = EventOps.funnelStages(ev, "user_id", "event_type", "t",
+      Seq("signup", "click", "purchase"), within = 20L)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0),
+        r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 11L, 30L),   // click@11 (after signup@10) is the FIRST qualifying click
+      (2L, 10L, null, null),
+      (3L, 0L, 20L, null)))
+  }
+
+  test("retention cohorts: integer buckets, offsets from first activity") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 5L), (1L, 15L), (1L, 25L),  // cohort 0, active buckets 0,1,2
+      (2L, 12L), (2L, 28L),            // cohort 1, active 1,2
+      (3L, 13L), (3L, 14L))            // cohort 1, active bucket 1 only (distinct)
+      .toDF("user_id", "t")
+    val out = EventOps.retentionCohorts(ev, "user_id", "t", bucket = 10L)
+      .orderBy("cohort_bucket", "bucket_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 2L), (1L, 1L, 1L)))
   }
 
   test("frame sampling explodes real GIF frames at the stride, skips junk payloads") {
