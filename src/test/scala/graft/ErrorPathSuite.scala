@@ -95,6 +95,20 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
     assert(winnow.contains("Arguments:") && winnow.contains("Examples:"))
   }
 
+  test("non-literal marker words fail analysis with a helpful message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_marker_hits(c, c) FROM VALUES ('the') AS t(c)").collect()
+    }
+    assert(e.getMessage.contains("constant string literal"), e.getMessage)
+  }
+
+  test("int8 quantize rejects non-array input at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_int8_quantize('text')").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("registered confs are visible in SET -v with docs and defaults") {
     val rows = spark.sql("SET -v").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
