@@ -55,4 +55,52 @@ object GraftSummaries {
 
   def unregister(basePath: String): Unit = SummaryCatalog.unregister(basePath)
   def clear(): Unit = SummaryCatalog.clear()
+
+  /**
+   * Build, persist, and register a summary table in one call — the
+   * materialized-view-style workflow the register* methods leave to the
+   * caller: aggregate the base table at `basePath` with the `kind`'s
+   * accumulate function grouped by `keyCols`, write the result as
+   * parquet to `summaryPath`, and register the written table (re-read,
+   * so rewrites serve from the compact on-disk summary, not the
+   * original plan). Returns the registered summary DataFrame.
+   *
+   * One pass over the base table; the summary is keyCols-cardinality
+   * rows of bounded sketch state — the 100 TB pre-aggregation pattern
+   * where the raw table is scanned once and every later estimate reads
+   * only the summary. `kind`: "distinct" | "quantile" | "freq".
+   */
+  def buildSummaryTable(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      summaryPath: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      kind: String,
+      sketchCol: String = "sketch"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column is required")
+    val accumulate = kind match {
+      case "distinct" => "approx_count_distinct_accumulate"
+      case "quantile" => "approx_percentile_accumulate"
+      case "freq" => "approx_freqitems_accumulate"
+      case other => throw new IllegalArgumentException(
+        s"unknown summary kind '$other' (expected distinct|quantile|freq)")
+    }
+    val base = spark.read.parquet(basePath)
+    base.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(org.apache.spark.sql.functions
+        .call_function(accumulate, org.apache.spark.sql.functions.col(valueCol))
+        .as(sketchCol))
+      .write.mode("overwrite").parquet(summaryPath)
+    val summary = spark.read.parquet(summaryPath)
+    kind match {
+      case "distinct" =>
+        registerDistinctSummary(basePath, summary, keyCols, valueCol, sketchCol)
+      case "quantile" =>
+        registerQuantileSummary(basePath, summary, keyCols, valueCol, sketchCol)
+      case "freq" =>
+        registerFreqItemsSummary(basePath, summary, keyCols, valueCol, sketchCol)
+    }
+    summary
+  }
 }

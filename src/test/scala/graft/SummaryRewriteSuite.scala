@@ -49,6 +49,28 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     finally GraftSummaries.clear()
   }
 
+  test("buildSummaryTable materializes, registers, and serves rewrites in one call") {
+    SparkEntry.prep(spark)
+    val summaryDir = Files.createTempDirectory("graft_summary_build").toString + "/s"
+    try {
+      val summary = GraftSummaries.buildSummaryTable(
+        spark, basePath, summaryDir, Seq("event_type"), "props", "distinct", "sk")
+      assert(summary.columns.toSeq === Seq("event_type", "sk"))
+      spark.read.parquet(basePath).createOrReplaceTempView("sr_events_b")
+      val sql = """SELECT event_type, approx_count_distinct_ex(props) AS nd
+                  |FROM sr_events_b GROUP BY event_type ORDER BY event_type""".stripMargin
+      val baseline = spark.sql(sql).collect()
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val rewritten = spark.sql(sql)
+        assert(!scannedPaths(rewritten).exists(_.contains("events.parquet")),
+          "base table must not be scanned after buildSummaryTable")
+        // the rewrite reads the WRITTEN summary parquet, not a recomputation
+        assert(scannedPaths(rewritten).exists(_.contains("graft_summary_build")))
+        assert(rewritten.collect() === baseline)
+      }
+    } finally GraftSummaries.clear()
+  }
+
   test("aggregate over the base is answered from the summary when enabled") {
     withSummary {
       val sql = """SELECT event_type, approx_count_distinct_ex(props) AS nd
