@@ -45,6 +45,33 @@ object IvfIndex {
   }
 
   /**
+   * Incrementally add vectors to a built index WITHOUT re-training the
+   * quantizer: assign each new vector to its nearest existing centroid
+   * and append to that cell's partition — standard IVF practice (the
+   * quantizer stays fixed between periodic rebuilds; recall degrades
+   * only as the data distribution drifts away from the trained
+   * centroids). One broadcast of the packed centroids, one map-side
+   * assignment pass, an append-mode partitioned write — the existing
+   * index bytes are never read or rewritten, so ingesting a batch costs
+   * O(batch), not O(index).
+   */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cents = broadcast(Similarity.packedCentroids(centroids))
+    newVectors
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .where(Similarity.dot(col("vec"), col("vec")) > 0)
+      .join(cents)
+      .select(col("id"), col("vec"), Similarity.bestCell(col("vec"), col("cents")).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /**
    * Approximate top-k against a built index: probe each query's `nprobe`
    * nearest cells, scanning only those partitions. Returns
    * (query_id, rk, neighbor_id) — identical to [[Similarity.ivfKnn]] run

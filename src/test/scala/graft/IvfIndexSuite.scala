@@ -36,6 +36,32 @@ class IvfIndexSuite extends AnyFunSuite with GraftSparkSession {
     assert(cellDirs.length > 1 && cellDirs.length <= 8)
   }
 
+  test("append ingests new vectors against the frozen quantizer, O(batch) not O(index)") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half1 = e.where(col("vec_id") % 2 === 0)
+    val half2 = e.where(col("vec_id") % 2 === 1)
+    val path = Files.createTempDirectory("graft_ivf_app").toString
+
+    IvfIndex.build(half1, "vec_id", "embedding", path, nlist = 4, kmeansIters = 2)
+    IvfIndex.append(spark, path, half2, "vec_id", "embedding")
+
+    // every vector of both halves is indexed exactly once
+    val indexed = spark.read.parquet(s"$path/cells")
+    assert(indexed.count() === e.count())
+    assert(indexed.select("id").distinct().count() === e.count())
+
+    // appended vectors are reachable: a query that IS an appended vector
+    // finds itself... excluded; so plant an exact duplicate of an
+    // appended vector under a fresh id and expect it as rank-1
+    val probe = e.where(col("vec_id") === 1)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    val res = IvfIndex.query(spark, path, probe, "vec_id", "embedding", k = 1, nprobe = 4)
+      .collect()
+    assert(res.length === 1)
+    assert(res(0).getLong(2) === 1L) // its duplicate, an APPENDED vector
+  }
+
   test("querying more probes than cells degrades gracefully to exhaustive") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.where(col("vec_id") < 5)
