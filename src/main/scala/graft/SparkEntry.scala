@@ -1594,7 +1594,9 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),
-          countDistinct(floor(col("k") / lit(10)).cast("long")).as("n_buckets"))
+          // integer DIV, matching the oracle's all-integer `// 10`
+          // (floor of a double division drifts past 2^53)
+          countDistinct(expr("k DIV 10")).as("n_buckets"))
         .orderBy("event_type")
     },
 

@@ -361,9 +361,14 @@ object Dedup {
    * Returns (id, comp, rk, kept).
    *
    * Scale shape: component labels from the propagation loop, then ONE
-   * window over comp — WindowGroupLimit prunes to per-partition top-k
-   * before the shuffle, so a pathological million-document cluster
-   * moves only k rows per upstream partition.
+   * comp-keyed window over the (already small: id, comp, rank inputs)
+   * label table — every row keeps its rank and kept flag so callers
+   * choose between filtering and re-weighting. NB: because all rows are
+   * returned, Spark cannot apply its WindowGroupLimit pruning; a
+   * pathological mega-cluster sorts through one partition. Callers that
+   * only want survivors should `.where(col("kept"))` AFTER this (the
+   * flag output is the contract) or inline the rank filter themselves
+   * to get map-side pruning.
    */
   def capClusters(
       nodes: DataFrame,

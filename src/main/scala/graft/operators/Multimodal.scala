@@ -302,7 +302,9 @@ object Multimodal {
               Row(id, f, reader.getWidth(f), reader.getHeight(f))
             }.toVector
           } catch {
-            case _: java.io.IOException => Nil
+            // NonFatal: JDK image readers throw RuntimeExceptions on
+            // malformed containers, not only IOException
+            case scala.util.control.NonFatal(_) => Nil
           } finally {
             reader.setInput(null)
             iis.close()
@@ -373,8 +375,12 @@ object Multimodal {
                   reader.getNumImages(true), reader.getFormatName.toLowerCase)
               } catch {
                 // right magic, rotten body (truncated/corrupt container):
-                // null features, like any other undecodable payload
-                case _: java.io.IOException =>
+                // null features, like any other undecodable payload.
+                // NonFatal, not just IOException — the JDK GIF/PNG readers
+                // throw RuntimeExceptions (AIOOBE, NegativeArraySize) on
+                // malformed code tables, and one bad payload must not
+                // kill a 100 TB job
+                case scala.util.control.NonFatal(_) =>
                   Row(id, content.length.toLong, null, null, null, null)
               } finally {
                 // cached readers are reset (releasing the stream) and

@@ -104,6 +104,9 @@ object Sampling {
     val label = splits.init.zip(bounds.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), b), alt) => when(hv < b, lit(name)).otherwise(alt)
     }
-    df.withColumn(outCol, label)
+    // a null id would fall through every when() into the LAST split,
+    // silently contaminating the eval split with unidentifiable rows —
+    // drop them instead (the weightedMix null behavior)
+    df.where(col(idCol).isNotNull).withColumn(outCol, label)
   }
 }

@@ -468,9 +468,13 @@ object TextOps {
       dfB: DataFrame,
       textCol: String,
       k: Int): DataFrame = {
+    // cached: each side's count table feeds BOTH the full-outer join and
+    // its one-row total — uncached, the corpus-wide tokenize+aggregate
+    // would run twice per side (vocabulary-sized rows, cheap to hold)
     def counts(df: DataFrame) =
       df.select(explode(words(col(textCol))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .cache()
     val a = counts(dfA).withColumnRenamed("cnt", "cnt_a")
     val b = counts(dfB).withColumnRenamed("cnt", "cnt_b")
     val totals = a.agg(sum(col("cnt_a")).as("total_a"))

@@ -151,15 +151,21 @@ object StreamingOps {
           var lefts = st0.lefts
           var rights = st0.rights
           var lastEvent = st0.lastEventMs
+          // match at MICROsecond precision — Timestamp.getTime floors to
+          // milliseconds, which let a right row 600us AFTER a left match
+          // it (diverging from the micro-exact batch asofBackward);
+          // watermark/timeout arithmetic stays in ms (the engine's unit)
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
           rows.foreach { row =>
-            val t = row.getAs[java.sql.Timestamp](tsIdx).getTime
-            if (t > lastEvent) lastEvent = t
+            val tsv = row.getAs[java.sql.Timestamp](tsIdx)
+            if (tsv.getTime > lastEvent) lastEvent = tsv.getTime
             if (row.getInt(kindIdx) == 1) lefts ::= row.toSeq.toArray
-            else rights ::= (t, row.getStruct(rvIdx).toSeq.toArray)
+            else rights ::= (micros(tsv), row.getStruct(rvIdx).toSeq.toArray)
           }
           val wm = state.getCurrentWatermarkMs()
-          def lts(lv: Array[Any]): Long = lv(tsIdx).asInstanceOf[java.sql.Timestamp].getTime
-          val (ready, pending) = lefts.partition(lv => lts(lv) <= wm)
+          def lts(lv: Array[Any]): Long = micros(lv(tsIdx).asInstanceOf[java.sql.Timestamp])
+          val (ready, pending) = lefts.partition(lv => lts(lv) / 1000 <= wm)
           val sortedRights = rights.sortBy(_._1)
           val out = ready.map { lv =>
             val t = lts(lv)
@@ -172,7 +178,7 @@ object StreamingOps {
             Row.fromSeq(lv.take(nLeft).toSeq ++ tail)
           }
           // evict finalized rights, keeping the single floor row
-          val (future, past) = sortedRights.partition(_._1 > wm)
+          val (future, past) = sortedRights.partition(_._1 / 1000 > wm)
           val keptRights = past.lastOption.toList ++ future
           val idleExpired = pending.isEmpty && lastEvent != Long.MinValue &&
             wm >= lastEvent + stateTtlMs

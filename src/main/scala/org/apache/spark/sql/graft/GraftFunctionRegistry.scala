@@ -1,5 +1,5 @@
 /**
- * Registration of the 43 graft SQL functions — the reference's 18 sketch
+ * Registration of the 46 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -607,8 +607,6 @@ object GraftFunctionRegistry {
     }
   )
 
-  /** Require a foldable integer literal argument (mirrors the quantile
-   *  functions' constant-literal validation). */
   /** Require a foldable string literal argument. */
   private def stringLiteral(fn: String, param: String, e: Expression): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String,
@@ -617,6 +615,8 @@ object GraftFunctionRegistry {
       s"Function $fn requires $param to be a constant string literal, got ${e.sql}")
   }
 
+  /** Require a foldable integer literal argument (mirrors the quantile
+   *  functions' constant-literal validation). */
   private def intLiteral(fn: String, param: String, e: Expression): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case _ => throw new IllegalArgumentException(
