@@ -40,11 +40,17 @@ object EventOps {
     require(within > 0, s"within must be positive, got $within")
     val base = events.select(col(userCol).as("user_id"), col(typeCol).as("__et"),
       col(tsCol).as("__t"))
-    val first = base.where(col("__et") === steps.head)
-      .groupBy("user_id").agg(min(col("__t")).as("t1"))
     // each stage frame: one row per user who reached that stage, carrying
     // every earlier stage time (functionally user-determined, grouped
-    // along so no re-join is needed)
+    // along so no re-join is needed). Every frame is CACHED: stage k's
+    // plan embeds stage k-1's, and the final assembly references each
+    // frame again — Spark does no cross-branch plan dedup, so uncached,
+    // stage 1 (a full event-stream aggregate) would execute once per
+    // later stage. Frames are per-user rows, far smaller than the
+    // stream.
+    val first = base.where(col("__et") === steps.head)
+      .groupBy("user_id").agg(min(col("__t")).as("t1"))
+      .cache()
     val stages = steps.tail.zipWithIndex.scanLeft(first) { case (prev, (step, i)) =>
       val tPrev = s"t${i + 1}"
       val tCur = s"t${i + 2}"
@@ -53,6 +59,7 @@ object EventOps {
         .where(col("__t") > col(tPrev) && col("__t") <= col(tPrev) + within)
         .groupBy((col("user_id") +: (1 to i + 1).map(k => col(s"t$k"))): _*)
         .agg(min(col("__t")).as(tCur))
+        .cache()
     }
     // left-join each stage's new column back so drop-offs keep their row
     // with nulls from the stage they missed
@@ -82,10 +89,13 @@ object EventOps {
     // integer `div`, not floor(double division): an epoch-nanos timestamp
     // (~1.7e18) already exceeds a double's 2^53 exact range before the
     // divide, which would misbucket boundary events
+    // cached: feeds both the cohort aggregate and the matrix join — the
+    // only pass over the raw events must not run twice
     val active = events
       .select(col(userCol).as("user_id"),
         expr(s"`$tsCol` div $bucket").as("wk"))
       .distinct()
+      .cache()
     val cohorts = active.groupBy("user_id").agg(min(col("wk")).as("cohort_bucket"))
     active.join(cohorts, "user_id")
       .groupBy(col("cohort_bucket"), (col("wk") - col("cohort_bucket")).as("bucket_offset"))
