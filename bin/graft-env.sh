@@ -18,6 +18,12 @@ else
 fi
 
 find_graft_jar() {
+  # a packaged assembly (bin/package.sh) wins: it runs without sbt on the
+  # path and without datasketches-java in the cluster's Spark jars
+  GRAFT_JAR="$(ls "$GRAFT_HOME"/dist/*-with-dependencies.jar 2>/dev/null | head -1 || true)"
+  if [ -n "$GRAFT_JAR" ]; then
+    return
+  fi
   GRAFT_JAR="$(ls "$GRAFT_HOME"/target/scala-2.13/*spark*_2.13-*.jar 2>/dev/null | head -1 || true)"
   if [ -z "$GRAFT_JAR" ]; then
     echo "graft jar not found under target/scala-2.13 - building with sbt package" 1>&2

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, Multimodal, RangeJoin,
-  Sampling, Similarity, SkewJoin, TextOps}
+import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, IvfIndex, Multimodal,
+  RangeJoin, Sampling, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -1730,6 +1730,120 @@ object SparkEntry {
       val ev = s.table("events").select(col("user_id"), expr("ts DIV 1000").as("t"))
       EventOps.retentionCohorts(ev, "user_id", "t", bucket = 86400000000L)
         .orderBy("cohort_bucket", "bucket_offset")
+    },
+
+    // Persisted IVF index lifecycle: build on 90% of the corpus, APPEND
+    // the remaining 10% against the frozen quantizer, then query the
+    // on-disk (partition-pruned) index and check recall >= 0.9 against
+    // exact brute force over the FULL corpus — q25's oracle pattern for
+    // the deployed-index path. Two of the 20 query vectors (0, 10) are
+    // themselves appended rows, so the append must be visible.
+    q("q68_ivf_index_recall",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_q68").toString
+      IvfIndex.build(e.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding", path,
+        nlist = 16, kmeansIters = 3)
+      IvfIndex.append(s, path, e.where(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        skipExistingIds = true)
+      val queries = e.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", 3)
+      val approx = IvfIndex.query(s, path, queries, "vec_id", "embedding", 3, nprobe = 12)
+      Similarity.recallAtK(exact, approx)
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"), (col("mean_recall") >= 0.9).as("recall_ok"))
+    },
+
+    // Streaming per-key quota, driver-checked by bounded replay: the
+    // events table streams through `quotaPerKey` via MemoryStream in two
+    // ts-ordered micro-batches (state carries across the batch boundary).
+    // WHICH k rows win is arrival-order dependent by contract, but the
+    // admitted COUNT per key is exact: least(k, rows-per-key), which is
+    // what the oracle pins. The watermark delay exceeds the replayed
+    // span, so no state expires mid-replay.
+    q("q69_streaming_quota",
+      """SELECT user_id, CAST(least(5, count(*)) AS BIGINT) AS n_admitted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("events")
+        .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("t"),
+          col("user_id"))
+        .orderBy("t", "event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long)](s)
+      val admitted = graft.streaming.StreamingOps.quotaPerKey(
+        input.toDF().toDF("event_id", "t", "user_id"), "user_id", "t",
+        watermarkDelay = "3650 days", k = 5, stateTtlMs = 3650L * 24 * 3600 * 1000)
+      val sink = "graft_q69_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qy = admitted.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toSeq)
+        qy.processAllAvailable()
+        input.addData(b2.toSeq)
+        qy.processAllAvailable()
+      } finally qy.stop()
+      s.table(sink).groupBy("user_id")
+        .agg(count(lit(1)).as("n_admitted")).orderBy("user_id")
+    },
+
+    // Streaming as-of enrich, driver-checked by bounded replay: purchases
+    // (left) and views (right) stream through `asofEnrich`; two far-future
+    // right-side rows then push the watermark so every pending left
+    // finalizes and emits. The emitted matches must equal DuckDB's native
+    // ASOF LEFT JOIN over the same micro-truncated timestamps — the batch
+    // q38 semantics, reproduced by the stateful streaming operator.
+    q("q70_streaming_asof",
+      """SELECT l.event_id, l.user_id, epoch_ns(l.ts)//1000 AS t,
+        |       epoch_ns(r.ts)//1000 AS asof_view_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val ev = s.table("events")
+      def side(t: String): Array[(Long, java.sql.Timestamp, Long)] =
+        ev.where(col("event_type") === t)
+          .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("t"),
+            col("user_id"))
+          .orderBy("t", "event_id").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      val lrows = side("purchase")
+      val rrows = side("view")
+      val lin = MemoryStream[(Long, java.sql.Timestamp, Long)](s)
+      val rin = MemoryStream[(Long, java.sql.Timestamp, Long)](s)
+      val out = graft.streaming.StreamingOps.asofEnrich(
+        lin.toDF().toDF("event_id", "t", "user_id"),
+        rin.toDF().toDF("event_id", "t", "user_id"),
+        "user_id", "t", watermarkDelay = "1 minute", payloadCols = Nil,
+        outCol = "asof_view_ts")
+      val sink = "graft_q70_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qy = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rin.addData(rrows.toSeq)
+        lin.addData(lrows.toSeq)
+        qy.processAllAvailable()
+        // two watermark pushes: the first finalizes everything older than
+        // max(real) - delay, the second flushes the final minute's lefts.
+        // Far-future RIGHT rows emit nothing and can match no left.
+        val maxMs = (lrows ++ rrows).map(_._2.getTime).max
+        rin.addData((-1L, new java.sql.Timestamp(maxMs + 400L * 24 * 3600 * 1000), -1L))
+        qy.processAllAvailable()
+        rin.addData((-2L, new java.sql.Timestamp(maxMs + 800L * 24 * 3600 * 1000), -1L))
+        qy.processAllAvailable()
+      } finally qy.stop()
+      s.table(sink).select(col("event_id"), col("user_id"),
+          unix_micros(col("t")).as("t"),
+          unix_micros(col("asof_view_ts")).as("asof_view_ts"))
+        .orderBy("event_id")
     }
   )
 

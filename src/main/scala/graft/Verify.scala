@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operator-internal caches (shingle sets, funnel stages, CC labels)
+      // are per-query working state here — drop them so 67+ queries'
+      // cached frames don't accumulate into block-eviction churn
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -193,9 +193,12 @@ object Dedup {
   /**
    * (id, shingle-hash set) projection used by the pairwise operators.
    * Caches the result itself (callers must NOT re-cache) because it
-   * feeds both candidate generation and verification; Spark's
-   * ContextCleaner unpersists the blocks once the query's lineage is
-   * garbage-collected, so repeated invocations don't accumulate forever.
+   * feeds both candidate generation and verification. The cache entry is
+   * registered by logical plan, so repeated invocations over the same
+   * input REUSE one entry rather than stacking new ones; blocks evicted
+   * under memory pressure are recomputed from lineage. Long-lived
+   * sessions cycling many inputs should `spark.catalog.clearCache()`
+   * between pipelines (the Verify/Bench harnesses do).
    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh")).cache()
@@ -346,6 +349,12 @@ object Dedup {
       lastSum = nextSum
       iter += 1
     }
+    // the symmetrized edge frame is internal working state — release it
+    // here (every round has already consumed it). The returned `labels`
+    // frame stays cached: ownership transfers to the caller, who either
+    // materializes it promptly (capClusters, the q35/q64 queries) or
+    // releases it via unpersist()/clearCache() in a long-lived session.
+    sym.unpersist()
     labels
   }
 

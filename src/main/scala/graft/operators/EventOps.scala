@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
  * enrichment ([[AsofJoin]]). Timestamps are integer epoch values
  * (micros here, any unit works), so every comparison is exact in any
  * engine.
+ *
+ * Cache lifecycle: both operators cache intermediate frames that the
+ * returned plan references more than once (Spark does no cross-branch
+ * plan dedup, so uncached they would recompute per branch). Entries are
+ * registered by logical plan — re-running the SAME funnel/cohort reuses
+ * them rather than stacking copies — but a long-lived session cycling
+ * many DIFFERENT funnels should release them between pipelines with
+ * `spark.catalog.clearCache()` (the Verify/Bench harnesses do).
  */
 object EventOps {
 

@@ -54,21 +54,43 @@ object IvfIndex {
    * assignment pass, an append-mode partitioned write — the existing
    * index bytes are never read or rewritten, so ingesting a batch costs
    * O(batch), not O(index).
+   *
+   * Ingestion contract: the plain append assumes EXACTLY-ONCE delivery
+   * of each batch — the partitioned append-mode write is not atomic
+   * across cells, so re-running a batch after a partial failure would
+   * double-index its vectors (which then surface twice in query results
+   * under distinct ranks). For at-least-once upstreams, pass
+   * `skipExistingIds = true`: new ids are anti-joined against the ids
+   * already present in their ASSIGNED cells (the quantizer is
+   * deterministic, so a replayed vector lands in the same cell — only
+   * those partitions are read, keeping the check O(touched cells), not
+   * O(index)).
    */
   def append(
       spark: SparkSession,
       path: String,
       newVectors: DataFrame,
       idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String,
+      skipExistingIds: Boolean = false): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val cents = broadcast(Similarity.packedCentroids(centroids))
-    newVectors
+    val assigned = newVectors
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .where(Similarity.dot(col("vec"), col("vec")) > 0)
       .join(cents)
       .select(col("id"), col("vec"), Similarity.bestCell(col("vec"), col("cents")).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    if (skipExistingIds) {
+      val a = assigned.cache()
+      val touched = a.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+      val existing = spark.read.parquet(s"$path/cells")
+        .where(col("cell").isin(touched: _*)).select("id")
+      a.join(existing, Seq("id"), "left_anti")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      a.unpersist()
+    } else {
+      assigned.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    }
   }
 
   /**

@@ -27,9 +27,10 @@ object GraftSummaries {
       keyCols: Seq[String],
       valueCol: String,
       sketchCol: String,
-      definition: Option[DataFrame] = None): Unit =
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit =
     SummaryCatalog.registerDistinctSummary(
-      basePath, summary, keyCols, valueCol, sketchCol, definition)
+      basePath, summary, keyCols, valueCol, sketchCol, definition, countCol)
 
   /** `summary` = SELECT keys..., approx_percentile_accumulate(valueCol) AS sketchCol. */
   def registerQuantileSummary(
@@ -38,9 +39,10 @@ object GraftSummaries {
       keyCols: Seq[String],
       valueCol: String,
       sketchCol: String,
-      definition: Option[DataFrame] = None): Unit =
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit =
     SummaryCatalog.registerQuantileSummary(
-      basePath, summary, keyCols, valueCol, sketchCol, definition)
+      basePath, summary, keyCols, valueCol, sketchCol, definition, countCol)
 
   /** `summary` = SELECT keys..., approx_freqitems_accumulate(valueCol) AS sketchCol. */
   def registerFreqItemsSummary(
@@ -49,9 +51,10 @@ object GraftSummaries {
       keyCols: Seq[String],
       valueCol: String,
       sketchCol: String,
-      definition: Option[DataFrame] = None): Unit =
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit =
     SummaryCatalog.registerFreqItemsSummary(
-      basePath, summary, keyCols, valueCol, sketchCol, definition)
+      basePath, summary, keyCols, valueCol, sketchCol, definition, countCol)
 
   def unregister(basePath: String): Unit = SummaryCatalog.unregister(basePath)
   def clear(): Unit = SummaryCatalog.clear()
@@ -69,6 +72,12 @@ object GraftSummaries {
    * rows of bounded sketch state — the 100 TB pre-aggregation pattern
    * where the raw table is scanned once and every later estimate reads
    * only the summary. `kind`: "distinct" | "quantile" | "freq".
+   *
+   * A per-key `count(*)` is stored alongside the sketch (column
+   * `countCol`) for free — it rides the same aggregate pass — so MIXED
+   * query aggregate lists (`sketch_agg(v), count(*)`, the most common
+   * dashboard shape) also rewrite onto the summary instead of falling
+   * back to the base scan.
    */
   def buildSummaryTable(
       spark: org.apache.spark.sql.SparkSession,
@@ -77,7 +86,8 @@ object GraftSummaries {
       keyCols: Seq[String],
       valueCol: String,
       kind: String,
-      sketchCol: String = "sketch"): DataFrame = {
+      sketchCol: String = "sketch",
+      countCol: String = "n_rows"): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column is required")
     val accumulate = kind match {
       case "distinct" => "approx_count_distinct_accumulate"
@@ -86,20 +96,23 @@ object GraftSummaries {
       case other => throw new IllegalArgumentException(
         s"unknown summary kind '$other' (expected distinct|quantile|freq)")
     }
+    import org.apache.spark.sql.functions.{call_function, col, count, lit}
     val base = spark.read.parquet(basePath)
-    base.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
-      .agg(org.apache.spark.sql.functions
-        .call_function(accumulate, org.apache.spark.sql.functions.col(valueCol))
-        .as(sketchCol))
+    base.groupBy(keyCols.map(col): _*)
+      .agg(call_function(accumulate, col(valueCol)).as(sketchCol),
+        count(lit(1)).as(countCol))
       .write.mode("overwrite").parquet(summaryPath)
     val summary = spark.read.parquet(summaryPath)
     kind match {
       case "distinct" =>
-        registerDistinctSummary(basePath, summary, keyCols, valueCol, sketchCol)
+        registerDistinctSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
       case "quantile" =>
-        registerQuantileSummary(basePath, summary, keyCols, valueCol, sketchCol)
+        registerQuantileSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
       case "freq" =>
-        registerFreqItemsSummary(basePath, summary, keyCols, valueCol, sketchCol)
+        registerFreqItemsSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
     }
     summary
   }

@@ -35,6 +35,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -55,7 +56,11 @@ case class KeySpec(
   def isPlain: Boolean = template.isEmpty
 }
 
-/** What a registered summary provides for one base table. */
+/** What a registered summary provides for one base table. `countCol`
+ *  names a per-key `count(*)` column when the summary stores one
+ *  ([[graft.plans.GraftSummaries.buildSummaryTable]] always does) —
+ *  it lets MIXED aggregate lists (`sketch_agg(v), count(*)`) rewrite,
+ *  the most common dashboard shape. */
 case class SummarySpec(
     basePath: String,
     keys: Seq[KeySpec],
@@ -64,7 +69,8 @@ case class SummarySpec(
     kind: String, // "distinct" | "quantile" | "freq"
     algoName: String,
     param: Int,
-    summaryPlan: LogicalPlan)
+    summaryPlan: LogicalPlan,
+    countCol: Option[String] = None)
 
 object SummaryCatalog {
   private val specs = new ConcurrentHashMap[String, SummarySpec]()
@@ -86,9 +92,11 @@ object SummaryCatalog {
       keyCols: Seq[String],
       valueCol: String,
       sketchCol: String,
-      definition: Option[DataFrame] = None): Unit = {
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit = {
     val (algo, lgK) = DistinctParams.resolveDefault()
-    register(basePath, summary, keyCols, valueCol, sketchCol, "distinct", algo, lgK, definition)
+    register(basePath, summary, keyCols, valueCol, sketchCol, "distinct", algo, lgK, definition,
+      countCol)
   }
 
   def registerQuantileSummary(
@@ -97,9 +105,11 @@ object SummaryCatalog {
       keyCols: Seq[String],
       valueCol: String,
       sketchCol: String,
-      definition: Option[DataFrame] = None): Unit = {
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit = {
     val (algo, k) = QuantileParams.resolveDefault()
-    register(basePath, summary, keyCols, valueCol, sketchCol, "quantile", algo, k, definition)
+    register(basePath, summary, keyCols, valueCol, sketchCol, "quantile", algo, k, definition,
+      countCol)
   }
 
   def registerFreqItemsSummary(
@@ -108,10 +118,11 @@ object SummaryCatalog {
       keyCols: Seq[String],
       valueCol: String,
       sketchCol: String,
-      definition: Option[DataFrame] = None): Unit = {
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit = {
     val maxMapSize = FreqParams.resolveMaxMapSize()
     register(basePath, summary, keyCols, valueCol, sketchCol, "freq", "MISRA_GRIES", maxMapSize,
-      definition)
+      definition, countCol)
   }
 
   private def register(
@@ -123,11 +134,16 @@ object SummaryCatalog {
       kind: String,
       algo: String,
       param: Int,
-      definition: Option[DataFrame]): Unit = {
+      definition: Option[DataFrame],
+      countCol: Option[String]): Unit = {
+    countCol.foreach { c =>
+      require(summary.columns.contains(c), s"summary has no count column named $c")
+    }
     val keys = keySpecs(keyCols, definition)
     val plan = summary.queryExecution.analyzed
     specs.put(normalize(basePath),
-      SummarySpec(normalize(basePath), keys, valueCol, sketchCol, kind, algo, param, plan))
+      SummarySpec(normalize(basePath), keys, valueCol, sketchCol, kind, algo, param, plan,
+        countCol))
   }
 
   /** Extract each key's defining expression from the summary definition.
@@ -351,6 +367,7 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val summaryOut = spec.summaryPlan.output
     def summaryAttr(name: String): Option[Attribute] = summaryOut.find(_.name == name)
     val sketchAttr = summaryAttr(spec.sketchCol).getOrElse(return None)
+    val countAttr = spec.countCol.flatMap(summaryAttr)
 
     // Resolve every grouping to an expression over the summary. Derived
     // keys land in a projection below the new Aggregate (mirroring how
@@ -409,7 +426,7 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         // group key re-aliased in the output (e.g. `window(...) AS day`)
         Alias(groupingRepl(a.exprId), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        val rewritten = rewriteFunction(fn, spec, sketchAttr).getOrElse(return None)
+        val rewritten = rewriteFunction(fn, spec, sketchAttr, countAttr).getOrElse(return None)
         Alias(rewritten, name)(exprId = al.exprId)
       case _ => return None
     }
@@ -435,11 +452,27 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     Some(Aggregate(newGroupings, newAggExprs, newChild, None))
   }
 
-  /** One-shot agg -> estimate(combine(sketch)), iff params + domain line up. */
+  /** One-shot agg -> estimate(combine(sketch)), iff params + domain line
+   *  up. `count(*)` (and `count(<non-null literal>)`) additionally maps
+   *  to `sum(countCol)` when the summary stores per-key row counts —
+   *  this is what lets the common `sketch_agg(v), count(*)` dashboard
+   *  list rewrite instead of falling back to the base scan. `count(col)`
+   *  does NOT map (it skips nulls row-by-row, which the stored total
+   *  cannot reproduce). */
   private def rewriteFunction(
       fn: Expression,
       spec: SummarySpec,
-      sketchAttr: Attribute): Option[Expression] = fn match {
+      sketchAttr: Attribute,
+      countAttr: Option[Attribute]): Option[Expression] = fn match {
+    case aggregate.Count(children)
+        if children.forall {
+          case l: Literal => l.value != null
+          case _ => false
+        } && countAttr.isDefined =>
+      // per-group row total = exact sum of the summary's per-key counts;
+      // groups always have >= 1 summary row, so the sum is never null
+      Some(AggregateExpression(
+        aggregate.Sum(countAttr.get), Complete, isDistinct = false))
     case ApproxCountDistinctAgg(childAttr: AttributeReference, algo, lgK, _, _, _)
         if spec.kind == "distinct" && childAttr.name == spec.valueCol &&
           childAttr.dataType == StringType &&

@@ -24,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * (0..3) contributes +1 if `(digit >> k) & 1 = 1` else -1 to counter
  * (d,k); output digit d = sum over k of `(counter > 0) << k`.
  *
+ * Tokenization pins the same Spark-builtin semantics as every other
+ * native text expression here ([[WordShingleHashes]], [[MarkerHits]],
+ * [[RepetitionStats]]): `split(trim(lower(text)), "\s+")` with Spark
+ * `trim` (U+0020 only — tab/newline edges survive) and `split`'s default
+ * limit -1 (edge whitespace yields empty tokens, which contribute their
+ * md5("") votes exactly as the SQL mirror's `list_transform` does).
+ *
  * One md5 per token per document (the SQL-mirror formulation recomputes it
  * per bit; this native expression is the production path).
  */
@@ -35,14 +42,12 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    UTF8String.fromString(SimHash64.compute(text))
-  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(SimHash64.compute(input.asInstanceOf[UTF8String]))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"UTF8String.fromString(org.apache.spark.sql.graft.SimHash64.compute($c.toString()))")
+      s"UTF8String.fromString(org.apache.spark.sql.graft.SimHash64.compute($c))")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -50,26 +55,31 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   private val HEX = "0123456789abcdef"
 
-  def compute(text: String): String = {
-    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+  /** Test/driver convenience overload. */
+  def compute(text: String): String = compute(UTF8String.fromString(text))
+
+  def compute(input: UTF8String): String = {
+    // UTF8String.toLowerCase / .trim are the same methods Spark's
+    // Lower / StringTrim evaluate; split(_, -1) matches StringSplit's
+    // default limit. Empty edge tokens are NOT skipped — they vote with
+    // md5(""), matching the oracle's list_transform over every token.
+    val tokens = input.toLowerCase.trim.toString.split("\\s+", -1)
     val counters = new Array[Int](64)
     val md = MessageDigest.getInstance("MD5")
     var t = 0
     while (t < tokens.length) {
       val tok = tokens(t)
-      if (tok.nonEmpty) {
-        md.reset()
-        val bytes = md.digest(tok.getBytes("UTF-8"))
-        var d = 0
-        while (d < 16) {
-          val digit = if ((d & 1) == 0) (bytes(d >> 1) >> 4) & 0xF else bytes(d >> 1) & 0xF
-          var k = 0
-          while (k < 4) {
-            counters(d * 4 + k) += (if (((digit >> k) & 1) == 1) 1 else -1)
-            k += 1
-          }
-          d += 1
+      md.reset()
+      val bytes = md.digest(tok.getBytes("UTF-8"))
+      var d = 0
+      while (d < 16) {
+        val digit = if ((d & 1) == 0) (bytes(d >> 1) >> 4) & 0xF else bytes(d >> 1) & 0xF
+        var k = 0
+        while (k < 4) {
+          counters(d * 4 + k) += (if (((digit >> k) & 1) == 1) 1 else -1)
+          k += 1
         }
+        d += 1
       }
       t += 1
     }
@@ -471,12 +481,17 @@ case class MarkerHits(child: Expression, markers: Seq[String])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  // markers are matched against LOWERCASED tokens, so fold them too —
+  // a caller passing 'The' means the word "the", not a guaranteed zero
+  @transient private lazy val folded: Array[String] =
+    markers.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+
   // read-only after construction — the expression instance is shared
   // across concurrently-running tasks in one JVM, so per-call state must
   // stay on the stack
   @transient private lazy val slot: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    markers.zipWithIndex.foreach { case (w, i) =>
+    folded.zipWithIndex.foreach { case (w, i) =>
       if (!m.containsKey(w)) m.put(w, i)
     }
     m
@@ -491,10 +506,10 @@ case class MarkerHits(child: Expression, markers: Seq[String])
       if (s != null) out(s) += 1L
       i += 1
     }
-    // a marker listed twice mirrors its first slot's count
+    // a marker listed twice (in any case) mirrors its first slot's count
     var j = 0
-    while (j < markers.length) {
-      val f = slot.get(markers(j))
+    while (j < folded.length) {
+      val f = slot.get(folded(j))
       if (f != j) out(j) = out(f)
       j += 1
     }

@@ -140,7 +140,8 @@ case class LshBuckets(child: Expression, dim: Int, bits: Int, tables: Int, seed:
  * each component rounded to its nearest integer step (ties away from
  * zero, the `round` semantics of Spark and DuckDB alike), emitted as
  * integer-valued doubles so the quantized array feeds `graft_dot`
- * directly. The all-zero vector quantizes to all zeros.
+ * directly. The all-zero vector quantizes to all zeros; null elements
+ * are treated as 0.0 in both the scale and output passes.
  *
  * Replaces the builtin-composed `transform(v, x -> round(x / scale))`
  * formulation: Spark performs no CSE inside lambda bodies, so the
@@ -159,12 +160,19 @@ case class Int8Quantize(child: Expression)
   override def nullIntolerant: Boolean = true
 
   def compute(a: ArrayData): ArrayData = {
+    // Spark's input-type check ignores element nullability, so arrays
+    // with null elements DO reach here despite the declared
+    // containsNull=false input type; treat them as 0.0 (no magnitude)
+    // consistently in both passes — GenericArrayData would NPE and
+    // UnsafeArrayData would silently read 0.0 otherwise.
     val n = a.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(a.getDouble(i))
-      if (v > maxAbs) maxAbs = v
+      if (!a.isNullAt(i)) {
+        val v = math.abs(a.getDouble(i))
+        if (v > maxAbs) maxAbs = v
+      }
       i += 1
     }
     val out = new Array[Double](n)
@@ -172,9 +180,13 @@ case class Int8Quantize(child: Expression)
       val scale = maxAbs / 127.0
       i = 0
       while (i < n) {
-        val y = a.getDouble(i) / scale
-        // round half away from zero, matching BigDecimal HALF_UP / DuckDB
-        out(i) = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+        if (a.isNullAt(i)) {
+          out(i) = 0.0
+        } else {
+          val y = a.getDouble(i) / scale
+          // round half away from zero, matching BigDecimal HALF_UP / DuckDB
+          out(i) = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+        }
         i += 1
       }
     }

@@ -523,6 +523,22 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .select(graft.functions.graft_marker_hits(col("t"), Seq("the", "the")))
       .collect()(0).getSeq[Long](0)
     assert(dup === Seq(3L, 3L))
+    // markers are case-folded like the tokens: 'The' means "the", not a
+    // silent guaranteed zero (round-6 advice)
+    val caps = df.where(col("id") === 1)
+      .select(graft.functions.graft_marker_hits(col("t"), Seq("The", "CAT", "the")))
+      .collect()(0).getSeq[Long](0)
+    assert(caps === Seq(3L, 1L, 3L))
+  }
+
+  test("int8 quantize treats null elements as zero magnitude") {
+    // element nullability passes Spark's input-type check, so nulls DO
+    // reach the expression; they must quantize to 0.0, not NPE or read
+    // unsafe garbage (round-6 advice)
+    val out = spark.sql(
+      "SELECT graft_int8_quantize(array(CAST(NULL AS DOUBLE), 2.0D, -1.0D))")
+      .collect()(0).getSeq[Double](0)
+    assert(out === Seq(0.0, 127.0, -64.0))
   }
 
   test("term drift ranks appear/disappear terms by cross-multiplied counts") {

@@ -62,6 +62,21 @@ class IvfIndexSuite extends AnyFunSuite with GraftSparkSession {
     assert(res(0).getLong(2) === 1L) // its duplicate, an APPENDED vector
   }
 
+  test("append with skipExistingIds is idempotent under batch replay") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half1 = e.where(col("vec_id") % 2 === 0)
+    val half2 = e.where(col("vec_id") % 2 === 1)
+    val path = Files.createTempDirectory("graft_ivf_replay").toString
+    IvfIndex.build(half1, "vec_id", "embedding", path, nlist = 4, kmeansIters = 2)
+    IvfIndex.append(spark, path, half2, "vec_id", "embedding", skipExistingIds = true)
+    // replay the same batch (an at-least-once upstream retry): without the
+    // anti-join the partitioned append would double-index every vector
+    IvfIndex.append(spark, path, half2, "vec_id", "embedding", skipExistingIds = true)
+    val indexed = spark.read.parquet(s"$path/cells")
+    assert(indexed.count() === e.count())
+    assert(indexed.select("id").distinct().count() === e.count())
+  }
+
   test("querying more probes than cells degrades gracefully to exhaustive") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = e.where(col("vec_id") < 5)

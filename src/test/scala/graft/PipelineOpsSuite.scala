@@ -36,6 +36,50 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(ham === SimHash64.hamming(a, c))
   }
 
+  test("simhash pins Spark trim/split tokenization on tab/newline-edged text") {
+    import spark.implicits._
+    // regression (round-6 advice): Java String.trim/2-arg split vs Spark
+    // trim (U+0020 only)/split(-1) diverge exactly on texts with leading
+    // \t or trailing \n — the native fingerprint must match the
+    // builtin-tokenized mirror there too
+    val texts = Seq(
+      "\tleading tab text here now",
+      "trailing newline text here now\n",
+      " \t mixed \n ws \t text ",
+      "",
+      "short\n")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val rows = df.select(col("id"),
+        call_function("graft_simhash", col("t")).as("native"),
+        split(trim(lower(col("t"))), "\\s+").as("toks"))
+      .orderBy("id").collect()
+    val hexChars = "0123456789abcdef"
+    rows.foreach { r =>
+      val toks = r.getSeq[String](2)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counters = new Array[Int](64)
+      toks.foreach { tok =>
+        md.reset()
+        val bytes = md.digest(tok.getBytes("UTF-8"))
+        for (d <- 0 until 16; k <- 0 until 4) {
+          val digit = if ((d & 1) == 0) (bytes(d >> 1) >> 4) & 0xF else bytes(d >> 1) & 0xF
+          counters(d * 4 + k) += (if (((digit >> k) & 1) == 1) 1 else -1)
+        }
+      }
+      val expected = (0 until 16).map { d =>
+        var v = 0
+        for (k <- 0 until 4) if (counters(d * 4 + k) > 0) v |= (1 << k)
+        hexChars.charAt(v)
+      }.mkString
+      assert(r.getString(1) === expected, s"text=${texts(r.getLong(0).toInt)}")
+    }
+    // interior whitespace kinds are interchangeable separators; edge tabs
+    // are not silently dropped (they vote as empty tokens, like the mirror)
+    assert(SimHash64.compute("a\tb\nc") === SimHash64.compute("a b c"))
+    assert(SimHash64.compute("\ta b") !== SimHash64.compute("a b"))
+    assert(SimHash64.compute("\ta b") === SimHash64.compute("\na b"))
+  }
+
   test("exact and normalized dedup") {
     val exact = Dedup.exactDedup(docs, "doc_id", "text")
     assert(exact.count() === 4) // no byte-identical dups

@@ -55,7 +55,7 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     try {
       val summary = GraftSummaries.buildSummaryTable(
         spark, basePath, summaryDir, Seq("event_type"), "props", "distinct", "sk")
-      assert(summary.columns.toSeq === Seq("event_type", "sk"))
+      assert(summary.columns.toSeq === Seq("event_type", "sk", "n_rows"))
       spark.read.parquet(basePath).createOrReplaceTempView("sr_events_b")
       val sql = """SELECT event_type, approx_count_distinct_ex(props) AS nd
                   |FROM sr_events_b GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -67,6 +67,58 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
         // the rewrite reads the WRITTEN summary parquet, not a recomputation
         assert(scannedPaths(rewritten).exists(_.contains("graft_summary_build")))
         assert(rewritten.collect() === baseline)
+      }
+    } finally GraftSummaries.clear()
+  }
+
+  test("mixed aggregate lists (sketch + count(*)) rewrite via the stored row counts") {
+    SparkEntry.prep(spark)
+    val summaryDir = Files.createTempDirectory("graft_summary_mixed").toString + "/s"
+    try {
+      GraftSummaries.buildSummaryTable(
+        spark, basePath, summaryDir, Seq("event_type"), "props", "distinct", "sk")
+      spark.read.parquet(basePath).createOrReplaceTempView("sr_events_m")
+      val sql =
+        """SELECT event_type, approx_count_distinct_ex(props) AS nd, count(*) AS n
+          |FROM sr_events_m GROUP BY event_type ORDER BY event_type""".stripMargin
+      val baseline = spark.sql(sql).collect()
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val rewritten = spark.sql(sql)
+        assert(!scannedPaths(rewritten).exists(_.contains("events.parquet")),
+          "mixed sketch + count(*) list must be answered from the summary")
+        assert(rewritten.collect() === baseline)
+        // key-filtered global form too: counts must respect the filter
+        val filteredSql =
+          """SELECT approx_count_distinct_ex(props) AS nd, count(*) AS n
+            |FROM sr_events_m WHERE event_type IN ('click', 'view')""".stripMargin
+        val exp = withSQLConf(GraftSummaries.ENABLED_KEY -> "false") {
+          spark.sql(filteredSql).collect()
+        }
+        val got = spark.sql(filteredSql)
+        assert(!scannedPaths(got).exists(_.contains("events.parquet")))
+        assert(got.collect() === exp)
+        // count(col) skips nulls row-by-row — must NOT map to the stored
+        // totals; the whole query falls back to the base
+        val countCol = spark.sql(
+          """SELECT event_type, approx_count_distinct_ex(props) AS nd, count(props) AS n
+            |FROM sr_events_m GROUP BY event_type""".stripMargin)
+        assert(scannedPaths(countCol).exists(_.contains("events.parquet")))
+      }
+      // a summary registered WITHOUT a count column vetoes the mixed list
+      GraftSummaries.clear()
+      val events = spark.read.parquet(basePath)
+      events.createOrReplaceTempView("sr_events_m")
+      val bare = Files.createTempDirectory("graft_summary_bare").toString
+      spark.sql(
+        """SELECT event_type, approx_count_distinct_accumulate(props) AS s
+          |FROM sr_events_m GROUP BY event_type""".stripMargin)
+        .write.mode("overwrite").parquet(bare)
+      GraftSummaries.registerDistinctSummary(
+        basePath, spark.read.parquet(bare), Seq("event_type"), "props", "s")
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val noCounts = spark.sql(sql)
+        assert(scannedPaths(noCounts).exists(_.contains("events.parquet")),
+          "without stored counts the mixed list must keep scanning the base")
       }
     } finally GraftSummaries.clear()
   }
