@@ -307,22 +307,105 @@ object Dedup {
    * Returns (id, comp) where comp = the smallest id in the component —
    * `comp` is the canonical keeper, `id != comp` rows are the deletes.
    *
-   * Scale design: iterative min-label propagation in DataFrame ops —
-   * per round one shuffle keyed on the edge endpoints, labels cached.
-   * Rounds needed = graph diameter, which for near-dup clusters is tiny
-   * (dup clusters are dense cliques-of-cliques, not long chains); the
-   * driver-side loop reads ONE aggregated scalar per round (the label sum,
-   * monotonically decreasing — unchanged sum proves a fixpoint since
-   * labels only ever decrease), never the labels themselves. The probe
-   * sums as DECIMAL(38,0) (exact, cannot overflow for any realistic id
-   * domain) and coalesces the empty-input NULL to 0, so an empty `nodes`
-   * returns an empty result instead of throwing.
+   * Scale design — two paths behind one size test, the same shape as
+   * Spark's own broadcast-vs-shuffle join choice:
+   *
+   *  - Edge sets at or under `localEdgeThreshold` (default 1M pairs,
+   *    ~16 MB — near-dup pair sets are tiny relative to the corpus)
+   *    collect to the driver for UNION-FIND: exact, one job to produce
+   *    the pairs, no iteration. The resulting endpoint->component map
+   *    broadcast-joins back to `nodes`, so the corpus itself still
+   *    never moves. The collect is bounded by the threshold exactly as
+   *    the IVF probe-set collect is bounded by |queries|*nprobe.
+   *  - Larger edge sets run iterative min-label propagation in
+   *    DataFrame ops, restricted to EDGE-TOUCHED nodes (a singleton's
+   *    component is its own id by definition; joining every corpus row
+   *    through every round would dominate the loop for zero
+   *    information). Per round one shuffle keyed on the endpoints,
+   *    labels cached; rounds = propagation-graph diameter (tiny for dup
+   *    clusters — dense cliques-of-cliques, not long chains). The
+   *    driver-side loop reads ONE aggregated scalar per round (the
+   *    label sum, monotonically decreasing — unchanged sum proves a
+   *    fixpoint since labels only ever decrease), never the labels
+   *    themselves; it sums as DECIMAL(38,0) (exact for any realistic id
+   *    domain).
+   *
+   * Both paths: empty `nodes`/`edges` degenerate gracefully, labels
+   * propagate through edge endpoints even if absent from `nodes` (the
+   * output is still restricted to `nodes`), and singletons rejoin with
+   * `comp = id`. The local path requires integral ids (the min-label
+   * semantics already presuppose ordered numeric ids); non-integral ids
+   * always take the distributed loop. Pass `localEdgeThreshold = 0` to
+   * force the distributed path.
    */
   def connectedComponents(
       nodes: DataFrame,
       edges: DataFrame,
       idCol: String = "id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
+    val integralIds = Seq(edges.schema("id_a").dataType, idType)
+      .forall(t => t == LongType || t == IntegerType || t == ShortType)
+    val cachedEdges = edges.select(col("id_a"), col("id_b")).cache()
+    try {
+      if (integralIds && localEdgeThreshold > 0 &&
+          cachedEdges.count() <= localEdgeThreshold) {
+        localComponents(nodes, cachedEdges, idCol, idType)
+      } else {
+        loopComponents(nodes, cachedEdges, idCol, maxIter)
+      }
+    } finally cachedEdges.unpersist()
+  }
+
+  /** Driver union-find over a bounded pair set; union-by-min keeps every
+   *  root the smallest id of its component, path compression keeps finds
+   *  amortized O(alpha). */
+  private def localComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getAs[Number](0).longValue()
+      val b = row.getAs[Number](1).longValue()
+      add(a); add(b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    val it = parent.keySet().iterator()
+    val labelRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (it.hasNext) { val id = it.next(); labelRows += Row(id, find(id)) }
+    val spark = nodes.sparkSession
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows.toSeq, 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("__cc_comp", LongType, nullable = false))))
+      .select(col("id").cast(idType).as("id"), col("__cc_comp").cast(idType).as("__cc_comp"))
+    nodes.select(col(idCol).as("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cc_comp"), col("id")).as("comp"))
+  }
+
+  /** Distributed min-label propagation over the edge-touched subgraph. */
+  private def loopComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      maxIter: Int): DataFrame = {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")))
@@ -330,7 +413,8 @@ object Dedup {
     val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).cache()
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("comp")).cache()
     var lastSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -350,12 +434,16 @@ object Dedup {
       iter += 1
     }
     // the symmetrized edge frame is internal working state — release it
-    // here (every round has already consumed it). The returned `labels`
-    // frame stays cached: ownership transfers to the caller, who either
-    // materializes it promptly (capClusters, the q35/q64 queries) or
-    // releases it via unpersist()/clearCache() in a long-lived session.
+    // here (every round has already consumed it, and the loop
+    // materialized the final endpoint labels into their own cache). The
+    // endpoint `labels` frame stays cached: the returned plan reads it
+    // per evaluation, and ownership transfers to the caller, who either
+    // materializes promptly (capClusters, the q35/q64 queries) or
+    // releases via spark.catalog.clearCache() in a long-lived session.
     sym.unpersist()
-    labels
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /**

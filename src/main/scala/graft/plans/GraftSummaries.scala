@@ -116,4 +116,76 @@ object GraftSummaries {
     }
     summary
   }
+
+  /**
+   * Incrementally refresh a built summary with a NEW batch of base rows
+   * — the ingestion path of the materialized-view workflow: accumulate
+   * sketches over `newData` ONLY, union with the existing on-disk
+   * summary, and combine per key (sketch merge is associative, so
+   * combine-of-combines equals one accumulate over the full history);
+   * stored row counts sum. The refresh costs O(increment), never
+   * O(base) — at 100 TB the base is appended to daily and re-reading it
+   * to rebuild the summary is exactly what this avoids.
+   *
+   * The merged summary replaces `summaryPath` via a staging write +
+   * directory swap (parquet cannot overwrite a path it is reading), and
+   * the registration for `basePath` is refreshed to serve rewrites from
+   * the new file. Callers append `newData` to the base table themselves
+   * (this mirrors how the data lands there in the first place); the
+   * sketch params frozen at build time must still be in effect.
+   */
+  def appendToSummaryTable(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      summaryPath: String,
+      newData: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      kind: String,
+      sketchCol: String = "sketch",
+      countCol: String = "n_rows"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column is required")
+    val (accumulate, combine) = kind match {
+      case "distinct" =>
+        ("approx_count_distinct_accumulate", "approx_count_distinct_combine")
+      case "quantile" =>
+        ("approx_percentile_accumulate", "approx_percentile_combine")
+      case "freq" =>
+        ("approx_freqitems_accumulate", "approx_freqitems_combine")
+      case other => throw new IllegalArgumentException(
+        s"unknown summary kind '$other' (expected distinct|quantile|freq)")
+    }
+    import org.apache.spark.sql.functions.{call_function, col, count, lit, sum}
+    val cols = keyCols.map(col) :+ col(sketchCol) :+ col(countCol)
+    val old = spark.read.parquet(summaryPath).select(cols: _*)
+    require(old.columns.contains(countCol),
+      s"existing summary at $summaryPath has no count column $countCol")
+    val delta = newData.groupBy(keyCols.map(col): _*)
+      .agg(call_function(accumulate, col(valueCol)).as(sketchCol),
+        count(lit(1)).as(countCol))
+    val merged = old.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(call_function(combine, col(sketchCol)).as(sketchCol),
+        sum(col(countCol)).cast("long").as(countCol))
+    val staging = summaryPath.stripSuffix("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val target = new org.apache.hadoop.fs.Path(summaryPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(target, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), target),
+      s"failed to move refreshed summary into place at $summaryPath")
+    val summary = spark.read.parquet(summaryPath)
+    kind match {
+      case "distinct" =>
+        registerDistinctSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
+      case "quantile" =>
+        registerQuantileSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
+      case "freq" =>
+        registerFreqItemsSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
+    }
+    summary
+  }
 }

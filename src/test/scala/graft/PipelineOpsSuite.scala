@@ -159,6 +159,29 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     val nodes = Seq.empty[Long].toDF("doc_id")
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(nodes, edges, "doc_id").collect().isEmpty)
+    // forced-distributed path too
+    assert(Dedup.connectedComponents(nodes, edges, "doc_id", localEdgeThreshold = 0)
+      .collect().isEmpty)
+  }
+
+  test("local union-find and distributed propagation agree") {
+    import spark.implicits._
+    // long transitive chain (exercises multi-round propagation in the
+    // loop path and path compression in the local path) plus a clique,
+    // a pair, singletons, and an edge endpoint (99) absent from nodes
+    // that still bridges 10-99-11
+    val nodes = (1L to 20L).toDF("doc_id")
+    val edges = ((1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((12L, 13L), (13L, 14L), (12L, 14L), (16L, 17L), (10L, 99L), (99L, 11L)))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(nodes, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(nodes, edges, "doc_id", localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local(8L) === 1L)   // chain fully collapsed
+    assert(local(11L) === 10L) // bridged through the out-of-nodes endpoint
+    assert(local(15L) === 15L) // singleton
   }
 
   test("simhash banding equals brute-force hamming filter (lossless <= 3 of 4 bands)") {

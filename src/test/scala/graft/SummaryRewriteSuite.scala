@@ -123,6 +123,41 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     } finally GraftSummaries.clear()
   }
 
+  test("appendToSummaryTable refreshes incrementally and keeps serving rewrites") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.prep(spark)
+    val tmp = Files.createTempDirectory("graft_incr").toString
+    val baseDir = tmp + "/incr_base"
+    val summaryDir = tmp + "/incr_summary"
+    val events = spark.read.parquet(basePath)
+    val half1 = events.where(col("event_id") % 2 === 0)
+    val half2 = events.where(col("event_id") % 2 === 1)
+    try {
+      half1.write.mode("overwrite").parquet(baseDir)
+      GraftSummaries.buildSummaryTable(
+        spark, baseDir, summaryDir, Seq("event_type"), "props", "distinct", "sk")
+      // the increment lands in the base table AND refreshes the summary —
+      // the refresh aggregates ONLY the new batch (O(increment), the
+      // 100 TB contract), then sketch-combines with the stored state
+      half2.write.mode("append").parquet(baseDir)
+      GraftSummaries.appendToSummaryTable(
+        spark, baseDir, summaryDir, half2, Seq("event_type"), "props", "distinct", "sk")
+      spark.read.parquet(baseDir).createOrReplaceTempView("sr_events_incr")
+      val sql =
+        """SELECT event_type, approx_count_distinct_ex(props) AS nd, count(*) AS n
+          |FROM sr_events_incr GROUP BY event_type ORDER BY event_type""".stripMargin
+      val baseline = spark.sql(sql).collect()
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val rewritten = spark.sql(sql)
+        assert(!scannedPaths(rewritten).exists(_.contains("incr_base")),
+          "after the refresh the full-history query must read only the summary")
+        assert(scannedPaths(rewritten).exists(_.contains("incr_summary")))
+        // tiny cardinality: combine-of-combines is exact, counts sum exactly
+        assert(rewritten.collect() === baseline)
+      }
+    } finally GraftSummaries.clear()
+  }
+
   test("aggregate over the base is answered from the summary when enabled") {
     withSummary {
       val sql = """SELECT event_type, approx_count_distinct_ex(props) AS nd
