@@ -156,10 +156,11 @@ object GraftSummaries {
         s"unknown summary kind '$other' (expected distinct|quantile|freq)")
     }
     import org.apache.spark.sql.functions.{call_function, col, count, lit, sum}
-    val cols = keyCols.map(col) :+ col(sketchCol) :+ col(countCol)
-    val old = spark.read.parquet(summaryPath).select(cols: _*)
-    require(old.columns.contains(countCol),
-      s"existing summary at $summaryPath has no count column $countCol")
+    val existing = spark.read.parquet(summaryPath)
+    require(existing.columns.contains(countCol),
+      s"existing summary at $summaryPath has no count column $countCol " +
+        "(built before counts were stored? rebuild with buildSummaryTable)")
+    val old = existing.select((keyCols.map(col) :+ col(sketchCol) :+ col(countCol)): _*)
     val delta = newData.groupBy(keyCols.map(col): _*)
       .agg(call_function(accumulate, col(valueCol)).as(sketchCol),
         count(lit(1)).as(countCol))
