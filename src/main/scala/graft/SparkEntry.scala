@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, IvfIndex, Multimodal,
-  RangeJoin, Sampling, Similarity, SkewJoin, TextOps}
+  Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -1844,8 +1844,45 @@ object SparkEntry {
           unix_micros(col("t")).as("t"),
           unix_micros(col("asof_view_ts")).as("asof_view_ts"))
         .orderBy("event_id")
+    },
+
+    // One-pass table profiler: every column's (rows, nulls, distinct,
+    // median, extremes) from ONE aggregate over ONE scan — per-column
+    // sketches partially aggregate map-side, so width never multiplies
+    // passes. Exact at this scale: 100 suppliers sit inside both the
+    // distinct sketch's and the quantile sketch's exact regions, and the
+    // oracle picks the median with the EXCLUSIVE rank identity (q01's
+    // pattern, float-narrowed for the double column).
+    q("q71_table_profile", profileOracle) { (s, d) =>
+      view(s, d, "supplier")
+      Profiler.profile(s.table("supplier")).orderBy("col_name")
     }
   )
+
+  /** DuckDB mirror of [[graft.operators.Profiler.profile]] over supplier. */
+  private def profileOracle: String = {
+    def numericCol(c: String): String =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  (SELECT CAST(CAST(v AS REAL) AS DOUBLE) FROM
+         |     (SELECT $c AS v, row_number() OVER (ORDER BY CAST($c AS REAL), $c) AS rn,
+         |             count(*) OVER () AS n
+         |      FROM supplier WHERE $c IS NOT NULL) rr
+         |   WHERE rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n)) AS p50,
+         |  CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
+         |FROM supplier""".stripMargin
+    def stringCol(c: String): String =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS p50,
+         |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d
+         |FROM supplier""".stripMargin
+    Seq(numericCol("s_suppkey"), stringCol("s_name"),
+      numericCol("s_nationkey"), numericCol("s_acctbal"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
 
   /** q58's split mixture: 80% train, 10% val, 10% test. */
   private val splitWeights: Seq[(String, Int)] =

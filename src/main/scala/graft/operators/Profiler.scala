@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/**
+ * One-pass table profiling on the sketch surface: for every requested
+ * column, (n_rows, n_nulls, approximate n_distinct, median for numeric
+ * columns, min/max for numeric columns) — the data-quality snapshot a
+ * curation pipeline takes before and after each transformation stage.
+ *
+ * Scale design: ALL columns' statistics ride ONE global aggregate over
+ * ONE scan — per-column distinct sketches (`approx_count_distinct_ex`)
+ * and quantile sketches (`approx_percentile_ex`) partially aggregate
+ * map-side, so the shuffle carries a single row of bounded sketch state
+ * per partition regardless of table width or row count. Profiling a
+ * 100 TB table costs exactly one pass; the per-column reshaping
+ * (struct + explode) happens on the ONE aggregated row. Contrast with
+ * naive per-column `count(DISTINCT ...)` profiling, which shuffles the
+ * full column domain once per column.
+ *
+ * Distinct counts hash the column's string rendering (injective for the
+ * supported primitive types), so one sketch family profiles every
+ * column type uniformly; medians/extremes are computed on the
+ * double-cast value for numeric columns and are null otherwise.
+ *
+ * The distinct sketch is pinned to HLL rather than the session default:
+ * HLL's coupon-list mode is EXACT below ~3/4*2^lgK distinct values, so
+ * profiles of low/moderate-cardinality columns report true counts (CPC
+ * is a statistical estimator even in its sparse region — observed 97
+ * for a true 100).
+ */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(targets.nonEmpty, "no columns to profile")
+    val missing = targets.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the input: ${missing.mkString(", ")}")
+    def numeric(c: String): Boolean =
+      df.schema(df.schema.fieldIndex(c)).dataType.isInstanceOf[NumericType]
+
+    val aggs = targets.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"__pf_cnt_$c"),
+        call_function("approx_count_distinct_hll", col(c).cast("string"))
+          .as(s"__pf_nd_$c"))
+      val num =
+        if (numeric(c)) Seq(
+          call_function("approx_percentile_ex", col(c).cast("double"), lit(0.5))
+            .as(s"__pf_p50_$c"),
+          min(col(c).cast("double")).as(s"__pf_min_$c"),
+          max(col(c).cast("double")).as(s"__pf_max_$c"))
+        else Seq(
+          lit(null).cast("double").as(s"__pf_p50_$c"),
+          lit(null).cast("double").as(s"__pf_min_$c"),
+          lit(null).cast("double").as(s"__pf_max_$c"))
+      base ++ num
+    } :+ count(lit(1)).as("__pf_rows")
+
+    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val perColumn = targets.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__pf_rows").as("n_rows"),
+        (col("__pf_rows") - col(s"__pf_cnt_$c")).as("n_nulls"),
+        col(s"__pf_nd_$c").as("n_distinct"),
+        col(s"__pf_p50_$c").as("p50"),
+        col(s"__pf_min_$c").as("min_d"),
+        col(s"__pf_max_$c").as("max_d"))
+    }
+    onerow.select(explode(array(perColumn: _*)).as("p")).select("p.*")
+  }
+}

@@ -531,6 +531,38 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(caps === Seq(3L, 1L, 3L))
   }
 
+  test("profiler: per-column stats with null accounting, one scan for all columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(1.0), Option("a")),
+      (2L, None, Option("b")),
+      (3L, Option(2.0), Option("a")),
+      (4L, Option(2.0), None))
+      .toDF("id", "v", "s")
+    val out = graft.operators.Profiler.profile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert((id.getLong(1), id.getLong(2), id.getLong(3)) === ((4L, 0L, 4L)))
+    assert(id.getDouble(4) === 3.0) // EXCLUSIVE median of 1..4: first cum > 2
+    assert((id.getDouble(5), id.getDouble(6)) === ((1.0, 4.0)))
+    val v = out("v")
+    assert((v.getLong(2), v.getLong(3)) === ((1L, 2L))) // one null, two values
+    assert(v.getDouble(4) === 2.0) // of (1,2,2): first cum > 1.5
+    val s = out("s")
+    assert((s.getLong(2), s.getLong(3)) === ((1L, 2L)))
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6)) // non-numeric
+    // all columns' stats ride ONE scan + ONE aggregate
+    val prof = graft.operators.Profiler.profile(
+      spark.read.parquet("/root/testdata/sf0.001/supplier.parquet"))
+    val plan = prof.queryExecution.executedPlan.toString
+    assert("FileScan|BatchScan".r.findAllIn(plan).length === 1, plan)
+    // unknown column fails fast
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Profiler.profile(df, Seq("nope"))
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("int8 quantize treats null elements as zero magnitude") {
     // element nullability passes Spark's input-type check, so nulls DO
     // reach the expression; they must quantize to 0.0, not NPE or read
