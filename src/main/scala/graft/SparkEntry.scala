@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, IvfIndex, Multimodal,
-  Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps}
+import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, IvfIndex, JoinStats,
+  Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -1856,6 +1856,35 @@ object SparkEntry {
     q("q71_table_profile", profileOracle) { (s, d) =>
       view(s, d, "supplier")
       Profiler.profile(s.table("supplier")).orderBy("col_name")
+    },
+
+    // Pre-join cardinality estimation from theta sketches: one sketch
+    // pass per side, set algebra on the serialized sketches — the join
+    // never executes. At 1500 distinct custkeys (< 2^12 nominal) the
+    // sketches are exact, so the estimates equal DuckDB's exact
+    // distinct/INTERSECT counts, and the uniform-frequency join-size
+    // formula reproduces bit-identically from the same integers.
+    q("q72_join_cardinality",
+      """WITH a AS (SELECT count(o_custkey) AS cnt_a,
+        |            count(DISTINCT o_custkey) AS nd_a FROM orders),
+        |b AS (SELECT count(c_custkey) AS cnt_b,
+        |      count(DISTINCT c_custkey) AS nd_b FROM customer),
+        |o AS (SELECT count(*) AS n_overlap FROM
+        |  (SELECT DISTINCT o_custkey FROM orders
+        |   INTERSECT SELECT DISTINCT c_custkey FROM customer))
+        |SELECT CAST(nd_a AS BIGINT) AS n_distinct_left,
+        |       CAST(nd_b AS BIGINT) AS n_distinct_right,
+        |       CAST(n_overlap AS BIGINT) AS n_overlap,
+        |       CAST(cnt_a AS BIGINT) AS n_rows_left,
+        |       CAST(cnt_b AS BIGINT) AS n_rows_right,
+        |       round(CAST(n_overlap AS DOUBLE)
+        |             * (CAST(cnt_a AS DOUBLE) / CAST(nd_a AS DOUBLE))
+        |             * (CAST(cnt_b AS DOUBLE) / CAST(nd_b AS DOUBLE)), 9)
+        |         AS est_join_rows
+        |FROM a, b, o""".stripMargin) { (s, d) =>
+      view(s, d, "orders", "customer")
+      JoinStats.keyOverlap(s.table("orders"), "o_custkey",
+        s.table("customer"), "c_custkey")
     }
   )
 

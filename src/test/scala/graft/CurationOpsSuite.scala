@@ -563,6 +563,21 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(bad.getMessage.contains("nope"))
   }
 
+  test("join stats: exact overlap and PK-FK size estimate below sketch capacity") {
+    import spark.implicits._
+    // left: fact side, custkeys 1..10 with multiplicity 3; right: dim side
+    // keys 6..15 (overlap = 5); plus a null key on each side (joins
+    // nothing, must not count)
+    val left = ((1 to 10).flatMap(k => Seq.fill(3)(Option(k.toLong))) :+ None)
+      .toDF("k")
+    val right = ((6 to 15).map(k => Option(k.toLong)) :+ None).toDF("k")
+    val row = graft.operators.JoinStats.keyOverlap(left, "k", right, "k").collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((10L, 10L, 5L)))
+    assert((row.getLong(3), row.getLong(4)) === ((30L, 10L)))
+    // uniform estimate: 5 * (30/10) * (10/10) = 15 = the true join size
+    assert(row.getDouble(5) === 15.0)
+  }
+
   test("int8 quantize treats null elements as zero magnitude") {
     // element nullability passes Spark's input-type check, so nulls DO
     // reach the expression; they must quantize to 0.0, not NPE or read
