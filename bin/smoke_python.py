@@ -27,5 +27,25 @@ assert agg.p50 is not None and agg.nd > 0, agg
 scalar = (df.selectExpr("size(graft_minhash(split(lower(l_returnflag), ' '), 16)) AS mh")
           .collect()[0])
 assert scalar.mh == 16, scalar
-print("PYTHON-SMOKE OK", agg, scalar)
+
+# Pipeline operators from Python: plan handles cross Py4J, execution
+# stays JVM-side (no Python UDF boundary anywhere).
+from pyspark.sql import DataFrame
+
+api = spark._jvm.org.apache.spark.api.python.GraftPythonApi
+sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+prof = DataFrame(api.profile(sup._jdf), spark)
+rows = {r.col_name: r for r in prof.collect()}
+assert rows["s_suppkey"].n_nulls == 0 and rows["s_suppkey"].n_distinct == sup.count(), rows
+
+orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+js = DataFrame(api.keyOverlap(orders._jdf, "o_custkey", cust._jdf, "c_custkey"), spark).collect()[0]
+assert js.n_overlap > 0 and js.est_join_rows > 0, js
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+dd = DataFrame(api.exactDedup(docs._jdf, "doc_id", "text"), spark)
+assert dd.count() > 0
+
+print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

@@ -5,15 +5,56 @@
  * spark._jsparkSession)` registers all graft SQL functions; subsequent
  * `selectExpr`/`spark.sql` calls execute entirely in the JVM — no Python
  * UDF boundary is crossed at query time.
+ *
+ * The operator wrappers below expose the flagship Scala pipeline
+ * operators to Python as plain-typed methods (Py4J cannot supply Scala
+ * default arguments or `Seq`s): pass `df._jdf`, wrap the returned plan
+ * with `pyspark.sql.DataFrame(jdf, spark)`. Execution stays entirely
+ * JVM-side — Python only exchanges plan handles.
  */
 package org.apache.spark.api.python
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
+
+import graft.operators.{AsofJoin, Dedup, JoinStats, Profiler, Similarity}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.GraftConfEntries.ensureRegistered()
     GraftFunctionRegistry.install(spark)
   }
+
+  def profile(df: DataFrame): DataFrame = Profiler.profile(df)
+
+  def keyOverlap(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame =
+    JoinStats.keyOverlap(left, leftKey, right, rightKey)
+
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactDedup(df, idCol, textCol)
+
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.normalizedDedup(df, idCol, textCol)
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.ngramJaccardPairs(df, idCol, textCol)
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.minhashLshPairs(df, idCol, textCol)
+
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    Dedup.contaminatedDocs(corpus, benchmark, idCol, textCol)
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String): DataFrame =
+    Dedup.connectedComponents(nodes, edges, idCol)
+
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    Similarity.bruteForceKnn(corpus, queries, idCol, vecCol, k)
+
+  def asofBackward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String): DataFrame =
+    AsofJoin.asofBackward(left, right, keyCol, tsCol)
 }
