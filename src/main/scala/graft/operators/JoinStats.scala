@@ -48,6 +48,8 @@ object JoinStats {
       .unionByName(b.select(col("bsk").as("sk")))
       .agg(call_function("theta_estimate",
         call_function("theta_intersect", col("sk"))).as("n_overlap"))
+    val ndA = call_function("theta_estimate", col("ask")).cast("double")
+    val ndB = call_function("theta_estimate", col("bsk")).cast("double")
     a.crossJoin(b).crossJoin(overlap)
       .select(
         call_function("theta_estimate", col("ask")).as("n_distinct_left"),
@@ -55,11 +57,13 @@ object JoinStats {
         col("n_overlap"),
         col("cnt_a").as("n_rows_left"),
         col("cnt_b").as("n_rows_right"),
-        round(col("n_overlap").cast("double") *
-          (col("cnt_a").cast("double") /
-            call_function("theta_estimate", col("ask")).cast("double")) *
-          (col("cnt_b").cast("double") /
-            call_function("theta_estimate", col("bsk")).cast("double")), 9)
+        // an empty/keyless side joins nothing: estimate 0 instead of an
+        // ANSI divide-by-zero on the 0-distinct denominator
+        when(col("n_overlap").isNull || ndA.isNull || ndB.isNull ||
+            ndA === 0d || ndB === 0d, lit(0.0))
+          .otherwise(round(col("n_overlap").cast("double") *
+            (col("cnt_a").cast("double") / ndA) *
+            (col("cnt_b").cast("double") / ndB), 9))
           .as("est_join_rows"))
   }
 }

@@ -578,6 +578,24 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(row.getDouble(5) === 15.0)
   }
 
+  test("profiler and join stats degrade gracefully on empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val prof = graft.operators.Profiler.profile(empty)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet === Set("id", "s"))
+    assert(prof("id").getLong(1) === 0L) // n_rows
+    assert(prof("id").getLong(2) === 0L) // n_nulls
+    val some = Seq((1L, "a")).toDF("k", "x")
+    val js = graft.operators.JoinStats.keyOverlap(
+      Seq.empty[(Long, String)].toDF("k", "x"), "k", some, "k").collect()(0)
+    assert(js.getLong(4) === 1L)  // right rows counted
+    assert(js.getLong(3) === 0L)  // empty left: zero rows
+    // overlap of nothing with something is 0 (or null if the empty
+    // sketch serializes to null) — never an error
+    assert(js.isNullAt(2) || js.getLong(2) === 0L)
+  }
+
   test("int8 quantize treats null elements as zero magnitude") {
     // element nullability passes Spark's input-type check, so nulls DO
     // reach the expression; they must quantize to 0.0, not NPE or read
