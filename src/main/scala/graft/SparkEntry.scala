@@ -1890,22 +1890,27 @@ object SparkEntry {
 
   /** DuckDB mirror of [[graft.operators.Profiler.profile]] over supplier. */
   private def profileOracle: String = {
+    def pct(c: String, p: String, alias: String): String =
+      s"""  (SELECT CAST(CAST(v AS REAL) AS DOUBLE) FROM
+         |     (SELECT $c AS v, row_number() OVER (ORDER BY CAST($c AS REAL), $c) AS rn,
+         |             count(*) OVER () AS n
+         |      FROM supplier WHERE $c IS NOT NULL) rr
+         |   WHERE rn = least(CAST(floor($p*n)+1 AS BIGINT), n)) AS $alias""".stripMargin
     def numericCol(c: String): String =
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  (SELECT CAST(CAST(v AS REAL) AS DOUBLE) FROM
-         |     (SELECT $c AS v, row_number() OVER (ORDER BY CAST($c AS REAL), $c) AS rn,
-         |             count(*) OVER () AS n
-         |      FROM supplier WHERE $c IS NOT NULL) rr
-         |   WHERE rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n)) AS p50,
+         |${pct(c, "0.25", "p25")},
+         |${pct(c, "0.5", "p50")},
+         |${pct(c, "0.75", "p75")},
          |  CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
          |FROM supplier""".stripMargin
     def stringCol(c: String): String =
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  CAST(NULL AS DOUBLE) AS p50,
+         |  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+         |  CAST(NULL AS DOUBLE) AS p75,
          |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d
          |FROM supplier""".stripMargin
     Seq(numericCol("s_suppkey"), stringCol("s_name"),

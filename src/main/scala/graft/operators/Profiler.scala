@@ -6,9 +6,10 @@ import org.apache.spark.sql.types.NumericType
 
 /**
  * One-pass table profiling on the sketch surface: for every requested
- * column, (n_rows, n_nulls, approximate n_distinct, median for numeric
- * columns, min/max for numeric columns) — the data-quality snapshot a
- * curation pipeline takes before and after each transformation stage.
+ * column, (n_rows, n_nulls, approximate n_distinct, quartiles p25/p50/
+ * p75 for numeric columns, min/max for numeric columns) — the
+ * data-quality snapshot a curation pipeline takes before and after each
+ * transformation stage.
  *
  * Scale design: ALL columns' statistics ride ONE global aggregate over
  * ONE scan — per-column distinct sketches (`approx_count_distinct_ex`)
@@ -48,12 +49,21 @@ object Profiler {
           .as(s"__pf_nd_$c"))
       val num =
         if (numeric(c)) Seq(
+          // one quantile sketch per column would serve all three ranks,
+          // but the one-shot function re-accumulates per call; the three
+          // aggregates still merge map-side in the same single pass
+          call_function("approx_percentile_ex", col(c).cast("double"), lit(0.25))
+            .as(s"__pf_p25_$c"),
           call_function("approx_percentile_ex", col(c).cast("double"), lit(0.5))
             .as(s"__pf_p50_$c"),
+          call_function("approx_percentile_ex", col(c).cast("double"), lit(0.75))
+            .as(s"__pf_p75_$c"),
           min(col(c).cast("double")).as(s"__pf_min_$c"),
           max(col(c).cast("double")).as(s"__pf_max_$c"))
         else Seq(
+          lit(null).cast("double").as(s"__pf_p25_$c"),
           lit(null).cast("double").as(s"__pf_p50_$c"),
+          lit(null).cast("double").as(s"__pf_p75_$c"),
           lit(null).cast("double").as(s"__pf_min_$c"),
           lit(null).cast("double").as(s"__pf_max_$c"))
       base ++ num
@@ -66,7 +76,9 @@ object Profiler {
         col("__pf_rows").as("n_rows"),
         (col("__pf_rows") - col(s"__pf_cnt_$c")).as("n_nulls"),
         col(s"__pf_nd_$c").as("n_distinct"),
+        col(s"__pf_p25_$c").as("p25"),
         col(s"__pf_p50_$c").as("p50"),
+        col(s"__pf_p75_$c").as("p75"),
         col(s"__pf_min_$c").as("min_d"),
         col(s"__pf_max_$c").as("max_d"))
     }

@@ -543,14 +543,15 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect().map(r => r.getString(0) -> r).toMap
     val id = out("id")
     assert((id.getLong(1), id.getLong(2), id.getLong(3)) === ((4L, 0L, 4L)))
-    assert(id.getDouble(4) === 3.0) // EXCLUSIVE median of 1..4: first cum > 2
-    assert((id.getDouble(5), id.getDouble(6)) === ((1.0, 4.0)))
+    // EXCLUSIVE quartiles of 1..4: first cum > 1 / > 2 / > 3
+    assert((id.getDouble(4), id.getDouble(5), id.getDouble(6)) === ((2.0, 3.0, 4.0)))
+    assert((id.getDouble(7), id.getDouble(8)) === ((1.0, 4.0)))
     val v = out("v")
     assert((v.getLong(2), v.getLong(3)) === ((1L, 2L))) // one null, two values
-    assert(v.getDouble(4) === 2.0) // of (1,2,2): first cum > 1.5
+    assert(v.getDouble(5) === 2.0) // median of (1,2,2): first cum > 1.5
     val s = out("s")
     assert((s.getLong(2), s.getLong(3)) === ((1L, 2L)))
-    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6)) // non-numeric
+    (4 to 8).foreach(i => assert(s.isNullAt(i))) // non-numeric
     // all columns' stats ride ONE scan + ONE aggregate
     val prof = graft.operators.Profiler.profile(
       spark.read.parquet("/root/testdata/sf0.001/supplier.parquet"))
