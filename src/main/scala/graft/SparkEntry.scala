@@ -1864,6 +1864,43 @@ object SparkEntry {
     // sketches are exact, so the estimates equal DuckDB's exact
     // distinct/INTERSECT counts, and the uniform-frequency join-size
     // formula reproduces bit-identically from the same integers.
+    // Grouped profile — the per-source quality-dashboard shape: one
+    // grouped aggregate carries the column's sketches for every group.
+    // Groups of ~4 suppliers per nation sit deep inside the sketches'
+    // exact regions, so the DuckDB mirror (EXCLUSIVE rank quartiles per
+    // group) matches bit for bit.
+    q("q73_grouped_profile",
+      """WITH a AS (
+        |  SELECT s_nationkey, count(*) AS cnt, count(s_acctbal) AS cnt_v,
+        |         count(DISTINCT s_acctbal) AS nd,
+        |         CAST(min(s_acctbal) AS DOUBLE) AS min_d,
+        |         CAST(max(s_acctbal) AS DOUBLE) AS max_d
+        |  FROM supplier GROUP BY s_nationkey),
+        |r AS (
+        |  SELECT s_nationkey, s_acctbal AS v,
+        |         row_number() OVER (PARTITION BY s_nationkey
+        |           ORDER BY CAST(s_acctbal AS REAL), s_acctbal) AS rn,
+        |         count(*) OVER (PARTITION BY s_nationkey) AS n
+        |  FROM supplier WHERE s_acctbal IS NOT NULL),
+        |q25 AS (SELECT s_nationkey, CAST(CAST(v AS REAL) AS DOUBLE) AS p25 FROM r
+        |        WHERE rn = least(CAST(floor(0.25*n)+1 AS BIGINT), n)),
+        |q50 AS (SELECT s_nationkey, CAST(CAST(v AS REAL) AS DOUBLE) AS p50 FROM r
+        |        WHERE rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n)),
+        |q75 AS (SELECT s_nationkey, CAST(CAST(v AS REAL) AS DOUBLE) AS p75 FROM r
+        |        WHERE rn = least(CAST(floor(0.75*n)+1 AS BIGINT), n))
+        |SELECT a.s_nationkey, 's_acctbal' AS col_name,
+        |       CAST(cnt AS BIGINT) AS n_rows,
+        |       CAST(cnt - cnt_v AS BIGINT) AS n_nulls,
+        |       CAST(nd AS BIGINT) AS n_distinct,
+        |       q25.p25, q50.p50, q75.p75, min_d, max_d
+        |FROM a JOIN q25 USING (s_nationkey) JOIN q50 USING (s_nationkey)
+        |       JOIN q75 USING (s_nationkey)
+        |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      view(s, d, "supplier")
+      Profiler.profileBy(s.table("supplier"), Seq("s_nationkey"), Seq("s_acctbal"))
+        .orderBy("s_nationkey")
+    },
+
     q("q72_join_cardinality",
       """WITH a AS (SELECT count(o_custkey) AS cnt_a,
         |            count(DISTINCT o_custkey) AS nd_a FROM orders),

@@ -34,10 +34,20 @@ import org.apache.spark.sql.types.NumericType
  */
 object Profiler {
 
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
-    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    profileBy(df, Nil, cols)
+
+  /**
+   * [[profile]] per group — the per-source / per-language quality
+   * dashboard shape. Identical single-pass design: one grouped
+   * aggregate carries every profiled column's sketches, then the
+   * per-column reshaping runs on the aggregated rows (one per group).
+   */
+  def profileBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String] = Nil): DataFrame = {
+    val targets =
+      if (cols.nonEmpty) cols else df.columns.toSeq.filterNot(groupCols.contains)
     require(targets.nonEmpty, "no columns to profile")
-    val missing = targets.filterNot(df.columns.contains)
+    val missing = (targets ++ groupCols).filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in the input: ${missing.mkString(", ")}")
     def numeric(c: String): Boolean =
       df.schema(df.schema.fieldIndex(c)).dataType.isInstanceOf[NumericType]
@@ -69,7 +79,7 @@ object Profiler {
       base ++ num
     } :+ count(lit(1)).as("__pf_rows")
 
-    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val grouped = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val perColumn = targets.map { c =>
       struct(
         lit(c).as("col_name"),
@@ -82,6 +92,10 @@ object Profiler {
         col(s"__pf_min_$c").as("min_d"),
         col(s"__pf_max_$c").as("max_d"))
     }
-    onerow.select(explode(array(perColumn: _*)).as("p")).select("p.*")
+    val statFields = Seq("col_name", "n_rows", "n_nulls", "n_distinct",
+      "p25", "p50", "p75", "min_d", "max_d")
+    grouped
+      .select((groupCols.map(col) :+ explode(array(perColumn: _*)).as("p")): _*)
+      .select((groupCols.map(col) ++ statFields.map(f => col(s"p.$f").as(f))): _*)
   }
 }

@@ -562,6 +562,15 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       graft.operators.Profiler.profile(df, Seq("nope"))
     }
     assert(bad.getMessage.contains("nope"))
+    // grouped variant: same stats per group, group keys carried through;
+    // group columns are excluded from the default target list
+    val byS = graft.operators.Profiler.profileBy(df, Seq("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byS.keySet === Set(("a", "id"), ("a", "v"), ("b", "id"), ("b", "v"),
+      (null, "id"), (null, "v")))
+    val aId = byS(("a", "id"))
+    assert((aId.getLong(2), aId.getLong(4)) === ((2L, 2L))) // rows 1,3
+    assert(aId.getDouble(6) === 3.0) // median of (1,3): first cum > 1
   }
 
   test("join stats: exact overlap and PK-FK size estimate below sketch capacity") {
