@@ -1922,6 +1922,99 @@ object SparkEntry {
       view(s, d, "orders", "customer")
       JoinStats.keyOverlap(s.table("orders"), "o_custkey",
         s.table("customer"), "c_custkey")
+    },
+
+    // Tuple sketches (distinct keys + per-key double summaries in ONE
+    // sketch pass — beyond the reference surface, whose sketches carry no
+    // payload). 2000 distinct partkeys sit below the default 2^12 nominal
+    // entries, so distinct counts AND summed summaries are exact; quantity
+    // is integer-valued, so double sums are order-independent and match
+    // DuckDB bit for bit. 'sum' mode re-adds shard repeats (= SUM(qty));
+    // 'min' mode keeps one value per distinct key (= SUM of per-key MINs).
+    q("q74_tuple_sketch",
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+        |         CAST(sum(l_quantity) AS DOUBLE) AS qty_sum
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, CAST(sum(mq) AS DOUBLE) AS dedup_min_qty FROM
+        |    (SELECT l_returnflag, l_partkey, min(l_quantity) AS mq
+        |     FROM lineitem GROUP BY l_returnflag, l_partkey) per_key
+        |  GROUP BY l_returnflag)
+        |SELECT base.l_returnflag, distinct_parts, qty_sum, dedup_min_qty
+        |FROM base JOIN m USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""
+        |SELECT l_returnflag,
+        |       tuple_estimate(tuple_accumulate(l_partkey, l_quantity, 'sum')).distinct_keys
+        |         AS distinct_parts,
+        |       tuple_estimate(tuple_accumulate(l_partkey, l_quantity, 'sum')).value_sum
+        |         AS qty_sum,
+        |       tuple_estimate(tuple_accumulate(l_partkey, l_quantity, 'min')).value_sum
+        |         AS dedup_min_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Tuple set algebra: which parts appear in BOTH the low-quantity and
+    // high-quantity slices (intersection, min-of-mins summaries) and which
+    // only in the low slice (difference, A's summaries kept) — corpus-
+    // overlap-with-metrics from two independent sketch passes; the raw
+    // slices are never co-shuffled. Both slices are < 2^12 distinct keys,
+    // so the sketch set ops reproduce DuckDB's exact join/anti-join.
+    q("q75_tuple_overlap",
+      """WITH low AS (SELECT l_partkey, min(l_quantity) AS mq FROM lineitem
+        |             WHERE l_quantity <= 5 GROUP BY l_partkey),
+        |high AS (SELECT l_partkey, min(l_quantity) AS mq FROM lineitem
+        |         WHERE l_quantity >= 45 GROUP BY l_partkey),
+        |shared AS (SELECT low.l_partkey, least(low.mq, high.mq) AS mq
+        |           FROM low JOIN high ON low.l_partkey = high.l_partkey),
+        |lowonly AS (SELECT low.l_partkey, low.mq FROM low
+        |            LEFT JOIN high ON low.l_partkey = high.l_partkey
+        |            WHERE high.l_partkey IS NULL)
+        |SELECT CAST((SELECT count(*) FROM shared) AS BIGINT) AS shared_parts,
+        |       CAST((SELECT sum(mq) FROM shared) AS DOUBLE) AS shared_min_qty,
+        |       CAST((SELECT count(*) FROM lowonly) AS BIGINT) AS low_only_parts,
+        |       CAST((SELECT sum(mq) FROM lowonly) AS DOUBLE) AS low_only_min_qty""".stripMargin) {
+      (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""
+        |WITH slices AS (
+        |  SELECT CASE WHEN l_quantity <= 5 THEN 'low' ELSE 'high' END AS slice,
+        |         tuple_accumulate(l_partkey, l_quantity, 'min') AS sk
+        |  FROM lineitem WHERE l_quantity <= 5 OR l_quantity >= 45
+        |  GROUP BY 1),
+        |inter AS (SELECT tuple_estimate(tuple_intersect(sk, 'min')) AS e FROM slices),
+        |diff AS (SELECT tuple_estimate(tuple_a_not_b(
+        |           (SELECT sk FROM slices WHERE slice = 'low'),
+        |           (SELECT sk FROM slices WHERE slice = 'high'))) AS e)
+        |SELECT (SELECT e.distinct_keys FROM inter) AS shared_parts,
+        |       (SELECT e.value_sum FROM inter) AS shared_min_qty,
+        |       (SELECT e.distinct_keys FROM diff) AS low_only_parts,
+        |       (SELECT e.value_sum FROM diff) AS low_only_min_qty""".stripMargin)
+    },
+
+    // SemDeDup-style semantic dedup: cluster embeddings (deterministic
+    // decimal-exact k-means), near-dup pairs WITHIN clusters only, remove
+    // the higher id. Near-dups are PLANTED (q28's pattern): every 10th
+    // vector gets a +0.001-perturbed copy at id+1M — self-cosine >=
+    // 0.99996, organic pairs far below 0.95 — and a perturbed copy lands
+    // in its source's cluster, so the removed set equals exactly the
+    // planted copies with their sources as keepers.
+    q("q76_semantic_dedup",
+      """SELECT vec_id + 1000000 AS removed_id, vec_id AS kept_id
+        |FROM embeddings WHERE vec_id % 10 = 0
+        |ORDER BY removed_id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val base = s.table("embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+      Dedup.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95, nlist = 16)
+        .orderBy("removed_id")
     }
   )
 

@@ -28,6 +28,7 @@ object GraftConf {
   val DISTINCT_CNT_CPC_LGK_KEY = "spark.sql.dataSketches.distinctCnt.cpc.lgK"
   val DISTINCT_CNT_HLL_LGK_KEY = "spark.sql.dataSketches.distinctCnt.hll.lgK"
   val THETA_LGK_KEY = "spark.sql.dataSketches.theta.lgK"
+  val TUPLE_LGK_KEY = "spark.sql.dataSketches.tuple.lgK"
 
   /** Default quantile algorithm: REQ, k=12 (reference: DataSketchConf.scala:36-55). */
   def quantileSketchImpl: String = GraftConfEntries.getString(GraftConfEntries.QUANTILE_SKETCH_IMPL)
@@ -46,4 +47,7 @@ object GraftConf {
 
   /** Theta set-operation sketches: exact below 2^lgK distinct items. */
   def thetaLgK: Int = GraftConfEntries.getInt(GraftConfEntries.THETA_LGK)
+
+  /** Tuple (key + double summary) sketches: exact below 2^lgK distinct keys. */
+  def tupleLgK: Int = GraftConfEntries.getInt(GraftConfEntries.TUPLE_LGK)
 }

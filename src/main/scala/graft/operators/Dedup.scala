@@ -623,4 +623,46 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster embeddings with the deterministic spherical
+   * k-means coarse quantizer ([[Similarity.kmeansCentroids]] — decimal-
+   * exact, bit-reproducible), then compare pairs ONLY within a cluster and
+   * mark every document that has a lower-id neighbor at cosine >=
+   * `threshold`. Returns (removed_id, kept_id) where kept_id is the
+   * smallest-id near-duplicate that caused the removal; survivors are
+   * `corpus.join(result, anti)`.
+   *
+   * Scale shape: the corpus never cross-joins — cluster assignment is a
+   * broadcast of ONE packed centroid row (zero shuffle), and the pair
+   * search is a self-equi-join on the cell key, so work is sum of
+   * cluster-size^2, bounded by choosing `nlist` ~ N / targetClusterSize
+   * (SemDeDup's own knob). A pathological mega-cluster is the same hazard
+   * as [[capClusters]]' mega-component and has the same remedy. Like
+   * SemDeDup itself, recall is restricted to same-cluster pairs; precision
+   * is exact (every removal is backed by a real above-threshold cosine).
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 256,
+      kmeansIters: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .where(Similarity.dot(col("v"), col("v")) > 0)
+      .cache() // consumed by the Lloyd loop AND the assignment below
+    val cents = broadcast(
+      Similarity.packedCentroids(Similarity.kmeansCentroids(c, "v", nlist, kmeansIters)))
+    val assigned = c.join(cents)
+      .select(col("id"), col("v"), Similarity.bestCell(col("v"), col("cents")).as("cell"),
+        sqrt(Similarity.dot(col("v"), col("v"))).as("nrm"))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+        >= threshold)
+      .groupBy(col("b.id").as("removed_id"))
+      .agg(min(col("a.id")).as("kept_id"))
+  }
 }

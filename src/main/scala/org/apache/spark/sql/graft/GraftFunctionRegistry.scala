@@ -1,5 +1,5 @@
 /**
- * Registration of the 46 graft SQL functions — the reference's 18 sketch
+ * Registration of the 51 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -439,6 +439,78 @@ object GraftFunctionRegistry {
       Seq("SELECT _FUNC_(theta_accumulate(col)) FROM VALUES ('a'), ('b') AS tab(col)" -> "2"),
       "agg_funcs") { args =>
       ThetaEstimate(args(0))
+    },
+    // --- tuple sketches: distinct keys + per-key values (beyond reference) -
+    fd("tuple_accumulate",
+      "_FUNC_(key, value[, mode]) - Aggregates (key, DOUBLE value) pairs into a " +
+        "serialized tuple sketch (BINARY): a theta sketch whose retained keys each " +
+        "carry a double summary. `mode` picks how repeated values of the SAME key " +
+        "combine: 'sum' (default), 'min', 'max', or 'one' (constant 1.0). Both the " +
+        "distinct-key count and the summed summaries are exact below " +
+        "2^spark.sql.dataSketches.tuple.lgK distinct keys.",
+      Seq(2, 3),
+      Seq("key" -> "a STRING or integral column", "value" -> "a DOUBLE column",
+        "mode" -> "constant string: 'sum', 'min', 'max', or 'one' (default 'sum')"),
+      Seq(("SELECT tuple_estimate(_FUNC_(k, v)).value_sum FROM " +
+        "VALUES ('a', 1.0), ('a', 2.0), ('b', 4.0) AS tab(k, v)") -> "7.0"),
+      "agg_funcs") { args =>
+      val mode = if (args.length > 2) {
+        stringLiteral("tuple_accumulate", "mode", args(2))
+      } else "sum"
+      graft.sketches.TupleSketchFacade.parseMode(mode)
+      TupleAccumulate(args(0), args(1), mode, TupleParams.resolveLgK())
+    },
+    fd("tuple_union",
+      "_FUNC_(sketch[, mode]) - Merges serialized tuple sketches into their union " +
+        "(BINARY); summaries of keys on both sides combine with `mode`'s union rule.",
+      Seq(1, 2),
+      Seq(sketchArg,
+        "mode" -> ("constant string: 'sum', 'min', 'max', or 'one' (default 'sum'); " +
+          "must match the accumulate mode")),
+      Seq(("SELECT tuple_estimate(_FUNC_(s)).distinct_keys FROM " +
+        "(SELECT tuple_accumulate(k, v) s FROM VALUES ('a', 1.0), ('b', 1.0) tab(k, v) " +
+        "GROUP BY k)") -> "2"),
+      "agg_funcs") { args =>
+      val mode = if (args.length > 1) stringLiteral("tuple_union", "mode", args(1)) else "sum"
+      graft.sketches.TupleSketchFacade.parseMode(mode)
+      TupleUnionAgg(args(0), mode, TupleParams.resolveLgK())
+    },
+    fd("tuple_intersect",
+      "_FUNC_(sketch[, mode]) - Intersects serialized tuple sketches (BINARY); NULL " +
+        "for an empty group. Summaries of keys retained on both sides combine with " +
+        "`mode`'s intersection rule ('sum' adds the two sides, 'min'/'max' take the " +
+        "extremum).",
+      Seq(1, 2),
+      Seq(sketchArg,
+        "mode" -> "constant string: 'sum', 'min', 'max', or 'one' (default 'sum')"),
+      Seq(("SELECT tuple_estimate(_FUNC_(s)).distinct_keys FROM " +
+        "(SELECT tuple_accumulate(k, v) s FROM VALUES ('a', 1.0), ('b', 1.0) tab(k, v) " +
+        "GROUP BY k)") -> "0"),
+      "agg_funcs") { args =>
+      val mode = if (args.length > 1) stringLiteral("tuple_intersect", "mode", args(1)) else "sum"
+      graft.sketches.TupleSketchFacade.parseMode(mode)
+      TupleIntersectAgg(args(0), mode)
+    },
+    fd("tuple_a_not_b",
+      "_FUNC_(a, b) - The tuple difference sketch A \\ B of two serialized tuple " +
+        "sketches (BINARY), keeping A's summaries; NULL on corrupt input.",
+      Seq(2),
+      Seq("a" -> "a BINARY tuple sketch", "b" -> "a BINARY tuple sketch"),
+      Seq(("SELECT tuple_estimate(_FUNC_(tuple_accumulate(k, v), tuple_accumulate(k, v)))" +
+        ".distinct_keys FROM VALUES ('a', 1.0) AS tab(k, v)") -> "0"),
+      "agg_funcs") { args =>
+      TupleANotB(args(0), args(1))
+    },
+    fd("tuple_estimate",
+      "_FUNC_(sketch) - The STRUCT<distinct_keys BIGINT, value_sum DOUBLE> stored in a " +
+        "serialized tuple sketch: the distinct-key estimate and the estimated sum of " +
+        "per-key summary values; NULL on corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT _FUNC_(tuple_accumulate(k, v)).distinct_keys FROM " +
+        "VALUES ('a', 1.0), ('b', 2.0) AS tab(k, v)") -> "2"),
+      "agg_funcs") { args =>
+      TupleEstimate(args(0))
     },
     // --- text pipeline ---------------------------------------------------
     fd("graft_simhash",

@@ -101,6 +101,15 @@ object GraftConfEntries {
       .checkValue(v => v >= 4 && v <= 26, "The parameter `lgK` must be in [4, 26].")
       .createWithDefault(12)
 
+  val TUPLE_LGK: ConfigEntry[Int] =
+    buildConf("spark.sql.dataSketches.tuple.lgK")
+      .doc("The log2 nominal entry count of the tuple sketches " +
+        "(tuple_accumulate/union/intersect); both the distinct-key count and " +
+        "the summed summary values are exact below 2^lgK distinct keys.")
+      .intConf
+      .checkValue(v => v >= 4 && v <= 26, "The parameter `lgK` must be in [4, 26].")
+      .createWithDefault(12)
+
   /**
    * Forces object initialization, registering every entry above into
    * SQLConf's static registry. Called from `Graft.install` so the entries
