@@ -384,6 +384,28 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(lsh === exact)
   }
 
+  test("semantic dedup removes planted near-dups within clusters, keeps sources") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 3 well-separated gaussian clusters of 10 vectors each, plus a
+    // near-identical copy of one member per cluster at id+1000
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian() * 5))
+    val base = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 10).map { i =>
+        (ci * 10 + i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+      }
+    }
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.001f))
+    }
+    val vecs = (base ++ planted).toDF("id", "v")
+    // organic same-cluster cosines reach ~0.9996 at this noise scale; the
+    // planted copies sit at ~1-2e-8 — threshold between the two regimes
+    val removed = Dedup.semanticDedup(vecs, "id", "v", threshold = 0.99999, nlist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(removed === Set((1000L, 0L), (1010L, 10L), (1020L, 20L)))
+  }
+
   test("multimodal synthesize + real javax.imageio decode round-trip") {
     val media = Multimodal.synthesizeImageContent(docs, "doc_id")
     assert(media.schema.fieldNames.toSeq === Seq("doc_id", "content", "meta"))
