@@ -2015,6 +2015,33 @@ object SparkEntry {
       Dedup.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
         threshold = 0.95, nlist = 16)
         .orderBy("removed_id")
+    },
+
+    // Real pixel-level resize: decode the genuine PNG payloads, nearest-
+    // neighbor resample to 8x6, and checksum the OUTPUT pixels. The
+    // planted pixel at (x, y) is (id*31 + 7x + y) & 0xffffff, and the
+    // nearest-neighbor source of output (x, y) is ((x*w)/8, (y*h)/6) in
+    // integer floor arithmetic — so the oracle recomputes the checksum
+    // arithmetically; a match proves the codec really decoded, resampled,
+    // and read back the planted pixels (not just the headers).
+    q("q77_image_resize",
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+        |         CAST(1 + (doc_id * 7) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         ((d.doc_id * 31 + 7 * ((x.x * d.w) // 8) + ((y.y * d.h) // 6))
+        |          & 16777215) AS rgb
+        |  FROM dims d, generate_series(0, 7) AS x(x), generate_series(0, 5) AS y(y))
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |       CAST(sum(rgb) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.synthesizeImageContent(s.table("documents"), "doc_id")
+      Multimodal.resizeImages(media, "doc_id", 8, 6)
+        .select("doc_id", "width", "height", "checksum")
+        .orderBy("doc_id")
     }
   )
 

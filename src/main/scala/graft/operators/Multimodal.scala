@@ -315,6 +315,70 @@ object Multimodal {
   }
 
   /**
+   * Partition-batched REAL image resize: decode each payload's first
+   * frame, nearest-neighbor resample to `outW` x `outH` (source pixel
+   * `(x*srcW)/outW, (y*srcH)/outH` — pure integer floor arithmetic, so
+   * output pixels are an exactly-reproducible function of input pixels),
+   * re-encode as PNG, and emit an integer checksum (sum of the 24-bit
+   * RGB of every output pixel) that pins the resample REALLY read the
+   * decoded pixels — the oracle recomputes it from the planted pixel
+   * formula, and any decoder/resampler drift breaks the match.
+   * Undecodable payloads keep their row with null features (a curation
+   * pipeline filters on them rather than failing a 100 TB job). Zero
+   * shuffle; one decoder + one encoder context per partition.
+   */
+  def resizeImages(df: DataFrame, idCol: String, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"output dims must be positive, got ${outW}x$outH")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("checksum", LongType),
+      StructField("content", BinaryType)))
+    val input = df.select(col(idCol).cast("long"), col("content"))
+    input.mapPartitions { rows =>
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val buf = new ByteArrayOutputStream()
+      rows.map { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
+        val content = r.getAs[Array[Byte]](1)
+        if (content == null) {
+          Row(id, null, null, null, null)
+        } else {
+          val src =
+            try ImageIO.read(new java.io.ByteArrayInputStream(content))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (src == null) {
+            Row(id, null, null, null, null)
+          } else {
+            val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+            var checksum = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * src.getHeight / outH
+              var x = 0
+              while (x < outW) {
+                val rgb = src.getRGB(x * src.getWidth / outW, sy) & 0xffffff
+                out.setRGB(x, y, rgb)
+                checksum += rgb
+                x += 1
+              }
+              y += 1
+            }
+            buf.reset()
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+            try {
+              writer.setOutput(ios)
+              writer.write(out)
+            } finally ios.close()
+            Row(id, outW, outH, checksum, buf.toByteArray)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
    * Partition-batched REAL image decode: content -> (width, height,
    * n_frames, format) via `javax.imageio` header reads. Undecodable or
    * null payloads keep their row with null feature columns (a curation

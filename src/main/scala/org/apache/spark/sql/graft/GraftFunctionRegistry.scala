@@ -1,5 +1,5 @@
 /**
- * Registration of the 51 graft SQL functions — the reference's 18 sketch
+ * Registration of the 52 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -638,6 +638,21 @@ object GraftFunctionRegistry {
         intLiteral("graft_lsh_buckets", "bits", args(2)),
         intLiteral("graft_lsh_buckets", "tables", args(3)),
         longLiteral("graft_lsh_buckets", "seed", args(4)))
+    },
+    fd("graft_nearest_cells",
+      "_FUNC_(v, cents, nprobe) - Returns the `nprobe` nearest cell ids (array<long>) " +
+        "for an array<double> vector over a packed centroid array " +
+        "(array<struct<cell: long, centroid: array<double>>>), ordered by cosine " +
+        "descending with ties broken on cell ascending. One primitive pass computes " +
+        "each centroid's score exactly once.",
+      Seq(3),
+      Seq("v" -> "an ARRAY<DOUBLE> column",
+        "cents" -> "an ARRAY<STRUCT<cell: BIGINT, centroid: ARRAY<DOUBLE>>> column",
+        "nprobe" -> "constant positive probe count"),
+      Seq(("SELECT _FUNC_(array(1d, 0d), array(named_struct('cell', 1L, 'centroid', " +
+        "array(1d, 0d)), named_struct('cell', 2L, 'centroid', array(0d, 1d))), 1)") -> "[1]"),
+      "array_funcs") { args =>
+      NearestCells(args(0), args(1), intLiteral("graft_nearest_cells", "nprobe", args(2)))
     },
     fd("graft_minhash",
       "_FUNC_(shingles, numHashes) - Returns the MinHash signature (array<long> of " +

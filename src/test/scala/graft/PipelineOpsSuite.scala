@@ -406,6 +406,17 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(removed === Set((1000L, 0L), (1010L, 10L), (1020L, 20L)))
   }
 
+  test("semantic dedup plans a cell equi-join, never a cartesian pair blowup") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i => (i.toLong, Array(i.toFloat, 1f, 2f))).toDF("id", "v")
+    val plan = Dedup.semanticDedup(vecs, "id", "v", 0.99, nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pair search is a hash join keyed on the cell; the only nested-loop
+    // join in the plan is the intended ONE-ROW packed-centroid broadcast
+    assert(plan.contains("Join [cell") || plan.contains("Join [coalesce(cell"), plan)
+  }
+
   test("multimodal synthesize + real javax.imageio decode round-trip") {
     val media = Multimodal.synthesizeImageContent(docs, "doc_id")
     assert(media.schema.fieldNames.toSeq === Seq("doc_id", "content", "meta"))
@@ -420,6 +431,36 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       assert(r.getString(5) === "png")
       assert(r.getLong(1) > 0L) // real PNG stream, non-trivial byte length
     }
+  }
+
+  test("resize re-samples the real decoded pixels and round-trips through PNG") {
+    val media = Multimodal.synthesizeImageContent(docs, "doc_id")
+    val resized = Multimodal.resizeImages(media, "doc_id", 8, 6).orderBy("doc_id").collect()
+    assert(resized.length === 4)
+    resized.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.syntheticDims(id)
+      assert((r.getInt(1), r.getInt(2)) === (8, 6))
+      // checksum from the planted-pixel formula + nearest-neighbor map
+      val expected = (for (y <- 0 until 6; x <- 0 until 8)
+        yield (id * 31 + 7 * (x * w / 8) + (y * h / 6)) & 0xffffff).sum
+      assert(r.getLong(3) === expected)
+      // the emitted PNG really encodes those pixels: re-decode and re-sum
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](4)))
+      val roundTrip = (for (y <- 0 until 6; x <- 0 until 8)
+        yield (img.getRGB(x, y) & 0xffffff).toLong).sum
+      assert(roundTrip === expected)
+    }
+  }
+
+  test("corrupt payloads resize to a null-feature row, not a job failure") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "content")
+    val out = Multimodal.resizeImages(junk, "doc_id", 4, 4).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.isNullAt(1) && r.isNullAt(3)))
   }
 
   test("multimodal audio synthesize + real javax.sound decode round-trip") {

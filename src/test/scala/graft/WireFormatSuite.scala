@@ -65,6 +65,29 @@ class WireFormatSuite extends AnyFunSuite with GraftSparkSession {
     assert(math.round(cpc.getEstimate) === 3L)
   }
 
+  test("tuple sketch images are standard DataSketches images, both directions") {
+    import org.apache.datasketches.tuple.Sketches
+    import org.apache.datasketches.tuple.adouble.{DoubleSketch, DoubleSummary,
+      DoubleSummaryDeserializer}
+    // raw library image -> graft estimator
+    val raw = new DoubleSketch(12, DoubleSummary.Mode.Sum)
+    raw.update("a", Double.box(1.5))
+    raw.update("a", Double.box(2.5))
+    raw.update("b", Double.box(3.0))
+    assert(estimateSql("tuple_estimate", raw.compact().toByteArray) === Row(Row(2L, 7.0)))
+    // graft accumulate output -> raw library heapify
+    val tBytes = spark.sql(
+      "SELECT tuple_accumulate(k, v) FROM VALUES ('a', 1.0d), ('b', 2.0d) AS t(k, v)")
+      .collect()(0).getAs[Array[Byte]](0)
+    val heapified = Sketches.heapifySketch(
+      Memory.wrap(tBytes), new DoubleSummaryDeserializer())
+    assert(math.round(heapified.getEstimate) === 2L)
+    var sum = 0.0
+    val it = heapified.iterator()
+    while (it.next()) sum += it.getSummary.getValue
+    assert(sum === 3.0)
+  }
+
   test("sketches accumulated in different partitions merge losslessly") {
     import spark.implicits._
     // two disjoint halves accumulated separately, combined via SQL; KLL
