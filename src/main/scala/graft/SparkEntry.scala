@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, IvfIndex, JoinStats,
-  Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps}
+  Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps, UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -2042,6 +2042,81 @@ object SparkEntry {
       Multimodal.resizeImages(media, "doc_id", 8, 6)
         .select("doc_id", "width", "height", "checksum")
         .orderBy("doc_id")
+    },
+
+    // URL provenance features: URLs are planted as a pure function of
+    // (source, doc_id) — covering www./cdn./bare subdomains, single- and
+    // multi-label public suffixes, and present/absent tracking params —
+    // and the oracle recomputes the structure the PARSERS must recover
+    // (parse_url host/path, eTLD+1 extraction, query stripping).
+    q("q78_url_parse",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |              WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END AS sub,
+         |         source || '-' || CAST(doc_id % 50 AS VARCHAR) || '.' ||
+         |           (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+         |                 WHEN 2 THEN 'co.uk' ELSE 'io' END) AS dom,
+         |         '/p' || CAST(doc_id % 7 AS VARCHAR) || '/doc-' ||
+         |           CAST(doc_id AS VARCHAR) || '.html' AS pth
+         |  FROM documents)
+         |SELECT doc_id, sub || dom AS host, dom AS domain, pth AS path,
+         |       doc_id % 2 = 0 AS has_tracking,
+         |       'https://' || sub || dom || pth AS clean_url
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      UrlOps.parseUrls(
+        UrlOps.synthesizeUrls(s.table("documents"), "doc_id", "source"), "url")
+        .select("doc_id", "host", "domain", "path", "has_tracking", "clean_url")
+        .orderBy("doc_id")
+    },
+
+    // Per-domain document quota (the RefinedWeb/C4 "cap any one site's
+    // share of the corpus" step): registrable-domain extraction feeding
+    // the deterministic stratified top-k — the oracle replays the
+    // identical md5 ranking, so the KEPT SET is row-exact, not just the
+    // counts.
+    q("q79_domain_cap",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         source || '-' || CAST(doc_id % 50 AS VARCHAR) || '.' ||
+         |           (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+         |                 WHEN 2 THEN 'co.uk' ELSE 'io' END) AS domain
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, domain,
+         |         row_number() OVER (PARTITION BY domain
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM u)
+         |SELECT doc_id, domain FROM r WHERE rn <= 2 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        view(s, d, "documents")
+        val parsed = UrlOps.parseUrls(
+          UrlOps.synthesizeUrls(s.table("documents"), "doc_id", "source"), "url")
+        Sampling.stratifiedSample(parsed, Seq("domain"), "doc_id", k = 2)
+          .select("doc_id", "domain")
+          .orderBy("doc_id")
+    },
+
+    // Reproducible global corpus shuffle: shard + in-shard position as a
+    // pure function of (seed, doc_id); the oracle replays the identical
+    // md5 permutation, pinning both the shard split AND the full order.
+    q("q80_corpus_shuffle",
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, key,
+         |         CAST(CAST(('0x' || substr(key, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+         |  FROM k)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS INT)
+         |         AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Sampling.shuffleShards(s.table("documents"), "doc_id", numShards = 8, seed = 42L)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     }
   )
 

@@ -109,4 +109,41 @@ object Sampling {
     // drop them instead (the weightedMix null behavior)
     df.where(col(idCol).isNotNull).withColumn(outCol, label)
   }
+
+  /**
+   * Deterministic global corpus shuffle — the "shuffle the training data
+   * once, reproducibly" step before sharded tokenization: each row gets a
+   * `shard` in [0, numShards) and a contiguous 1-based `pos` within its
+   * shard, both pure functions of (seed, id) via md5 — so the same seed
+   * yields the byte-identical order on every run, partitioning, and
+   * engine, and a different seed yields an independent permutation
+   * (epoch reshuffles are just seed+1).
+   *
+   * Scale design: ONE shuffle, keyed on the shard — each reducer sorts
+   * only its own shards' rows by the 15-hex-digit hash key (Spark sorts
+   * within the window partition; nothing is globally ordered, which a
+   * training dataloader doesn't need — it reads whole shards). At 100 TB
+   * with numShards sized so a shard fits an executor (e.g. 10k+ shards),
+   * the per-shard sort is an in-memory or single-spill sort, never a
+   * global range exchange. Writers then
+   * `partitionBy("shard").sortBy("pos")` without re-shuffling.
+   */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: Long): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary"))
+    // 15 hex digits are uniform on [0, 2^60) — non-negative, so plain
+    // mod IS the balanced shard assignment (no pmod needed)
+    val shard = (conv(substring(key, 1, 15), 16, 10).cast("long") % numShards)
+      .cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__graft_key"), col(idCol))
+    df.where(col(idCol).isNotNull)
+      .withColumn("__graft_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("__graft_key")
+  }
 }

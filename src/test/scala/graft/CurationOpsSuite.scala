@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, Multimodal, RangeJoin,
-  Sampling, SkewJoin, TextOps}
+  Sampling, SkewJoin, TextOps, UrlOps}
 
 /** Round-3 curation operators: as-of join, repetition signals,
   * deterministic stratified sampling, pattern counts. */
@@ -700,5 +700,69 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     val approx = graft.operators.Similarity.quantizedKnn(corpus, queries, "id", "v", 3, m = 6)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(approx === exact)
+  }
+
+  test("url parse recovers planted hosts, eTLD+1 domains, paths, tracking flags") {
+    import spark.implicits._
+    val docs = Seq((0L, "src0"), (3L, "src1"), (5L, "src2"), (14L, "src3"), (30L, "src0"))
+      .toDF("doc_id", "source")
+    val out = UrlOps.parseUrls(UrlOps.synthesizeUrls(docs, "doc_id", "source"), "url")
+      .orderBy("doc_id")
+      .select("doc_id", "host", "domain", "path", "has_tracking", "clean_url")
+      .collect()
+    // id 0: www. (0%3), tld com (0%4), tracking (0%2)
+    assert(out(0).getString(1) === "www.src0-0.com")
+    assert(out(0).getString(2) === "src0-0.com") // subdomain stripped
+    assert(out(0).getString(3) === "/p0/doc-0.html")
+    assert(out(0).getBoolean(4))
+    assert(out(0).getString(5) === "https://www.src0-0.com/p0/doc-0.html")
+    // id 3: www. (3%3), io tld, no tracking (odd)
+    assert(out(1).getString(1) === "www.src1-3.io")
+    assert(out(1).getString(2) === "src1-3.io")
+    assert(!out(1).getBoolean(4))
+    // id 5: cdn. subdomain, org tld
+    assert(out(2).getString(1) === "cdn.src2-5.org")
+    assert(out(2).getString(2) === "src2-5.org")
+    // id 14: bare host, multi-label suffix — domain keeps all three labels
+    assert(out(3).getString(1) === "src3-14.co.uk")
+    assert(out(3).getString(2) === "src3-14.co.uk")
+    // id 30: www. + co.uk — eTLD+1 strips ONLY the subdomain
+    assert(out(4).getString(1) === "www.src0-30.co.uk")
+    assert(out(4).getString(2) === "src0-30.co.uk")
+  }
+
+  test("junk urls parse to null features and keep their row") {
+    import spark.implicits._
+    val junk = Seq((1L, "not a url at all"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val out = UrlOps.parseUrls(junk, "url").orderBy("doc_id").collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("host"))))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("domain"))))
+    assert(out.forall(r => !r.getBoolean(r.fieldIndex("has_tracking"))))
+  }
+
+  test("corpus shuffle: shards balanced-ish, pos contiguous, stable under repartition") {
+    import spark.implicits._
+    val docs = (0L until 256L).toDF("doc_id")
+    val a = Sampling.shuffleShards(docs, "doc_id", numShards = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.length === 256)
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    // positions within each shard are exactly 1..n
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // uniform-ish split: no shard is empty or holds half the corpus
+    assert(byShard.values.forall(g => g.length > 8 && g.length < 128))
+    // byte-identical assignment under a different physical partitioning
+    val b = Sampling.shuffleShards(docs.repartition(7), "doc_id", 8, 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(b === a.toSet)
+    // a different seed yields a genuinely different permutation
+    val c = Sampling.shuffleShards(docs, "doc_id", 8, 43L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(c !== a.toSet)
   }
 }
