@@ -2137,6 +2137,52 @@ object SparkEntry {
       Sampling.shuffleShards(s.table("documents"), "doc_id", numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
+    },
+
+    // t-digest lifecycle (accumulate per group -> combine -> estimate +
+    // rank): the q08 bound-check pattern — the exact row count anchors,
+    // and the booleans pin that (a) the EXACT rank of the estimated
+    // median is within 2% of 0.5 and (b) the digest's rank of the EXACT
+    // median is within 2% of 0.5 (t-digest mid-rank error at k=200 is
+    // well under that, even after the 5-way merge).
+    q("q81_tdigest_quantiles",
+      """SELECT count(*) AS n_rows, true AS med_rank_ok, true AS rank_ok
+        |FROM orders""".stripMargin) { (s, d) =>
+      view(s, d, "orders")
+      s.sql("""
+        |WITH est AS (
+        |  SELECT tdigest_estimate(sk, 0.5d) AS m,
+        |         tdigest_rank(sk, (SELECT CAST(percentile(o_totalprice, 0.5) AS DOUBLE)
+        |                           FROM orders)) AS r
+        |  FROM (SELECT tdigest_combine(s) AS sk
+        |        FROM (SELECT tdigest_accumulate(o_totalprice) AS s
+        |              FROM orders GROUP BY o_orderpriority)))
+        |SELECT count(*) AS n_rows,
+        |       abs(avg(CASE WHEN o.o_totalprice <= e.m THEN 1.0d ELSE 0.0d END) - 0.5)
+        |         <= 0.02 AS med_rank_ok,
+        |       bool_and(abs(e.r - 0.5) <= 0.02) AS rank_ok
+        |FROM orders o CROSS JOIN est e""".stripMargin)
+    },
+
+    // Range-partition-boundary planning: ONE KLL pass proposes 7 split
+    // points for an 8-way range partitioning of the price column, and the
+    // gate replays the partitioning to verify every range really holds
+    // 12.5% +- 4% of the rows (KLL rank error at k=200 is 1.65%) — the
+    // property a 100 TB sorted-write planner actually needs.
+    q("q82_partition_bounds",
+      """SELECT CAST(8 AS BIGINT) AS n_buckets, true AS balanced
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      s.sql("""
+        |WITH b AS (SELECT approx_partition_bounds(l_extendedprice, 8) AS bs
+        |           FROM lineitem),
+        |a AS (SELECT size(filter(b.bs, x -> x <= l.l_extendedprice)) AS bucket
+        |      FROM lineitem l CROSS JOIN b),
+        |c AS (SELECT bucket, count(*) AS n FROM a GROUP BY bucket),
+        |t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT (SELECT count(*) FROM c) AS n_buckets,
+        |       bool_and(abs(n / CAST(total AS DOUBLE) - 0.125) <= 0.04) AS balanced
+        |FROM c CROSS JOIN t""".stripMargin)
     }
   )
 

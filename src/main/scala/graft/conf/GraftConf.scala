@@ -29,6 +29,7 @@ object GraftConf {
   val DISTINCT_CNT_HLL_LGK_KEY = "spark.sql.dataSketches.distinctCnt.hll.lgK"
   val THETA_LGK_KEY = "spark.sql.dataSketches.theta.lgK"
   val TUPLE_LGK_KEY = "spark.sql.dataSketches.tuple.lgK"
+  val TDIGEST_K_KEY = "spark.sql.dataSketches.tdigest.k"
 
   /** Default quantile algorithm: REQ, k=12 (reference: DataSketchConf.scala:36-55). */
   def quantileSketchImpl: String = GraftConfEntries.getString(GraftConfEntries.QUANTILE_SKETCH_IMPL)
@@ -50,4 +51,7 @@ object GraftConf {
 
   /** Tuple (key + double summary) sketches: exact below 2^lgK distinct keys. */
   def tupleLgK: Int = GraftConfEntries.getInt(GraftConfEntries.TUPLE_LGK)
+
+  /** t-digest compression: more centroids = tighter tail-weighted rank error. */
+  def tdigestK: Int = GraftConfEntries.getInt(GraftConfEntries.TDIGEST_K)
 }

@@ -110,4 +110,31 @@ object functions {
     F.call_function("graft_bloom_agg", value, F.lit(expectedItems))
   def graft_might_contain(bloom: Column, value: Column): Column =
     F.call_function("graft_might_contain", bloom, value)
+
+  // --- tuple sketches (distinct keys + per-key double summaries) -------
+  def tuple_accumulate(key: Column, value: Column, mode: String = "sum"): Column =
+    F.call_function("tuple_accumulate", key, value, F.lit(mode))
+  def tuple_union(sketch: Column, mode: String = "sum"): Column =
+    F.call_function("tuple_union", sketch, F.lit(mode))
+  def tuple_intersect(sketch: Column, mode: String = "sum"): Column =
+    F.call_function("tuple_intersect", sketch, F.lit(mode))
+  def tuple_a_not_b(a: Column, b: Column): Column = F.call_function("tuple_a_not_b", a, b)
+  def tuple_estimate(sketch: Column): Column = F.call_function("tuple_estimate", sketch)
+
+  // --- t-digest quantiles (double precision, tail-weighted accuracy) ---
+  def approx_percentile_tdigest(col: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_tdigest", col, percentage)
+  def tdigest_accumulate(col: Column): Column = F.call_function("tdigest_accumulate", col)
+  def tdigest_combine(sketch: Column): Column = F.call_function("tdigest_combine", sketch)
+  def tdigest_estimate(sketch: Column, rank: Column): Column =
+    F.call_function("tdigest_estimate", sketch, rank)
+  def tdigest_rank(sketch: Column, value: Column): Column =
+    F.call_function("tdigest_rank", sketch, value)
+
+  /** n-1 split points dividing `col` into n near-equal-frequency ranges. */
+  def approx_partition_bounds(col: Column, n: Int): Column =
+    F.call_function("approx_partition_bounds", col, F.lit(n))
+
+  def graft_nearest_cells(v: Column, cents: Column, nprobe: Int): Column =
+    F.call_function("graft_nearest_cells", v, cents, F.lit(nprobe))
 }

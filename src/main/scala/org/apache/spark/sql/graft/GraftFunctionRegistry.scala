@@ -1,5 +1,5 @@
 /**
- * Registration of the 52 graft SQL functions — the reference's 18 sketch
+ * Registration of the 58 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -511,6 +511,81 @@ object GraftFunctionRegistry {
         "VALUES ('a', 1.0), ('b', 2.0) AS tab(k, v)") -> "2"),
       "agg_funcs") { args =>
       TupleEstimate(args(0))
+    },
+    fd("approx_percentile_tdigest",
+      "_FUNC_(col, percentage) - Returns the approximate percentile(s) of `col` via a " +
+        "t-digest (compression k from spark.sql.dataSketches.tdigest.k): double-precision " +
+        "values with rank error concentrated at the distribution tails (~ q(1-q)).",
+      Seq(2),
+      Seq("col" -> "a numeric column", pctArg),
+      Seq("SELECT _FUNC_(col, 0.5) FROM VALUES (0.0), (1.0), (2.0) AS tab(col)" -> "1.0"),
+      "agg_funcs") { args =>
+      ApproxPercentileTDigest(args(0), args(1), TDigestParams.resolveK())
+    },
+    fd("tdigest_accumulate",
+      "_FUNC_(col) - Aggregates a numeric column into a serialized t-digest (BINARY), " +
+        "the standard DataSketches t-digest image; mergeable with tdigest_combine.",
+      Seq(1),
+      Seq("col" -> "a numeric column"),
+      Seq(("SELECT tdigest_estimate(_FUNC_(col), 0.5) FROM " +
+        "VALUES (0.0), (1.0), (2.0) AS tab(col)") -> "1.0"),
+      "agg_funcs") { args =>
+      TDigestAccumulate(args(0), TDigestParams.resolveK())
+    },
+    fd("tdigest_combine",
+      "_FUNC_(sketch) - Merges serialized t-digests into one digest (BINARY); digests " +
+        "merge associatively with bounded error growth, so per-group digests roll up " +
+        "to any coarser grouping without touching the raw data.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT tdigest_estimate(_FUNC_(s), 0.5) FROM (SELECT " +
+        "tdigest_accumulate(col) s FROM VALUES (0.0), (1.0), (2.0) tab(col) " +
+        "GROUP BY col)") -> "1.0"),
+      "agg_funcs") { args =>
+      TDigestCombine(args(0), TDigestParams.resolveK())
+    },
+    fd("tdigest_estimate",
+      "_FUNC_(sketch, rank) - The approximate quantile at normalized `rank` (in [0,1]) " +
+        "stored in a serialized t-digest; NULL on corrupt bytes or an empty digest.",
+      Seq(2),
+      Seq(sketchArg, "rank" -> "a DOUBLE normalized rank in [0,1]"),
+      Seq(("SELECT _FUNC_(tdigest_accumulate(col), 1.0d) FROM " +
+        "VALUES (0.0), (1.0), (2.0) AS tab(col)") -> "2.0"),
+      "agg_funcs") { args =>
+      TDigestEstimate(args(0), args(1))
+    },
+    fd("tdigest_rank",
+      "_FUNC_(sketch, value) - The approximate normalized rank (in [0,1]) of `value` " +
+        "in a serialized t-digest; NULL on corrupt bytes or an empty digest.",
+      Seq(2),
+      Seq(sketchArg, "value" -> "a DOUBLE value"),
+      Seq(("SELECT _FUNC_(tdigest_accumulate(col), 0.0d) FROM " +
+        "VALUES (0.0), (1.0), (2.0) AS tab(col)") -> "0.16666666666666666"),
+      "agg_funcs") { args =>
+      TDigestRank(args(0), args(1))
+    },
+    fd("approx_partition_bounds",
+      "_FUNC_(col, n) - Returns n-1 approximate split points (ARRAY, input type " +
+        "preserved) dividing `col` into `n` near-equal-frequency ranges, from ONE " +
+        "KLL-sketch pass (k from spark.sql.dataSketches.quantiles.kll.k) - the " +
+        "range-partition-boundary planner for writing a sorted/partitioned copy of a " +
+        "table too large to sort globally.",
+      Seq(2),
+      Seq("col" -> "a numeric column", "n" -> "constant partition count >= 2"),
+      Seq(("SELECT _FUNC_(col, 2) FROM VALUES (0.0), (1.0), (2.0), (3.0) " +
+        "AS tab(col)") -> "[1.0]"),
+      "agg_funcs") { args =>
+      val n = intLiteral("approx_partition_bounds", "n", args(1))
+      if (n < 2) {
+        throw new IllegalArgumentException(
+          s"Function approx_partition_bounds requires n to be at least 2, got $n")
+      }
+      val pcts = org.apache.spark.sql.catalyst.expressions.Literal.create(
+        (1 until n).map(_.toDouble / n).toArray,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))
+      val (a, k) = QuantileParams.resolve("KLL")
+      ApproxPercentileAgg(args(0), pcts, a, k, "approx_partition_bounds")
     },
     // --- text pipeline ---------------------------------------------------
     fd("graft_simhash",

@@ -110,6 +110,15 @@ object GraftConfEntries {
       .checkValue(v => v >= 4 && v <= 26, "The parameter `lgK` must be in [4, 26].")
       .createWithDefault(12)
 
+  val TDIGEST_K: ConfigEntry[Int] =
+    buildConf("spark.sql.dataSketches.tdigest.k")
+      .doc("The compression parameter of the t-digest quantile sketches " +
+        "(approx_percentile_tdigest/tdigest_accumulate); more centroids = " +
+        "tighter rank error, concentrated at the distribution tails.")
+      .intConf
+      .checkValue(v => v >= 10 && v <= 10000, "The parameter `k` must be in [10, 10000].")
+      .createWithDefault(200)
+
   /**
    * Forces object initialization, registering every entry above into
    * SQLConf's static registry. Called from `Graft.install` so the entries
