@@ -17,7 +17,7 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, Dedup, JoinStats, Profiler, Similarity}
+import graft.operators.{AsofJoin, Dedup, JoinStats, Profiler, Sampling, Similarity, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -57,4 +57,14 @@ object GraftPythonApi {
   def asofBackward(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String): DataFrame =
     AsofJoin.asofBackward(left, right, keyCol, tsCol)
+
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int): DataFrame =
+    Dedup.semanticDedup(df, idCol, vecCol, threshold, nlist)
+
+  def parseUrls(df: DataFrame, urlCol: String): DataFrame =
+    UrlOps.parseUrls(df, urlCol)
+
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int, seed: Long): DataFrame =
+    Sampling.shuffleShards(df, idCol, numShards, seed)
 }
