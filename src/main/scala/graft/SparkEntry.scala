@@ -2183,6 +2183,30 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM c) AS n_buckets,
         |       bool_and(abs(n / CAST(total AS DOUBLE) - 0.125) <= 0.04) AS balanced
         |FROM c CROSS JOIN t""".stripMargin)
+    },
+
+    // DataSketches BloomFilter membership: the filter is built over the
+    // corpus's content fingerprints and probed with (a) every member —
+    // ALL must hit, the no-false-negative guarantee — and (b) 10k known
+    // absentees, whose hit count must stay near the configured 1% fpp.
+    // The cross-system wire image is pinned by BloomFilterSuite.
+    q("q83_bloom_membership",
+      """SELECT count(*) AS n_docs, true AS all_found, true AS fp_ok
+        |FROM documents""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""
+        |WITH f AS (SELECT bloom_accumulate(md5(text)) AS bf FROM documents),
+        |members AS (
+        |  SELECT count(*) AS n_docs,
+        |         sum(CASE WHEN bloom_might_contain(f.bf, md5(d.text))
+        |             THEN 1 ELSE 0 END) AS found
+        |  FROM documents d CROSS JOIN f),
+        |fps AS (
+        |  SELECT sum(CASE WHEN bloom_might_contain(f.bf, concat('absent-', id))
+        |             THEN 1 ELSE 0 END) AS fp
+        |  FROM range(10000) CROSS JOIN f)
+        |SELECT m.n_docs, m.found = m.n_docs AS all_found, fps.fp <= 300 AS fp_ok
+        |FROM members m CROSS JOIN fps""".stripMargin)
     }
   )
 

@@ -137,4 +137,14 @@ object functions {
 
   def graft_nearest_cells(v: Column, cents: Column, nprobe: Int): Column =
     F.call_function("graft_nearest_cells", v, cents, F.lit(nprobe))
+
+  // --- DataSketches BloomFilter (cross-system membership) --------------
+  def bloom_accumulate(col: Column, maxItems: Long = 100000L, fpp: Double = 0.01): Column =
+    F.call_function("bloom_accumulate", col, F.lit(maxItems), F.lit(fpp))
+  def bloom_union(sketch: Column, maxItems: Long = 100000L, fpp: Double = 0.01): Column =
+    F.call_function("bloom_union", sketch, F.lit(maxItems), F.lit(fpp))
+  def bloom_intersect(sketch: Column, maxItems: Long = 100000L, fpp: Double = 0.01): Column =
+    F.call_function("bloom_intersect", sketch, F.lit(maxItems), F.lit(fpp))
+  def bloom_might_contain(sketch: Column, value: Column): Column =
+    F.call_function("bloom_might_contain", sketch, value)
 }

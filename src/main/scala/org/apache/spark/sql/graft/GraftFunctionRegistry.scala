@@ -1,5 +1,5 @@
 /**
- * Registration of the 58 graft SQL functions — the reference's 18 sketch
+ * Registration of the 62 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -587,6 +587,63 @@ object GraftFunctionRegistry {
       val (a, k) = QuantileParams.resolve("KLL")
       ApproxPercentileAgg(args(0), pcts, a, k, "approx_partition_bounds")
     },
+    fd("bloom_accumulate",
+      "_FUNC_(col[, maxItems, fpp]) - Aggregates string/long values into a serialized " +
+        "DataSketches BloomFilter (BINARY): approximate set membership with NO false " +
+        "negatives and a cross-system wire image. `maxItems`/`fpp` size the bit array " +
+        "(defaults 100000, 0.01); partials built with the same pair are union-compatible.",
+      Seq(1, 2, 3),
+      Seq("col" -> "a STRING or integral column",
+        "maxItems" -> "constant expected distinct-item count (default 100000)",
+        "fpp" -> "constant target false-positive probability in (0,1) (default 0.01)"),
+      Seq(("SELECT bloom_might_contain(_FUNC_(col), 'a') FROM " +
+        "VALUES ('a'), ('b') AS tab(col)") -> "true"),
+      "agg_funcs") { args =>
+      val (m, f) = bloomParams("bloom_accumulate", args)
+      BloomAccumulate(args(0), m, f)
+    },
+    fd("bloom_union",
+      "_FUNC_(sketch[, maxItems, fpp]) - Merges serialized BloomFilters (bitwise OR): " +
+        "membership in ANY input filter. All inputs must be built with the same " +
+        "maxItems/fpp pair.",
+      Seq(1, 2, 3),
+      Seq(sketchArg,
+        "maxItems" -> "constant expected distinct-item count (default 100000)",
+        "fpp" -> "constant target false-positive probability in (0,1) (default 0.01)"),
+      Seq(("SELECT bloom_might_contain(_FUNC_(s), 'a') FROM " +
+        "(SELECT bloom_accumulate(col) s FROM VALUES ('a'), ('b') tab(col) " +
+        "GROUP BY col)") -> "true"),
+      "agg_funcs") { args =>
+      val (m, f) = bloomParams("bloom_union", args)
+      BloomUnionAgg(args(0), m, f)
+    },
+    fd("bloom_intersect",
+      "_FUNC_(sketch[, maxItems, fpp]) - Intersects serialized BloomFilters (bitwise " +
+        "AND): membership in EVERY input filter — a set operation Spark's native bloom " +
+        "cannot express. NULL for an empty group.",
+      Seq(1, 2, 3),
+      Seq(sketchArg,
+        "maxItems" -> "constant expected distinct-item count (default 100000)",
+        "fpp" -> "constant target false-positive probability in (0,1) (default 0.01)"),
+      Seq(("SELECT bloom_might_contain(_FUNC_(s), 'b') FROM (SELECT " +
+        "bloom_accumulate(col) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)")
+        -> "false"),
+      "agg_funcs") { args =>
+      val (m, f) = bloomParams("bloom_intersect", args)
+      BloomIntersectAgg(args(0), m, f)
+    },
+    fd("bloom_might_contain",
+      "_FUNC_(sketch, value) - TRUE if `value` may be in the filter, FALSE if it " +
+        "definitely is not (no false negatives); NULL on corrupt bytes. Values hash " +
+        "per the DataSketches standard, so filters built by other DataSketches " +
+        "consumers answer correctly.",
+      Seq(2),
+      Seq(sketchArg, "value" -> "a STRING or integral value to probe"),
+      Seq(("SELECT _FUNC_(bloom_accumulate(col), 'zzz') FROM " +
+        "VALUES ('a'), ('b') AS tab(col)") -> "false"),
+      "predicate_funcs") { args =>
+      BloomMightContain(args(0), args(1))
+    },
     // --- text pipeline ---------------------------------------------------
     fd("graft_simhash",
       "_FUNC_(text) - Returns the 64-bit SimHash fingerprint of `text` (lower-cased " +
@@ -775,6 +832,29 @@ object GraftFunctionRegistry {
         org.apache.spark.sql.types.StringType) => v.toString
     case _ => throw new IllegalArgumentException(
       s"Function $fn requires $param to be a constant string literal, got ${e.sql}")
+  }
+
+  /** Parse the optional (maxItems, fpp) tail of the bloom functions,
+   *  validated and frozen into the plan driver-side. */
+  private def bloomParams(fn: String, args: Seq[Expression]): (Long, Double) = {
+    val m = if (args.length > 1) longLiteral(fn, "maxItems", args(1))
+            else BloomParams.DefaultMaxItems
+    val f = if (args.length > 2) doubleLiteral(fn, "fpp", args(2))
+            else BloomParams.DefaultFpp
+    BloomParams.validate(fn, m, f)
+    (m, f)
+  }
+
+  /** Require a foldable double (or int) literal argument. */
+  private def doubleLiteral(fn: String, param: String, e: Expression): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _: org.apache.spark.sql.types.DecimalType) =>
+      v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) =>
+      v.toDouble
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant numeric literal, got ${e.sql}")
   }
 
   /** Require a foldable integer literal argument (mirrors the quantile
