@@ -2207,6 +2207,44 @@ object SparkEntry {
         |  FROM range(10000) CROSS JOIN f)
         |SELECT m.n_docs, m.found = m.n_docs AS all_found, fps.fp <= 300 AS fp_ok
         |FROM members m CROSS JOIN fps""".stripMargin)
+    },
+
+    // String quantiles in the EXACT region (4 suppliers per nation, far
+    // below k=128): per-group median name under natural string ordering —
+    // the oracle replays the EXCLUSIVE rank identity (q01's pattern over
+    // strings), so the match is row-exact, not bound-checked.
+    q("q84_string_percentile",
+      """WITH ranked AS (
+        |  SELECT s_nationkey, s_name v,
+        |         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) rn,
+        |         count(*) OVER (PARTITION BY s_nationkey) n
+        |  FROM supplier)
+        |SELECT s_nationkey,
+        |       max(CASE WHEN rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n) THEN v END)
+        |         AS med_name
+        |FROM ranked GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      view(s, d, "supplier")
+      s.sql("""SELECT s_nationkey, approx_percentile_str(s_name, 0.5) AS med_name
+              |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+
+    // Range-partition planning by a STRING key (q82's gate shape): one
+    // sketch pass proposes 4-way split keys over the uniform md5 key
+    // space, and the replay checks every range holds 25% +- 5% of rows.
+    q("q85_string_partition_bounds",
+      """SELECT CAST(4 AS BIGINT) AS n_buckets, true AS balanced
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""
+        |WITH k AS (SELECT md5(CAST(doc_id AS STRING)) AS key FROM documents),
+        |b AS (SELECT approx_partition_bounds_str(key, 4) AS bs FROM k),
+        |a AS (SELECT size(filter(b.bs, x -> x <= k.key)) AS bucket
+        |      FROM k CROSS JOIN b),
+        |c AS (SELECT bucket, count(*) AS n FROM a GROUP BY bucket),
+        |t AS (SELECT count(*) AS total FROM k)
+        |SELECT (SELECT count(*) FROM c) AS n_buckets,
+        |       bool_and(abs(n / CAST(total AS DOUBLE) - 0.25) <= 0.05) AS balanced
+        |FROM c CROSS JOIN t""".stripMargin)
     }
   )
 

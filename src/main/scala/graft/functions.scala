@@ -147,4 +147,10 @@ object functions {
     F.call_function("bloom_intersect", sketch, F.lit(maxItems), F.lit(fpp))
   def bloom_might_contain(sketch: Column, value: Column): Column =
     F.call_function("bloom_might_contain", sketch, value)
+
+  // --- string quantiles (order statistics over string keys) ------------
+  def approx_percentile_str(col: Column, percentage: Column): Column =
+    F.call_function("approx_percentile_str", col, percentage)
+  def approx_partition_bounds_str(col: Column, n: Int): Column =
+    F.call_function("approx_partition_bounds_str", col, F.lit(n))
 }

@@ -1,5 +1,5 @@
 /**
- * Registration of the 62 graft SQL functions — the reference's 18 sketch
+ * Registration of the 64 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression,
   ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+import graft.conf.GraftConf
 
 object GraftFunctionRegistry {
 
@@ -586,6 +588,39 @@ object GraftFunctionRegistry {
           org.apache.spark.sql.types.DoubleType, containsNull = false))
       val (a, k) = QuantileParams.resolve("KLL")
       ApproxPercentileAgg(args(0), pcts, a, k, "approx_partition_bounds")
+    },
+    fd("approx_percentile_str",
+      "_FUNC_(col, percentage) - Returns the approximate percentile(s) of a STRING " +
+        "column under natural codepoint ordering (classic mergeable ItemsSketch, k " +
+        "from spark.sql.dataSketches.quantiles.mergeable.k) - order statistics no " +
+        "numeric quantile family can express (e.g. the median url).",
+      Seq(2),
+      Seq("col" -> "a STRING column", pctArg),
+      Seq("SELECT _FUNC_(col, 0.5) FROM VALUES ('a'), ('b'), ('c') AS tab(col)" -> "b"),
+      "agg_funcs") { args =>
+      ApproxPercentileStr(args(0), args(1), GraftConf.quantileMergeableK)
+    },
+    fd("approx_partition_bounds_str",
+      "_FUNC_(col, n) - Returns n-1 approximate split keys (ARRAY<STRING>) dividing a " +
+        "string key column into `n` near-equal-frequency ranges from one sketch pass - " +
+        "the range-partition planner for key types (url/domain/doc-id) the numeric " +
+        "approx_partition_bounds cannot cover.",
+      Seq(2),
+      Seq("col" -> "a STRING column", "n" -> "constant partition count >= 2"),
+      Seq(("SELECT _FUNC_(col, 2) FROM VALUES ('a'), ('b'), ('c'), ('d') " +
+        "AS tab(col)") -> "[\"c\"]"),
+      "agg_funcs") { args =>
+      val n = intLiteral("approx_partition_bounds_str", "n", args(1))
+      if (n < 2) {
+        throw new IllegalArgumentException(
+          s"Function approx_partition_bounds_str requires n to be at least 2, got $n")
+      }
+      val pcts = org.apache.spark.sql.catalyst.expressions.Literal.create(
+        (1 until n).map(_.toDouble / n).toArray,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))
+      ApproxPercentileStr(args(0), pcts, GraftConf.quantileMergeableK,
+        "approx_partition_bounds_str")
     },
     fd("bloom_accumulate",
       "_FUNC_(col[, maxItems, fpp]) - Aggregates string/long values into a serialized " +
