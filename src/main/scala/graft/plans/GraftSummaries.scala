@@ -56,6 +56,18 @@ object GraftSummaries {
     SummaryCatalog.registerFreqItemsSummary(
       basePath, summary, keyCols, valueCol, sketchCol, definition, countCol)
 
+  /** `summary` = SELECT keys..., tdigest_accumulate(valueCol) AS sketchCol. */
+  def registerTDigestSummary(
+      basePath: String,
+      summary: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      sketchCol: String,
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit =
+    SummaryCatalog.registerTDigestSummary(
+      basePath, summary, keyCols, valueCol, sketchCol, definition, countCol)
+
   def unregister(basePath: String): Unit = SummaryCatalog.unregister(basePath)
   def clear(): Unit = SummaryCatalog.clear()
 
@@ -93,8 +105,9 @@ object GraftSummaries {
       case "distinct" => "approx_count_distinct_accumulate"
       case "quantile" => "approx_percentile_accumulate"
       case "freq" => "approx_freqitems_accumulate"
+      case "tdigest" => "tdigest_accumulate"
       case other => throw new IllegalArgumentException(
-        s"unknown summary kind '$other' (expected distinct|quantile|freq)")
+        s"unknown summary kind '$other' (expected distinct|quantile|freq|tdigest)")
     }
     import org.apache.spark.sql.functions.{call_function, col, count, lit}
     val base = spark.read.parquet(basePath)
@@ -112,6 +125,9 @@ object GraftSummaries {
           countCol = Some(countCol))
       case "freq" =>
         registerFreqItemsSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
+      case "tdigest" =>
+        registerTDigestSummary(basePath, summary, keyCols, valueCol, sketchCol,
           countCol = Some(countCol))
     }
     summary
@@ -152,8 +168,10 @@ object GraftSummaries {
         ("approx_percentile_accumulate", "approx_percentile_combine")
       case "freq" =>
         ("approx_freqitems_accumulate", "approx_freqitems_combine")
+      case "tdigest" =>
+        ("tdigest_accumulate", "tdigest_combine")
       case other => throw new IllegalArgumentException(
-        s"unknown summary kind '$other' (expected distinct|quantile|freq)")
+        s"unknown summary kind '$other' (expected distinct|quantile|freq|tdigest)")
     }
     import org.apache.spark.sql.functions.{call_function, col, count, lit, sum}
     val existing = spark.read.parquet(summaryPath)
@@ -185,6 +203,9 @@ object GraftSummaries {
           countCol = Some(countCol))
       case "freq" =>
         registerFreqItemsSummary(basePath, summary, keyCols, valueCol, sketchCol,
+          countCol = Some(countCol))
+      case "tdigest" =>
+        registerTDigestSummary(basePath, summary, keyCols, valueCol, sketchCol,
           countCol = Some(countCol))
     }
     summary

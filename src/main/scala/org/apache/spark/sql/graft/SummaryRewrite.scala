@@ -112,6 +112,19 @@ object SummaryCatalog {
       countCol)
   }
 
+  def registerTDigestSummary(
+      basePath: String,
+      summary: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      sketchCol: String,
+      definition: Option[DataFrame] = None,
+      countCol: Option[String] = None): Unit = {
+    val k = TDigestParams.resolveK()
+    register(basePath, summary, keyCols, valueCol, sketchCol, "tdigest", "TDIGEST", k,
+      definition, countCol)
+  }
+
   def registerFreqItemsSummary(
       basePath: String,
       summary: DataFrame,
@@ -487,6 +500,14 @@ case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       val combine = AggregateExpression(
         ApproxPercentileCombine(sketchAttr, algo, k), Complete, isDistinct = false)
       Some(ApproxPercentileEstimate(combine, pct, algo, k))
+    case ApproxPercentileTDigest(childAttr: AttributeReference, pct, k, _, _)
+        if spec.kind == "tdigest" && childAttr.name == spec.valueCol &&
+          childAttr.dataType == DoubleType && k == spec.param &&
+          // tdigest_estimate is scalar-rank only; array percentages fall back
+          !pct.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      val combine = AggregateExpression(
+        TDigestCombine(sketchAttr, k), Complete, isDistinct = false)
+      Some(TDigestEstimate(combine, pct))
     case ApproxFreqItemsAgg(childAttr: AttributeReference, maxMapSize, _, _)
         if spec.kind == "freq" && childAttr.name == spec.valueCol &&
           childAttr.dataType == StringType && maxMapSize == spec.param =>

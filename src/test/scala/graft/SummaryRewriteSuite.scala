@@ -221,6 +221,41 @@ class SummaryRewriteSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("tdigest summaries rewrite; array-percentage tdigest falls back") {
+    SparkEntry.prep(spark)
+    val base = "/root/testdata/sf0.001/lineitem.parquet"
+    spark.read.parquet(base).createOrReplaceTempView("sr_li_td")
+    val summaryDir = Files.createTempDirectory("graft_tdsummary").toString
+    spark.sql(
+      """SELECT l_returnflag, tdigest_accumulate(l_quantity) AS s
+        |FROM sr_li_td GROUP BY l_returnflag""".stripMargin)
+      .write.mode("overwrite").parquet(summaryDir)
+    GraftSummaries.registerTDigestSummary(
+      base, spark.read.parquet(summaryDir), Seq("l_returnflag"), "l_quantity", "s")
+    try {
+      withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
+        val df = spark.sql(
+          """SELECT l_returnflag, approx_percentile_tdigest(l_quantity, 0.5) AS p50
+            |FROM sr_li_td GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        assert(!scannedPaths(df).exists(_.contains("lineitem.parquet")))
+        // merged-digest answers stay within t-digest error of the direct pass
+        val direct = spark.sql(
+          """SELECT l_returnflag, approx_percentile_tdigest(l_quantity, 0.5) AS p50
+            |FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+        df.collect().zip(direct).foreach { case (a, b) =>
+          assert(math.abs(a.getDouble(1) - b.getDouble(1)) <= 2.0,
+            s"${a.getString(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+        }
+        // tdigest_estimate is scalar-rank only: array percentages fall back
+        val arr = spark.sql(
+          """SELECT l_returnflag, approx_percentile_tdigest(l_quantity, array(0.5d)) p
+            |FROM sr_li_td GROUP BY l_returnflag""".stripMargin)
+        assert(scannedPaths(arr).exists(_.contains("lineitem.parquet")))
+      }
+    } finally GraftSummaries.clear()
+  }
+
   test("aggregates with a FILTER clause are NOT rewritten (would lose the filter)") {
     withSummary {
       withSQLConf(GraftSummaries.ENABLED_KEY -> "true") {
