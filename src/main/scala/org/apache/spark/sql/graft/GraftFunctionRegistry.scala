@@ -575,7 +575,7 @@ object GraftFunctionRegistry {
       Seq(2),
       Seq("col" -> "a numeric column", "n" -> "constant partition count >= 2"),
       Seq(("SELECT _FUNC_(col, 2) FROM VALUES (0.0), (1.0), (2.0), (3.0) " +
-        "AS tab(col)") -> "[1.0]"),
+        "AS tab(col)") -> "[2.0]"),
       "agg_funcs") { args =>
       val n = intLiteral("approx_partition_bounds", "n", args(1))
       if (n < 2) {
