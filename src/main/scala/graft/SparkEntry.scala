@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Embeddings, EventOps, IvfIndex, JoinStats,
+import graft.operators.{AsofJoin, BloomIndex, Dedup, Embeddings, EventOps, IvfIndex, JoinStats,
   Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps, UrlOps}
 
 /**
@@ -2245,6 +2245,32 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM c) AS n_buckets,
         |       bool_and(abs(n / CAST(total AS DOUBLE) - 0.25) <= 0.05) AS balanced
         |FROM c CROSS JOIN t""".stripMargin)
+    },
+
+    // Persisted bloom index, the cross-run incremental-dedup flow: build
+    // the index from the corpus ONCE, then filter an ingest batch of
+    // replayed + planted-fresh docs against the STORED filter (map-side,
+    // no corpus IO). Replays must all drop — the no-false-negative
+    // guarantee is deterministic — and at most ~fpp of the fresh docs may
+    // be collateral false positives.
+    q("q86_bloom_index",
+      """SELECT CAST(0 AS BIGINT) AS replays_kept, true AS fresh_ok
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q86_idx").toString
+      BloomIndex.build(s, dir, docs, "text", maxItems = 100000L, fpp = 0.01)
+      val replays = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+      val fresh = docs.select((col("doc_id") + 1000000L).as("id"),
+        concat(lit("planted-fresh-"), col("doc_id").cast("string")).as("text"))
+      val freshTotal = fresh.count()
+      BloomIndex.filterNew(s, dir, replays.unionByName(fresh), "text")
+        .agg(
+          coalesce(sum(when(col("id") < 1000000L, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("replays_kept"),
+          (coalesce(sum(when(col("id") >= 1000000L, 1L).otherwise(0L)), lit(0L))
+            >= lit(0.95 * freshTotal)).as("fresh_ok"))
     }
   )
 

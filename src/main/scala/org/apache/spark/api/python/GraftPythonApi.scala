@@ -17,7 +17,8 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, Dedup, JoinStats, Profiler, Sampling, Similarity, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Dedup, JoinStats, Profiler, Sampling,
+  Similarity, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -67,4 +68,16 @@ object GraftPythonApi {
 
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int, seed: Long): DataFrame =
     Sampling.shuffleShards(df, idCol, numShards, seed)
+
+  def bloomIndexBuild(spark: SparkSession, path: String, corpus: DataFrame,
+      keyCol: String, maxItems: Long, fpp: Double): Unit =
+    BloomIndex.build(spark, path, corpus, keyCol, maxItems, fpp)
+
+  def bloomIndexAppend(spark: SparkSession, path: String,
+      batch: DataFrame, keyCol: String): Unit =
+    BloomIndex.append(spark, path, batch, keyCol)
+
+  def bloomIndexFilterNew(spark: SparkSession, path: String,
+      batch: DataFrame, keyCol: String): DataFrame =
+    BloomIndex.filterNew(spark, path, batch, keyCol)
 }
