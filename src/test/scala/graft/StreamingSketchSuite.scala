@@ -116,6 +116,35 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
     } finally q.stop()
   }
 
+  test("tdigest, bloom, and string-quantile aggregates compose with streaming groupBy") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Double)](spark)
+    val agg = input.toDF().toDF("k", "v")
+      .groupBy($"k")
+      .agg(expr("approx_percentile_tdigest(v, 0.5)").as("td_p50"),
+        expr("bloom_accumulate(CAST(v AS STRING))").as("bf"),
+        expr("approx_percentile_str(CAST(v AS STRING), 0.5)").as("str_med"))
+    val q = agg.writeStream
+      .format("memory").queryName("new_fam_stream").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(("a", 4.0), ("a", 5.0)): _*)
+      q.processAllAvailable()
+      // state carried across micro-batches: median over ALL five values
+      val out = spark.sql("""
+        |SELECT k, td_p50, bloom_might_contain(bf, '4.0'),
+        |       bloom_might_contain(bf, '99.0'), str_med
+        |FROM new_fam_stream""".stripMargin).collect()
+      assert(out.length === 1)
+      assert(out(0).getDouble(1) === 3.0)
+      assert(out(0).getBoolean(2))   // value from the SECOND batch is in the filter
+      assert(!out(0).getBoolean(3))
+      assert(out(0).getString(4) === "3.0")
+    } finally q.stop()
+  }
+
   test("CPC facade as mapGroupsWithState user state") {
     import spark.implicits._
     val input = MemoryStream[(String, Long)](spark)
