@@ -765,4 +765,23 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(c !== a.toSet)
   }
+
+  test("url parse is a pure map-side pass; corpus shuffle plans exactly one exchange") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val parsed = UrlOps.parseUrls(UrlOps.synthesizeUrls(docs, "doc_id", "source"), "url")
+    val pPlan = parsed.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Exchange"), pPlan)
+    val sh = Sampling.shuffleShards(docs, "doc_id", numShards = 4, seed = 1L)
+    val sPlan = sh.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(sPlan).length === 1, sPlan)
+  }
+
+  test("per-domain cap prunes map-side via WindowGroupLimit") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val parsed = UrlOps.parseUrls(UrlOps.synthesizeUrls(docs, "doc_id", "source"), "url")
+    val capped = Sampling.stratifiedSample(parsed, Seq("domain"), "doc_id", k = 2)
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
