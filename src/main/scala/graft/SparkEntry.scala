@@ -2271,6 +2271,32 @@ object SparkEntry {
             .cast("long").as("replays_kept"),
           (coalesce(sum(when(col("id") >= 1000000L, 1L).otherwise(0L)), lit(0L))
             >= lit(0.95 * freshTotal)).as("fresh_ok"))
+    },
+
+    // Frequent distinct tuples: the top (source, lang) slices by DISTINCT
+    // document count over a corpus deliberately ingested TWICE — the
+    // ranking must ignore the replay (plain freq-items would double every
+    // count), and below 2^lgK distinct tuples the sketch is exact, so the
+    // oracle's exact count(DISTINCT) ranking matches row for row (both
+    // sides break ties on the rendered key).
+    q("q87_fdt_slices",
+      """WITH g AS (
+        |  SELECT source || ',' || lang AS key,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+        |  FROM documents GROUP BY source, lang)
+        |SELECT key, n_distinct FROM g
+        |ORDER BY n_distinct DESC, key LIMIT 8""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""
+        |WITH ingest AS (
+        |  SELECT source, lang, doc_id FROM documents
+        |  UNION ALL SELECT source, lang, doc_id FROM documents),
+        |sk AS (
+        |  SELECT fdt_accumulate(array(source, lang, CAST(doc_id AS STRING))) AS s
+        |  FROM ingest)
+        |SELECT inline(fdt_topk(s, array(0, 1), 8)) FROM sk""".stripMargin)
+        .toDF("key", "n_distinct")
+        .orderBy(col("n_distinct").desc, col("key"))
     }
   )
 

@@ -153,4 +153,10 @@ object functions {
     F.call_function("approx_percentile_str", col, percentage)
   def approx_partition_bounds_str(col: Column, n: Int): Column =
     F.call_function("approx_partition_bounds_str", col, F.lit(n))
+
+  // --- frequent distinct tuples (dedup-aware heavy hitters) ------------
+  def fdt_accumulate(dims: Column): Column = F.call_function("fdt_accumulate", dims)
+  def fdt_union(sketch: Column): Column = F.call_function("fdt_union", sketch)
+  def fdt_topk(sketch: Column, indices: Seq[Int], k: Int): Column =
+    F.call_function("fdt_topk", sketch, F.array(indices.map(F.lit): _*), F.lit(k))
 }

@@ -1,5 +1,5 @@
 /**
- * Registration of the 64 graft SQL functions — the reference's 18 sketch
+ * Registration of the 67 graft SQL functions — the reference's 18 sketch
  * functions (name surface: shims.scala:32-56) plus the text/vector
  * pipeline primitives. Three mechanisms, mirroring the reference:
  *   1. `SparkSessionExtensions.injectFunction` via [[graft.GraftExtensions]]
@@ -622,6 +622,48 @@ object GraftFunctionRegistry {
       ApproxPercentileStr(args(0), pcts, GraftConf.quantileMergeableK,
         "approx_partition_bounds_str")
     },
+    fd("fdt_accumulate",
+      "_FUNC_(dims) - Aggregates ARRAY<STRING> tuples (dimension values + id, any " +
+        "arity) into a serialized ArrayOfStrings tuple sketch (BINARY) for " +
+        "frequent-DISTINCT-tuple analysis: each distinct tuple is retained once, so " +
+        "downstream fdt_topk counts distinct ids per dimension group, robust to " +
+        "repeated ingestion. Exact below 2^spark.sql.dataSketches.tuple.lgK distinct " +
+        "tuples. Rows with a null array or null element are skipped.",
+      Seq(1),
+      Seq("dims" -> "an ARRAY<STRING> column of tuple values"),
+      Seq(("SELECT fdt_topk(_FUNC_(array(s, id)), array(0), 1)[0].n_distinct FROM " +
+        "VALUES ('a', 'x'), ('a', 'y'), ('a', 'y') AS tab(s, id)") -> "2"),
+      "agg_funcs") { args =>
+      FdtAccumulate(args(0), TupleParams.resolveLgK())
+    },
+    fd("fdt_union",
+      "_FUNC_(sketch) - Merges serialized frequent-distinct-tuple sketches into " +
+        "their union (BINARY).",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT fdt_topk(_FUNC_(s), array(0), 1)[0].key FROM (SELECT " +
+        "fdt_accumulate(array(v, v)) s FROM VALUES ('a'), ('b') tab(v) " +
+        "GROUP BY v)") -> "a"),
+      "agg_funcs") { args =>
+      FdtUnionAgg(args(0), TupleParams.resolveLgK())
+    },
+    fd("fdt_topk",
+      "_FUNC_(sketch, indices, k) - The top-k dimension groups by estimated " +
+        "distinct-tuple count from a serialized frequent-distinct-tuple sketch: " +
+        "retained distinct tuples grouped by the constant `indices` positions " +
+        "(comma-joined into `key`), as ARRAY<STRUCT<key STRING, n_distinct BIGINT>> " +
+        "ordered by estimate descending then key ascending; NULL on corrupt bytes.",
+      Seq(3),
+      Seq(sketchArg,
+        "indices" -> "constant ARRAY of integer tuple positions forming the group key",
+        "k" -> "constant positive group count"),
+      Seq(("SELECT _FUNC_(fdt_accumulate(array(s, id)), array(0), 2) FROM " +
+        "VALUES ('a', 'x'), ('a', 'y'), ('b', 'z') AS tab(s, id)") ->
+        "[{\"key\":\"a\",\"n_distinct\":2},{\"key\":\"b\",\"n_distinct\":1}]"),
+      "agg_funcs") { args =>
+      FdtTopK(args(0), intArrayLiteral("fdt_topk", "indices", args(1)),
+        intLiteral("fdt_topk", "k", args(2)))
+    },
     fd("bloom_accumulate",
       "_FUNC_(col[, maxItems, fpp]) - Aggregates string/long values into a serialized " +
         "DataSketches BloomFilter (BINARY): approximate set membership with NO false " +
@@ -890,6 +932,23 @@ object GraftFunctionRegistry {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toDouble
     case _ => throw new IllegalArgumentException(
       s"Function $fn requires $param to be a constant numeric literal, got ${e.sql}")
+  }
+
+  /** Require a foldable array-of-integers literal argument. */
+  private def intArrayLiteral(fn: String, param: String, e: Expression): Seq[Int] = {
+    val bad = () => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant integer-array literal, got ${e.sql}")
+    if (!e.foldable) bad()
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, _) =>
+        val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        if (arr == null || arr.numElements() == 0) bad()
+        (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i)) bad().asInstanceOf[Int] else arr.getInt(i)
+        }
+      case _ => bad().asInstanceOf[Seq[Int]]
+    }
   }
 
   /** Require a foldable integer literal argument (mirrors the quantile
