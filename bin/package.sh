@@ -27,7 +27,17 @@ else
 fi
 
 (cd "$GRAFT_HOME" && sbt -batch package 1>&2)
-CLASSES_JAR="$(ls "$GRAFT_HOME"/target/scala-$SCALA_BINARY_VERSION/*_$SCALA_BINARY_VERSION-*.jar | head -1)"
+# NOT a bare `ls ... | head -1`: a -tests.jar (from any earlier
+# Test/package) sorts BEFORE the library jar and would silently ship
+# test classes instead of the library
+CLASSES_JAR="$(ls "$GRAFT_HOME"/target/scala-$SCALA_BINARY_VERSION/*_$SCALA_BINARY_VERSION-*.jar \
+  | grep -v -- '-tests\.jar$' | grep -v -- '-sources\.jar$' | head -1)"
+# grep without -q: under pipefail, grep -q's early exit SIGPIPEs unzip
+# and fails the pipeline even on a match
+if ! unzip -l "$CLASSES_JAR" | grep 'graft/GraftExtensions.class' >/dev/null; then
+  echo "ERROR: $CLASSES_JAR does not contain graft/GraftExtensions.class" 1>&2
+  exit 1
+fi
 
 STAGE="$(mktemp -d)"
 trap 'rm -rf "$STAGE"' EXIT
