@@ -2297,8 +2297,117 @@ object SparkEntry {
         |SELECT inline(fdt_topk(s, array(0, 1), 8)) FROM sk""".stripMargin)
         .toDF("key", "n_distinct")
         .orderBy(col("n_distinct").desc, col("key"))
+    },
+
+    // Fractional contamination scoring (q30's graded companion): every
+    // corpus doc gets the FRACTION of its distinct word-8-grams found in
+    // the benchmark, not just an any-match flag. Planted full copies at
+    // id+2M score 1.0; organic docs score their true partial overlap.
+    // Same brute-force raw-shingle oracle as q30, extended per-doc.
+    q("q88_contamination_frac",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0)),
+        |shs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 7),
+        |                     i -> array_to_string(ws[i+1:i+8], ' '))) END sh
+        |  FROM w),
+        |bsh AS (SELECT DISTINCT s FROM (SELECT unnest(sh) s FROM shs WHERE doc_id % 50 = 0 AND doc_id < 2000000)),
+        |hits AS (
+        |  SELECT c.doc_id, count(b.s) AS n_shared
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs) c
+        |  LEFT JOIN bsh b ON c.s = b.s
+        |  GROUP BY c.doc_id)
+        |SELECT s2.doc_id AS id, CAST(len(s2.sh) AS BIGINT) AS n_shingles,
+        |       CAST(h.n_shared AS BIGINT) AS n_shared,
+        |       round(h.n_shared / len(s2.sh), 9) AS overlap_frac
+        |FROM shs s2 JOIN hits h ON s2.doc_id = h.doc_id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val planted = bench.select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      graft.operators.Dedup.contaminationOverlap(
+          docs.unionByName(planted), bench, "doc_id", "text", n = 8)
+        .orderBy("id")
+    },
+
+    // Hashed linear classifier inference (fastText/CCNet-style quality
+    // scoring): one map-only native-expression pass, the 64-slot weight
+    // vector frozen into the plan. Integer-valued weights make the double
+    // sum exact, so the oracle replays the identical md5-slot model and
+    // the match is bit-exact, not tolerance-checked.
+    q("q89_classifier_score",
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_sum(list_transform(toks, w -> ${bowWeightSql(64)}))
+        |            AS DOUBLE) AS bow_score
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.table("documents")
+        .select(col("doc_id"),
+          graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+            .as("bow_score"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget curation: "highest-scoring docs until 12k tokens" —
+    // the quantile-refinement selector against the plain cumulative-sum
+    // window oracle. buckets=8 / refineLimit=50 force the distributed
+    // walk to actually run multiple rounds at sf0.01 rather than
+    // degenerating to the final window immediately.
+    q("q90_token_budget",
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(toks, w -> ${bowWeightSql(64)}))
+        |              AS DOUBLE) AS score,
+        |         len(toks) AS n_tokens
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+        |  FROM s)
+        |SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM c WHERE cum <= 12000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val scored = s.table("documents").select(col("doc_id"),
+        graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+          .as("score"),
+        size(graft.operators.TextOps.words(col("text"))).cast("long")
+          .as("n_tokens"))
+      graft.operators.Sampling
+        .selectByTokenBudget(scored, "doc_id", "score", "n_tokens",
+          budget = 12000, buckets = 8, refineLimit = 50)
+        .select(col("id").as("doc_id"), col("score"),
+          col("tokens").as("n_tokens"))
+        .orderBy("doc_id")
     }
   )
+
+  /** q89/q90's deterministic integer-valued weight vector: slot i weighs
+   *  (i*37 mod 101) - 50 — integer-valued doubles, so sums are exact and
+   *  order-independent in every engine. */
+  private def bowWeights(dim: Int): Seq[Double] =
+    (0 until dim).map(i => ((i * 37) % 101 - 50).toDouble)
+
+  /** The same model as [[bowWeights]] in DuckDB SQL, applied to a token
+   *  lambda variable `w`: slot = first-4-md5-bytes (big-endian) mod dim —
+   *  the exact [[org.apache.spark.sql.graft.HashedBowScore]] slot. */
+  private def bowWeightSql(dim: Int): String = {
+    val hex = (1 to 8).map { i =>
+      val p = BigInt(16).pow(8 - i)
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) * $p"
+    }.mkString(" + ")
+    s"CAST((((($hex) % $dim) * 37) % 101 - 50) AS DOUBLE)"
+  }
 
   /** DuckDB mirror of [[graft.operators.Profiler.profile]] over supplier. */
   private def profileOracle: String = {

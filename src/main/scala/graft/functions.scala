@@ -159,4 +159,9 @@ object functions {
   def fdt_union(sketch: Column): Column = F.call_function("fdt_union", sketch)
   def fdt_topk(sketch: Column, indices: Seq[Int], k: Int): Column =
     F.call_function("fdt_topk", sketch, F.array(indices.map(F.lit): _*), F.lit(k))
+
+  // --- hashed linear classifier inference ------------------------------
+  def graft_hashed_bow_score(text: Column, weights: Seq[Double]): Column =
+    F.call_function("graft_hashed_bow_score", text,
+      F.array(weights.map(F.lit): _*))
 }

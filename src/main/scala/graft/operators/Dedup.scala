@@ -516,6 +516,52 @@ object Dedup {
   }
 
   /**
+   * Fractional contamination score: for EVERY corpus document, the
+   * fraction of its distinct word n-gram shingles that appear anywhere
+   * in the benchmark — (id, n_shingles, n_shared, overlap_frac), kept
+   * when `overlap_frac >= minFrac`. The graded companion to
+   * [[contaminatedDocs]]'s any-match flag: pipelines drop above a high
+   * fraction and tag the grey zone for review rather than hard-flagging
+   * a doc that shares one boilerplate 8-gram.
+   *
+   * Scale design mirrors [[contaminatedDocs]]: the benchmark collapses
+   * to a DISTINCT broadcast set of 8-byte shingle hashes; the corpus
+   * streams map-side through the broadcast left join carrying its
+   * per-doc shingle count alongside, and the per-doc hit count
+   * partially aggregates to ~one row per doc before the only shuffle.
+   * The fraction is a division of two exact small integers, so any SQL
+   * engine reproduces it bit-for-bit (hash collisions aside, as in
+   * [[contaminatedDocs]]).
+   */
+  def contaminationOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minFrac: Double = 0.0): DataFrame = {
+    require(minFrac >= 0.0 && minFrac <= 1.0,
+      s"minFrac must be in [0, 1], got $minFrac")
+    val c = corpus
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("h"))
+    val b = benchmark
+      .select(explode(shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    // count(__hit) counts non-null = matched shingles; unmatched corpus
+    // shingles survive the left join as null __hit and only keep the
+    // denominator honest
+    c.join(broadcast(b), Seq("h"), "left")
+      .groupBy("id", "n_shingles")
+      .agg(count(col("__hit")).as("n_shared"))
+      .select(col("id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared") / col("n_shingles"), 9).as("overlap_frac"))
+      .where(col("overlap_frac") >= minFrac)
+  }
+
+  /**
    * SimHash-banded near-duplicate pairs: candidates agree on at least
    * one of `bands` equal slices of the 64-bit fingerprint, then verify
    * with exact hamming distance. LOSSLESS for `maxHamming < bands` by

@@ -146,4 +146,167 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("__graft_key")
   }
+
+  /**
+   * Token-budget selection — "take the highest-quality documents until
+   * the token budget is spent": order rows by (`scoreCol` DESC, `idCol`
+   * ASC) and keep the maximal prefix whose cumulative token count stays
+   * <= `budget`. EXACT — the result row set equals the single-machine
+   * `cumsum-over-sorted <= budget` filter — without ever globally
+   * sorting the corpus.
+   *
+   * Scale design (the quantile-refinement pattern): each round, ONE
+   * [[graft.functions.approx_partition_bounds]] pass proposes `buckets`
+   * score ranges over the still-undecided slice, and one aggregate
+   * computes each range's EXACT row/token totals (the sketch only
+   * balances the ranges; correctness never depends on its accuracy).
+   * Ranges that wholly fit the remaining budget are selected by a score
+   * THRESHOLD, ranges wholly past it are discarded, and only the one
+   * boundary range stays undecided — shrinking ~`buckets`x per round, so
+   * a 100 TB corpus reaches `refineLimit` rows in log_buckets(N) ~ 5-6
+   * scans, each with the narrowing score interval PUSHED DOWN to the
+   * scan. Ties: equal scores always share a range (bounds are data
+   * values), and a boundary range stuck on ONE distinct score re-runs
+   * the same walk on the id tiebreaker (ids <= 2^53 — exact as doubles).
+   * The final <= `refineLimit` undecided rows take a single-partition
+   * running-sum window — the only non-distributed step, explicitly
+   * bounded. Driver-side state per round is one bounds array plus
+   * <= `buckets`+1 aggregate rows (the bounded-collect model of
+   * [[graft.operators.Dedup.connectedComponents]]).
+   *
+   * Returns (id, score, tokens) for the selected rows, unordered. Rows
+   * with a null id, score, or tokens are dropped up front (they have no
+   * place in the total order); tokens must be >= 0 for the prefix
+   * semantics to hold.
+   */
+  def selectByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      buckets: Int = 64,
+      refineLimit: Long = 100000L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(refineLimit >= 1, s"refineLimit must be >= 1, got $refineLimit")
+    import org.apache.spark.sql.Row
+    val d = df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(tokensCol).cast("long").as("tokens"))
+      // NaN has no consistent rank (Spark orders it above every double,
+      // the bucketizer's >= comparisons order it below) — a NaN score is
+      // an upstream bug, not a rankable document
+      .where(col("id").isNotNull && col("score").isNotNull &&
+        col("tokens").isNotNull && !isnan(col("score")))
+
+    // One refinement round over the rows of `pred`, ordered by `key`
+    // (descending when `desc`). Returns (fully-selected predicate,
+    // their token total, boundary predicate or null, boundary count,
+    // boundary distinct-key-range flag) — all predicates are value
+    // thresholds on `key`, so they push down to the scan next round.
+    case class Walk(sel: Option[Column], selTokens: Long,
+      boundary: Option[Column], bCount: Long, bSingleKey: Boolean)
+    def walk(pred: Column, key: String, desc: Boolean, rem: Long): Walk = {
+      val u = d.where(pred)
+      val boundsRow = u.agg(org.apache.spark.sql.functions.call_function(
+          "approx_partition_bounds", col(key).cast("double"), lit(buckets))
+          .as("bs"))
+        .collect()(0)
+      // null bounds = the slice is empty (nothing left to decide)
+      val bounds =
+        if (boundsRow.isNullAt(0)) Array.empty[Double]
+        else boundsRow.getSeq[Double](0).toArray
+      // bucket = #bounds <= key: a codegen'd comparison chain (no HOF,
+      // no lookup join); equal keys always share a bucket
+      val bucketExpr = bounds.map(b =>
+        when(col(key).cast("double") >= lit(b), 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0))
+      val stats = u.groupBy(bucketExpr.as("b"))
+        .agg(sum("tokens").as("toks"), count(lit(1)).as("cnt"),
+          min(col(key).cast("double")).as("lo"),
+          max(col(key).cast("double")).as("hi"))
+        .collect().sortBy(r => if (desc) -r.getInt(0) else r.getInt(0))
+      // walk buckets best-first; buckets wholly inside the remaining
+      // budget select, the first overflowing bucket is the boundary,
+      // everything past it is already beyond the prefix (cum is
+      // monotone), so it needs no predicate at all
+      var remaining = rem
+      var taken = 0L
+      var selThresh: Option[Row] = None
+      var boundaryRow: Option[Row] = None
+      var i = 0
+      while (i < stats.length && boundaryRow.isEmpty) {
+        val r = stats(i)
+        if (r.getLong(1) <= remaining) {
+          remaining -= r.getLong(1); taken += r.getLong(1)
+          selThresh = Some(r)
+        } else boundaryRow = Some(r)
+        i += 1
+      }
+      def kd = col(key).cast("double")
+      val sel = selThresh.map { r =>
+        // contiguous best-first region: a single value threshold
+        if (desc) pred && kd >= lit(r.getDouble(3))
+        else pred && kd <= lit(r.getDouble(4))
+      }
+      boundaryRow match {
+        case None => Walk(sel, taken, None, 0L, bSingleKey = false)
+        case Some(r) =>
+          val b = r.getInt(0)
+          val lo = r.getDouble(3)
+          val hi = r.getDouble(4)
+          val loB = if (b == 0) None else Some(bounds(b - 1))
+          val hiB = if (b == bounds.length) None else Some(bounds(b))
+          val bp = Seq(loB.map(v => kd >= lit(v)), hiB.map(v => kd < lit(v)))
+            .flatten.foldLeft(pred)(_ && _)
+          Walk(sel, taken, Some(bp), r.getLong(2), bSingleKey = lo == hi)
+      }
+    }
+
+    var selected: List[Column] = Nil
+    var spent = 0L
+    var undecided: Option[Column] = Some(lit(true))
+    var key = "score"
+    var desc = true
+    var lastCount = Long.MaxValue
+    var rounds = 0
+    // each round shrinks the undecided slice ~buckets-fold; the round cap
+    // only guards a degenerate sketch (then the window below still gives
+    // the exact answer, just over more rows than refineLimit)
+    while (undecided.isDefined && rounds < 16 && {
+      val w = walk(undecided.get, key, desc, budget - spent)
+      w.sel.foreach(s => selected ::= s)
+      spent += w.selTokens
+      undecided = w.boundary
+      rounds += 1
+      val progress = w.bCount < lastCount
+      lastCount = w.bCount
+      if (w.bCount <= refineLimit) false
+      else if (w.bSingleKey && key == "score") {
+        // one distinct score spans the boundary: the order inside it is
+        // the id tiebreaker — same walk, ascending ids
+        key = "id"; desc = false; lastCount = Long.MaxValue; true
+      } else progress
+    }) ()
+
+    val selectedDf = selected match {
+      case Nil => d.where(lit(false))
+      case ps => d.where(ps.reduce(_ || _))
+    }
+    undecided match {
+      case None => selectedDf
+      case Some(bp) =>
+        // bounded final step: running sum over the <= refineLimit
+        // undecided rows in full (score desc, id) order — one partition
+        // BY CONSTRUCTION of the refinement, not an accident of data
+        val w = Window.orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val kept = d.where(bp)
+          .withColumn("__cum", sum(col("tokens")).over(w))
+          .where(col("__cum") <= lit(budget - spent))
+          .drop("__cum")
+        selectedDf.unionByName(kept)
+    }
+  }
 }

@@ -819,6 +819,21 @@ object GraftFunctionRegistry {
       "string_funcs") { args =>
       RepetitionStats(args(0))
     },
+    fd("graft_hashed_bow_score",
+      "_FUNC_(text, weights) - Returns the linear hashed-bag-of-words score of a " +
+        "document: each whitespace token of lower(trim(text)) hashes to slot " +
+        "md5_32(token) mod size(weights) (first 4 md5 bytes, big-endian unsigned) and " +
+        "contributes its slot's weight; the result is the sum over tokens in document " +
+        "order. The fastText-style linear classifier inference step with the trained " +
+        "weight vector frozen into the plan.",
+      Seq(2),
+      Seq("text" -> "a STRING column",
+        "weights" -> "constant non-empty array<double> of slot weights (the model)"),
+      Seq("SELECT _FUNC_('a a b', array(1.0d, -1.0d)) != 0.0" -> "true"),
+      "string_funcs") { args =>
+      HashedBowScore(args(0),
+        doubleArrayLiteral("graft_hashed_bow_score", "weights", args(1)))
+    },
     fd("graft_int8_quantize",
       "_FUNC_(v) - Returns the symmetric int8 quantization of an array<double> vector " +
         "as integer-valued doubles: scale = max(abs(x))/127, components rounded half " +
@@ -948,6 +963,28 @@ object GraftFunctionRegistry {
           if (arr.isNullAt(i)) bad().asInstanceOf[Int] else arr.getInt(i)
         }
       case _ => bad().asInstanceOf[Seq[Int]]
+    }
+  }
+
+  /** Require a foldable array-of-doubles literal argument (integer
+   *  elements accepted and widened, matching [[doubleLiteral]]). */
+  private def doubleArrayLiteral(fn: String, param: String, e: Expression): Seq[Double] = {
+    val bad = () => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant non-empty numeric-array " +
+        s"literal, got ${e.sql}")
+    if (!e.foldable) bad()
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+    val getter: (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Double =
+      e.dataType match {
+        case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+        case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+        case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+        case _ => bad().asInstanceOf[Nothing]
+      }
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr == null || arr.numElements() == 0) bad()
+    (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) bad().asInstanceOf[Double] else getter(arr, i)
     }
   }
 

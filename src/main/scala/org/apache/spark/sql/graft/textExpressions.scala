@@ -598,3 +598,68 @@ case class RepetitionStats(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/**
+ * `graft_hashed_bow_score(text, weights)` — linear
+ * hashed-bag-of-words document score: each token hashes to a slot
+ * `md5_32(token) mod |weights|` (the hashing trick — first 4 md5 bytes
+ * big-endian, unsigned) and contributes its slot's weight; the score is
+ * the sequential sum over tokens in document order. This is the
+ * fastText-/CCNet-style linear quality classifier inference step with
+ * the trained weight vector frozen into the plan — scoring a 100 TB
+ * corpus is then a map-only pass with no model lookup join.
+ *
+ * Tokenization pins the same Spark-builtin semantics as every other
+ * native text expression here ([[SimHash64]], [[MarkerHits]],
+ * [[RepetitionStats]]): `split(trim(lower(text)), "\s+")` with Spark
+ * `trim` (U+0020 only) and split limit -1 (edge whitespace yields empty
+ * tokens, which score like any token — md5("") has a slot too, matching
+ * the SQL mirror exactly).
+ *
+ * md5 (not xxhash64) so the slot assignment is reproducible in plain
+ * SQL for the oracle, like [[SimHash64]]; one md5 per token.
+ * Integer-valued weights make the double sum exact and
+ * order-independent — recommended for cross-engine comparisons
+ * (quantized weights are standard for classifier shipping anyway).
+ */
+case class HashedBowScore(child: Expression, weights: Seq[Double])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def prettyName: String = "graft_hashed_bow_score"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  // read-only after construction (the expression instance is shared
+  // across concurrent tasks); the Seq is materialized to a primitive
+  // array once so the token loop never boxes
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  def compute(input: UTF8String): Double = {
+    val tokens = input.toLowerCase.trim.toString.split("\\s+", -1)
+    val dim = w.length
+    val md = MessageDigest.getInstance("MD5")
+    var sum = 0.0
+    var t = 0
+    while (t < tokens.length) {
+      md.reset()
+      val b = md.digest(tokens(t).getBytes("UTF-8"))
+      val v = ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) |
+        ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+      sum += w((v % dim).toInt)
+      t += 1
+    }
+    sum
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bowScore", this, classOf[HashedBowScore].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

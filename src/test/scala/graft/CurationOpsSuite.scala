@@ -784,4 +784,57 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     val capped = Sampling.stratifiedSample(parsed, Seq("domain"), "doc_id", k = 2)
     assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  /** Brute-force token-budget reference: sort by (score desc, id), take
+   *  the maximal prefix with cumulative tokens <= budget. */
+  private def budgetPrefix(
+      rows: Seq[(Long, Double, Long)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy(t => (-t._2, t._1)).iterator.map { t =>
+      cum += t._3; (t._1, cum)
+    }.takeWhile(_._2 <= budget).map(_._1).toSet
+  }
+
+  test("token budget selection equals the cumulative-window filter, ties included") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, ((i * 7) % 13).toDouble, (i % 5) + 1L))
+    val df = rows.toDF("doc_id", "score", "n_tokens").repartition(7)
+    for (budget <- Seq(0L, 47L, 200L, 10000L)) {
+      val got = Sampling
+        .selectByTokenBudget(df, "doc_id", "score", "n_tokens", budget,
+          buckets = 4, refineLimit = 25)
+        .select("id").as[Long].collect().toSet
+      assert(got === budgetPrefix(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("token budget selection splits a single-score mass by the id tiebreaker") {
+    import spark.implicits._
+    // every row has the SAME score: the score walk cannot split, the
+    // selector must fall through to ascending-id refinement
+    val rows = (0L until 200L).map(i => (i, 5.0, 3L))
+    val df = rows.toDF("doc_id", "score", "n_tokens").repartition(5)
+    val got = Sampling
+      .selectByTokenBudget(df, "doc_id", "score", "n_tokens", budget = 30L,
+        buckets = 4, refineLimit = 20)
+      .select("id").as[Long].collect().toSet
+    assert(got === (0L until 10L).toSet)
+  }
+
+  test("token budget selection drops null/NaN rows and rejects bad params") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 2.0, 5L), (2L, Double.NaN, 5L), (3L, 1.0, 5L))
+      .toDF("doc_id", "score", "n_tokens")
+    val got = Sampling
+      .selectByTokenBudget(df, "doc_id", "score", "n_tokens", budget = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Sampling.selectByTokenBudget(df, "doc_id", "score", "n_tokens", -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.selectByTokenBudget(df, "doc_id", "score", "n_tokens", 1L, buckets = 1)
+    }
+  }
 }

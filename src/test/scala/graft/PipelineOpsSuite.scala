@@ -257,6 +257,73 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(flagged(3L) === 1L) // exactly the planted 8-gram
   }
 
+  test("contamination overlap scores the shared-shingle fraction per doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // 3 8-grams, 1 shared
+      (2L, "totally unrelated words about completely different things here now"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text") // full copy
+    val benchmark = Seq(Tuple1("one two three four five six seven eight")).toDF("text")
+    val all = Dedup.contaminationOverlap(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(all.keySet === Set(1L, 2L, 3L)) // minFrac=0 keeps clean docs too
+    assert(all(1L) === ((3L, 1L, math.round(1.0 / 3 * 1e9) / 1e9)))
+    assert(all(2L)._2 === 0L && all(2L)._3 === 0.0)
+    assert(all(3L) === ((1L, 1L, 1.0))) // exact benchmark copy scores 1.0
+    val flagged = Dedup.contaminationOverlap(corpus, benchmark, "doc_id", "text",
+      n = 8, minFrac = 0.5).select("id").as[Long].collect().toSet
+    assert(flagged === Set(3L))
+  }
+
+  test("hashed bow score: frozen weights, pinned tokenizer, exact integer sums") {
+    import spark.implicits._
+    val wts = Seq(1.0, -2.0, 4.0, 8.0)
+    val scored = docs.select(col("doc_id"),
+      graft.functions.graft_hashed_bow_score(col("text"), wts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every token's weight is one of wts, so any score is an integer
+    // combination — and identical token multisets score identically
+    assert(scored.values.forall(s => s == math.rint(s)))
+    // doc 3 differs from doc 0 only by case and a double space: the
+    // lower/trim/split(-1) tokenizer sees one extra empty token
+    val viaSql = {
+      docs.createOrReplaceTempView("bow_docs")
+      spark.sql(
+        "SELECT graft_hashed_bow_score(text, array(1.0d, -2.0d, 4.0d, 8.0d)) FROM bow_docs WHERE doc_id = 0")
+        .collect()(0).getDouble(0)
+    }
+    assert(viaSql === scored(0L))
+    // null text -> null score; empty weights rejected at registration
+    val nulls = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(graft.functions.graft_hashed_bow_score(col("text"), wts).as("s"))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT graft_hashed_bow_score('x', array())").collect()
+    }
+  }
+
+  test("hashed bow score pins trim/split semantics on tab/newline-edged text") {
+    import spark.implicits._
+    val wts = (0 until 8).map(i => (i + 1).toDouble)
+    val base = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+      .select(graft.functions.graft_hashed_bow_score(col("text"), wts).as("s"))
+      .collect()(0).getDouble(0)
+    // Spark trim is U+0020-only: a leading tab survives trim, then acts
+    // as a separator under split(_, -1) — yielding a leading EMPTY token
+    // that scores md5("")'s slot weight (Java String.trim would have
+    // eaten it)
+    val tabbed = Seq((0L, "\talpha beta gamma")).toDF("doc_id", "text")
+      .select(graft.functions.graft_hashed_bow_score(col("text"), wts).as("s"))
+      .collect()(0).getDouble(0)
+    val sparkSplit = Seq((0L, "\talpha beta gamma")).toDF("doc_id", "text")
+      .select(graft.operators.TextOps.words(col("text")).as("ws"))
+      .collect()(0).getSeq[String](0)
+    assert(sparkSplit === Seq("", "alpha", "beta", "gamma"))
+    assert(tabbed !== base) // the empty token's weight is observable
+  }
+
   test("winnowing handles non-ASCII codepoints deterministically") {
     import spark.implicits._
     val shared = "curiosité café déjà vu 😀 emoji tail words" // é, à, non-BMP emoji
