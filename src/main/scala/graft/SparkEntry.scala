@@ -2389,6 +2389,61 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("score"),
           col("tokens").as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Source redundancy matrix: pairwise distinct-8-gram overlap between
+    // every pair of sources from ONE theta sketch per source + the new
+    // scalar theta_intersect_pair on the tiny sketch table. Exact-mode
+    // sketches at this scale (per-source distinct ~1.3k < 2^12), so the
+    // brute-force distinct-intersection oracle matches exactly.
+    q("q91_source_overlap",
+      """WITH w AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |  FROM documents),
+        |shs AS (
+        |  SELECT source,
+        |         CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 7),
+        |                     i -> array_to_string(ws[i+1:i+8], ' '))) END sh
+        |  FROM w),
+        |sh AS (SELECT DISTINCT source, s
+        |       FROM (SELECT source, unnest(sh) AS s FROM shs)),
+        |cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ns
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT ca.source AS src_a, cb.source AS src_b,
+        |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |       CAST(coalesce(p.ns, 0) AS BIGINT) AS n_shared,
+        |       round(coalesce(p.ns, 0) / (ca.n + cb.n - coalesce(p.ns, 0)), 9)
+        |         AS jaccard
+        |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+        |LEFT JOIN pairs p ON p.sa = ca.source AND p.sb = cb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Dedup.sourceOverlapMatrix(
+          s.table("documents"), "source", "text", n = 8)
+        .orderBy("src_a", "src_b")
+    },
+
+    // Byte-balanced output sharding (compaction planning): the exact
+    // distributed global prefix sum vs the plain cumulative-window
+    // oracle. buckets=16 forces real multi-bucket offset stitching at
+    // sf0.01; target=5000 chars yields ~16 shards.
+    q("q92_size_shards",
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |         coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM documents)
+        |SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS bytes,
+        |       CAST(cum // 5000 AS BIGINT) AS shard
+        |FROM c ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Sampling.sizeShards(
+          s.table("documents"), "doc_id", "n_chars",
+          targetBytes = 5000L, buckets = 16)
+        .orderBy("id")
     }
   )
 

@@ -85,6 +85,10 @@ object functions {
   def theta_intersect(sketch: Column): Column = F.call_function("theta_intersect", sketch)
   def theta_a_not_b(a: Column, b: Column): Column = F.call_function("theta_a_not_b", a, b)
   def theta_estimate(sketch: Column): Column = F.call_function("theta_estimate", sketch)
+  def theta_intersect_pair(a: Column, b: Column): Column =
+    F.call_function("theta_intersect_pair", a, b)
+  def theta_union_pair(a: Column, b: Column): Column =
+    F.call_function("theta_union_pair", a, b)
 
   // --- text / vector pipeline ------------------------------------------
   def graft_simhash(text: Column): Column = F.call_function("graft_simhash", text)
@@ -164,4 +168,9 @@ object functions {
   def graft_hashed_bow_score(text: Column, weights: Seq[Double]): Column =
     F.call_function("graft_hashed_bow_score", text,
       F.array(weights.map(F.lit): _*))
+
+  // --- range-partition bucketing ---------------------------------------
+  def graft_value_bucket(v: Column, bounds: Seq[Double]): Column =
+    F.call_function("graft_value_bucket", v,
+      F.array(bounds.map(F.lit): _*))
 }

@@ -562,6 +562,52 @@ object Dedup {
   }
 
   /**
+   * Pairwise overlap matrix between corpus slices — "how redundant are
+   * my sources?": for every pair of `groupCol` values, the distinct
+   * word-`n`-gram counts of both sides, their intersection, and the
+   * Jaccard similarity, estimated from ONE theta sketch per group.
+   * Returns (src_a, src_b, n_a, n_b, n_shared, jaccard) for src_a <
+   * src_b (string order).
+   *
+   * Scale design: the corpus is read ONCE — shingle hashes stream into a
+   * per-group `theta_accumulate` (map-side partial sketches, bounded
+   * 2^lgK state across the only corpus-sized shuffle). All pairwise set
+   * algebra then happens on the TINY per-group sketch table (one row per
+   * source) via the scalar `theta_intersect_pair` — a broadcast
+   * self-join of |groups| rows, never a corpus-sized pair join. Counts
+   * are EXACT below 2^`spark.sql.dataSketches.theta.lgK` distinct
+   * shingles per group (intersections of exact sketches are exact, the
+   * property the oracle pins at test scale) and ~2% estimates beyond —
+   * the right trade for a redundancy dashboard over a 100 TB corpus.
+   */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    // one row per group; cached because both join branches read it (the
+    // cache transfers to the returned plan per the package contract)
+    val sk = df
+      .select(col(groupCol).as("src"), explode(shingleHashes(col(textCol), n)).as("h"))
+      .groupBy("src")
+      .agg(call_function("theta_accumulate", col("h")).as("sk"))
+      .select(col("src"), col("sk"),
+        call_function("theta_estimate", col("sk")).as("n_distinct"))
+      .cache()
+    val a = sk.select(col("src").as("src_a"), col("sk").as("ska"),
+      col("n_distinct").as("n_a"))
+    val b = sk.select(col("src").as("src_b"), col("sk").as("skb"),
+      col("n_distinct").as("n_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        call_function("theta_estimate",
+          call_function("theta_intersect_pair", col("ska"), col("skb")))
+          .as("n_shared"))
+      .withColumn("jaccard",
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 9))
+  }
+
+  /**
    * SimHash-banded near-duplicate pairs: candidates agree on at least
    * one of `bands` equal slices of the 64-bit fingerprint, then verify
    * with exact hamming distance. LOSSLESS for `maxHamming < bands` by

@@ -199,6 +199,12 @@ object Sampling {
       // an upstream bug, not a rankable document
       .where(col("id").isNotNull && col("score").isNotNull &&
         col("tokens").isNotNull && !isnan(col("score")))
+      // every refinement round re-reads this projection at least twice
+      // (bounds pass + exact range stats), and scoring typically runs a
+      // classifier over full text — cache the 24-byte-per-row projection
+      // once instead of re-scoring the corpus each round (the cache
+      // transfers to the returned plan per the package cache contract)
+      .cache()
 
     // One refinement round over the rows of `pred`, ordered by `key`
     // (descending when `desc`). Returns (fully-selected predicate,
@@ -217,11 +223,13 @@ object Sampling {
       val bounds =
         if (boundsRow.isNullAt(0)) Array.empty[Double]
         else boundsRow.getSeq[Double](0).toArray
-      // bucket = #bounds <= key: a codegen'd comparison chain (no HOF,
-      // no lookup join); equal keys always share a bucket
-      val bucketExpr = bounds.map(b =>
-        when(col(key).cast("double") >= lit(b), 1).otherwise(0))
-        .reduceOption(_ + _).getOrElse(lit(0))
+      // bucket = #bounds <= key via the native binary-search bucketizer
+      // (O(log buckets) per row, codegen-safe at any bucket count);
+      // equal keys always share a bucket
+      val bucketExpr =
+        if (bounds.isEmpty) lit(0)
+        else call_function("graft_value_bucket", col(key).cast("double"),
+          array(bounds.toSeq.map(lit(_)): _*))
       val stats = u.groupBy(bucketExpr.as("b"))
         .agg(sum("tokens").as("toks"), count(lit(1)).as("cnt"),
           min(col(key).cast("double")).as("lo"),
@@ -308,5 +316,71 @@ object Sampling {
           .drop("__cum")
         selectedDf.unionByName(kept)
     }
+  }
+
+  /**
+   * Byte-balanced output sharding (the compaction planner): assign every
+   * row a shard id so that consecutive rows in `idCol` order fill each
+   * shard up to `targetBytes` — `shard = floor(exclusive_prefix_sum(
+   * bytesCol, over id order) / targetBytes)`. EXACT: identical to the
+   * single-machine cumulative-sum assignment, for reproducible
+   * ~equal-byte output files (a writer then partitions by `shard`).
+   * Rows larger than `targetBytes` advance the prefix past one or more
+   * shard boundaries, so shard ids may skip — by design, ids stay
+   * monotone in the row order. Returns (id, bytes, shard); null
+   * id/bytes rows are dropped (they have no place in the order).
+   *
+   * Scale design — a distributed EXACT global prefix sum, no global
+   * sort: ONE `approx_partition_bounds` pass proposes `buckets` id
+   * ranges (the sketch only balances them; correctness never depends on
+   * its accuracy), each row gets its range via the native binary-search
+   * bucketizer, and the running sum decomposes into a per-bucket window
+   * (distributed — each bucket is one partition's worth by
+   * construction) plus per-bucket start offsets, computed by a window
+   * over the <= `buckets`+1-row totals frame and BROADCAST-joined back.
+   * Driver-side state is one bounds array (the bounded-collect model of
+   * [[selectByTokenBudget]]); everything else is one shuffle by bucket.
+   * Size `buckets` so a bucket's rows fit one task at the target scale
+   * (100 TB / 8192 buckets ~ 12 GB per window partition).
+   */
+  def sizeShards(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      targetBytes: Long,
+      buckets: Int = 256): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val d = df.select(col(idCol).cast("long").as("id"),
+        col(bytesCol).cast("long").as("bytes"))
+      .where(col("id").isNotNull && col("bytes").isNotNull)
+    val boundsRow = d.agg(call_function("approx_partition_bounds",
+        col("id").cast("double"), lit(buckets)).as("bs"))
+      .collect()(0)
+    val bounds =
+      if (boundsRow.isNullAt(0)) Array.empty[Double]
+      else boundsRow.getSeq[Double](0).toArray
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else call_function("graft_value_bucket", col("id").cast("double"),
+        array(bounds.toSeq.map(lit(_)): _*))
+    val bucketed = d.withColumn("__bk", bucketExpr)
+    // per-bucket byte totals -> exclusive running offsets: <= buckets+1
+    // rows, so the single-partition window is bounded BY CONSTRUCTION
+    val offsets = bucketed.groupBy("__bk").agg(sum("bytes").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(
+        Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__tot")
+    // id buckets are contiguous ranges, so (bucket, id-within-bucket)
+    // order IS global id order and the offsets stitch the prefix exactly
+    val wLocal = Window.partitionBy("__bk").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__cum",
+        col("__off") + coalesce(sum("bytes").over(wLocal), lit(0L)))
+      // integer division, not floor(double /): exact at any prefix size
+      .select(col("id"), col("bytes"),
+        expr(s"__cum DIV ${targetBytes}L").cast("long").as("shard"))
   }
 }

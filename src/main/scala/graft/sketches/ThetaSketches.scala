@@ -27,6 +27,25 @@ object ThetaSketchFacade {
     SetOperation.builder().buildANotB()
       .aNotB(sketchFromBytes(a), sketchFromBytes(b))
       .toByteArray
+
+  /** A ∩ B as compact-sketch bytes. No lgK: an intersection's theta is
+   *  the min of its inputs', so the result needs no nominal size. */
+  def intersectPair(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(sketchFromBytes(a))
+    inter.intersect(sketchFromBytes(b))
+    inter.getResult.toByteArray
+  }
+
+  /** A ∪ B as compact-sketch bytes; `lgK` bounds the RESULT's nominal
+   *  size (the accumulate-side conf, frozen driver-side like every
+   *  sketch param here). */
+  def unionPair(a: Array[Byte], b: Array[Byte], lgK: Int): Array[Byte] = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(sketchFromBytes(a))
+    u.union(sketchFromBytes(b))
+    u.getResult.toByteArray
+  }
 }
 
 /**

@@ -17,7 +17,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression,
+import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
@@ -433,6 +433,31 @@ object GraftFunctionRegistry {
       "agg_funcs") { args =>
       ThetaANotB(args(0), args(1))
     },
+    fd("theta_intersect_pair",
+      "_FUNC_(a, b) - The theta intersection sketch A ∩ B of two serialized " +
+        "sketches (BINARY); NULL on corrupt input. The per-row companion to the " +
+        "theta_intersect aggregate, for set algebra over sketches already joined " +
+        "side by side (pairwise overlap matrices, day-by-day retention grids).",
+      Seq(2),
+      Seq("a" -> "a BINARY theta sketch", "b" -> "a BINARY theta sketch"),
+      Seq(("SELECT theta_estimate(_FUNC_(theta_accumulate(col), theta_accumulate(col))) " +
+        "FROM VALUES ('a') AS tab(col)") -> "1",
+        ("SELECT theta_estimate(_FUNC_(theta_accumulate(a), theta_accumulate(b))) " +
+        "FROM VALUES ('x', 'y') AS tab(a, b)") -> "0"),
+      "agg_funcs") { args =>
+      ThetaIntersectPair(args(0), args(1))
+    },
+    fd("theta_union_pair",
+      "_FUNC_(a, b) - The theta union sketch A ∪ B of two serialized sketches " +
+        "(BINARY); NULL on corrupt input. The per-row companion to the theta_union " +
+        "aggregate.",
+      Seq(2),
+      Seq("a" -> "a BINARY theta sketch", "b" -> "a BINARY theta sketch"),
+      Seq(("SELECT theta_estimate(_FUNC_(theta_accumulate(a), theta_accumulate(b))) " +
+        "FROM VALUES ('x', 'y') AS tab(a, b)") -> "2"),
+      "agg_funcs") { args =>
+      ThetaUnionPair(args(0), args(1), ThetaParams.resolveLgK())
+    },
     fd("theta_estimate",
       "_FUNC_(sketch) - The cardinality stored in a serialized theta sketch; NULL on " +
         "corrupt bytes.",
@@ -783,7 +808,10 @@ object GraftFunctionRegistry {
         "value" -> "the value to probe (hashed the same way as at build)"),
       Seq.empty,
       "predicate_funcs") { args =>
-      BloomFilterMightContain(args(0), new XxHash64(Seq(args(1)), 42L))
+      // NOT Spark's BloomFilterMightContain: its codegen breaks (Janino
+      // cast-vs-subtraction ambiguity) when the probe side folds to a
+      // negative long literal, dropping the projection to interpreted
+      SparkBloomMightContain(args(0), new XxHash64(Seq(args(1)), 42L))
     },
     fd("graft_dot",
       "_FUNC_(a, b) - Returns the dot product of two array<double> columns as a " +
@@ -833,6 +861,21 @@ object GraftFunctionRegistry {
       "string_funcs") { args =>
       HashedBowScore(args(0),
         doubleArrayLiteral("graft_hashed_bow_score", "weights", args(1)))
+    },
+    fd("graft_value_bucket",
+      "_FUNC_(v, bounds) - Returns the number of elements of the sorted constant " +
+        "`bounds` array that are <= v, by binary search — the range-partition " +
+        "bucket of v given split points from approx_partition_bounds. O(log n) " +
+        "per row where the equivalent CASE-WHEN comparison chain is O(n) and " +
+        "breaks codegen at a few hundred split points.",
+      Seq(2),
+      Seq("v" -> "a numeric column (cast to DOUBLE)",
+        "bounds" -> "constant non-empty sorted array<double> of split points"),
+      Seq("SELECT _FUNC_(2.5d, array(1.0d, 2.0d, 3.0d))" -> "2",
+        "SELECT _FUNC_(0.5d, array(1.0d, 2.0d, 3.0d))" -> "0"),
+      "math_funcs") { args =>
+      ValueBucket(args(0),
+        doubleArrayLiteral("graft_value_bucket", "bounds", args(1)))
     },
     fd("graft_int8_quantize",
       "_FUNC_(v) - Returns the symmetric int8 quantization of an array<double> vector " +

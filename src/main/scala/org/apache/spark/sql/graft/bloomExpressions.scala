@@ -255,3 +255,65 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * Scalar `graft_might_contain(bloom, hashedValue)` over SPARK's
+ * runtime-filter bloom image (`org.apache.spark.util.sketch.BloomFilter`,
+ * the `graft_bloom_agg` wire format — distinct from the DataSketches
+ * filters `bloom_might_contain` probes). A drop-in for Spark's own
+ * `BloomFilterMightContain`, which it replaces because that expression's
+ * codegen emits `(Long)<negative literal>` when the probe side constant-
+ * folds — Janino parses the cast as a subtraction from the class name
+ * and the whole projection falls back to interpreted.
+ *
+ * The filter side is almost always a plan constant (scalar subquery), so
+ * the deserialization is memoized by byte-array reference identity, as in
+ * [[BloomMightContain]].
+ */
+case class SparkBloomMightContain(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  override def prettyName: String = "graft_might_contain"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  @transient private[this] lazy val queryOne: (Any, Any) => Any = {
+    var lastBytes: Array[Byte] = null
+    var lastFilter: org.apache.spark.util.sketch.BloomFilter = null
+    (bytesRaw, v) =>
+      try {
+        val bytes = bytesRaw.asInstanceOf[Array[Byte]]
+        if (bytes ne lastBytes) {
+          lastFilter = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          lastBytes = bytes
+        }
+        Boolean.box(lastFilter.mightContainLong(v.asInstanceOf[Long]))
+      } catch {
+        case NonFatal(_) =>
+          logWarning("Illegal input bytes for bloom filter state")
+          null
+      }
+  }
+
+  override def nullSafeEval(bytes: Any, v: Any): Any = queryOne(bytes, v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomq", queryOne, classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (b, v) =>
+      s"""
+         |Object $result = $ref.apply($b, java.lang.Long.valueOf($v));
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (Boolean) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

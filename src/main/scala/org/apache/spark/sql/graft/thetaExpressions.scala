@@ -205,6 +205,92 @@ case class ThetaANotB(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Scalar `theta_intersect_pair(a, b)` -> BINARY intersection sketch;
+ * null on corrupt. The per-ROW companion to the [[ThetaIntersectAgg]]
+ * aggregate: once sketches are joined side by side (a pairwise source
+ * matrix, a day×day retention grid), set algebra runs inside the row
+ * with no extra aggregation pass.
+ */
+case class ThetaIntersectPair(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  override def prettyName: String = "theta_intersect_pair"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  @transient private[this] lazy val fn: (Any, Any) => Any = { (a, b) =>
+    try ThetaSketchFacade.intersectPair(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    catch {
+      case NonFatal(_) =>
+        logWarning("Illegal input bytes for theta sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = fn(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("interPair", fn, classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Object $result = $ref.apply($a, $b);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (byte[]) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Scalar `theta_union_pair(a, b)` -> BINARY union sketch; null on
+ *  corrupt. `lgK` (the accumulate-side conf) is frozen driver-side at
+ *  resolution, bounding the result's nominal size. */
+case class ThetaUnionPair(left: Expression, right: Expression, lgK: Int)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  override def prettyName: String = "theta_union_pair"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  @transient private[this] lazy val fn: (Any, Any) => Any = { (a, b) =>
+    try ThetaSketchFacade.unionPair(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], lgK)
+    catch {
+      case NonFatal(_) =>
+        logWarning("Illegal input bytes for theta sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = fn(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unionPair", fn, classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Object $result = $ref.apply($a, $b);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (byte[]) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Scalar `theta_estimate(sketch)` -> BIGINT; null on corrupt bytes. */
 case class ThetaEstimate(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes with Logging {

@@ -294,3 +294,55 @@ case class Int8Quantize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `graft_value_bucket(v, bounds)` — the number of elements of the
+ * sorted literal `bounds` array that are <= `v`, by binary search:
+ * assigns a row to its range-partition bucket given the split points
+ * from `approx_partition_bounds`. O(log buckets) per row where the
+ * equivalent `CASE WHEN v >= b_i ...` comparison chain is O(buckets)
+ * and blows past codegen method limits at a few hundred split points —
+ * this is what makes thousand-bucket range planning (global prefix
+ * sums, byte-balanced output sharding) codegen-friendly.
+ *
+ * The bounds are frozen into the plan as a literal (model-in-plan, like
+ * [[HashedBowScore]]'s weights); they must be sorted ascending.
+ * Duplicate bounds are allowed (a degenerate sketch can repeat a split
+ * point): the result is the count of bounds <= v, identical to the
+ * comparison chain's.
+ */
+case class ValueBucket(child: Expression, bounds: Seq[Double])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(bounds.nonEmpty, "bounds must be non-empty")
+  require(bounds.zip(bounds.tail).forall { case (a, b) => a <= b },
+    "bounds must be sorted ascending")
+
+  override def prettyName: String = "graft_value_bucket"
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val bs: Array[Double] = bounds.toArray
+
+  /** First index whose bound is > v (== count of bounds <= v). */
+  def compute(v: Double): Int = {
+    var lo = 0
+    var hi = bs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bs(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("valueBucket", this, classOf[ValueBucket].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

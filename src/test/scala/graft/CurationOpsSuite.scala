@@ -215,16 +215,21 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
   test("bloom agg + might_contain SQL surface: no false negatives, sane negatives") {
     // might_contain requires its filter side to be a constant or scalar
     // subquery (Spark's own runtime-filter restriction) — the idiomatic
-    // SQL shape is a scalar subquery over the corpus
-    val r = spark.sql(
-      """SELECT graft_might_contain(
-        |         (SELECT graft_bloom_agg(c, 10) FROM VALUES ('x'), ('y'), ('z') AS t(c)),
-        |         'x') AS hit,
-        |       graft_might_contain(
-        |         (SELECT graft_bloom_agg(c, 10) FROM VALUES ('x'), ('y'), ('z') AS t(c)),
-        |         'definitely absent') AS miss""".stripMargin).collect()(0)
-    assert(r.getBoolean(0) === true)
-    assert(r.getBoolean(1) === false)
+    // SQL shape is a scalar subquery over the corpus. CODEGEN_ONLY so a
+    // codegen regression FAILS here instead of silently dropping every
+    // probe to interpreted (Spark's own BloomFilterMightContain does,
+    // on constant-folded probes — the reason graft ships its own)
+    withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val r = spark.sql(
+        """SELECT graft_might_contain(
+          |         (SELECT graft_bloom_agg(c, 10) FROM VALUES ('x'), ('y'), ('z') AS t(c)),
+          |         'x') AS hit,
+          |       graft_might_contain(
+          |         (SELECT graft_bloom_agg(c, 10) FROM VALUES ('x'), ('y'), ('z') AS t(c)),
+          |         'definitely absent') AS miss""".stripMargin).collect()(0)
+      assert(r.getBoolean(0) === true)
+      assert(r.getBoolean(1) === false)
+    }
   }
 
   test("weighted mix: rate bounds, supersets nest, stable under repartition") {
@@ -835,6 +840,55 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
     intercept[IllegalArgumentException] {
       Sampling.selectByTokenBudget(df, "doc_id", "score", "n_tokens", 1L, buckets = 1)
+    }
+  }
+
+  test("value bucket is the count of bounds <= v (binary search == chain)") {
+    import spark.implicits._
+    val bounds = Seq(1.0, 2.0, 2.0, 5.5) // duplicate split point allowed
+    val vs = Seq(0.5, 1.0, 1.5, 2.0, 3.0, 5.5, 9.0)
+    val got = vs.toDF("v")
+      .select(graft.functions.graft_value_bucket(col("v"), bounds).as("b"))
+      .as[Int].collect().toSeq
+    assert(got === vs.map(v => bounds.count(_ <= v)))
+    // SQL registration + constant-literal validation
+    assert(spark.sql("SELECT graft_value_bucket(2.5d, array(1.0d, 2.0d, 3.0d))")
+      .collect()(0).getInt(0) === 2)
+    intercept[Exception] {
+      spark.sql("SELECT graft_value_bucket(1.0d, array(3.0d, 1.0d))").collect()
+    } // unsorted bounds rejected at resolution
+  }
+
+  /** Brute-force shard reference: shard = exclusive-prefix-sum DIV target
+   *  over ascending-id order. */
+  private def shardPrefix(
+      rows: Seq[(Long, Long)], target: Long): Map[Long, Long] = {
+    var cum = 0L
+    rows.sortBy(_._1).map { case (id, b) =>
+      val s = cum / target; cum += b; id -> s
+    }.toMap
+  }
+
+  test("size shards equals the cumulative-window assignment") {
+    import spark.implicits._
+    // bytes vary 1..100; an oversized row (10x target) must advance the
+    // prefix past several boundaries (skipped shard ids, monotone order)
+    val rows = (0L until 500L).map(i => (i, (i * 37) % 100 + 1L)) :+ (500L, 3000L) :+ (501L, 17L)
+    val df = rows.toDF("doc_id", "n_bytes").repartition(7)
+    for (target <- Seq(300L, 1000L)) {
+      val got = Sampling.sizeShards(df, "doc_id", "n_bytes", target, buckets = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === shardPrefix(rows, target), s"target=$target")
+    }
+    // shard ids monotone in id order; per-shard bytes <= target unless a
+    // single row overflows alone
+    val asg = Sampling.sizeShards(df, "doc_id", "n_bytes", 300L, buckets = 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(asg.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    val perShard = asg.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(perShard.forall { case (_, tot) => tot <= 300L + 3000L })
+    intercept[IllegalArgumentException] {
+      Sampling.sizeShards(df, "doc_id", "n_bytes", 0L)
     }
   }
 }

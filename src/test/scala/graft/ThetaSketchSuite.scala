@@ -58,6 +58,53 @@ class ThetaSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(r.toSeq === Seq(Row(3L)))
   }
 
+  test("scalar pair intersection/union match the aggregate set ops") {
+    setup()
+    // a = {u1,u2,u3}, b = {u2,u3,u4}: per-row algebra on the joined
+    // sketch table, no second aggregation pass
+    val r = spark.sql("""
+      |SELECT theta_estimate(theta_intersect_pair(a.sk, b.sk)) AS i,
+      |       theta_estimate(theta_union_pair(a.sk, b.sk)) AS u
+      |FROM theta_sets a JOIN theta_sets b ON a.k = 'a' AND b.k = 'b'""".stripMargin)
+      .collect()
+    assert(r.toSeq === Seq(Row(2L, 4L)))
+    // corrupt input -> null, not a task failure (the a_not_b contract)
+    val c = spark.sql("""
+      |SELECT theta_intersect_pair(sk, binary('garbage')),
+      |       theta_union_pair(binary('garbage'), sk)
+      |FROM theta_sets WHERE k = 'a'""".stripMargin).collect()
+    assert(c.forall(row => row.isNullAt(0) && row.isNullAt(1)))
+  }
+
+  test("source overlap matrix: exact pairwise jaccard, corpus read once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // srcA/srcB share their first 8 words (1 shared 8-gram), srcC is
+    // disjoint; every doc is exactly 8 words = one shingle each
+    val docs = Seq(
+      ("srcA", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      ("srcA", "a1 a2 a3 a4 a5 a6 a7 a8"),
+      ("srcB", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      ("srcC", "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("source", "text")
+    val m = graft.operators.Dedup
+      .sourceOverlapMatrix(docs, "source", "text", n = 8)
+      .orderBy("src_a", "src_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(m.keySet === Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    assert(m(("srcA", "srcB")) === ((2L, 1L, 1L, 0.5)))
+    assert(m(("srcA", "srcC")) === ((2L, 1L, 0L, 0.0)))
+    assert(m(("srcB", "srcC")) === ((1L, 1L, 0L, 0.0)))
+    // the pair join broadcasts the tiny sketch table — never a
+    // corpus-sized shuffle join
+    val plan = graft.operators.Dedup
+      .sourceOverlapMatrix(docs, "source", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
   test("theta lgK conf is registered and validated") {
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"SET ${GraftConf.THETA_LGK_KEY}=99").collect()
