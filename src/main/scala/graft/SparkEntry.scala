@@ -2444,6 +2444,65 @@ object SparkEntry {
           s.table("documents"), "doc_id", "n_chars",
           targetBytes = 5000L, buckets = 16)
         .orderBy("id")
+    },
+
+    // Per-language token budgets (q90's grouped companion): within each
+    // language, best-scoring docs until THAT language's budget is spent
+    // — the partitioned cumulative-window oracle, exact.
+    q("q93_group_token_budget",
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(list_sum(list_transform(toks, w -> ${bowWeightSql(64)}))
+        |              AS DOUBLE) AS score,
+        |         len(toks) AS n_tokens
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, lang, score, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY score DESC, doc_id) AS cum
+        |  FROM s)
+        |SELECT lang, doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM c
+        |WHERE cum <= CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 1500 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val scored = s.table("documents").select(col("doc_id"), col("lang"),
+        graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+          .as("score"),
+        size(graft.operators.TextOps.words(col("text"))).cast("long")
+          .as("n_tokens"))
+      graft.operators.Sampling
+        .selectByTokenBudgetPerGroup(scored, "lang", "doc_id", "score",
+          "n_tokens", budgets = Map("en" -> 6000L, "zh" -> 1500L),
+          defaultBudget = 2000L)
+        .select(col("grp").as("lang"), col("id").as("doc_id"), col("score"),
+          col("tokens").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // In-engine classifier training (q89's other half): multinomial NB
+    // token counts per hashed slot, label = "is English". The count
+    // columns are exact integers against the replayed-md5-slot oracle;
+    // the derived log-odds weights are pinned by the unit suite (train →
+    // freeze into graft_hashed_bow_score → separates the classes).
+    q("q94_classifier_train",
+      s"""WITH t AS (
+        |  SELECT lang = 'en' AS pos,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        |  FROM documents)
+        |SELECT CAST(${bowSlotSql(64)} AS INT) AS slot,
+        |       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |FROM t GROUP BY 1 ORDER BY slot""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Classifier.trainHashedBow(
+          s.table("documents").withColumn("is_en", col("lang") === "en"),
+          "is_en", "text", dim = 64)
+        .select(col("slot"), col("n_pos"), col("n_neg"))
+        .orderBy("slot")
     }
   )
 
@@ -2453,16 +2512,21 @@ object SparkEntry {
   private def bowWeights(dim: Int): Seq[Double] =
     (0 until dim).map(i => ((i * 37) % 101 - 50).toDouble)
 
-  /** The same model as [[bowWeights]] in DuckDB SQL, applied to a token
-   *  lambda variable `w`: slot = first-4-md5-bytes (big-endian) mod dim —
-   *  the exact [[org.apache.spark.sql.graft.HashedBowScore]] slot. */
-  private def bowWeightSql(dim: Int): String = {
+  /** The [[org.apache.spark.sql.graft.HashedBowScore]] slot in DuckDB
+   *  SQL, applied to a token variable `w`: first-4-md5-bytes (big-endian
+   *  unsigned) mod dim. */
+  private def bowSlotSql(dim: Int): String = {
     val hex = (1 to 8).map { i =>
       val p = BigInt(16).pow(8 - i)
       s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) * $p"
     }.mkString(" + ")
-    s"CAST((((($hex) % $dim) * 37) % 101 - 50) AS DOUBLE)"
+    s"(($hex) % $dim)"
   }
+
+  /** The same model as [[bowWeights]] in DuckDB SQL on token variable
+   *  `w`, hashed through the [[bowSlotSql]] slot. */
+  private def bowWeightSql(dim: Int): String =
+    s"CAST(((${bowSlotSql(dim)} * 37) % 101 - 50) AS DOUBLE)"
 
   /** DuckDB mirror of [[graft.operators.Profiler.profile]] over supplier. */
   private def profileOracle: String = {

@@ -319,6 +319,48 @@ object Sampling {
   }
 
   /**
+   * Per-group token-budget selection — "per language, the best documents
+   * until that language's token budget is spent": within each `groupCol`
+   * value, rows are ordered (`scoreCol` DESC, `idCol` ASC) and the
+   * maximal prefix with cumulative `tokensCol` <= the group's budget
+   * survives. Budgets come from `budgets` with `defaultBudget` for
+   * unlisted groups. Returns (group, id, score, tokens); null
+   * group/id/score/tokens or NaN-score rows are dropped (as in
+   * [[selectByTokenBudget]]).
+   *
+   * Scale design: ONE hash shuffle by group, each group's running sum a
+   * partition-local window — natural when groups are many and bounded
+   * (languages, sources, domains). A single group holding a large share
+   * of a 100 TB corpus serializes that group's window into one task; for
+   * that shape run the multi-round [[selectByTokenBudget]] on the big
+   * group's slice instead (same semantics, log-round scans).
+   */
+  def selectByTokenBudgetPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0, s"defaultBudget must be >= 0, got $defaultBudget")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0, got $budgets")
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col("grp") === lit(g), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(tokensCol).cast("long").as("tokens"))
+      .where(col("grp").isNotNull && col("id").isNotNull &&
+        col("score").isNotNull && col("tokens").isNotNull && !isnan(col("score")))
+      .withColumn("__cum", sum(col("tokens")).over(w))
+      .where(col("__cum") <= budgetExpr)
+      .drop("__cum")
+  }
+
+  /**
    * Byte-balanced output sharding (the compaction planner): assign every
    * row a shard id so that consecutive rows in `idCol` order fill each
    * shard up to `targetBytes` — `shard = floor(exclusive_prefix_sum(

@@ -869,6 +869,79 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     }.toMap
   }
 
+  test("per-group token budget: each group's own prefix, nulls dropped") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        ((i * 7) % 13).toDouble, (i % 5) + 1L))
+    val df = rows.toDF("doc_id", "grp", "score", "n_tokens").repartition(7)
+    val budgets = Map("a" -> 40L, "b" -> 0L)
+    val got = Sampling
+      .selectByTokenBudgetPerGroup(df, "grp", "doc_id", "score", "n_tokens",
+        budgets, defaultBudget = 25L)
+      .select("id").as[Long].collect().toSet
+    val expect = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val budget = budgets.getOrElse(g, 25L)
+      var cum = 0L
+      rs.sortBy(t => (-t._3, t._1)).iterator.map { t =>
+        cum += t._4; (t._1, cum)
+      }.takeWhile(_._2 <= budget).map(_._1)
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty && !got.exists(_ % 3 == 1)) // budget 0 takes none of b
+    // null group rows are dropped, not a group of their own
+    val withNull = rows.toDF("doc_id", "grp", "score", "n_tokens")
+      .union(Seq((999L, null.asInstanceOf[String], 99.0, 1L))
+        .toDF("doc_id", "grp", "score", "n_tokens"))
+    assert(!Sampling
+      .selectByTokenBudgetPerGroup(withNull, "grp", "doc_id", "score",
+        "n_tokens", Map.empty, 25L)
+      .select("id").as[Long].collect().contains(999L))
+    intercept[IllegalArgumentException] {
+      Sampling.selectByTokenBudgetPerGroup(df, "grp", "doc_id", "score",
+        "n_tokens", Map("a" -> -1L), 10L)
+    }
+  }
+
+  test("classifier training: exact slot counts, weights separate the classes") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, true, "good clean prose here"), (1L, true, "good clean text again"),
+      (2L, true, "prose good here clean"), (3L, false, "spam junk casino click"),
+      (4L, false, "junk spam click casino"), (5L, false, "casino spam junk click"),
+      (6L, false, null.asInstanceOf[String])).toDF("id", "label", "text")
+    val dim = 32
+    val trained = graft.operators.Classifier.trainHashedBow(docs, "label", "text", dim).cache()
+    // counts are exact: 12 positive and 12 negative tokens total (the
+    // null-text row is ignored), and totals replicate on every row
+    val (posTot, negTot) = trained.select("pos_total", "neg_total")
+      .distinct().as[(Long, Long)].collect().toSeq match {
+        case Seq(t) => t
+        case other => fail(s"totals not constant: $other")
+      }
+    assert((posTot, negTot) === ((12L, 12L)))
+    // slot parity with the native scorer: scoring a token with the
+    // identity weight vector (w_i = i) returns its slot
+    val slotOf = docs.where(col("text").isNotNull)
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .distinct()
+      .select(col("w"), graft.functions
+        .graft_hashed_bow_score(col("w"), (0 until dim).map(_.toDouble))
+        .cast("int").as("slot"))
+      .as[(String, Int)].collect().toMap
+    val trainedSlots = trained.select("slot").as[Int].collect().toSet
+    assert(trainedSlots === slotOf.values.toSet)
+    // the trained model separates held-in class text
+    val w = graft.operators.Classifier.fitWeights(trained, dim)
+    assert(w.length === dim)
+    val scored = Seq(("good clean", 1), ("spam casino", -1)).toDF("text", "want")
+      .select(col("want"), graft.functions
+        .graft_hashed_bow_score(col("text"), w).as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(scored(1) > 0.0 && scored(-1) < 0.0)
+    trained.unpersist()
+  }
+
   test("size shards equals the cumulative-window assignment") {
     import spark.implicits._
     // bytes vary 1..100; an oversized row (10x target) must advance the
