@@ -47,5 +47,18 @@ docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 dd = DataFrame(api.exactDedup(docs._jdf, "doc_id", "text"), spark)
 assert dd.count() > 0
 
+# classifier training counts + byte-balanced sharding + token budget
+from pyspark.sql import functions as F
+labeled = docs.withColumn("is_en", F.col("lang") == "en")
+trained = DataFrame(api.trainHashedBow(labeled._jdf, "is_en", "text", 32, 1.0), spark)
+assert trained.count() > 0 and trained.agg(F.sum("n_pos")).collect()[0][0] > 0
+shards = DataFrame(api.sizeShards(docs._jdf, "doc_id", "n_chars", 5000, 16), spark)
+assert shards.groupBy("shard").count().count() > 1
+scored = docs.selectExpr(
+    "doc_id", "graft_hashed_bow_score(text, array(1.0d, -2.0d, 3.0d)) AS score",
+    "n_chars AS n_tokens")
+sel = DataFrame(api.selectByTokenBudget(scored._jdf, "doc_id", "score", "n_tokens", 20000), spark)
+assert 0 < sel.count() < docs.count()
+
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

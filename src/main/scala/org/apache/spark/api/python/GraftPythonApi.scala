@@ -17,8 +17,8 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, BloomIndex, Dedup, JoinStats, Profiler, Sampling,
-  Similarity, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Classifier, Dedup, JoinStats, Profiler,
+  Sampling, Similarity, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -80,4 +80,26 @@ object GraftPythonApi {
   def bloomIndexFilterNew(spark: SparkSession, path: String,
       batch: DataFrame, keyCol: String): DataFrame =
     BloomIndex.filterNew(spark, path, batch, keyCol)
+
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, minFrac: Double): DataFrame =
+    Dedup.contaminationOverlap(corpus, benchmark, idCol, textCol, n, minFrac)
+
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String,
+      textCol: String, n: Int): DataFrame =
+    Dedup.sourceOverlapMatrix(df, groupCol, textCol, n)
+
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    Sampling.selectByTokenBudget(df, idCol, scoreCol, tokensCol, budget)
+
+  def sizeShards(df: DataFrame, idCol: String, bytesCol: String,
+      targetBytes: Long, buckets: Int): DataFrame =
+    Sampling.sizeShards(df, idCol, bytesCol, targetBytes, buckets)
+
+  // (slot, n_pos, n_neg, totals, weight) rows; freeze into scoring with
+  // graft.functions.graft_hashed_bow_score via fitWeights on the JVM side
+  def trainHashedBow(df: DataFrame, labelCol: String, textCol: String,
+      dim: Int, smoothing: Double): DataFrame =
+    Classifier.trainHashedBow(df, labelCol, textCol, dim, smoothing)
 }
