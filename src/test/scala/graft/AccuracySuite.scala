@@ -76,6 +76,36 @@ class AccuracySuite extends AnyFunSuite with GraftSparkSession {
     assert(r.getLong(1) < exact / 20)
   }
 
+  test("scalar theta pair ops stay within error bounds above capacity (15k keys)") {
+    lineitem
+    // two OVERLAPPING over-capacity sets: A = keys < 2/3·max, B = keys >
+    // 1/3·max — the pair forms must estimate |A ∩ B| ~ 1/3 and
+    // |A ∪ B| = all within theta bounds even when every input sketch is
+    // in estimation mode
+    val r = spark.sql(
+      """WITH m AS (SELECT max(l_orderkey) AS mx FROM li),
+        |a AS (SELECT theta_accumulate(l_orderkey) sk FROM li, m
+        |      WHERE l_orderkey < mx * 2 DIV 3),
+        |b AS (SELECT theta_accumulate(l_orderkey) sk FROM li, m
+        |      WHERE l_orderkey > mx DIV 3)
+        |SELECT theta_estimate(theta_union_pair(a.sk, b.sk)),
+        |       theta_estimate(theta_intersect_pair(a.sk, b.sk))
+        |FROM a CROSS JOIN b""".stripMargin).collect()(0)
+    val exact = spark.sql(
+      """WITH m AS (SELECT max(l_orderkey) AS mx FROM li)
+        |SELECT count(DISTINCT l_orderkey),
+        |       count(DISTINCT CASE WHEN l_orderkey < mx * 2 DIV 3
+        |                            AND l_orderkey > mx DIV 3
+        |                           THEN l_orderkey END)
+        |FROM li, m""".stripMargin).collect()(0)
+    val uErr = math.abs(r.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0)
+    val iErr = math.abs(r.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1)
+    assert(uErr < 0.03, s"union est=${r.getLong(0)} exact=${exact.getLong(0)} err=$uErr")
+    // intersections of estimating sketches carry both inputs' error;
+    // allow the standard looser bound
+    assert(iErr < 0.06, s"inter est=${r.getLong(1)} exact=${exact.getLong(1)} err=$iErr")
+  }
+
   test("reservoir sampling is unbiased enough: halves get ~half the sample (60k rows)") {
     lineitem
     val sample = spark.sql(

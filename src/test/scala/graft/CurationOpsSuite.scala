@@ -843,6 +843,32 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("new curation operators pin their plan shapes") {
+    import spark.implicits._
+    val docs = (0L until 64L)
+      .map(i => (i, s"grp${i % 4}", s"tok$i words here", i.toDouble, i % 7 + 1L))
+      .toDF("doc_id", "grp", "text", "score", "n_tokens")
+    // per-group budget: ONE exchange (the group hash partitioning)
+    val grouped = Sampling.selectByTokenBudgetPerGroup(
+      docs, "grp", "doc_id", "score", "n_tokens", Map.empty, 10L)
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(gPlan).length === 1, gPlan)
+    // contamination overlap: benchmark side BROADCASTS; the corpus-sized
+    // side never builds a shuffled join
+    val ov = Dedup.contaminationOverlap(docs, docs.limit(4), "doc_id", "text", 3)
+    val oPlan = ov.queryExecution.executedPlan.toString
+    assert(oPlan.contains("BroadcastHashJoin"), oPlan)
+    assert(!oPlan.contains("SortMergeJoin"), oPlan)
+    // size shards: the bucket-offsets frame joins back as a BROADCAST,
+    // and the corpus takes exactly one hash exchange (by bucket) plus
+    // the bounded single-partition offsets exchange — never a sort of
+    // the full data
+    val sh = Sampling.sizeShards(docs, "doc_id", "n_tokens", 20L, buckets = 4)
+    val sPlan = sh.queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastHashJoin") || sPlan.contains("BroadcastExchange"), sPlan)
+    assert(!sPlan.contains("SortMergeJoin"), sPlan)
+  }
+
   test("value bucket is the count of bounds <= v (binary search == chain)") {
     import spark.implicits._
     val bounds = Seq(1.0, 2.0, 2.0, 5.5) // duplicate split point allowed
