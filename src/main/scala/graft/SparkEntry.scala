@@ -2503,6 +2503,38 @@ object SparkEntry {
           "is_en", "text", dim = 64)
         .select(col("slot"), col("n_pos"), col("n_neg"))
         .orderBy("slot")
+    },
+
+    // C4-style line filtering: every doc is augmented with a planted
+    // boilerplate line (dropped by the "click here" marker) and a
+    // one-word line (dropped by minWords=3) around its organic text —
+    // the per-line keep/drop/rejoin replayed verbatim by the oracle.
+    q("q95_filter_lines",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'buy now click here' || chr(10) ||
+        |         'short' || chr(10) || text AS t
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |         list_filter(string_split(t, chr(10)), x ->
+        |           len(list_filter(regexp_split_to_array(x, '\s+'),
+        |               w -> w <> '')) >= 3
+        |           AND NOT contains(lower(x), 'click here')) AS kept
+        |  FROM aug)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text_filtered,
+        |       CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val aug = s.table("documents").select(col("doc_id"),
+        concat(col("text"), lit("\nbuy now click here\nshort\n"),
+          col("text")).as("t"))
+      graft.operators.TextOps.filterLines(aug, "doc_id", "t",
+          minWords = 3, requirePunct = false, dropMarkers = Seq("click here"))
+        .select(col("id").as("doc_id"), col("text_filtered"),
+          col("n_lines"), col("n_kept"))
+        .orderBy("doc_id")
     }
   )
 

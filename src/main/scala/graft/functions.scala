@@ -108,6 +108,10 @@ object functions {
     F.call_function("graft_fold_accents", text)
   def graft_marker_hits(text: Column, words: Seq[String]): Column =
     F.call_function("graft_marker_hits", (text +: words.map(F.lit)): _*)
+  def graft_filter_lines(text: Column, minWords: Int, requirePunct: Boolean,
+      dropMarkers: Seq[String]): Column =
+    F.call_function("graft_filter_lines",
+      (text +: F.lit(minWords) +: F.lit(requirePunct) +: dropMarkers.map(F.lit)): _*)
   def graft_repetition_stats(text: Column): Column =
     F.call_function("graft_repetition_stats", text)
   def graft_bloom_agg(value: Column, expectedItems: Long): Column =

@@ -521,4 +521,28 @@ object TextOps {
     df.select((col(idCol).as("id") +: cleaned.as("clean_text") +:
       counts.map { case (name, c) => c.as(name) }): _*)
   }
+
+  /**
+   * C4-style line-level cleaning: keep lines with >= `minWords` words,
+   * (optionally) terminal punctuation, and none of the `dropMarkers`
+   * boilerplate substrings — the per-LINE salvage pass document-level
+   * quality scores can't do (they keep or drop the whole page). One
+   * native `graft_filter_lines` pass per document, zero shuffle, rules
+   * frozen into the plan. Output: (id, text_filtered, n_lines, n_kept).
+   */
+  def filterLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 3,
+      requirePunct: Boolean = false,
+      dropMarkers: Seq[String] = Nil): DataFrame = {
+    val fl = call_function("graft_filter_lines",
+      (col(textCol) +: lit(minWords) +: lit(requirePunct) +:
+        dropMarkers.map(lit(_))): _*)
+    df.select(col(idCol).as("id"), fl.as("__fl"))
+      .select(col("id"), col("__fl.text").as("text_filtered"),
+        col("__fl.n_lines").cast("long").as("n_lines"),
+        col("__fl.n_kept").cast("long").as("n_kept"))
+  }
 }

@@ -836,6 +836,27 @@ object GraftFunctionRegistry {
           stringLiteral("graft_marker_hits", s"w${i + 1}", e)
         })
     },
+    fd("graft_filter_lines",
+      "_FUNC_(text, minWords, requirePunct, m1, ..., mN) - C4-style line-level " +
+        "cleaning in one pass: keeps lines of `text` (split on newline) with at " +
+        "least minWords whitespace-separated words, ending in terminal punctuation " +
+        "(. ! ? \") when requirePunct, and containing none of the constant marker " +
+        "substrings (case-insensitive). Returns STRUCT<text (kept lines re-joined), " +
+        "n_lines, n_kept>.",
+      (3 to 19),
+      Seq("text" -> "a STRING column",
+        "minWords" -> "constant minimum words per kept line",
+        "requirePunct" -> "constant boolean: require terminal punctuation",
+        "m1..mN" -> "constant drop-marker substrings (each a string literal)"),
+      Seq("SELECT _FUNC_('good line here\\nno', 2, false).n_kept" -> "1"),
+      "string_funcs") { args =>
+      FilterLines(args(0),
+        intLiteral("graft_filter_lines", "minWords", args(1)),
+        boolLiteral("graft_filter_lines", "requirePunct", args(2)),
+        args.drop(3).zipWithIndex.map { case (e, i) =>
+          stringLiteral("graft_filter_lines", s"m${i + 1}", e)
+        })
+    },
     fd("graft_repetition_stats",
       "_FUNC_(text) - Returns the Gopher-style repetition counts of a document in one " +
         "tokenize pass, as array<long>: [n_words, n_distinct_words, n_2grams, " +
@@ -960,6 +981,13 @@ object GraftFunctionRegistry {
         intLiteral("graft_winnow", "w", args(2)))
     }
   )
+
+  /** Require a foldable boolean literal argument. */
+  private def boolLiteral(fn: String, param: String, e: Expression): Boolean = e match {
+    case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+    case _ => throw new IllegalArgumentException(
+      s"Function $fn requires $param to be a constant boolean literal, got ${e.sql}")
+  }
 
   /** Require a foldable string literal argument. */
   private def stringLiteral(fn: String, param: String, e: Expression): String = e match {

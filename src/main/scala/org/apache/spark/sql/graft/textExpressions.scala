@@ -6,6 +6,7 @@ package org.apache.spark.sql.graft
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -658,6 +659,105 @@ case class HashedBowScore(child: Expression, weights: Seq[Double])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bowScore", this, classOf[HashedBowScore].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `graft_filter_lines(text, minWords, requirePunct, m1...mN)` — C4-style
+ * line-level document cleaning in ONE pass: split the document on
+ * newlines, keep lines with at least `minWords` whitespace-separated
+ * words that (when `requirePunct`) end in terminal punctuation
+ * (`.` `!` `?` `"`) and contain none of the constant `dropMarkers`
+ * substrings (matched case-insensitively — the boilerplate phrase list:
+ * "lorem ipsum", "javascript", cookie banners). Returns
+ * STRUCT<text (kept lines re-joined by newline), n_lines, n_kept>, so
+ * callers can both take the cleaned text and filter on the kept ratio.
+ *
+ * Line-level rules are the ONLY per-document way to salvage a page
+ * whose body is fine but whose template lines are junk — document-level
+ * quality scores would drop or keep the whole page. One linear pass per
+ * document, zero shuffle; rules frozen into the plan as literals.
+ *
+ * Exact semantics (reproducible in plain SQL for the oracle): lines =
+ * `split(text, '\n', -1)`; a line's word count is its number of maximal
+ * runs of non-whitespace (Java `\s`) characters; terminal punctuation
+ * tests the line's LAST character verbatim (no trailing-space
+ * forgiveness — a trailing space fails the check, as in C4); marker
+ * matching is substring containment on the lowercased line.
+ */
+case class FilterLines(
+    child: Expression,
+    minWords: Int,
+    requirePunct: Boolean,
+    dropMarkers: Seq[String])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(minWords >= 0, "minWords must be >= 0")
+
+  override def prettyName: String = "graft_filter_lines"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false)))
+
+  @transient private lazy val markersLower: Array[String] =
+    dropMarkers.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+
+  private def wordCount(line: String): Int = {
+    var n = 0
+    var inWord = false
+    var i = 0
+    while (i < line.length) {
+      val ws = Character.isWhitespace(line.charAt(i))
+      if (!ws && !inWord) n += 1
+      inWord = !ws
+      i += 1
+    }
+    n
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val lines = input.toString.split("\n", -1)
+    val kept = new java.lang.StringBuilder
+    var nKept = 0
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      var ok = wordCount(line) >= minWords
+      if (ok && requirePunct) {
+        ok = line.nonEmpty && {
+          val c = line.charAt(line.length - 1)
+          c == '.' || c == '!' || c == '?' || c == '"'
+        }
+      }
+      if (ok && markersLower.nonEmpty) {
+        val lower = line.toLowerCase(java.util.Locale.ROOT)
+        var m = 0
+        while (ok && m < markersLower.length) {
+          if (lower.contains(markersLower(m))) ok = false
+          m += 1
+        }
+      }
+      if (ok) {
+        if (nKept > 0) kept.append('\n')
+        kept.append(line)
+        nKept += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(kept.toString), lines.length, nKept))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("filterLines", this, classOf[FilterLines].getName)
     defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 

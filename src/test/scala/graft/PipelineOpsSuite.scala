@@ -558,4 +558,56 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5))
     }
   }
+
+  test("filter_lines: minWords, punct, markers, counts, and rejoin semantics") {
+    import spark.implicits._
+    val text = "Good line stays here.\nno\nBuy now CLICK HERE today\n" +
+      "ends without punct but long enough\n"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // minWords=3 + marker drop, no punct requirement: the trailing empty
+    // line (split -1 keeps it) and "no" fail minWords; the marker line is
+    // dropped case-insensitively
+    val r1 = graft.operators.TextOps.filterLines(df, "doc_id", "text",
+      minWords = 3, requirePunct = false, dropMarkers = Seq("click here"))
+      .collect()(0)
+    assert(r1.getString(1) ===
+      "Good line stays here.\nends without punct but long enough")
+    assert(r1.getLong(2) === 5L) // 4 content lines + trailing empty
+    assert(r1.getLong(3) === 2L)
+    // requirePunct additionally drops the unpunctuated line
+    val r2 = graft.operators.TextOps.filterLines(df, "doc_id", "text",
+      minWords = 3, requirePunct = true, dropMarkers = Seq("click here"))
+      .collect()(0)
+    assert(r2.getString(1) === "Good line stays here.")
+    assert(r2.getLong(3) === 1L)
+    // trailing space defeats the punctuation check (C4 semantics: last
+    // char verbatim)
+    val sp = Seq((1L, "Three words here. ")).toDF("doc_id", "text")
+    val r3 = graft.operators.TextOps.filterLines(sp, "doc_id", "text",
+      minWords = 1, requirePunct = true).collect()(0)
+    assert(r3.getLong(3) === 0L)
+    // SQL surface parity + struct field access
+    df.createOrReplaceTempView("fl_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_filter_lines(text, 3, false, 'click here').n_kept
+        |FROM fl_docs""".stripMargin).collect()(0).getInt(0)
+    assert(viaSql === 2)
+    // null text -> null struct; empty text -> one empty line, zero kept
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val er = graft.operators.TextOps.filterLines(edge, "doc_id", "text",
+      minWords = 1).orderBy("id").collect()
+    assert(er(0).isNullAt(1) && er(0).isNullAt(3))
+    assert(er(1).getLong(2) === 1L && er(1).getLong(3) === 0L)
+    // minWords=0, no punct, no markers: identity (counts included)
+    val id = graft.operators.TextOps.filterLines(df, "doc_id", "text",
+      minWords = 0).collect()(0)
+    assert(id.getString(1) === text)
+    assert(id.getLong(3) === 5L)
+    // non-constant minWords rejected at analysis
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_filter_lines(text, length(text), false) FROM fl_docs")
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("constant"))
+  }
 }
