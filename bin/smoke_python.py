@@ -60,5 +60,12 @@ scored = docs.selectExpr(
 sel = DataFrame(api.selectByTokenBudget(scored._jdf, "doc_id", "score", "n_tokens", 20000), spark)
 assert 0 < sel.count() < docs.count()
 
+# line filtering + BM25 retrieval
+fl = DataFrame(api.filterLines(docs._jdf, "doc_id", "text", 3, False, ["click here"]), spark)
+assert fl.count() == docs.count() and fl.agg(F.sum("n_kept")).collect()[0][0] > 0
+hits = DataFrame(api.bm25TopK(docs._jdf, "doc_id", "text",
+                              [[1, "hash join"], [2, "slow scan"]], 5), spark)
+assert hits.count() == 10 and hits.agg(F.min("score_fp")).collect()[0][0] > 0
+
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

@@ -2535,6 +2535,57 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_filtered"),
           col("n_lines"), col("n_kept"))
         .orderBy("doc_id")
+    },
+
+    // BM25 top-k retrieval: fixed-point scores (quantized-ln idf +
+    // exact-rational tf factor, integral division) make the DuckDB
+    // replay bit-identical; "zzz" exercises the df=0 idf path
+    q("q96_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(len(ts)) AS t FROM toks),
+        |q(qid, term) AS (VALUES
+        |  (1,'hash'),(1,'join'),(1,'table'),
+        |  (2,'slow'),(2,'scan'),(2,'filter'),
+        |  (3,'stream'),(3,'window'),(3,'agg'),
+        |  (4,'customer'),(4,'order'),(4,'data'),(4,'zzz'),
+        |  (5,'vector'),(5,'merge'),(5,'batch')),
+        |terms AS (SELECT DISTINCT term FROM q),
+        |tft AS (
+        |  SELECT term, doc_id, len(list_filter(ts, x -> x = term)) AS tf,
+        |         len(ts) AS dl
+        |  FROM toks CROSS JOIN terms),
+        |dfreq AS (
+        |  SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+        |  FROM tft GROUP BY term),
+        |scored AS (
+        |  SELECT q.qid, tft.doc_id,
+        |         sum(CASE WHEN tft.tf > 0 THEN
+        |           CAST((CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1) * 1000000)
+        |                      AS HUGEINT) * 22000 * t * tft.tf)
+        |                // (10 * CAST(t AS HUGEINT) * tft.tf + 3 * t + 9 * tft.dl * n)
+        |                AS BIGINT)
+        |           ELSE 0 END) AS score_fp,
+        |         sum(tft.tf) AS anytf
+        |  FROM tft JOIN q USING (term) CROSS JOIN stats JOIN dfreq USING (term)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, row_number() OVER (
+        |           PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rank,
+        |         doc_id, score_fp
+        |  FROM scored WHERE anytf > 0)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_fp
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Retrieval.bm25TopK(
+          s.table("documents"), "doc_id", "text",
+          Seq(1 -> "hash join table", 2 -> "slow scan filter",
+            3 -> "stream window agg", 4 -> "customer order data zzz",
+            5 -> "vector merge batch"),
+          k = 10)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score_fp"))
+        .orderBy("qid", "rank")
     }
   )
 

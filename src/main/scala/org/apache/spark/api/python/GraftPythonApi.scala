@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 import graft.operators.{AsofJoin, BloomIndex, Classifier, Dedup, JoinStats, Profiler,
-  Sampling, Similarity, UrlOps}
+  Retrieval, Sampling, Similarity, TextOps, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -102,4 +102,23 @@ object GraftPythonApi {
   def trainHashedBow(df: DataFrame, labelCol: String, textCol: String,
       dim: Int, smoothing: Double): DataFrame =
     Classifier.trainHashedBow(df, labelCol, textCol, dim, smoothing)
+
+  def filterLines(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int, requirePunct: Boolean,
+      dropMarkers: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    TextOps.filterLines(df, idCol, textCol, minWords, requirePunct,
+      dropMarkers.asScala.toSeq)
+  }
+
+  // queries: [[qid, "space separated terms"], ...] from the Python side
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: java.util.List[java.util.List[Object]], k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val qs = queries.asScala.toSeq.map { pair =>
+      val p = pair.asScala
+      (p(0).asInstanceOf[Number].intValue(), p(1).asInstanceOf[String])
+    }
+    Retrieval.bm25TopK(df, idCol, textCol, qs, k)
+  }
 }

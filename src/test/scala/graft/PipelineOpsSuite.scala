@@ -610,4 +610,43 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
     assert(ex.getMessage.toLowerCase.contains("constant"))
   }
+
+  test("bm25 top-k: tf/idf ordering, tie-break, absent term, plan shape") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "spark spark spark join"),      // tf(spark)=3, short
+      (1L, "spark join join table table"), // mixed
+      (2L, "table table table table"),     // no 'spark'
+      (3L, "spark spark spark join"),      // identical to 0 -> exact tie
+      (4L, "other words only here")        // matches nothing
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Retrieval.bm25TopK(
+      corpus, "doc_id", "text", Seq(7 -> "spark join", 8 -> "zzz table"), k = 3)
+    val rows = out.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q7 = rows.filter(_._1 == 7)
+    // docs 0 and 3 tie exactly (identical text) -> id tiebreak; doc 2 has
+    // neither query term and must be absent; doc 4 matches nothing
+    assert(q7.map(t => (t._2, t._3)).toSeq === Seq((1L, 0L), (2L, 3L), (3L, 1L)))
+    assert(q7(0)._4 === q7(1)._4) // identical docs score identically
+    assert(q7(2)._4 < q7(0)._4)
+    val q8 = rows.filter(_._1 == 8)
+    // 'zzz' occurs nowhere (df=0 idf path); only 'table' docs match
+    assert(q8.map(_._3).toSet === Set(1L, 2L))
+    assert(q8.head._3 === 2L) // tf(table)=4 in the all-table doc wins
+    // scores are positive fixed-point longs
+    assert(rows.forall(_._4 > 0L))
+    // null text drops the row (nullIntolerant tf pass), k caps output
+    val withNull = corpus.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val n2 = graft.operators.Retrieval.bm25TopK(
+      withNull, "doc_id", "text", Seq(1 -> "spark table join"), k = 2)
+    assert(n2.count() === 2L)
+    // plan shape: one-row stats side broadcast, top-k pruned map-side
+    // before the per-query window shuffle, tf pass is the native
+    // marker-hits expression (no lambda / no UDF)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(out.queryExecution.analyzed.toString.contains("graft_marker_hits"), plan)
+  }
 }
