@@ -2586,6 +2586,38 @@ object SparkEntry {
           k = 10)
         .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score_fp"))
         .orderBy("qid", "rank")
+    },
+
+    // Corpus snapshot diff: old drops doc_id%10==0 (-> added), new drops
+    // %13==0 (-> removed) and rewrites %7==0 (-> changed); statuses come
+    // from content fingerprints, so both engines replay the same edits
+    q("q97_corpus_diff",
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |new AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |fp AS (
+        |  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |         md5(regexp_replace(lower(old.text), '\s+', ' ', 'g')) AS f_old,
+        |         md5(regexp_replace(lower(new.text), '\s+', ' ', 'g')) AS f_new
+        |  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN f_old IS NULL THEN 'added'
+        |            WHEN f_new IS NULL THEN 'removed'
+        |            WHEN f_old <> f_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val oldSnap = docs.where(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+      val newSnap = docs.where(col("doc_id") % 13 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy("doc_id")
     }
   )
 

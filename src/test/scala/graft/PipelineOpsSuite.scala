@@ -649,4 +649,31 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(out.queryExecution.analyzed.toString.contains("graft_marker_hits"), plan)
   }
+
+  test("corpus diff: status classification and formatting-insensitive change") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept same"),
+      (4L, "will vanish")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "ALPHA   beta"),   // case+whitespace only -> unchanged
+      (2L, "gamma delta new"), // real edit -> changed
+      (3L, "kept same"),       // unchanged
+      (5L, "brand new doc")    // added
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+    val summary = graft.operators.CorpusDiff.diffSummary(
+      oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary === Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+    // only ids and 16-byte digests reach the join: no text column in the
+    // post-projection join plan
+    val plan = graft.operators.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+  }
 }
