@@ -2176,7 +2176,7 @@ object SparkEntry {
       s.sql("""
         |WITH b AS (SELECT approx_partition_bounds(l_extendedprice, 8) AS bs
         |           FROM lineitem),
-        |a AS (SELECT size(filter(b.bs, x -> x <= l.l_extendedprice)) AS bucket
+        |a AS (SELECT graft_bucket_index(b.bs, CAST(l.l_extendedprice AS DOUBLE)) AS bucket
         |      FROM lineitem l CROSS JOIN b),
         |c AS (SELECT bucket, count(*) AS n FROM a GROUP BY bucket),
         |t AS (SELECT count(*) AS total FROM lineitem)
@@ -2238,7 +2238,7 @@ object SparkEntry {
       s.sql("""
         |WITH k AS (SELECT md5(CAST(doc_id AS STRING)) AS key FROM documents),
         |b AS (SELECT approx_partition_bounds_str(key, 4) AS bs FROM k),
-        |a AS (SELECT size(filter(b.bs, x -> x <= k.key)) AS bucket
+        |a AS (SELECT graft_bucket_index(b.bs, k.key) AS bucket
         |      FROM k CROSS JOIN b),
         |c AS (SELECT bucket, count(*) AS n FROM a GROUP BY bucket),
         |t AS (SELECT count(*) AS total FROM k)

@@ -177,4 +177,6 @@ object functions {
   def graft_value_bucket(v: Column, bounds: Seq[Double]): Column =
     F.call_function("graft_value_bucket", v,
       F.array(bounds.map(F.lit): _*))
+  def graft_bucket_index(bounds: Column, v: Column): Column =
+    F.call_function("graft_bucket_index", bounds, v)
 }

@@ -898,6 +898,20 @@ object GraftFunctionRegistry {
       ValueBucket(args(0),
         doubleArrayLiteral("graft_value_bucket", "bounds", args(1)))
     },
+    fd("graft_bucket_index",
+      "_FUNC_(bounds, v) - Returns the number of elements of the sorted `bounds` " +
+        "array that are <= v, by binary search — the range-partition bucket of v " +
+        "for split points computed AT RUNTIME (the one-row result of " +
+        "approx_partition_bounds broadcast back over the table). Any orderable " +
+        "element type; graft_value_bucket is the constant-bounds variant.",
+      Seq(2),
+      Seq("bounds" -> "a sorted array<T> column with no null elements",
+        "v" -> "a column of the array's element type"),
+      Seq("SELECT _FUNC_(array(1.0d, 2.0d, 3.0d), 2.5d)" -> "2",
+        "SELECT _FUNC_(array('b', 'd'), 'a')" -> "0"),
+      "math_funcs") { args =>
+      BucketIndex(args(0), args(1))
+    },
     fd("graft_int8_quantize",
       "_FUNC_(v) - Returns the symmetric int8 quantization of an array<double> vector " +
         "as integer-valued doubles: scale = max(abs(x))/127, components rounded half " +

@@ -346,3 +346,71 @@ case class ValueBucket(child: Expression, bounds: Seq[Double])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `graft_bucket_index(bounds, v)` — the count of elements of the
+ * SORTED `bounds` array that are <= `v`, by binary search, for bounds
+ * computed AT RUNTIME (the one-row result of `approx_partition_bounds`
+ * / `approx_partition_bounds_str` broadcast back over the table). The
+ * literal-bounds case is [[ValueBucket]]; this variant exists because
+ * a `size(filter(bounds, x -> x <= v))` formulation is a higher-order
+ * function — CodegenFallback, interpreted with per-element boxing —
+ * in exactly the per-row hot path where it hurts most.
+ *
+ * Works for any orderable atomic element type (double bounds for
+ * numeric planning, string bounds for key-space planning), using the
+ * element type's interpreted ordering: O(log n) comparisons per row.
+ * Bounds must be sorted ascending with no null elements (sketch
+ * outputs satisfy both); a null array or null value yields null.
+ */
+case class BucketIndex(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "graft_bucket_index"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    left.dataType match {
+      case ArrayType(et, _) if et.sameType(right.dataType) =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et)) {
+          TypeCheckResult.TypeCheckSuccess
+        } else {
+          TypeCheckResult.TypeCheckFailure(
+            s"element type ${et.sql} is not orderable")
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<T>, T), got (${other.sql}, ${right.dataType.sql})")
+    }
+  }
+
+  def compute(bounds: ArrayData, v: Any): Int = {
+    var lo = 0
+    var hi = bounds.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ordering.lteq(bounds.get(mid, elemType), v)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def nullSafeEval(bounds: Any, v: Any): Any =
+    compute(bounds.asInstanceOf[ArrayData], v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketIndex", this, classOf[BucketIndex].getName)
+    defineCodeGen(ctx, ev, (b, v) =>
+      s"$ref.compute($b, (Object) $v)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

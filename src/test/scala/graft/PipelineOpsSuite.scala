@@ -676,4 +676,36 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       .queryExecution.executedPlan.toString
     assert(plan.contains("FullOuter"), plan)
   }
+
+  test("bucket_index: runtime bounds binary search for double and string keys") {
+    import spark.implicits._
+    val df = Seq((0.5, "a"), (1.0, "b"), (2.5, "c"), (9.0, "z")).toDF("v", "k")
+    val out = df.select(
+      graft.functions.graft_bucket_index(
+        array(lit(1.0), lit(2.0), lit(3.0)), col("v")).as("db"),
+      graft.functions.graft_bucket_index(
+        array(lit("b"), lit("d")), col("k")).as("sb"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // count of bounds <= v: boundary value 1.0 lands in bucket 1 (<=)
+    assert(out.toSeq === Seq((0, 0), (1, 1), (2, 1), (3, 2)))
+    // matches the constant-bounds ValueBucket on the same data
+    val both = df.select(
+      graft.functions.graft_bucket_index(
+        array(lit(1.0), lit(2.0), lit(3.0)), col("v")).as("rt"),
+      graft.functions.graft_value_bucket(col("v"), Seq(1.0, 2.0, 3.0)).as("ct"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // null array or null value -> null
+    val nulls = Seq((Some(1.5), false), (None, true)).toDF("v", "nb")
+      .select(graft.functions.graft_bucket_index(
+        when(col("nb"), lit(null).cast("array<double>"))
+          .otherwise(array(lit(1.0))), col("v")).as("b"))
+      .orderBy(col("b").asc_nulls_last).collect()
+    assert(nulls(0).getInt(0) === 1 && nulls(1).isNullAt(0))
+    // mismatched element/value types rejected at analysis
+    intercept[Exception] {
+      df.select(graft.functions.graft_bucket_index(
+        array(lit("x")), col("v"))).collect()
+    }
+  }
 }
