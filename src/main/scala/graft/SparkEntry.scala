@@ -2618,6 +2618,30 @@ object SparkEntry {
       graft.operators.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
         .select(col("id").as("doc_id"), col("status"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary builder: top-25 terms with exact cumulative coverage in
+    // integer parts-per-million — the tokenizer-training-prep report
+    q("q98_build_vocab",
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT term, count(*) AS n_occ FROM toks
+        |  WHERE term <> '' GROUP BY term),
+        |total AS (SELECT sum(n_occ) AS total FROM counts),
+        |top AS (
+        |  SELECT term, n_occ,
+        |         CAST(row_number() OVER (ORDER BY n_occ DESC, term) AS BIGINT) AS rank,
+        |         CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, term
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ
+        |  FROM counts ORDER BY n_occ DESC, term LIMIT 25)
+        |SELECT rank, term, n_occ, cum_occ,
+        |       CAST(cum_occ * 1000000 // total AS BIGINT) AS cov_ppm
+        |FROM top CROSS JOIN total ORDER BY rank""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.TextOps.buildVocab(s.table("documents"), "text", 25)
+        .orderBy("rank")
     }
   )
 

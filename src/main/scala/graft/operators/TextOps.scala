@@ -545,4 +545,39 @@ object TextOps {
         col("__fl.n_lines").cast("long").as("n_lines"),
         col("__fl.n_kept").cast("long").as("n_kept"))
   }
+
+  /**
+   * Vocabulary builder — tokenizer-training prep: the top-N corpus terms
+   * by occurrence count, with each prefix's exact cumulative token
+   * coverage ("the 30k most frequent words cover 97.1% of all tokens").
+   * Output: (rank, term, n_occ, cum_occ, cov_ppm) where cov_ppm is the
+   * integer parts-per-million coverage of ranks 1..rank — all-integer
+   * arithmetic (BIGINT division), so results replay exactly anywhere.
+   *
+   * Scale design: the token explode partial-aggregates map-side, so the
+   * term-count shuffle carries each partition's DISTINCT vocabulary
+   * (Zipf-bounded), not its token stream; top-N is TakeOrdered (no
+   * global sort of the vocabulary); the total-token count reuses the
+   * already-aggregated counts rather than rescanning the corpus. The
+   * final running sum is a global window over EXACTLY N pre-limited
+   * rows — bounded by construction. Ties break lexicographically.
+   */
+  def buildVocab(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df
+      .select(explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+    val total = counts.agg(sum(col("n_occ")).as("total"))
+    val top = counts.orderBy(col("n_occ").desc, col("term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_occ", sum(col("n_occ")).over(w))
+      .select(col("rank"), col("term"), col("n_occ"), col("cum_occ"),
+        expr("cum_occ * 1000000L div total").as("cov_ppm"))
+  }
 }

@@ -708,4 +708,27 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
         array(lit("x")), col("v"))).collect()
     }
   }
+
+  test("build vocab: exact counts, lexicographic ties, ppm coverage") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a  b"),        // double space: empty token filtered out
+      (3L, "d c")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.buildVocab(corpus, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // counts: a=3, b=4, c=2, d=1; total=10; tie-free top-3
+    assert(out.toSeq === Seq(
+      (1L, "b", 4L, 4L, 400000L),
+      (2L, "a", 3L, 7L, 700000L),
+      (3L, "c", 2L, 9L, 900000L)))
+    // equal counts order lexicographically
+    val tied = Seq((1L, "z y x")).toDF("doc_id", "text")
+    val t = graft.operators.TextOps.buildVocab(tied, "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(t.toSeq === Seq((1L, "x"), (2L, "y")))
+    // topN larger than vocabulary returns the whole vocabulary
+    assert(graft.operators.TextOps.buildVocab(tied, "text", 99).count() === 3L)
+  }
 }
