@@ -2642,6 +2642,59 @@ object SparkEntry {
       view(s, d, "documents")
       graft.operators.TextOps.buildVocab(s.table("documents"), "text", 25)
         .orderBy("rank")
+    },
+
+    // Repeated-span mining: every 17th doc's first-20-word span is also
+    // copied into a fresh doc between per-id unique pad words (known
+    // positives), and the corpus's own near-duplicate docs surface too —
+    // so the oracle replays the WHOLE pipeline on gram STRINGS (words
+    // can't contain whitespace, so gram strings and the operator's
+    // 64-bit gram hashes are in bijection — q21's argument): positional
+    // 8-gram explode, pair join, constant-offset run counting via the
+    // row_number difference, max/sum per pair, minRun 3
+    q("q99_repeated_spans",
+      """WITH planted AS (
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |         'xpada' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |         array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[1:20], ' ') ||
+        |         ' xpadb' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |      FROM aug),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |         list_reduce(ws[u.i:u.i+7], (a, b) -> a || ' ' || b) AS gram
+        |  FROM t, unnest(range(1, len(ws) - 6)) AS u(i)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+        |         a.pos - b.pos AS off
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id_a, id_b, off,
+        |         pa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY pa) AS grp
+        |  FROM pairs),
+        |counted AS (
+        |  SELECT id_a, id_b, off, grp, count(*) AS run
+        |  FROM runs GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS max_run,
+        |       CAST(sum(run) AS BIGINT) AS n_shared
+        |FROM counted GROUP BY 1, 2 HAVING max(run) >= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val planted = docs.where(col("doc_id") % 17 === 0).select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        concat(
+          lit("xpada"), col("doc_id"), lit(" "),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 20), " "),
+          lit(" xpadb"), col("doc_id")).as("text"))
+      graft.operators.Dedup.repeatedSpans(
+          docs.select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text", n = 8, minRun = 3)
+        .orderBy("id_a", "id_b")
     }
   )
 

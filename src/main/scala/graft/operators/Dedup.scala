@@ -768,4 +768,72 @@ object Dedup {
       .groupBy(col("b.id").as("removed_id"))
       .agg(min(col("a.id")).as("kept_id"))
   }
+
+  /**
+   * Cross-document repeated-SPAN mining (the exact-substring side of
+   * dedup, after Lee et al. 2022 "Deduplicating Training Data Makes
+   * Language Models Better"): find document pairs sharing a copied run
+   * of at least `minRun` consecutive word `n`-grams (i.e. a verbatim
+   * passage of >= minRun + n - 1 words), and report the longest such
+   * run per pair. Set-similarity dedup (Jaccard / MinHash) misses a
+   * 30-word passage pasted into a 10k-word document — the Jaccard is
+   * tiny; span mining is how boilerplate licenses, quoted chains, and
+   * template paragraphs are actually found.
+   *
+   * Method: each document becomes its positional n-gram hash sequence
+   * (`graft_word_shingle_seq`, one pass, no gram strings). A shared
+   * passage appears as equal hashes at consecutive positions with a
+   * CONSTANT offset between the two documents, so after the postings
+   * self-join, runs are counted per (pair, position-offset) with the
+   * classic row_number difference trick — no iteration, no suffix
+   * array.
+   *
+   * Scale design: the postings shuffle carries (id, pos, 8-byte hash)
+   * — never text. Hashes occurring in more than `maxPostings` documents
+   * are dropped BEFORE the self-join (one aggregate + semi filter),
+   * which bounds the join fan-out exactly like the boilerplate cap in
+   * [[graft.operators.TextOps.boilerplateNgrams]]: a phrase shared by
+   * a million documents is boilerplate (findable by that operator),
+   * not a pairwise-span question — mining it pairwise would be an
+   * n-squared explosion for information already visible at the hash
+   * level. Run counting windows partition by (id_a, id_b, offset) —
+   * keys at least as fine as document pairs, so no single-partition
+   * hotspots.
+   *
+   * Returns (id_a, id_b, max_run, n_shared) with id_a < id_b, where
+   * max_run is the longest consecutive shared n-gram run and n_shared
+   * counts all shared positional matches (across every offset).
+   */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minRun: Int = 3,
+      maxPostings: Int = 1000): DataFrame = {
+    require(minRun > 0, "minRun must be positive")
+    val postings = df.select(col(idCol).as("id"),
+        posexplode(call_function("graft_word_shingle_seq", col(textCol), lit(n)))
+          .as(Seq("pos", "h")))
+    val rare = postings.groupBy("h")
+      .agg(count(lit(1)).as("__np"))
+      .where(col("__np") <= maxPostings)
+      .select("h")
+    val pruned = postings.join(rare, Seq("h"), "left_semi")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("off", col("pa") - col("pb"))
+    // consecutive pa values within one (pair, offset) share pa - row_number
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "off").orderBy("pa")
+    val runs = pairs
+      .withColumn("__grp", col("pa") - row_number().over(wOrd))
+      .groupBy("id_a", "id_b", "off", "__grp")
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy("id_a", "id_b")
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_shared"))
+      .where(col("max_run") >= minRun)
+  }
 }

@@ -979,6 +979,19 @@ object GraftFunctionRegistry {
       "hash_funcs") { args =>
       WordShingleHashes(args(0), intLiteral("graft_word_shingles", "n", args(1)))
     },
+    fd("graft_word_shingle_seq",
+      "_FUNC_(text, n) - Returns the word n-gram hash SEQUENCE of `text` " +
+        "(array<long>, one element per n-gram start position, duplicates kept) " +
+        "with graft_word_shingles' tokenizer and hashing; texts shorter than n " +
+        "words produce the single whole-text hash. Positional, for repeated-span " +
+        "mining; use graft_word_shingles for set similarity.",
+      Seq(2),
+      Seq("text" -> "a STRING column",
+        "n" -> "constant positive shingle width in words"),
+      Seq("SELECT size(_FUNC_('a b a b a', 2))" -> "4"),
+      "hash_funcs") { args =>
+      WordShingleSeq(args(0), intLiteral("graft_word_shingle_seq", "n", args(1)))
+    },
     fd("graft_winnow",
       "_FUNC_(text, k, w) - Returns winnowing document fingerprints (array<long>): " +
         "Karp-Rabin rolling hashes of the character k-grams of the normalized text, " +

@@ -373,6 +373,70 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * `graft_word_shingle_seq(text, n)` — the word-n-gram hash SEQUENCE of a
+ * document, in position order and WITHOUT deduplication (one element per
+ * n-gram start position; a document shorter than n words yields its
+ * single whole-document hash). Same tokenizer and same XXH64 hashing as
+ * [[WordShingleHashes]] — that expression's LinkedHashSet dedup serves
+ * set-similarity (Jaccard / MinHash); this positional variant serves
+ * SPAN mining, where two documents sharing a copied passage show up as
+ * a run of equal hashes at consecutive positions with a constant
+ * position offset ([[graft.operators.Dedup.repeatedSpans]]).
+ */
+case class WordShingleSeq(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n > 0, "n must be positive")
+
+  override def prettyName: String = "graft_word_shingle_seq"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val SEED_WORD = 42L
+  private val SEED_GRAM = 0x9e3779b97f4a7c15L
+
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toLowerCase.trim.toString.split("\\s+", -1)
+    val w = words.length
+    val wh = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      val b = words(i).getBytes("UTF-8")
+      wh(i) = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, SEED_WORD)
+      i += 1
+    }
+    if (w < n) {
+      var g = SEED_GRAM
+      i = 0
+      while (i < w) { g = XXH64.hashLong(wh(i), g); i += 1 }
+      new GenericArrayData(Array(g))
+    } else {
+      val out = new Array[Long](w - n + 1)
+      var s = 0
+      while (s <= w - n) {
+        var g = SEED_GRAM
+        var j = 0
+        while (j < n) { g = XXH64.hashLong(wh(s + j), g); j += 1 }
+        out(s) = g
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingleSeq", this, classOf[WordShingleSeq].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `graft_hamming_hex(a, b)` — bitwise hamming distance of two hex strings. */
 case class HammingHex(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {

@@ -731,4 +731,39 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     // topN larger than vocabulary returns the whole vocabulary
     assert(graft.operators.TextOps.buildVocab(tied, "text", 99).count() === 3L)
   }
+
+  test("repeated spans: run lengths, offsets, posting cap, minRun gate") {
+    import spark.implicits._
+    // doc 2 embeds an 11-word passage from doc 1 at a shifted position;
+    // with n=4 the shared run is 11-4+1=8 consecutive grams
+    val passage = "one two three four five six seven eight nine ten eleven"
+    val corpus = Seq(
+      (1L, s"$passage tail1 tail2"),
+      (2L, s"lead1 lead2 lead3 $passage"),
+      (3L, "no overlap here at all whatsoever friend"),
+      // shares only a 4-word window with doc 1 -> run 1, below minRun 2
+      (4L, "zz one two three four yy ww vv uu tt")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.repeatedSpans(
+      corpus, "doc_id", "text", n = 4, minRun = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === ((8L, 8L)))
+    // minRun=1 admits the single-gram overlap of (1,4)
+    val loose = graft.operators.Dedup.repeatedSpans(
+      corpus, "doc_id", "text", n = 4, minRun = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // a hash present in more docs than maxPostings is pruned entirely
+    val boiler = Seq(
+      (1L, passage), (2L, passage), (3L, passage), (4L, passage)
+    ).toDF("doc_id", "text")
+    val capped = graft.operators.Dedup.repeatedSpans(
+      boiler, "doc_id", "text", n = 4, minRun = 1, maxPostings = 3)
+    assert(capped.count() === 0L)
+    // and with the cap open, all 6 pairs share the full run
+    val open = graft.operators.Dedup.repeatedSpans(
+      boiler, "doc_id", "text", n = 4, minRun = 1, maxPostings = 4)
+    assert(open.count() === 6L)
+  }
 }
