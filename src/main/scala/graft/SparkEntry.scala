@@ -2695,6 +2695,56 @@ object SparkEntry {
           docs.select(col("doc_id"), col("text")).unionByName(planted),
           "doc_id", "text", n = 8, minRun = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Span-removal rewrite over the organic corpus (its near-duplicate
+    // docs get their copied passages cut from the higher-id side). The
+    // oracle replays the whole flow on gram strings: q99's run mining,
+    // then interval union per doc and a positional word filter. DuckDB
+    // positions are 1-based where Spark's are 0-based — each side is
+    // self-consistent, and the compared artifact is the rebuilt text.
+    q("q100_dedup_spans_rewrite",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |         list_reduce(ws[u.i:u.i+7], (a, b) -> a || ' ' || b) AS gram
+        |  FROM t, unnest(range(1, len(ws) - 6)) AS u(i)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+        |         a.pos - b.pos AS off
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id_a, id_b, off, pa,
+        |         pa - row_number() OVER (PARTITION BY id_a, id_b, off ORDER BY pa) AS grp
+        |  FROM pairs),
+        |counted AS (
+        |  SELECT id_a, id_b, off, grp, count(*) AS run, min(pa) AS pa0
+        |  FROM runs GROUP BY 1, 2, 3, 4),
+        |drops AS (
+        |  SELECT DISTINCT id_b AS doc_id, CAST(u.p AS BIGINT) AS pos
+        |  FROM counted, unnest(range(pa0 - off, pa0 - off + run + 7)) AS u(p)
+        |  WHERE run >= 3),
+        |dlist AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS ps FROM drops GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CASE WHEN d.ps IS NULL THEN array_to_string(ws, ' ')
+        |            -- array_to_string([]) is NULL in DuckDB; a fully-cut
+        |            -- doc must compare as the empty string
+        |            ELSE coalesce(array_to_string(list_filter(ws,
+        |              (w, i) -> NOT list_contains(d.ps, CAST(i AS BIGINT))), ' '), '')
+        |       END AS text_dedup,
+        |       CAST(len(ws) AS BIGINT) AS n_words,
+        |       CAST(coalesce(len(d.ps), 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN dlist d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Dedup.dedupSpansRewrite(
+          s.table("documents"), "doc_id", "text", n = 8, minRun = 3)
+        .select(col("id").as("doc_id"), col("text_dedup"),
+          col("n_words"), col("n_dropped"))
+        .orderBy("doc_id")
     }
   )
 

@@ -812,6 +812,22 @@ object Dedup {
       minRun: Int = 3,
       maxPostings: Int = 1000): DataFrame = {
     require(minRun > 0, "minRun must be positive")
+    spanRuns(df, idCol, textCol, n, maxPostings)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_shared"))
+      .where(col("max_run") >= minRun)
+  }
+
+  /** Shared-run frame behind [[repeatedSpans]] / [[dedupSpansRewrite]]:
+    * one row per maximal run of consecutive shared n-grams, as
+    * (id_a, id_b, off, run, pb0) with pb0 the run's start position in
+    * the id_b document. */
+  private def spanRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxPostings: Int): DataFrame = {
     val postings = df.select(col(idCol).as("id"),
         posexplode(call_function("graft_word_shingle_seq", col(textCol), lit(n)))
           .as(Seq("pos", "h")))
@@ -828,12 +844,60 @@ object Dedup {
     // consecutive pa values within one (pair, offset) share pa - row_number
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a", "id_b", "off").orderBy("pa")
-    val runs = pairs
+    pairs
       .withColumn("__grp", col("pa") - row_number().over(wOrd))
       .groupBy("id_a", "id_b", "off", "__grp")
-      .agg(count(lit(1)).as("run"))
-    runs.groupBy("id_a", "id_b")
-      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_shared"))
-      .where(col("max_run") >= minRun)
+      .agg(count(lit(1)).as("run"), (min(col("pa")) - col("off")).as("pb0"))
+      .select("id_a", "id_b", "off", "run", "pb0")
+  }
+
+  /**
+   * Span-removal rewrite — the second half of the Lee et al. 2022 flow:
+   * CUT every repeated span (>= `minRun` consecutive shared word
+   * n-grams, mined exactly as [[repeatedSpans]]) from the HIGHER-id
+   * document of each sharing pair, keeping the earliest occurrence
+   * intact. A document chain A=B=C therefore keeps the passage only in
+   * A: B drops it against A, C against both — the rule is "drop any
+   * span also present in a lower-id document", deterministic with no
+   * iteration.
+   *
+   * The rewrite operates on the PINNED token stream (lower/trim/split):
+   * a run of `run` grams starting at word `pb0` covers words
+   * [pb0, pb0 + run + n - 2]; overlapping spans union per document, and
+   * the kept words re-join with single spaces (whitespace-normalized
+   * output, like every token-level operator here).
+   *
+   * Scale design: everything up to the drop-position sets is
+   * [[spanRuns]] (hash postings only — text never rides those
+   * shuffles); the drop sets are (id, sorted int array) rows for
+   * AFFECTED documents only, joined back to the corpus where AQE
+   * broadcasts them in the common sparse case; the cut itself is the
+   * native `graft_drop_words` expression, one pass per document.
+   *
+   * Returns every input document: (id, text_dedup, n_words, n_dropped)
+   * with n_dropped = 0 for untouched rows.
+   */
+  def dedupSpansRewrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minRun: Int = 3,
+      maxPostings: Int = 1000): DataFrame = {
+    require(minRun > 0, "minRun must be positive")
+    val drops = spanRuns(df, idCol, textCol, n, maxPostings)
+      .where(col("run") >= minRun)
+      .select(col("id_b").as("id"),
+        explode(sequence(col("pb0"), col("pb0") + col("run") + lit(n - 2))).as("pos"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("pos").cast("int"))).as("__drops"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"),
+        call_function("graft_drop_words", col("__text"),
+          coalesce(col("__drops"), array().cast("array<int>"))).as("__dw"))
+      .select(col("id"), col("__dw.text").as("text_dedup"),
+        col("__dw.n_words").cast("long").as("n_words"),
+        col("__dw.n_dropped").cast("long").as("n_dropped"))
   }
 }

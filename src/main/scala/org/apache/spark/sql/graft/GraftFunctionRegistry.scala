@@ -992,6 +992,19 @@ object GraftFunctionRegistry {
       "hash_funcs") { args =>
       WordShingleSeq(args(0), intLiteral("graft_word_shingle_seq", "n", args(1)))
     },
+    fd("graft_drop_words",
+      "_FUNC_(text, positions) - Removes the words of `text` (lower/trim/" +
+        "whitespace-split tokenization) whose 0-based positions appear in the " +
+        "sorted-ascending `positions` array, re-joining survivors with single " +
+        "spaces. Returns STRUCT<text, n_words, n_dropped>; out-of-range " +
+        "positions are ignored. The cut step of span-level dedup.",
+      Seq(2),
+      Seq("text" -> "a STRING column",
+        "positions" -> "a sorted array<int> column of 0-based word positions"),
+      Seq("SELECT _FUNC_('a b c d', array(1, 3)).text" -> "a c"),
+      "string_funcs") { args =>
+      DropWords(args(0), args(1))
+    },
     fd("graft_winnow",
       "_FUNC_(text, k, w) - Returns winnowing document fingerprints (array<long>): " +
         "Karp-Rabin rolling hashes of the character k-grams of the normalized text, " +

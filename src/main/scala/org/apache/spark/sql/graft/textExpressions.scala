@@ -827,3 +827,63 @@ case class FilterLines(
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/**
+ * `graft_drop_words(text, positions)` — removes the words of `text` (under
+ * the pinned lower/trim/split tokenizer) whose 0-based positions appear in
+ * the SORTED-ASCENDING `positions` array, re-joining the survivors with
+ * single spaces, as STRUCT<text, n_words, n_dropped>. The cut step of
+ * span-level dedup ([[graft.operators.Dedup.dedupSpansRewrite]]): the
+ * positions come from a runtime join, so they are a column, not a literal
+ * (callers coalesce the join's null to an empty array = drop nothing).
+ * Out-of-range positions are ignored; n_dropped counts only positions
+ * that named an actual word. Output text is whitespace-normalized and
+ * lower-cased, like every token-level operator here.
+ */
+case class DropWords(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_drop_words"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(IntegerType, containsNull = false))
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false)))
+
+  def compute(input: UTF8String, positions: ArrayData): InternalRow = {
+    val words = input.toLowerCase.trim.toString.split("\\s+", -1)
+    val np = positions.numElements()
+    val kept = new java.lang.StringBuilder
+    var dropped = 0
+    var p = 0
+    var i = 0
+    while (i < words.length) {
+      // positions sorted ascending: advance the pointer past stale entries
+      while (p < np && positions.getInt(p) < i) p += 1
+      if (p < np && positions.getInt(p) == i) {
+        dropped += 1
+        p += 1
+      } else {
+        if (kept.length > 0) kept.append(' ')
+        kept.append(words(i))
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(kept.toString), words.length, dropped))
+  }
+
+  override def nullSafeEval(t: Any, ps: Any): Any =
+    compute(t.asInstanceOf[UTF8String], ps.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dropWords", this, classOf[DropWords].getName)
+    defineCodeGen(ctx, ev, (t, ps) => s"$ref.compute($t, $ps)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

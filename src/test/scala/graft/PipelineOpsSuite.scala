@@ -766,4 +766,30 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       boiler, "doc_id", "text", n = 4, minRun = 1, maxPostings = 4)
     assert(open.count() === 6L)
   }
+
+  test("span rewrite: cuts from higher id, keeps first occurrence, chains") {
+    import spark.implicits._
+    val passage = "one two three four five six seven eight nine ten eleven"
+    val corpus = Seq(
+      (1L, s"$passage tail1 tail2"),
+      (2L, s"lead1 lead2 lead3 $passage"),  // drops the passage vs doc 1
+      (3L, passage),                        // identical to the span: fully cut
+      (4L, "untouched words entirely distinct here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupSpansRewrite(
+      corpus, "doc_id", "text", n = 4, minRun = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is the earliest occurrence: intact (normalized text)
+    assert(out(1L) === ((s"$passage tail1 tail2", 13L, 0L)))
+    // doc 2 loses exactly the 11 passage words
+    assert(out(2L) === (("lead1 lead2 lead3", 14L, 11L)))
+    // doc 3 is all-passage: cut to empty
+    assert(out(3L) === (("", 11L, 11L)))
+    assert(out(4L)._3 === 0L)
+    // graft_drop_words SQL surface: positions sorted, out-of-range ignored
+    val r = corpus.sparkSession.sql(
+      "SELECT graft_drop_words('A b  C d', array(1, 3, 9))").collect()(0).getStruct(0)
+    assert(r.getString(0) === "a c" && r.getInt(1) === 4 && r.getInt(2) === 2)
+  }
 }
