@@ -67,5 +67,18 @@ hits = DataFrame(api.bm25TopK(docs._jdf, "doc_id", "text",
                               [[1, "hash join"], [2, "slow scan"]], 5), spark)
 assert hits.count() == 10 and hits.agg(F.min("score_fp")).collect()[0][0] > 0
 
+# corpus diff + vocab + span mining/rewrite
+newer = docs.withColumn("text", F.when(F.col("doc_id") % 9 == 0,
+                                       F.concat(F.col("text"), F.lit(" upd")))
+                        .otherwise(F.col("text")))
+cd = DataFrame(api.corpusDiff(docs._jdf, newer._jdf, "doc_id", "text"), spark)
+assert cd.where("status = 'changed'").count() > 0
+vocab = DataFrame(api.buildVocab(docs._jdf, "text", 10), spark)
+assert vocab.count() == 10 and vocab.orderBy("rank").collect()[-1]["cov_ppm"] <= 1000000
+spans = DataFrame(api.repeatedSpans(docs._jdf, "doc_id", "text", 8, 3, 1000), spark)
+rw = DataFrame(api.dedupSpansRewrite(docs._jdf, "doc_id", "text", 8, 3, 1000), spark)
+assert rw.count() == docs.count()
+assert rw.agg(F.sum("n_dropped")).collect()[0][0] >= 0
+
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

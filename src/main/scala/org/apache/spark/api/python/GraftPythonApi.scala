@@ -17,8 +17,8 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, BloomIndex, Classifier, Dedup, JoinStats, Profiler,
-  Retrieval, Sampling, Similarity, TextOps, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Classifier, CorpusDiff, Dedup, JoinStats,
+  Profiler, Retrieval, Sampling, Similarity, TextOps, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -121,4 +121,19 @@ object GraftPythonApi {
     }
     Retrieval.bm25TopK(df, idCol, textCol, qs, k)
   }
+
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    CorpusDiff.diff(oldDf, newDf, idCol, textCol)
+
+  def buildVocab(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    TextOps.buildVocab(df, textCol, topN)
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minRun: Int, maxPostings: Int): DataFrame =
+    Dedup.repeatedSpans(df, idCol, textCol, n, minRun, maxPostings)
+
+  def dedupSpansRewrite(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minRun: Int, maxPostings: Int): DataFrame =
+    Dedup.dedupSpansRewrite(df, idCol, textCol, n, minRun, maxPostings)
 }

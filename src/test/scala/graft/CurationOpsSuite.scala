@@ -990,4 +990,44 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       Sampling.sizeShards(df, "doc_id", "n_bytes", 0L)
     }
   }
+
+  test("round-7 operators pin their plan shapes") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // repeated spans: the posting-cap prune is a semi join on hashes, the
+    // run window partitions by (pair, offset) — never a global window —
+    // and no text column survives into the pair join
+    val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text")
+    val spanPlan = spans.queryExecution.executedPlan.toString
+    assert(spanPlan.contains("LeftSemi"), spanPlan)
+    assert(spanPlan.contains("graft_word_shingle_seq"), spanPlan)
+    assert(!spanPlan.contains("No Partition Defined"), spanPlan)
+    // span rewrite: the cut is the native graft_drop_words expression and
+    // the corpus text is scanned exactly once on the rewrite side
+    val rw = graft.operators.Dedup.dedupSpansRewrite(docs, "doc_id", "text")
+    assert(rw.queryExecution.analyzed.toString.contains("graft_drop_words"))
+    // vocab: top-N is TakeOrdered (no global vocabulary sort), counts
+    // partially aggregate before their exchange
+    val vocab = graft.operators.TextOps.buildVocab(docs, "text", 10)
+    val vPlan = vocab.queryExecution.executedPlan.toString
+    assert(vPlan.contains("TakeOrderedAndProject"), vPlan)
+    assert(vPlan.contains("partial_count") || vPlan.contains("HashAggregate"), vPlan)
+    // corpus diff: digests join full-outer; the text column is consumed
+    // by the md5 projection below the join, not joined raw
+    val diff = graft.operators.CorpusDiff.diff(docs, docs, "doc_id", "text")
+    val dPlan = diff.queryExecution.executedPlan.toString
+    assert(dPlan.contains("FullOuter"), dPlan)
+    // bm25: stats side is a one-row broadcast (BNLJ), top-k prunes
+    // map-side, marker-hits is the single tf pass
+    val hits = graft.operators.Retrieval.bm25TopK(
+      docs, "doc_id", "text", Seq(1 -> "hash join"), 5)
+    val hPlan = hits.queryExecution.executedPlan.toString
+    assert(hPlan.contains("BroadcastNestedLoopJoin"), hPlan)
+    assert(hPlan.contains("WindowGroupLimit"), hPlan)
+    // line filter: one native pass, no explode/generate in the plan
+    val fl = graft.operators.TextOps.filterLines(docs, "doc_id", "text", 3)
+    val fPlan = fl.queryExecution.executedPlan.toString
+    assert(fPlan.contains("graft_filter_lines"), fPlan)
+    assert(!fPlan.contains("Generate"), fPlan)
+  }
 }
