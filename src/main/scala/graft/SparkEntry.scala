@@ -88,6 +88,52 @@ object SparkEntry {
   // Query inventory. Sketch-function queries first (SURVEY.md §2 surface),
   // then relational/bench queries, then pipeline operators.
   // ---------------------------------------------------------------------
+  // shared by q96 (inline BM25) and q101 (persisted text index): the
+  // index path must answer bit-for-bit like the inline operator, so both
+  // queries check against the SAME DuckDB replay
+  private val bm25Queries: Seq[(Int, String)] =
+    Seq(1 -> "hash join table", 2 -> "slow scan filter",
+      3 -> "stream window agg", 4 -> "customer order data zzz",
+      5 -> "vector merge batch")
+
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(len(ts)) AS t FROM toks),
+        |q(qid, term) AS (VALUES
+        |  (1,'hash'),(1,'join'),(1,'table'),
+        |  (2,'slow'),(2,'scan'),(2,'filter'),
+        |  (3,'stream'),(3,'window'),(3,'agg'),
+        |  (4,'customer'),(4,'order'),(4,'data'),(4,'zzz'),
+        |  (5,'vector'),(5,'merge'),(5,'batch')),
+        |terms AS (SELECT DISTINCT term FROM q),
+        |tft AS (
+        |  SELECT term, doc_id, len(list_filter(ts, x -> x = term)) AS tf,
+        |         len(ts) AS dl
+        |  FROM toks CROSS JOIN terms),
+        |dfreq AS (
+        |  SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+        |  FROM tft GROUP BY term),
+        |scored AS (
+        |  SELECT q.qid, tft.doc_id,
+        |         sum(CASE WHEN tft.tf > 0 THEN
+        |           CAST((CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1) * 1000000)
+        |                      AS HUGEINT) * 22000 * t * tft.tf)
+        |                // (10 * CAST(t AS HUGEINT) * tft.tf + 3 * t + 9 * tft.dl * n)
+        |                AS BIGINT)
+        |           ELSE 0 END) AS score_fp,
+        |         sum(tft.tf) AS anytf
+        |  FROM tft JOIN q USING (term) CROSS JOIN stats JOIN dfreq USING (term)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, row_number() OVER (
+        |           PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rank,
+        |         doc_id, score_fp
+        |  FROM scored WHERE anytf > 0)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_fp
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   private lazy val inventory: Seq[Q] = Seq(
 
     // #1 approx_percentile_ex (one-shot, scalar percentage)
@@ -2540,50 +2586,10 @@ object SparkEntry {
     // BM25 top-k retrieval: fixed-point scores (quantized-ln idf +
     // exact-rational tf factor, integral division) make the DuckDB
     // replay bit-identical; "zzz" exercises the df=0 idf path
-    q("q96_bm25_topk",
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |stats AS (SELECT count(*) AS n, sum(len(ts)) AS t FROM toks),
-        |q(qid, term) AS (VALUES
-        |  (1,'hash'),(1,'join'),(1,'table'),
-        |  (2,'slow'),(2,'scan'),(2,'filter'),
-        |  (3,'stream'),(3,'window'),(3,'agg'),
-        |  (4,'customer'),(4,'order'),(4,'data'),(4,'zzz'),
-        |  (5,'vector'),(5,'merge'),(5,'batch')),
-        |terms AS (SELECT DISTINCT term FROM q),
-        |tft AS (
-        |  SELECT term, doc_id, len(list_filter(ts, x -> x = term)) AS tf,
-        |         len(ts) AS dl
-        |  FROM toks CROSS JOIN terms),
-        |dfreq AS (
-        |  SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
-        |  FROM tft GROUP BY term),
-        |scored AS (
-        |  SELECT q.qid, tft.doc_id,
-        |         sum(CASE WHEN tft.tf > 0 THEN
-        |           CAST((CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1) * 1000000)
-        |                      AS HUGEINT) * 22000 * t * tft.tf)
-        |                // (10 * CAST(t AS HUGEINT) * tft.tf + 3 * t + 9 * tft.dl * n)
-        |                AS BIGINT)
-        |           ELSE 0 END) AS score_fp,
-        |         sum(tft.tf) AS anytf
-        |  FROM tft JOIN q USING (term) CROSS JOIN stats JOIN dfreq USING (term)
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT qid, row_number() OVER (
-        |           PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rank,
-        |         doc_id, score_fp
-        |  FROM scored WHERE anytf > 0)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_fp
-        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    q("q96_bm25_topk", bm25OracleSql) { (s, d) =>
       view(s, d, "documents")
       graft.operators.Retrieval.bm25TopK(
-          s.table("documents"), "doc_id", "text",
-          Seq(1 -> "hash join table", 2 -> "slow scan filter",
-            3 -> "stream window agg", 4 -> "customer order data zzz",
-            5 -> "vector merge batch"),
-          k = 10)
+          s.table("documents"), "doc_id", "text", bm25Queries, k = 10)
         .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score_fp"))
         .orderBy("qid", "rank")
     },
@@ -2745,6 +2751,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_dedup"),
           col("n_words"), col("n_dropped"))
         .orderBy("doc_id")
+    },
+
+    // Persisted inverted text index: build posting lists partitioned by
+    // term bucket, answer the SAME query set as q96 against the SAME
+    // oracle — proving the index path scores bit-for-bit like the
+    // inline operator while scanning only the probed buckets
+    q("q101_text_index", bm25OracleSql) { (s, d) =>
+      view(s, d, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_q101_tidx").toString
+      graft.operators.TextIndex.build(
+        s.table("documents"), "doc_id", "text", path, buckets = 16)
+      graft.operators.TextIndex.query(s, path, bm25Queries, k = 10, buckets = 16)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score_fp"))
+        .orderBy("qid", "rank")
     }
   )
 

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted inverted text index: the deployment shape of
+ * [[Retrieval.bm25TopK]] for a corpus queried many times — the
+ * text-retrieval sibling of [[IvfIndex]]. `build` tokenizes the corpus
+ * ONCE and writes length-normalized posting lists PARTITIONED BY TERM
+ * BUCKET; `query` reads back only the buckets its terms hash into.
+ *
+ * Layout at `path`:
+ *   - `postings/` (term, id, tf, dl) partitioned by `bucket` =
+ *     pmod(xxhash64(term), buckets) — the doc length rides every posting
+ *     (classic norm denormalization), so scoring never joins a documents
+ *     table.
+ *   - `terms/` (term, df) partitioned by `bucket` — per-term document
+ *     frequencies, aggregated at build time.
+ *   - `stats/` one row (n_docs, tot_tokens).
+ *
+ * Why it pays at 100 TB: a query batch touches |query terms| buckets of
+ * `buckets` total — static `bucket IN (...)` partition filters prune at
+ * the parquet-file level (visible as PartitionFilters), and the `term
+ * IN (...)` predicate pushes into the scan of just those buckets. The
+ * index itself is the aggregated (term, doc) matrix — large, but built
+ * with one map-side-combined aggregation and never rescanned at query
+ * time beyond the probed slice.
+ *
+ * Scoring is IDENTICAL to [[Retrieval.bm25TopK]] — the same BIGINT
+ * fixed-point BM25 (quantized-ln idf, exact-rational tf factor,
+ * integral division), so a built index answers queries bit-for-bit like
+ * the inline operator and shares its DuckDB oracle.
+ */
+object TextIndex {
+
+  private val IdfScale = 1000000.0
+  private val FpScale = 22000L
+
+  /** Build the index at `path` from scratch (overwrites). */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = corpus.select(col(idCol).as("id"),
+        TextOps.words(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+    val postings = toks
+      .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .cache()
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+    // corpus stats from the postings themselves: n_docs counts distinct
+    // posting docs (== docs with at least one token), tot_tokens sums tf
+    postings.agg(countDistinct(col("id")).as("n_docs"),
+        sum(col("tf")).as("tot_tokens"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    postings.unpersist()
+  }
+
+  /**
+   * BM25 top-k against a built index for a literal query set — same
+   * signature and same fixed-point scores as [[Retrieval.bm25TopK]].
+   * Returns (qid, rank, id, score_fp).
+   */
+  def query(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Int, String)],
+      k: Int,
+      buckets: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "at least one query is required")
+    require(k > 0, "k must be positive")
+    def termsOf(q: String): Seq[String] =
+      q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        .filter(_.nonEmpty).distinct.toSeq
+    val qTerms: Seq[(Int, String)] =
+      queries.flatMap { case (qid, q) => termsOf(q).map(qid -> _) }
+    val allTerms = qTerms.map(_._2).distinct
+    val bucketOf: String => Long = t => {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      ((h % buckets) + buckets) % buckets
+    }
+    val probeBuckets = allTerms.map(bucketOf).distinct
+
+    val stats = spark.read.parquet(s"$path/stats")
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(probeBuckets: _*) &&
+        col("term").isin(allTerms: _*))
+    val dfs = spark.read.parquet(s"$path/terms")
+      .where(col("bucket").isin(probeBuckets: _*) &&
+        col("term").isin(allTerms: _*))
+      .select(col("term"), col("df"))
+    // (qid, term) pairs as a tiny literal relation, broadcast onto the
+    // probed postings
+    import spark.implicits._
+    val qrel = broadcast(qTerms.toDF("qid", "term"))
+
+    val dec = "decimal(38,0)"
+    val n = col("n_docs")
+    val t = col("tot_tokens")
+    val idfQ = round(
+      log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        lit(IdfScale)).cast("long")
+    val scored = postings
+      .join(qrel, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__num",
+        idfQ.cast(dec) * lit(FpScale).cast(dec) * t.cast(dec) * col("tf").cast(dec))
+      .withColumn("__den",
+        lit(10L).cast(dec) * t.cast(dec) * col("tf").cast(dec) +
+          lit(3L).cast(dec) * t.cast(dec) +
+          lit(9L).cast(dec) * col("dl").cast(dec) * n.cast(dec))
+      .withColumn("__s", expr("__num div __den"))
+      .groupBy("qid", "id").agg(sum(col("__s")).as("score_fp"))
+    val w = Window.partitionBy("qid").orderBy(col("score_fp").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score_fp"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, TextIndex}
+
+/** Persisted inverted text index: build-once/query-many BM25 with
+  * partition-pruned bucket probes, bit-identical to the inline operator. */
+class TextIndexSuite extends AnyFunSuite with GraftSparkSession {
+
+  private val queries = Seq(1 -> "hash join table", 2 -> "slow scan filter")
+
+  test("index query equals inline bm25TopK and physically prunes buckets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = Files.createTempDirectory("graft_tidx").toString
+    TextIndex.build(docs, "doc_id", "text", path, buckets = 16)
+
+    val fromIndex = TextIndex.query(spark, path, queries, k = 10, buckets = 16)
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+    val a = fromIndex.orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = inline.orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+
+    // pruning is physical: the postings scan carries a bucket partition
+    // filter, so unprobed buckets' files are never read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+
+    // scoring never joins a documents table: the doc length rides the
+    // postings (only index-internal scans appear in the plan)
+    assert(!plan.contains("documents.parquet"), plan)
+  }
+
+  test("index stats match the corpus and empty-match queries return nothing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = Files.createTempDirectory("graft_tidx2").toString
+    TextIndex.build(docs, "doc_id", "text", path, buckets = 4)
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    assert(stats.getLong(0) === docs.count())
+    val totalTokens = docs
+      .agg(sum(size(split(trim(lower(col("text"))), "\\s+")))).collect()(0).getLong(0)
+    assert(stats.getLong(1) === totalTokens)
+    // a query of absent terms matches no documents
+    val none = TextIndex.query(spark, path, Seq(9 -> "zzzz yyyy"), k = 5, buckets = 4)
+    assert(none.count() === 0L)
+  }
+}
