@@ -67,6 +67,44 @@ object TextIndex {
   }
 
   /**
+   * Incrementally index a batch of NEW documents without touching the
+   * existing index bytes: the batch's postings and per-term df rows
+   * append as additional generations, and the stats table gains one
+   * more row — [[query]] aggregates across generations (df summed per
+   * term, stats summed), so answers after an append equal a fresh
+   * rebuild over the union. O(batch), like [[IvfIndex.append]].
+   *
+   * Ingestion contract: EXACTLY-ONCE per batch, and batch ids must be
+   * new — a replayed batch double-counts its postings and stats (the
+   * same non-atomic partitioned-append caveat as the IVF index;
+   * periodic rebuilds re-baseline).
+   */
+  def append(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = corpus.select(col(idCol).as("id"),
+        TextOps.words(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+    val postings = toks
+      .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .cache()
+    postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/terms")
+    postings.agg(countDistinct(col("id")).as("n_docs"),
+        sum(col("tf")).as("tot_tokens"))
+      .write.mode("append").parquet(s"$path/stats")
+    postings.unpersist()
+  }
+
+  /**
    * BM25 top-k against a built index for a literal query set — same
    * signature and same fixed-point scores as [[Retrieval.bm25TopK]].
    * Returns (qid, rank, id, score_fp).
@@ -93,14 +131,17 @@ object TextIndex {
     }
     val probeBuckets = allTerms.map(bucketOf).distinct
 
+    // stats and per-term dfs aggregate across append generations
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tot_tokens")).as("tot_tokens"))
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(probeBuckets: _*) &&
         col("term").isin(allTerms: _*))
     val dfs = spark.read.parquet(s"$path/terms")
       .where(col("bucket").isin(probeBuckets: _*) &&
         col("term").isin(allTerms: _*))
-      .select(col("term"), col("df"))
+      .groupBy("term").agg(sum(col("df")).as("df"))
     // (qid, term) pairs as a tiny literal relation, broadcast onto the
     // probed postings
     import spark.implicits._

@@ -49,4 +49,22 @@ class TextIndexSuite extends AnyFunSuite with GraftSparkSession {
     val none = TextIndex.query(spark, path, Seq(9 -> "zzzz yyyy"), k = 5, buckets = 4)
     assert(none.count() === 0L)
   }
+
+  test("append equals a fresh rebuild over the union") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val part1 = docs.where(col("doc_id") % 3 =!= 0)
+    val part2 = docs.where(col("doc_id") % 3 === 0)
+    val inc = Files.createTempDirectory("graft_tidx_inc").toString
+    TextIndex.build(part1, "doc_id", "text", inc, buckets = 8)
+    TextIndex.append(part2, "doc_id", "text", inc, buckets = 8)
+    val full = Files.createTempDirectory("graft_tidx_full").toString
+    TextIndex.build(docs, "doc_id", "text", full, buckets = 8)
+    val a = TextIndex.query(spark, inc, queries, k = 10, buckets = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = TextIndex.query(spark, full, queries, k = 10, buckets = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
 }
