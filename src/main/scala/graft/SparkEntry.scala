@@ -2765,6 +2765,28 @@ object SparkEntry {
       graft.operators.TextIndex.query(s, path, bm25Queries, k = 10, buckets = 16)
         .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score_fp"))
         .orderBy("qid", "rank")
+    },
+
+    // Forward as-of: next view at-or-after each purchase, vs DuckDB's
+    // native forward ASOF (l.ts <= r.ts, inclusive) — q38's mirror
+    q("q102_asof_forward",
+      """SELECT l.event_id, l.user_id, epoch_ns(l.ts)//1000 AS t,
+        |       epoch_ns(r.ts)//1000 AS next_view_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts"))
+      graft.operators.AsofJoin.asofForward(
+          purchases, views, "user_id", "ts", outCol = "next_view_ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("t"), col("next_view_ts"))
+        .orderBy("event_id")
     }
   )
 

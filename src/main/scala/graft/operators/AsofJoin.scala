@@ -43,7 +43,35 @@ object AsofJoin {
       keyCol: String,
       tsCol: String,
       outCol: String = "asof_ts",
-      payloadCols: Seq[String] = Nil): DataFrame = {
+      payloadCols: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, outCol, payloadCols, backward = true)
+
+  /**
+   * Forward (look-ahead) as-of: for each row of `left`, attach the
+   * SMALLEST `right.tsCol` that is >= `left.tsCol` within the same key —
+   * "the next scheduled event at or after this moment" (next retraining
+   * run, next price revision, SLA deadline attribution). Same
+   * union + running-window design as [[asofBackward]], just ordered
+   * descending (DuckDB `ASOF JOIN ... ON l.ts <= r.ts` semantics,
+   * inclusive).
+   */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      outCol: String = "asof_ts",
+      payloadCols: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, outCol, payloadCols, backward = false)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      outCol: String,
+      payloadCols: Seq[String],
+      backward: Boolean): DataFrame = {
     // A right row with a null timestamp can never be "the most recent at
     // or before" anything, but unfiltered it would still build a non-null
     // __graft_rv struct, sort FIRST under ascending order (nulls first),
@@ -59,8 +87,13 @@ object AsofJoin {
     // columns (and vice versa for __graft_rv); they are filtered out after
     // the window anyway.
     val u = l.unionByName(r, allowMissingColumns = true)
+    // backward walks the timeline ascending (latest right <= left);
+    // forward walks it descending (earliest right >= left). Right rows
+    // order before left rows at equal timestamps either way — the
+    // inclusive bound.
+    val tsOrder = if (backward) col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__graft_kind").asc)
+      .orderBy(tsOrder, col("__graft_kind").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u.withColumn("__graft_m", last(col("__graft_rv"), ignoreNulls = true).over(w))
       .where(col("__graft_kind") === 1)

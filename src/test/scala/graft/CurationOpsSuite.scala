@@ -1030,4 +1030,32 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(fPlan.contains("graft_filter_lines"), fPlan)
     assert(!fPlan.contains("Generate"), fPlan)
   }
+
+  test("asof forward join: inclusive bound, no-match null, payload carry") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l-a"), // right rows at 10 and 12: inclusive -> 10
+      (1L, 11L, "l-b"), // next at-or-after 11 -> 12
+      (2L, 8L, "l-c"),  // key 2's only right row is at 3 -> null
+      (3L, 9L, "l-d"))  // no right rows -> null
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 7L, "r7"), (1L, 10L, "r10"), (1L, 12L, "r12"),
+      (2L, 3L, "r3")).toDF("k", "t", "v")
+    val out = AsofJoin.asofForward(left, right, "k", "t",
+      outCol = "next_ts", payloadCols = Seq("v"))
+      .select("k", "t", "payload", "next_ts", "next_ts_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSet
+    assert(out === Set(
+      (1L, 10L, "l-a", 10L, "r10"),
+      (1L, 11L, "l-b", 12L, "r12"),
+      (2L, 8L, "l-c", null, null),
+      (3L, 9L, "l-d", null, null)))
+    // null right timestamps can never match
+    val nullTs = Seq((1L, Option.empty[Long], "rx")).toDF("k", "t", "v")
+    val out2 = AsofJoin.asofForward(left.where(col("k") === 3), nullTs, "k", "t",
+      outCol = "next_ts", payloadCols = Seq("v")).collect()
+    assert(out2.length === 1 && out2(0).isNullAt(3))
+  }
 }
