@@ -2787,6 +2787,33 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("ts").as("t"), col("next_view_ts"))
         .orderBy("event_id")
+    },
+
+    // Interval-overlap join: 1-hour windows after each purchase vs
+    // each view, per user — overlap iff |t_p - t_v| <= 1 h (micros). The
+    // oracle is the plain inequality join (fine at sf; the bucketed
+    // derived-equi-key plan is the part under test)
+    q("q103_interval_overlap",
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts)//1000 AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, epoch_ns(ts)//1000 AS t
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |WHERE p.t <= v.t + 3600000000 AND v.t <= p.t + 3600000000
+        |ORDER BY p_id, v_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events")
+      def side(t: String, idAs: String) = ev.where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id"),
+          expr("ts DIV 1000").as(s"${idAs}_lo"),
+          (expr("ts DIV 1000") + 3600000000L).as(s"${idAs}_hi"))
+      graft.operators.RangeJoin.overlapJoin(
+          side("purchase", "p_id"), side("view", "v_id"),
+          "p_id_lo", "p_id_hi", "v_id_lo", "v_id_hi",
+          bucketWidth = 3600000000.0, keyCols = Seq("user_id"))
+        .select(col("p_id"), col("v_id"))
+        .orderBy("p_id", "v_id")
     }
   )
 

@@ -47,4 +47,44 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__graft_cell")
   }
+
+  /**
+   * Interval-overlap join: rows of `left` x `right` (optionally equi-
+   * keyed by `keyCols`, present on both sides) whose closed intervals
+   * `[lLo, lHi]` and `[rLo, rHi]` intersect — session co-occurrence,
+   * campaign/window attribution, temporal conflict detection.
+   *
+   * Same derived-equi-key design as [[pointInInterval]]: both sides
+   * explode to the fixed-width cells they cover and equi-join on
+   * (keyCols, cell). A pair overlapping across several shared cells
+   * would surface once per cell, so the join keeps only the FIRST
+   * shared cell — `cell == greatest(floor(lLo/w), floor(rLo/w))` — a
+   * per-row predicate that deduplicates WITHOUT a distinct shuffle.
+   * Fan-out per row = ceil(span/width) + 1; pick `bucketWidth` near the
+   * typical interval span. Empty intervals (hi < lo) produce nothing.
+   */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lLo: String,
+      lHi: String,
+      rLo: String,
+      rHi: String,
+      bucketWidth: Double,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .where(col(lo) <= col(hi))
+      .withColumn("__graft_cell", explode(sequence(
+        floor(col(lo) / lit(bucketWidth)).cast("long"),
+        floor(col(hi) / lit(bucketWidth)).cast("long"))))
+    val l = cells(left, lLo, lHi)
+    val r = cells(right, rLo, rHi)
+    l.join(r, (Seq("__graft_cell") ++ keyCols).toSeq)
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__graft_cell") === greatest(
+          floor(col(lLo) / lit(bucketWidth)).cast("long"),
+          floor(col(rLo) / lit(bucketWidth)).cast("long")))
+      .drop("__graft_cell")
+  }
 }

@@ -1058,4 +1058,30 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       outCol = "next_ts", payloadCols = Seq("v")).collect()
     assert(out2.length === 1 && out2(0).isNullAt(3))
   }
+
+  test("interval overlap join: dedup across shared cells, key isolation") {
+    import spark.implicits._
+    val l = Seq((1L, "k1", 0.0, 10.0), (2L, "k1", 20.0, 21.0),
+      (3L, "k2", 0.0, 10.0), (4L, "k1", 5.0, 4.0)) // 4 is empty (hi < lo)
+      .toDF("lid", "k", "l_lo", "l_hi")
+    val r = Seq((10L, "k1", 9.0, 30.0), (11L, "k1", 11.0, 19.0),
+      (12L, "k2", 10.0, 12.0)).toDF("rid", "k", "r_lo", "r_hi")
+    val out = RangeJoin.overlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketWidth = 2.0, keyCols = Seq("k"))
+      .select("lid", "rid").collect().map(re => (re.getLong(0), re.getLong(1)))
+    // (1,10): overlap [9,10]; spans MANY shared 2.0-wide cells -> exactly
+    // one output row (first-shared-cell dedup). (2,10): overlap [20,21].
+    // (3,12): k2, touch at 10. 11 touches nothing (gap 10<11, ends 19<20).
+    // 4 is empty. No cross-key rows.
+    assert(out.toSeq.sorted === Seq((1L, 10L), (2L, 10L), (3L, 12L)))
+    // no distinct in the plan: dedup is the first-cell predicate
+    val plan = RangeJoin.overlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketWidth = 2.0, keyCols = Seq("k")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Distinct"), plan)
+    // wide buckets (everything in one cell) give the same answer
+    val wide = RangeJoin.overlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketWidth = 1000.0, keyCols = Seq("k"))
+      .select("lid", "rid").collect().map(re => (re.getLong(0), re.getLong(1)))
+    assert(wide.toSeq.sorted === out.toSeq.sorted)
+  }
 }
