@@ -54,7 +54,10 @@ object TextIndex {
       .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .cache()
-    postings.write.mode("overwrite").partitionBy("bucket")
+    // bucket-aligned files: without the repartition every write task
+    // emits a file per bucket it sees (tasks x buckets small files);
+    // aligned, each bucket directory gets contiguous files
+    postings.repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
@@ -94,7 +97,7 @@ object TextIndex {
       .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .cache()
-    postings.write.mode("append").partitionBy("bucket")
+    postings.repartition(col("bucket")).write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
     postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/terms")
