@@ -28,7 +28,15 @@ object Bench {
     // speedup; min-of-reps damps the shared machine's load noise (up to
     // 3x swings observed between identical runs)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q70_...,q69_... scopes the run for local A/B
+    // timing; the driver never sets it, so its benches stay exhaustive
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       try exec(fn) catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
