@@ -856,6 +856,7 @@ case class DropWords(left: Expression, right: Expression)
     val words = input.toLowerCase.trim.toString.split("\\s+", -1)
     val np = positions.numElements()
     val kept = new java.lang.StringBuilder
+    var nKept = 0
     var dropped = 0
     var p = 0
     var i = 0
@@ -866,8 +867,13 @@ case class DropWords(left: Expression, right: Expression)
         dropped += 1
         p += 1
       } else {
-        if (kept.length > 0) kept.append(' ')
+        // join on the KEPT-word count, not buffer length: an empty token
+        // (non-space whitespace edge under the pinned tokenizer) must
+        // still claim its separator, or the output would not re-tokenize
+        // to the kept word sequence (the NativeParitySuite property)
+        if (nKept > 0) kept.append(' ')
         kept.append(words(i))
+        nKept += 1
       }
       i += 1
     }
