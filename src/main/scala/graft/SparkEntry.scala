@@ -2814,6 +2814,91 @@ object SparkEntry {
           bucketWidth = 3600000000.0, keyCols = Seq("user_id"))
         .select(col("p_id"), col("v_id"))
         .orderBy("p_id", "v_id")
+    },
+
+    // Capstone: the operators COMPOSED as one curation pipeline —
+    // exact-dup drop (planted copies at id+5M) -> C4 line filter
+    // (planted boilerplate lines) -> integer quality gate -> global
+    // token-budget selection — with the whole flow replayed in SQL.
+    // Every stage is provably non-vacuous: dedup removes the planted
+    // copies, the line filter drops 2 of the 3 appended lines, the
+    // budget stops mid-corpus.
+    q("q104_curation_pipeline", {
+      val wordcount = "len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> ''))"
+      s"""WITH all0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 11 = 0),
+        |d1 AS (SELECT doc_id, text,
+        |              md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+        |       FROM all0),
+        |keep AS (SELECT h, min(doc_id) AS k FROM d1 GROUP BY h),
+        |ded AS (SELECT d1.doc_id, d1.text
+        |        FROM d1 JOIN keep ON d1.h = keep.h AND d1.doc_id = keep.k),
+        |aug AS (SELECT doc_id,
+        |               text || chr(10) || 'buy now click here promo' ||
+        |               chr(10) || 'no' || chr(10) ||
+        |               'appended training words for quality score' AS t
+        |        FROM ded),
+        |fl AS (SELECT doc_id,
+        |              array_to_string(list_filter(string_split(t, chr(10)),
+        |                x -> $wordcount >= 3
+        |                     AND NOT contains(lower(x), 'click here')),
+        |                chr(10)) AS ft
+        |       FROM aug),
+        |qg AS (
+        |  SELECT doc_id, ft,
+        |         regexp_split_to_array(trim(lower(ft)), '\\s+') AS toks
+        |  FROM fl
+        |  WHERE len(regexp_split_to_array(trim(lower(ft)), '\\s+')) >= 5
+        |    AND length(ft) <= 20000
+        |    AND length(regexp_replace(ft, '[^a-zA-Z]', '', 'g')) * 100
+        |        >= length(ft) * 50
+        |    AND (len(list_filter(regexp_split_to_array(trim(lower(ft)), '\\s+'), x -> x = 'the'))
+        |         + len(list_filter(regexp_split_to_array(trim(lower(ft)), '\\s+'), x -> x = 'and'))
+        |         + len(list_filter(regexp_split_to_array(trim(lower(ft)), '\\s+'), x -> x = 'of'))
+        |         + len(list_filter(regexp_split_to_array(trim(lower(ft)), '\\s+'), x -> x = 'to'))) * 100
+        |        >= len(regexp_split_to_array(trim(lower(ft)), '\\s+')) * 2),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(toks, w -> ${bowWeightSql(64)}))
+        |              AS DOUBLE) AS score,
+        |         len(toks) AS n_tokens
+        |  FROM qg),
+        |c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+        |  FROM s)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM c WHERE cum <= 8000 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val all = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val winners = graft.operators.Dedup.normalizedDedup(all, "doc_id", "text")
+        .select(col("kept_id").as("doc_id"))
+      val deduped = all.join(winners, Seq("doc_id"), "left_semi")
+      val aug = deduped.select(col("doc_id"),
+        concat(col("text"), lit("\nbuy now click here promo\nno\n" +
+          "appended training words for quality score")).as("t"))
+      val filtered = graft.operators.TextOps.filterLines(
+          aug, "doc_id", "t", minWords = 3, requirePunct = false,
+          dropMarkers = Seq("click here"))
+        .select(col("id").as("doc_id"), col("text_filtered"))
+      val gated = filtered
+        .where(graft.operators.TextOps.qualityFlag(col("text_filtered")))
+      val scored = gated.select(col("doc_id"),
+        graft.functions.graft_hashed_bow_score(col("text_filtered"), bowWeights(64))
+          .as("score"),
+        graft.operators.TextOps.tokenCount(col("text_filtered")).cast("long")
+          .as("n_tokens"))
+      graft.operators.Sampling
+        .selectByTokenBudget(scored, "doc_id", "score", "n_tokens",
+          budget = 8000, buckets = 8, refineLimit = 50)
+        .select(col("id").as("doc_id"), col("tokens").as("n_tokens"))
+        .orderBy("doc_id")
     }
   )
 
