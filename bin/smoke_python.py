@@ -13,6 +13,7 @@ spark = (SparkSession.builder
          .appName("graft-python-smoke")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
          .getOrCreate())
 
 # Py4J hook (idempotent even when the extension already registered everything)
@@ -79,6 +80,18 @@ spans = DataFrame(api.repeatedSpans(docs._jdf, "doc_id", "text", 8, 3, 1000), sp
 rw = DataFrame(api.dedupSpansRewrite(docs._jdf, "doc_id", "text", 8, 3, 1000), spark)
 assert rw.count() == docs.count()
 assert rw.agg(F.sum("n_dropped")).collect()[0][0] >= 0
+
+# persisted text index + forward as-of
+import tempfile
+tidx = tempfile.mkdtemp(prefix="graft_smoke_tidx")
+api.textIndexBuild(docs._jdf, "doc_id", "text", tidx, 8)
+ih = DataFrame(api.textIndexQuery(spark._jsparkSession, tidx,
+                                  [[1, "hash join"]], 5, 8), spark)
+assert ih.count() == 5
+ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+    .selectExpr("event_id", "user_id", "ts DIV 1000 AS t")
+fwd = DataFrame(api.asofForward(ev.limit(200)._jdf, ev._jdf, "user_id", "t"), spark)
+assert fwd.count() == 200
 
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

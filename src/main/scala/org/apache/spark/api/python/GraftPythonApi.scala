@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 import graft.operators.{AsofJoin, BloomIndex, Classifier, CorpusDiff, Dedup, JoinStats,
-  Profiler, Retrieval, Sampling, Similarity, TextOps, UrlOps}
+  Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -136,4 +136,35 @@ object GraftPythonApi {
   def dedupSpansRewrite(df: DataFrame, idCol: String, textCol: String,
       n: Int, minRun: Int, maxPostings: Int): DataFrame =
     Dedup.dedupSpansRewrite(df, idCol, textCol, n, minRun, maxPostings)
+
+  def asofForward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String): DataFrame =
+    AsofJoin.asofForward(left, right, keyCol, tsCol)
+
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Double, keyCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    RangeJoin.overlapJoin(left, right, lLo, lHi, rLo, rHi, bucketWidth,
+      keyCols.asScala.toSeq)
+  }
+
+  def textIndexBuild(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int): Unit =
+    TextIndex.build(df, idCol, textCol, path, buckets)
+
+  def textIndexAppend(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int): Unit =
+    TextIndex.append(df, idCol, textCol, path, buckets)
+
+  def textIndexQuery(spark: SparkSession, path: String,
+      queries: java.util.List[java.util.List[Object]], k: Int,
+      buckets: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val qs = queries.asScala.toSeq.map { pair =>
+      val p = pair.asScala
+      (p(0).asInstanceOf[Number].intValue(), p(1).asInstanceOf[String])
+    }
+    TextIndex.query(spark, path, qs, k, buckets)
+  }
 }
