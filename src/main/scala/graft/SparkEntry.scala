@@ -2899,6 +2899,26 @@ object SparkEntry {
           budget = 8000, buckets = 8, refineLimit = 50)
         .select(col("id").as("doc_id"), col("tokens").as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Sketch aggregates under ROLLUP at the driver gate: per-(type, day)
+    // distinct users, per-type subtotals, and the grand total from ONE
+    // pass — the sketch agg plugs into Spark's Expand-based grouping
+    // sets unchanged. HLL variant: its coupon-list mode is EXACT below
+    // ~3/4*2^lgK distinct (CPC estimates 52 for a true 53 here)
+    q("q105_rollup_sketch",
+      """SELECT event_type, CAST(epoch_ns(ts)//1000//86400000000 AS BIGINT) AS day,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      s.sql("""SELECT event_type, (ts DIV 1000) DIV 86400000000 AS day,
+              |       approx_count_distinct_hll(user_id) AS n_users,
+              |       count(*) AS n_events
+              |FROM events
+              |GROUP BY ROLLUP(event_type, day)
+              |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin)
     }
   )
 
