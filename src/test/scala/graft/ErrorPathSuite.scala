@@ -145,4 +145,40 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
     assert(kll._2 === "200")
     assert(kll._3.nonEmpty) // doc string present
   }
+
+  test("round-7 functions validate their constant and typed arguments") {
+    import spark.implicits._
+    Seq((1L, "a b c")).toDF("id", "text").createOrReplaceTempView("ep7")
+    // filter_lines: non-constant minWords / requirePunct / marker
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_filter_lines(text, length(text), false) FROM ep7").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("constant"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_filter_lines(text, 2, false, text) FROM ep7").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("constant"))
+    // word_shingle_seq: non-constant n
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingle_seq(text, CAST(length(text) AS INT)) FROM ep7").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("constant"))
+    // drop_words: a bigint positions array implicit-casts to array<int>
+    val ok = spark.sql("SELECT graft_drop_words(text, array(1L, 2L)).text FROM ep7")
+      .collect()(0).getString(0)
+    assert(ok === "a")
+    // bucket_index: element/value type mismatch at analysis
+    val e5 = intercept[Exception] {
+      spark.sql("SELECT graft_bucket_index(array('a'), 1.0d) FROM ep7").collect()
+    }
+    assert(e5.getMessage.contains("graft_bucket_index") ||
+      e5.getMessage.toLowerCase.contains("mismatch"))
+    // all round-7 functions are documented with arguments + examples
+    Seq("graft_filter_lines", "graft_word_shingle_seq", "graft_drop_words",
+      "graft_bucket_index").foreach { fn =>
+      val d = spark.sql(s"DESCRIBE FUNCTION EXTENDED $fn")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(d.contains("Arguments:") && d.contains("Examples:"), fn)
+    }
+  }
 }
