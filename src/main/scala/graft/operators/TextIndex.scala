@@ -108,6 +108,29 @@ object TextIndex {
   }
 
   /**
+   * Re-baseline an appended index: fold every generation of `src` into
+   * a single-generation index at `dst` (terms' dfs summed, stats rows
+   * collapsed, postings rewritten bucket-aligned). Appends accumulate
+   * small per-batch files and extra df/stats rows; periodic compaction
+   * restores build-fresh layout without re-tokenizing the corpus — one
+   * pass over the index bytes, the corpus is never touched. `dst` must
+   * differ from `src` (the standard swap-after-write pattern; an
+   * in-place overwrite would delete inputs mid-read).
+   */
+  def compact(spark: SparkSession, src: String, dst: String): Unit = {
+    require(src != dst, "compact writes a fresh baseline: dst must differ from src")
+    spark.read.parquet(s"$src/postings")
+      .repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dst/postings")
+    spark.read.parquet(s"$src/terms")
+      .groupBy("bucket", "term").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/terms")
+    spark.read.parquet(s"$src/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tokens")).as("tot_tokens"))
+      .write.mode("overwrite").parquet(s"$dst/stats")
+  }
+
+  /**
    * BM25 top-k against a built index for a literal query set — same
    * signature and same fixed-point scores as [[Retrieval.bm25TopK]].
    * Returns (qid, rank, id, score_fp).

@@ -67,4 +67,55 @@ class TextIndexSuite extends AnyFunSuite with GraftSparkSession {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(a.nonEmpty && a.toSeq === b.toSeq)
   }
+
+  test("compact folds append generations into a fresh baseline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inc = Files.createTempDirectory("graft_tidx_cmp_src").toString
+    TextIndex.build(docs.where(col("doc_id") % 2 === 0), "doc_id", "text", inc, buckets = 8)
+    TextIndex.append(docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text", inc, buckets = 8)
+    val dst = Files.createTempDirectory("graft_tidx_cmp_dst").toString + "/idx"
+    TextIndex.compact(spark, inc, dst)
+    // one stats row, df rows unique per (bucket, term) after the fold
+    assert(spark.read.parquet(s"$dst/stats").count() === 1L)
+    val terms = spark.read.parquet(s"$dst/terms")
+    assert(terms.count() === terms.select("bucket", "term").distinct().count())
+    val a = TextIndex.query(spark, dst, queries, k = 10, buckets = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = TextIndex.query(spark, inc, queries, k = 10, buckets = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException] { TextIndex.compact(spark, inc, inc) }
+  }
+
+  test("streaming ingestion: foreachBatch appends keep the index queryable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val path = Files.createTempDirectory("graft_tidx_stream").toString
+    TextIndex.build(b1.toSeq.toDF("doc_id", "text"), "doc_id", "text", path, buckets = 8)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextIndex.append(batch, "doc_id", "text", path, buckets = 8)
+      }
+      .start()
+    try {
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = TextIndex.query(spark, path, queries, k = 10, buckets = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = Files.createTempDirectory("graft_tidx_stream_full").toString
+    TextIndex.build(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", full, buckets = 8)
+    val expected = TextIndex.query(spark, full, queries, k = 10, buckets = 8)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.toSeq === expected.toSeq)
+  }
 }
