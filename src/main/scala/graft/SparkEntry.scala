@@ -2919,6 +2919,67 @@ object SparkEntry {
               |FROM events
               |GROUP BY ROLLUP(event_type, day)
               |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin)
+    },
+
+    // HTML stripping: every 5th doc is wrapped in markup with entities;
+    // tags drop, entities decode (amp last, tags first so a literal
+    // &lt;b&gt; survives as <b>), whitespace collapses — replayed with
+    // the same regex/replace chain in DuckDB
+    q("q106_strip_html",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN
+        |           '<html><body class="x"><p>' || text ||
+        |           '</p><br/>&amp; more &lt;raw&gt; &nbsp;tail</body></html>'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(
+        |             regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |             '&nbsp;', ' '), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS clean
+        |  FROM aug)
+        |SELECT doc_id, n_tags, clean FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val aug = s.table("documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<html><body class=\"x\"><p>"), col("text"),
+            lit("</p><br/>&amp; more &lt;raw&gt; &nbsp;tail</body></html>")))
+          .otherwise(col("text")).as("t"))
+      aug.select(col("doc_id"),
+          graft.operators.TextOps.htmlTagCount(col("t")).cast("long").as("n_tags"),
+          graft.operators.TextOps.stripHtml(col("t")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Unicode NFC canonicalization: every 7th doc gets decomposed
+    // accents appended (e + combining acute, i + combining diaeresis);
+    // NFC composes them — java.text.Normalizer vs DuckDB/utf8proc
+    // nfc_normalize, byte-for-byte
+    q("q107_normalize_unicode",
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text || ' café naïve'
+        |              ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm,
+        |       (nfc_normalize(t) <> t) AS changed
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val aug = s.table("documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" café naïve")))
+          .otherwise(col("text")).as("t"))
+      aug.select(col("doc_id"),
+          call_function("graft_normalize_unicode", col("t"), lit("NFC")).as("norm"),
+          (call_function("graft_normalize_unicode", col("t"), lit("NFC")) =!= col("t"))
+            .as("changed"))
+        .orderBy("doc_id")
     }
   )
 

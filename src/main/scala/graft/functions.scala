@@ -106,6 +106,8 @@ object functions {
     F.call_function("graft_word_shingles", text, F.lit(n))
   def graft_fold_accents(text: Column): Column =
     F.call_function("graft_fold_accents", text)
+  def graft_normalize_unicode(text: Column, form: String): Column =
+    F.call_function("graft_normalize_unicode", text, F.lit(form))
   def graft_marker_hits(text: Column, words: Seq[String]): Column =
     F.call_function("graft_marker_hits", (text +: words.map(F.lit)): _*)
   def graft_filter_lines(text: Column, minWords: Int, requirePunct: Boolean,

@@ -580,4 +580,25 @@ object TextOps {
       .select(col("rank"), col("term"), col("n_occ"), col("cum_occ"),
         expr("cum_occ * 1000000L div total").as("cov_ppm"))
   }
+
+  /**
+   * HTML stripping — the first cleaning step of any web-crawl pipeline:
+   * drop tags, decode the common entities, collapse whitespace. Composed
+   * entirely of codegen'd builtins (regexp_replace / replace), map-only,
+   * and expressible verbatim in the DuckDB oracle. Tags are removed
+   * BEFORE entities decode (so a literal `&lt;b&gt;` in text survives as
+   * `<b>` instead of being re-stripped), `&amp;` decodes last, and the
+   * result is whitespace-collapsed and trimmed.
+   */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Number of HTML tags in the raw text (a "was this HTML" signal). */
+  def htmlTagCount(text: Column): Column = regexp_count(text, lit("<[^>]*>"))
 }

@@ -836,6 +836,22 @@ object GraftFunctionRegistry {
           stringLiteral("graft_marker_hits", s"w${i + 1}", e)
         })
     },
+    fd("graft_normalize_unicode",
+      "_FUNC_(text, form) - Unicode-normalizes `text` to the constant `form` " +
+        "(NFC, NFD, NFKC, NFKD) via java.text.Normalizer, with an ASCII fast " +
+        "path. NFC canonicalization before hash-keyed dedup makes composed and " +
+        "decomposed accent encodings of the same page collapse.",
+      Seq(2),
+      Seq("text" -> "a STRING column",
+        "form" -> "constant normalization form: 'NFC', 'NFD', 'NFKC' or 'NFKD'"),
+      Seq("SELECT _FUNC_('cafe\u0301', 'NFC') = 'café'" -> "true"),
+      "string_funcs") { args =>
+      val form = stringLiteral("graft_normalize_unicode", "form", args(1))
+        .toUpperCase(java.util.Locale.ROOT)
+      require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+        s"Function graft_normalize_unicode: form must be NFC, NFD, NFKC or NFKD, got $form")
+      NormalizeUnicode(args(0), form)
+    },
     fd("graft_filter_lines",
       "_FUNC_(text, minWords, requirePunct, m1, ..., mN) - C4-style line-level " +
         "cleaning in one pass: keeps lines of `text` (split on newline) with at " +

@@ -470,6 +470,54 @@ case class HammingHex(left: Expression, right: Expression)
  * both reduce to "remove combining marks after canonical
  * decomposition" — which is what makes the operator oracle-checkable.
  */
+/**
+ * `graft_normalize_unicode(text, form)` — Unicode normalization to a
+ * constant form (NFC / NFD / NFKC / NFKD) via `java.text.Normalizer`.
+ * The canonicalization step BEFORE any hash-keyed text operator: two
+ * crawls of the same page often differ only in composed vs decomposed
+ * accents (café as U+00E9 vs e+U+0301), which would defeat exact and
+ * normalized dedup alike. ASCII fast path skips the Normalizer call
+ * (the common case for web English). NFC matches DuckDB/utf8proc
+ * `nfc_normalize`, which is what makes the operator oracle-checkable.
+ */
+case class NormalizeUnicode(child: Expression, form: String)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"form must be one of NFC, NFD, NFKC, NFKD, got $form")
+
+  override def prettyName: String = "graft_normalize_unicode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val f: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form)
+
+  def compute(input: UTF8String): UTF8String = {
+    // pure-ASCII strings are normalization-invariant in every form
+    val n = input.numBytes()
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) {
+      if ((input.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString, f))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normalizeUnicode", this, classOf[NormalizeUnicode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FoldAccents(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes {
 

@@ -792,4 +792,38 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       "SELECT graft_drop_words('A b  C d', array(1, 3, 9))").collect()(0).getStruct(0)
     assert(r.getString(0) === "a c" && r.getInt(1) === 4 && r.getInt(2) === 2)
   }
+
+  test("strip html and unicode normalization semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p>&amp; &lt;tag&gt; &nbsp;end"),
+      (2L, "no markup at all"),
+      (3L, "a \u0301b")  // stray combining mark after a space
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        graft.operators.TextOps.stripHtml(col("t")).as("clean"),
+        graft.operators.TextOps.htmlTagCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // tags removed first, entities decoded after (literal &lt;tag&gt;
+    // survives as <tag>), whitespace collapsed
+    assert(out(1L) === (("Hello world & <tag> end", 4)))
+    assert(out(2L) === (("no markup at all", 0)))
+    // NFC: decomposed e+acute composes; ASCII passes through untouched
+    val n = df.select(col("id"),
+        graft.functions.graft_normalize_unicode(col("t"), "NFC").as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n(2L) === "no markup at all")
+    val dec = Seq((9L, "cafe\u0301")).toDF("id", "t")
+      .select(graft.functions.graft_normalize_unicode(col("t"), "NFC"))
+      .collect()(0).getString(0)
+    assert(dec === "caf\u00e9" && dec.length === 4)
+    // NFKD decomposes compatibility chars; bad form rejected at analysis
+    val k = Seq((1L, "\ufb01")).toDF("id", "t") // LATIN SMALL LIGATURE FI
+      .select(graft.functions.graft_normalize_unicode(col("t"), "NFKC"))
+      .collect()(0).getString(0)
+    assert(k === "fi")
+    intercept[Exception] {
+      spark.sql("SELECT graft_normalize_unicode('x', 'NFX')").collect()
+    }
+  }
 }
