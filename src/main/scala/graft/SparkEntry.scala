@@ -2980,6 +2980,28 @@ object SparkEntry {
           (call_function("graft_normalize_unicode", col("t"), lit("NFC")) =!= col("t"))
             .as("changed"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-balanced sampling (alpha = 0.5): per-language keep
+    // rates (n_min/n_g)^0.5 over seedless md5 fractions — division,
+    // sqrt, power-of-two scale and floor are all IEEE exactly-rounded,
+    // so DuckDB computes the identical integer thresholds
+    q("q108_temperature_sample",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |             CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n)
+        |                        * 1152921504606846976.0) AS BIGINT) AS thr
+        |      FROM c CROSS JOIN m),
+        |v AS (SELECT doc_id, lang,
+        |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |      FROM documents)
+        |SELECT v.doc_id, v.lang FROM v JOIN r USING (lang)
+        |WHERE hv < thr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Sampling.temperatureSample(
+          s.table("documents"), "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang").orderBy("doc_id")
     }
   )
 

@@ -425,4 +425,44 @@ object Sampling {
       .select(col("id"), col("bytes"),
         expr(s"__cum DIV ${targetBytes}L").cast("long").as("shard"))
   }
+
+  /**
+   * Temperature-balanced group sampling — the mC4/XLM-R "alpha sampling"
+   * step, as pure subsampling: group g keeps rows at rate
+   * `r_g = (n_min / n_g)^(1 - alpha)` (the rarest group keeps 100%), so
+   * post-sample shares are proportional to `p_g^alpha` — alpha = 1 keeps
+   * the natural distribution, alpha = 0 equalizes groups, the common
+   * alpha = 0.5 (default) is the square-root temperature.
+   *
+   * Selection reuses [[weightedMix]]'s seedless md5-fraction: a row
+   * survives iff its 15-hex-digit md5 fraction falls below
+   * `floor(2^60 * r_g)`. With alpha = 0.5 the whole threshold
+   * computation (one division, one sqrt, one scale by an exact power of
+   * two, one floor) is IEEE exactly-rounded, so selection reproduces
+   * bit-identically in any engine; other alphas go through `pow`, whose
+   * last-ulp differences could flip a row only if some hash hits the
+   * exact threshold boundary (probability ~ rows / 2^60).
+   *
+   * Scale design: one tiny grouped count (broadcast back), then a pure
+   * map-side filter — the corpus itself never shuffles.
+   */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("__thr",
+        floor(pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha)) * lit(HashSpace.toDouble)).cast("long"))
+      .select(col(groupCol), col("__thr"))
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(hv < col("__thr"))
+      .drop("__thr")
+  }
 }

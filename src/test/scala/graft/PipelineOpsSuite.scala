@@ -826,4 +826,31 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       spark.sql("SELECT graft_normalize_unicode('x', 'NFX')").collect()
     }
   }
+
+  test("temperature sampling: rarest group intact, shares move toward p^alpha") {
+    import spark.implicits._
+    val rows = (1L to 900L).map(i => (i, if (i <= 800) "big" else "small"))
+    val df = rows.toDF("id", "g")
+    val half = graft.operators.Sampling.temperatureSample(df, "id", "g", alpha = 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest group keeps everything; the big group keeps ~sqrt(100/800)
+    assert(half("small") === 100L)
+    val bigRate = half("big").toDouble / 800
+    assert(math.abs(bigRate - math.sqrt(100.0 / 800)) < 0.06, bigRate.toString)
+    // alpha = 1 keeps the natural distribution (thresholds hit 2^60)
+    val nat = graft.operators.Sampling.temperatureSample(df, "id", "g", alpha = 1.0)
+    assert(nat.count() === 900L)
+    // alpha = 0 equalizes expected counts
+    val eq = graft.operators.Sampling.temperatureSample(df, "id", "g", alpha = 0.0)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq("small") === 100L && math.abs(eq("big") - 100L) < 30L, eq.toString)
+    // selection is deterministic and nests as alpha rises
+    val keptHalf = half.values.sum
+    val again = graft.operators.Sampling.temperatureSample(df, "id", "g", alpha = 0.5)
+      .count()
+    assert(again === keptHalf)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.temperatureSample(df, "id", "g", alpha = 1.5)
+    }
+  }
 }
