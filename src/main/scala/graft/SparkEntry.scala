@@ -3002,6 +3002,55 @@ object SparkEntry {
       graft.operators.Sampling.temperatureSample(
           s.table("documents"), "doc_id", "lang", alpha = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Canonicalization funnel: distinct-document counts as successive
+    // normalization levels collapse planted variants — raw bytes >
+    // case/whitespace (upper copies merge) > NFC (composed and
+    // decomposed accent copies merge) > accent-fold (the plain-ASCII
+    // copy joins them). One row; each level provably collapses more.
+    q("q109_dedup_funnel",
+      """WITH aug AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT upper(text) FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL SELECT text || ' café' FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT text || ' café' FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL SELECT text || ' cafe' FROM documents WHERE doc_id % 13 = 0),
+        |lv AS (
+        |  SELECT md5(text) AS raw,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |         md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS nfc,
+        |         md5(strip_accents(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS folded
+        |  FROM aug)
+        |SELECT count(*) AS n_docs,
+        |       count(DISTINCT raw) AS raw_distinct,
+        |       count(DISTINCT norm) AS norm_distinct,
+        |       count(DISTINCT nfc) AS nfc_distinct,
+        |       count(DISTINCT folded) AS folded_distinct
+        |FROM lv""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      def planted(mod: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        docs.where(col("doc_id") % mod === 0).select(f(col("text")).as("text"))
+      val aug = docs.select(col("text"))
+        .unionByName(planted(9, upper))
+        .unionByName(planted(13, t => concat(t, lit(" café"))))
+        .unionByName(planted(13, t => concat(t, lit(" café"))))
+        .unionByName(planted(13, t => concat(t, lit(" cafe"))))
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      val nfc = regexp_replace(
+        lower(call_function("graft_normalize_unicode", col("text"), lit("NFC"))),
+        "\\s+", " ")
+      aug.select(
+          md5(col("text").cast("binary")).as("raw"),
+          md5(norm.cast("binary")).as("norm"),
+          md5(nfc.cast("binary")).as("nfc"),
+          md5(call_function("graft_fold_accents", nfc).cast("binary")).as("folded"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw")).as("raw_distinct"),
+          countDistinct(col("norm")).as("norm_distinct"),
+          countDistinct(col("nfc")).as("nfc_distinct"),
+          countDistinct(col("folded")).as("folded_distinct"))
     }
   )
 
