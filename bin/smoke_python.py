@@ -93,5 +93,13 @@ ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
 fwd = DataFrame(api.asofForward(ev.limit(200)._jdf, ev._jdf, "user_id", "t"), spark)
 assert fwd.count() == 200
 
+# html strip + temperature sampling + NFC normalization via SQL
+sh = DataFrame(api.stripHtml(docs._jdf, "doc_id", "text"), spark)
+assert sh.count() == docs.count()
+ts = DataFrame(api.temperatureSample(docs._jdf, "doc_id", "lang", 0.5), spark)
+assert 0 < ts.count() <= docs.count()
+nfc = docs.selectExpr("graft_normalize_unicode(text, 'NFC') AS t").count()
+assert nfc == docs.count()
+
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

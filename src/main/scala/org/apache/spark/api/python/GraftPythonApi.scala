@@ -157,6 +157,15 @@ object GraftPythonApi {
       path: String, buckets: Int): Unit =
     TextIndex.append(df, idCol, textCol, path, buckets)
 
+  def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(df.col(idCol),
+      TextOps.htmlTagCount(df.col(textCol)).cast("long").as("n_tags"),
+      TextOps.stripHtml(df.col(textCol)).as("clean"))
+
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double): DataFrame =
+    Sampling.temperatureSample(df, idCol, groupCol, alpha)
+
   def textIndexQuery(spark: SparkSession, path: String,
       queries: java.util.List[java.util.List[Object]], k: Int,
       buckets: Int): DataFrame = {
