@@ -19,6 +19,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // spark.sql.graft.summaryRewrite.enabled is set)
     ext.injectOptimizerRule(session =>
       org.apache.spark.sql.graft.SummaryRewriteRule(session))
+    // COUNT(DISTINCT) -> sketch rewrite (no-op unless
+    // spark.sql.graft.approxCountDistinct.enabled is set)
+    ext.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.ApproxCountDistinctRewriteRule(session))
   }
 }
 

@@ -3051,6 +3051,35 @@ object SparkEntry {
           countDistinct(col("norm")).as("norm_distinct"),
           countDistinct(col("nfc")).as("nfc_distinct"),
           countDistinct(col("folded")).as("folded_distinct"))
+    },
+
+    // Opt-in COUNT(DISTINCT) -> sketch rewrite, driver-proven: the flag
+    // turns the exact per-type distinct-user count into the HLL sketch
+    // aggregate (coupon-exact at this cardinality), collected while the
+    // flag is on (the rewrite fires at optimization time) and returned
+    // as a local relation; the oracle is the plain exact count
+    q("q110_approx_rewrite",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val key = "spark.sql.graft.approxCountDistinct.enabled"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val df = s.sql("""SELECT event_type, count(DISTINCT user_id) AS n_users
+                         |FROM events GROUP BY event_type
+                         |ORDER BY event_type""".stripMargin)
+        require(df.queryExecution.optimizedPlan.toString
+            .contains("approx_count_distinct_ex"),
+          "approx rewrite did not fire")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
     }
   )
 

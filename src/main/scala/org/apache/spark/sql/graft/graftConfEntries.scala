@@ -119,6 +119,27 @@ object GraftConfEntries {
       .checkValue(v => v >= 10 && v <= 10000, "The parameter `k` must be in [10, 10000].")
       .createWithDefault(200)
 
+  val APPROX_COUNT_DISTINCT_ENABLED: ConfigEntry[Boolean] =
+    buildConf("spark.sql.graft.approxCountDistinct.enabled")
+      .doc("When true, exact COUNT(DISTINCT x) aggregates over string/integral " +
+        "columns (single argument, no FILTER clause) are rewritten to the " +
+        "approx_count_distinct sketch aggregate — one pass with bounded state " +
+        "instead of the Expand + second shuffle the exact plan needs. Results " +
+        "become estimates (exact below the sketch's deterministic region).")
+      .booleanConf
+      .createWithDefault(false)
+
+  val APPROX_COUNT_DISTINCT_IMPL: ConfigEntry[String] =
+    buildConf("spark.sql.graft.approxCountDistinct.impl")
+      .doc("Sketch family used by the COUNT(DISTINCT) rewrite: HLL (exact below " +
+        "~3/4*2^lgK distinct values, then estimates) or CPC (estimates " +
+        "everywhere, smaller serialized state). lgK comes from the family's " +
+        "spark.sql.dataSketches.distinctCnt.*.lgK entry.")
+      .stringConf
+      .transform(_.toUpperCase(Locale.ROOT))
+      .checkValues(Set("CPC", "HLL"))
+      .createWithDefault("HLL")
+
   /**
    * Forces object initialization, registering every entry above into
    * SQLConf's static registry. Called from `Graft.install` so the entries
@@ -129,4 +150,5 @@ object GraftConfEntries {
 
   def getString(entry: ConfigEntry[String]): String = SQLConf.get.getConf(entry)
   def getInt(entry: ConfigEntry[Int]): Int = SQLConf.get.getConf(entry)
+  def getBoolean(entry: ConfigEntry[Boolean]): Boolean = SQLConf.get.getConf(entry)
 }
