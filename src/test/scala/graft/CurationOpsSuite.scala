@@ -1029,6 +1029,16 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     val fPlan = fl.queryExecution.executedPlan.toString
     assert(fPlan.contains("graft_filter_lines"), fPlan)
     assert(!fPlan.contains("Generate"), fPlan)
+    // temperature sampling: per-group rates broadcast back, the corpus
+    // side filters map-side (no corpus-wide exchange beyond the tiny
+    // count aggregate)
+    import org.apache.spark.sql.functions.col
+    val ts = graft.operators.Sampling.temperatureSample(docs, "doc_id", "lang")
+    val tPlan = ts.queryExecution.executedPlan.toString
+    assert(tPlan.contains("BroadcastHashJoin") || tPlan.contains("BroadcastExchange"), tPlan)
+    // html strip: pure scalar chain, zero exchanges
+    val sh = docs.select(graft.operators.TextOps.stripHtml(col("text")))
+    assert(!sh.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("asof forward join: inclusive bound, no-match null, payload carry") {
