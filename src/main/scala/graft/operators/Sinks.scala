@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Write-side operators: producing the PHYSICAL layout downstream readers
+ * depend on — globally range-partitioned, within-file-sorted output,
+ * without a global sort.
+ *
+ * [[writeRangeSorted]] is the "export the corpus ordered by key" sink:
+ * range boundaries come from ONE `approx_partition_bounds` sketch pass
+ * (no sample job, no global exchange-and-sort), rows map to their range
+ * with the codegen'd `graft_bucket_index` binary search, and each range
+ * sorts independently — `shards` parallel sorts of ~1/shards of the
+ * data each. The output parquet is partitioned by `shard`, shard
+ * directories are globally ordered (every key in shard i <= every key
+ * in shard i+1, up to boundary ties), and rows within each file are
+ * sorted — the layout a downstream range-pruning reader or merge-style
+ * consumer needs. Spark's own `repartitionByRange.sortWithinPartitions`
+ * produces the same layout but pays a row-sampling job and gives no
+ * control over boundary reuse; the sketch bounds here can be persisted
+ * and shared across exports.
+ */
+object Sinks {
+
+  /**
+   * Write `df` to `path` as parquet partitioned into `shards`
+   * near-equal-frequency ranges of `keyCol` (double-valued keys),
+   * sorted by (`keyCol`, tiebreaker columns) within each shard.
+   * Returns the boundary array used (size shards - 1) so callers can
+   * persist/reuse it.
+   */
+  def writeRangeSorted(
+      df: DataFrame,
+      keyCol: String,
+      path: String,
+      shards: Int,
+      tiebreakCols: Seq[String] = Nil): Array[Double] = {
+    require(shards >= 2, s"shards must be >= 2, got $shards")
+    val bounds = df
+      .agg(call_function("approx_partition_bounds",
+        col(keyCol).cast("double"), lit(shards)).as("bs"))
+      .collect()(0).getSeq[Double](0).toArray
+    val keyed = df.withColumn("shard",
+      graft.functions.graft_value_bucket(col(keyCol).cast("double"), bounds.toSeq))
+    keyed
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions((col("shard") +: col(keyCol) +:
+        tiebreakCols.map(col)): _*)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    bounds
+  }
+}

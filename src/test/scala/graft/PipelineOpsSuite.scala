@@ -853,4 +853,34 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       graft.operators.Sampling.temperatureSample(df, "id", "g", alpha = 1.5)
     }
   }
+
+  test("range-sorted sink: disjoint ordered shards, sorted files, balanced") {
+    import java.nio.file.Files
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("price"))
+    val path = Files.createTempDirectory("graft_sink").toString + "/out"
+    val bounds = graft.operators.Sinks.writeRangeSorted(
+      li, "price", path, shards = 8, tiebreakCols = Seq("l_orderkey"))
+    assert(bounds.length === 7 && bounds.sorted.toSeq === bounds.toSeq)
+    val back = spark.read.parquet(path)
+    assert(back.count() === li.count())
+    // shard directories are globally ordered and near-balanced
+    val stats = back.groupBy("shard")
+      .agg(min("price").as("lo"), max("price").as("hi"), count(lit(1)).as("n"))
+      .orderBy("shard").collect()
+    assert(stats.length === 8)
+    stats.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getDouble(2) <= w(1).getDouble(1))
+    }
+    val total = li.count().toDouble
+    stats.foreach(r => assert(math.abs(r.getLong(3) / total - 0.125) < 0.07))
+    // rows within each file are sorted by (price, l_orderkey)
+    val shard0 = new java.io.File(path).listFiles().filter(_.getName.startsWith("shard=")).head
+    shard0.listFiles().filter(_.getName.endsWith(".parquet")).take(2).foreach { f =>
+      val rows = spark.read.parquet(f.toString)
+        .select("price", "l_orderkey").collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(rows.toSeq === rows.toSeq.sorted)
+    }
+  }
 }
