@@ -3080,6 +3080,50 @@ object SparkEntry {
           case None => s.conf.unset(key)
         }
       }
+    },
+
+    // One-row corpus report card: volume, token extremes, language mix,
+    // quality rate, duplicate rate — all integer-exact, replayed with
+    // the shared tokenizer/langid/quality formulations
+    q("q111_text_profile", {
+      def hits(w: String) =
+        s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x = '$w'))"
+      val scores = graft.operators.TextOps.langMarkers
+        .map { case (l, ws) => l -> ws.map(hits).mkString(" + ") }
+      val scoreCols = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+      val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+      val caseChain = scores
+        .map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt,
+        |         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+        |         CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 5
+        |                AND length(text) <= 20000
+        |                AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 100 >= length(text) * 50
+        |                AND (${Seq("the", "and", "of", "to").map(hits).mkString(" + ")}) * 100
+        |                    >= len(regexp_split_to_array(trim(lower(text)), '\\s+')) * 2
+        |              THEN 1 ELSE 0 END AS q,
+        |         $scoreCols
+        |  FROM documents),
+        |per AS (SELECT doc_id, nt, fp, q,
+        |               CASE $caseChain ELSE 'und' END AS lang
+        |        FROM (SELECT *, $best AS best FROM scored)),
+        |l AS (SELECT lang, count(*) AS n FROM per GROUP BY lang),
+        |top AS (SELECT lang AS top_lang, n AS top_n FROM l ORDER BY n DESC, lang LIMIT 1),
+        |nl AS (SELECT count(*) AS n_langs FROM l)
+        |SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |       CAST(min(nt) AS BIGINT) AS min_tokens, CAST(max(nt) AS BIGINT) AS max_tokens,
+        |       CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+        |       CAST(top_n * 1000000 // count(*) AS BIGINT) AS top_lang_ppm,
+        |       CAST(sum(q) AS BIGINT) AS quality_docs,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_norm_docs
+        |FROM per CROSS JOIN top CROSS JOIN nl
+        |GROUP BY n_langs, top_lang, top_n""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.TextProfile.report(s.table("documents"), "doc_id", "text")
     }
   )
 

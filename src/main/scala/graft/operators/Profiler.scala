@@ -145,3 +145,46 @@ object CorpusDiff {
     diff(oldDf, newDf, idCol, textCol)
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
 }
+
+/**
+ * Corpus-level text report card — the one-row dashboard a curation run
+ * prints before and after each stage: volume, token counts, language
+ * mix, quality rate, and duplicate rate, all integer-exact (so the
+ * whole row replays bit-for-bit in any engine; distribution SHAPES are
+ * the [[Profiler]]/sketch family's job).
+ *
+ * One pass + two tiny aggregates: per-document metrics project map-side
+ * (pinned tokenizer, native marker counts), the global rollup is a
+ * single aggregate, and the language argmax folds over the bounded
+ * per-language count table.
+ */
+object TextProfile {
+
+  /** One row: (n_docs, total_tokens, min_tokens, max_tokens, n_langs,
+    * top_lang, top_lang_ppm, quality_docs, distinct_norm_docs). */
+  def report(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df.select(
+      col(idCol).as("id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextOps.languageId(col(textCol)).as("lang"),
+      TextOps.qualityFlag(col(textCol)).cast("long").as("q"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val langs = perDoc.groupBy("lang").agg(count(lit(1)).as("n"))
+    val top = langs.orderBy(col("n").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("n").as("top_n"))
+    val nLangs = langs.agg(count(lit(1)).as("n_langs"))
+    perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("q")).as("quality_docs"),
+        countDistinct(col("fp")).as("distinct_norm_docs"))
+      .crossJoin(broadcast(nLangs))
+      .crossJoin(broadcast(top))
+      .select(col("n_docs"), col("total_tokens"), col("min_tokens"),
+        col("max_tokens"), col("n_langs"), col("top_lang"),
+        expr("top_n * 1000000L div n_docs").as("top_lang_ppm"),
+        col("quality_docs"), col("distinct_norm_docs"))
+  }
+}
