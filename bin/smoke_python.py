@@ -101,5 +101,8 @@ assert 0 < ts.count() <= docs.count()
 nfc = docs.selectExpr("graft_normalize_unicode(text, 'NFC') AS t").count()
 assert nfc == docs.count()
 
+rep = DataFrame(api.textProfile(docs._jdf, "doc_id", "text"), spark)
+assert rep.count() == 1 and rep.collect()[0]["n_docs"] == docs.count()
+
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

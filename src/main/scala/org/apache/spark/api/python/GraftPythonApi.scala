@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 import graft.operators.{AsofJoin, BloomIndex, Classifier, CorpusDiff, Dedup, JoinStats,
-  Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps, UrlOps}
+  Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps, TextProfile,
+  UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -156,6 +157,9 @@ object GraftPythonApi {
   def textIndexAppend(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int): Unit =
     TextIndex.append(df, idCol, textCol, path, buckets)
+
+  def textProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextProfile.report(df, idCol, textCol)
 
   def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(df.col(idCol),
