@@ -3124,6 +3124,44 @@ object SparkEntry {
     }) { (s, d) =>
       view(s, d, "documents")
       graft.operators.TextProfile.report(s.table("documents"), "doc_id", "text")
+    },
+
+    // Summary-table rewrite at the driver gate: a per-type distinct
+    // sketch summary is materialized and registered, the flag turns the
+    // one-shot aggregate into a summary-side combine (the base scan
+    // must disappear from the plan — enforced), and the estimates are
+    // coupon-exact at this cardinality, so the exact oracle matches
+    q("q112_summary_rewrite",
+      """SELECT event_type, count(DISTINCT props) AS n_props
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val basePath = s"$d/events.parquet"
+      s.read.parquet(basePath).createOrReplaceTempView("q112_events")
+      val summaryDir =
+        java.nio.file.Files.createTempDirectory("graft_q112_summary").toString
+      s.sql("""SELECT event_type, approx_count_distinct_accumulate(props) AS sk
+              |FROM q112_events GROUP BY event_type""".stripMargin)
+        .write.mode("overwrite").parquet(summaryDir)
+      graft.plans.GraftSummaries.registerDistinctSummary(
+        basePath, s.read.parquet(summaryDir), Seq("event_type"), "props", "sk")
+      val key = graft.plans.GraftSummaries.ENABLED_KEY
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val df = s.sql(
+          """SELECT event_type, approx_count_distinct_ex(props) AS n_props
+            |FROM q112_events GROUP BY event_type
+            |ORDER BY event_type""".stripMargin)
+        require(!df.queryExecution.executedPlan.toString.contains("events.parquet"),
+          "summary rewrite did not fire: the base scan survived")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        graft.plans.GraftSummaries.clear()
+      }
     }
   )
 
