@@ -147,4 +147,34 @@ class NativeParitySuite extends AnyFunSuite with GraftSparkSession {
       assert(r.getSeq[Long](1) === exp, s"id=${r.getLong(0)}")
     }
   }
+
+  test("graft_simhash and graft_repetition_stats agree with token references") {
+    import spark.implicits._
+    val texts = samples(textGen, 60)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        call_function("graft_simhash", col("text")).as("sh"),
+        call_function("graft_repetition_stats", col("text")).as("rs"))
+      .collect()
+    rows.foreach { r =>
+      val t = texts(r.getLong(0).toInt)
+      // simhash: identical to the reference compute on the same string
+      assert(r.getString(1) ===
+        org.apache.spark.sql.graft.SimHash64.compute(t), s"id=${r.getLong(0)}")
+      // repetition stats vs a direct reference over the pinned tokenizer
+      val ws = refWords(t).toSeq
+      val g2 = ws.sliding(2).filter(_.size == 2).map(_.mkString("\u0000")).toSeq
+      val g3 = ws.sliding(3).filter(_.size == 3).map(_.mkString("\u0000")).toSeq
+      val rs = r.getSeq[Long](2)
+      assert(rs(0) === ws.length.toLong, s"id=${r.getLong(0)}")
+      assert(rs(1) === ws.distinct.length.toLong)
+      assert(rs(2) === g2.length.toLong)
+      val top2 = if (g2.isEmpty) 0L
+        else g2.groupBy(identity).values.map(_.size).max.toLong
+      assert(rs(3) === top2, s"id=${r.getLong(0)} text=${t.take(40)}")
+      assert(rs(4) === g3.length.toLong)
+      assert(rs(5) === g3.distinct.length.toLong)
+    }
+  }
 }
