@@ -104,6 +104,10 @@ object functions {
     F.call_function("graft_winnow", text, F.lit(k), F.lit(w))
   def graft_word_shingles(text: Column, n: Int): Column =
     F.call_function("graft_word_shingles", text, F.lit(n))
+  def graft_word_shingle_seq(text: Column, n: Int): Column =
+    F.call_function("graft_word_shingle_seq", text, F.lit(n))
+  def graft_drop_words(text: Column, positions: Column): Column =
+    F.call_function("graft_drop_words", text, positions)
   def graft_fold_accents(text: Column): Column =
     F.call_function("graft_fold_accents", text)
   def graft_normalize_unicode(text: Column, form: String): Column =

@@ -17,8 +17,8 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, BloomIndex, Classifier, CorpusDiff, Dedup, JoinStats,
-  Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps, TextProfile,
+import graft.operators.{AsofJoin, BloomIndex, Classifier, CorpusDiff, Dedup, IvfIndex,
+  JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps, TextProfile,
   UrlOps}
 
 object GraftPythonApi {
@@ -149,6 +149,14 @@ object GraftPythonApi {
     RangeJoin.overlapJoin(left, right, lLo, lHi, rLo, rHi, bucketWidth,
       keyCols.asScala.toSeq)
   }
+
+  def ivfIndexBuild(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int, kmeansIters: Int): Unit =
+    IvfIndex.build(df, idCol, vecCol, path, nlist, kmeansIters)
+
+  def ivfIndexQuery(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    IvfIndex.query(spark, path, queries, idCol, vecCol, k, nprobe)
 
   def textIndexBuild(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int): Unit =
