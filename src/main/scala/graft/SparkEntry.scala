@@ -3162,6 +3162,38 @@ object SparkEntry {
         }
         graft.plans.GraftSummaries.clear()
       }
+    },
+
+    // ebpps_sample (beyond reference surface): strict-PPS sampling.
+    // Equal weights with bucket size <= k make every inclusion
+    // probability min(1, k*w/W) = 1 — integer expected size, no partial
+    // item, so the sorted sample equals the sorted bucket exactly. The
+    // global column runs the full accumulate -> combine -> estimate
+    // lifecycle over-full (n=500 docs vs k=32): the SAMPLE is random
+    // there, but `n` and the cumulative weight are exact bookkeeping —
+    // length(text) weights are integer-valued doubles, so the sum is
+    // order-independent.
+    q("q113_ebpps_sample",
+      """SELECT doc_id % 50 AS bucket,
+        |       array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS sample,
+        |       (SELECT count(*) FROM documents) AS global_n,
+        |       (SELECT CAST(round(sum(length(text))) AS BIGINT) FROM documents) AS global_weight
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.sql("""
+        |WITH glob AS (
+        |  SELECT ebpps_estimate(ebpps_combine(sk, 32)) AS est
+        |  FROM (SELECT ebpps_accumulate(CAST(doc_id AS STRING),
+        |                                CAST(length(text) AS DOUBLE), 32) AS sk
+        |        FROM documents GROUP BY doc_id % 7))
+        |SELECT doc_id % 50 AS bucket,
+        |       array_join(sort_array(ebpps_sample(CAST(doc_id AS STRING), 1.0, 20)), ',')
+        |         AS sample,
+        |       glob.est.n AS global_n,
+        |       CAST(round(glob.est.cum_weight) AS BIGINT) AS global_weight
+        |FROM documents CROSS JOIN glob
+        |GROUP BY doc_id % 50, glob.est.n, glob.est.cum_weight
+        |ORDER BY bucket""".stripMargin)
     }
   )
 

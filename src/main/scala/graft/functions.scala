@@ -69,6 +69,16 @@ object functions {
   def varopt_estimate(sketch: Column): Column =
     F.call_function("varopt_estimate", sketch)
 
+  // --- EBPPS strict-PPS sampling ----------------------------------------
+  def ebpps_sample(col: Column, weight: Column, k: Int): Column =
+    F.call_function("ebpps_sample", col, weight, F.lit(k))
+  def ebpps_accumulate(col: Column, weight: Column, k: Int): Column =
+    F.call_function("ebpps_accumulate", col, weight, F.lit(k))
+  def ebpps_combine(sketch: Column, k: Int): Column =
+    F.call_function("ebpps_combine", sketch, F.lit(k))
+  def ebpps_estimate(sketch: Column): Column =
+    F.call_function("ebpps_estimate", sketch)
+
   // --- reservoir sampling ----------------------------------------------
   def reservoir_sample(col: Column, k: Int): Column =
     F.call_function("reservoir_sample", col, F.lit(k))

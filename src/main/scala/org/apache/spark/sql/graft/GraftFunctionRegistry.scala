@@ -348,6 +348,56 @@ object GraftFunctionRegistry {
       "agg_funcs") { args =>
       VarOptEstimate(args(0))
     },
+    // --- EBPPS strict-PPS sampling (beyond the reference surface) --------
+    fd("ebpps_sample",
+      "_FUNC_(col, weight, k) - Returns an exact-bound PPS sample as array<string>: " +
+        "every item is kept with probability EXACTLY c*weight/totalWeight where " +
+        "c = min(k, totalWeight/maxWeight) (strict probability-proportional-to-size " +
+        "— a heavy item SHRINKS the sample rather than distorting proportionality; " +
+        "varopt_sample instead caps heavy items at probability 1). Realized size is " +
+        "floor or ceil of the expected size c. Deterministic when c is an integer " +
+        "(e.g. equal weights with <= k rows).",
+      Seq(3),
+      Seq("col" -> "a STRING column",
+        "weight" -> "a positive DOUBLE weight per row (null/non-positive rows are skipped)",
+        "k" -> "constant positive maximum sample size"),
+      Seq("SELECT sort_array(_FUNC_(col, 1.0, 10)) FROM VALUES ('a'), ('b') AS tab(col)"
+        -> "[\"a\",\"b\"]"),
+      "agg_funcs") { args =>
+      EbppsSampleAgg(args(0), args(1), intLiteral("ebpps_sample", "k", args(2)))
+    },
+    fd("ebpps_accumulate",
+      "_FUNC_(col, weight, k) - Aggregates a weighted string column into a serialized " +
+        "EBPPS sample sketch (BINARY) for later _combine/_estimate.",
+      Seq(3),
+      Seq("col" -> "a STRING column", "weight" -> "a positive DOUBLE weight per row",
+        "k" -> "constant positive maximum sample size"),
+      Seq("SELECT ebpps_estimate(_FUNC_(col, 1.0, 10)).n FROM VALUES ('a'), ('b') AS tab(col)"
+        -> "2"),
+      "agg_funcs") { args =>
+      EbppsAccumulate(args(0), args(1), intLiteral("ebpps_accumulate", "k", args(2)))
+    },
+    fd("ebpps_combine",
+      "_FUNC_(sketch, k) - Merges serialized EBPPS sketches into one strict-PPS " +
+        "sample (BINARY); n and cumulative weight are exact across the merge.",
+      Seq(2),
+      Seq(sketchArg, "k" -> "constant positive maximum sample size of the merged sketch"),
+      Seq(("SELECT ebpps_estimate(_FUNC_(s, 10)).n FROM " +
+        "(SELECT ebpps_accumulate(col, 1.0, 10) s FROM VALUES ('a'), ('b') tab(col) GROUP BY col)")
+        -> "2"),
+      "agg_funcs") { args =>
+      EbppsCombine(args(0), intLiteral("ebpps_combine", "k", args(1)))
+    },
+    fd("ebpps_estimate",
+      "_FUNC_(sketch) - Reads a serialized EBPPS sketch: struct<n: total stream " +
+        "size, cum_weight: exact total weight, samples: array<string>>. NULL on " +
+        "corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq("SELECT _FUNC_(ebpps_accumulate(col, 1.0, 10)).n FROM VALUES ('a') AS tab(col)" -> "1"),
+      "agg_funcs") { args =>
+      EbppsEstimate(args(0))
+    },
     // --- reservoir sampling (beyond the reference surface) ---------------
     fd("reservoir_sample",
       "_FUNC_(col, k) - Returns a uniform random sample of up to `k` values of a " +

@@ -88,6 +88,27 @@ class WireFormatSuite extends AnyFunSuite with GraftSparkSession {
     assert(sum === 3.0)
   }
 
+  test("ebpps images are standard DataSketches images, both directions") {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.sampling.EbppsItemsSketch
+    // raw library image -> graft estimator
+    val raw = new EbppsItemsSketch[String](10)
+    Seq("a", "b", "c").foreach(raw.update(_, 1.0))
+    val est = estimateSql("ebpps_estimate", raw.toByteArray(new ArrayOfStringsSerDe()))
+      .getStruct(0)
+    assert(est.getLong(0) === 3L)
+    assert(math.abs(est.getDouble(1) - 3.0) < 1e-9)
+    assert(est.getSeq[String](2).sorted === Seq("a", "b", "c"))
+    // graft accumulate output -> raw library heapify
+    val bytes = spark.sql(
+      "SELECT ebpps_accumulate(c, 1.0, 10) FROM VALUES ('a'), ('b') AS t(c)")
+      .collect()(0).getAs[Array[Byte]](0)
+    val heapified = EbppsItemsSketch.heapify[String](
+      Memory.wrap(bytes), new ArrayOfStringsSerDe())
+    assert(heapified.getN === 2L)
+    assert(math.abs(heapified.getCumulativeWeight - 2.0) < 1e-9)
+  }
+
   test("sketches accumulated in different partitions merge losslessly") {
     import spark.implicits._
     // two disjoint halves accumulated separately, combined via SQL; KLL
