@@ -3194,6 +3194,41 @@ object SparkEntry {
         |FROM documents CROSS JOIN glob
         |GROUP BY doc_id % 50, glob.est.n, glob.est.cum_weight
         |ORDER BY bucket""".stripMargin)
+    },
+
+    // Persisted LSH near-dup index: build on the even-id half, append
+    // nothing, query the odd-id half — the incremental-ingestion path
+    // (is this NEW batch a near-dup of anything already indexed?).
+    // Oracle: the exact-Jaccard pair oracle of q21/q22 restricted to
+    // cross-parity pairs; exact verification inside query() makes the
+    // probabilistic candidate step invisible (same banding q22 pins).
+    q("q114_lsh_index",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |         len(list_intersect(a.sh, b.sh)) inter,
+        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) uni
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 2 != b.doc_id % 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+        |FROM pairs WHERE inter * 5 >= uni * 4 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_q114_lsh").toString
+      graft.operators.LshIndex.build(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.LshIndex.query(
+        s, path, docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("inter"), col("uni"))
+        .orderBy("id_a", "id_b")
     }
   )
 
