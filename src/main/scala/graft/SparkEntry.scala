@@ -27,9 +27,9 @@ import graft.operators.{AsofJoin, BloomIndex, Dedup, Embeddings, EventOps, IvfIn
  *  - Float narrowing: quantile sketches store Float, so oracles over
  *    double columns with a fractional part order by / return
  *    `CAST(CAST(v AS REAL) AS DOUBLE)`.
- *  - `events.ts` is parquet TIMESTAMP(NANOS): read with
- *    `spark.sql.legacy.parquet.nanosAsLong=true` as epoch-nanos BIGINT;
- *    the oracle mirrors with `epoch_ns(ts)`.
+ *  - `events.ts` is normalized to epoch-nanos BIGINT at view registration
+ *    (parquet timestamp[us] -> `unix_micros(ts) * 1000`, see
+ *    `normalizeEvents`); the oracle mirrors with `epoch_ns(ts)`.
  *  - Sums are cast to DECIMAL before aggregation (exact, order-independent)
  *    and to DOUBLE only in the final projection; PMF values are rounded to
  *    9 dp on both sides to absorb last-ulp differences in fraction
@@ -37,15 +37,15 @@ import graft.operators.{AsofJoin, BloomIndex, Dedup, Embeddings, EventOps, IvfIn
  */
 object SparkEntry {
 
-  /** Idempotent session prep: sketch functions + nanos-timestamp reading.
+  /** Idempotent session prep: sketch functions + timezone pinning.
    *  Every environment-sensitive conf a query depends on is set HERE (not in
    *  the Verify/Bench mains) so results are identical no matter which
    *  harness builds the session: UTC pins date-bucketing (q03's
-   *  `unix_timestamp(DATE)` is session-timezone-dependent), nanosAsLong pins
-   *  the TIMESTAMP(NANOS) read path for events.parquet. */
+   *  `unix_timestamp(DATE)` is session-timezone-dependent) and the
+   *  TIMESTAMP_NTZ->epoch-nanos normalization of events.ts (see
+   *  [[normalizeEvents]]). */
   def prep(spark: SparkSession): SparkSession = {
     Graft.install(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
@@ -82,7 +82,30 @@ object SparkEntry {
 
   /** Register the sf tables for `name` as temp views (idempotent). */
   private def view(spark: SparkSession, dir: String, names: String*): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = table(spark, dir, n)
+      val fixed = if (n == "events") normalizeEvents(df) else df
+      fixed.createOrReplaceTempView(n)
+    }
+
+  /** The engine's canonical event-time unit is epoch-nanos BIGINT (DuckDB
+   *  oracles mirror with `epoch_ns(ts)`). The driver's events.parquet has
+   *  stored `ts` as TIMESTAMP(NANOS) (read as BIGINT via nanosAsLong) and,
+   *  since r6, as timestamp[us] (TIMESTAMP_NTZ in Spark) — normalize both
+   *  here, and fail ALL event queries with one clear message if the
+   *  testdata schema drifts again instead of 11 scattered analysis errors. */
+  private def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        // session tz is pinned UTC in prep(), so the NTZ->LTZ cast is exact
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case LongType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: expected timestamp or bigint, got $other — driver testdata " +
+          "schema drift; update SparkEntry.normalizeEvents")
+    }
+  }
 
   // ---------------------------------------------------------------------
   // Query inventory. Sketch-function queries first (SURVEY.md §2 surface),
@@ -131,7 +154,8 @@ object SparkEntry {
         |           PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rank,
         |         doc_id, score_fp
         |  FROM scored WHERE anytf > 0)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_fp
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(score_fp AS BIGINT) AS score_fp
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   private lazy val inventory: Seq[Q] = Seq(
