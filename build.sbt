@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The full 114-query Verify/Bench runs generate thousands of codegen
+  // classes in one JVM; the JDK default 240m code cache fills, the JIT
+  // shuts off, and every query after that runs interpreted (the r6
+  // bench's broad 1.5x late-run slowdown). Also seen at 100 TB scale:
+  // long-lived drivers need the same headroom.
+  "-XX:ReservedCodeCacheSize=1g",
 )

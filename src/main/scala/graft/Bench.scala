@@ -48,6 +48,10 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       spark.sharedState.cacheManager.clearCache()
+      // ContextCleaner reclaims finished queries' broadcasts/shuffles only
+      // on GC; nudge it so 114 queries' debris doesn't crowd later timings
+      // (runs outside the timed region; ~100ms per query)
+      System.gc()
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -63,7 +67,8 @@ object Bench {
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     println(full)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size},"full":"${out.toAbsolutePath}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""reps":$reps,"nqueries":${results.size},"full":"${out.toAbsolutePath}"}""")
     spark.stop()
   }
 }

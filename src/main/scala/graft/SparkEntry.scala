@@ -954,10 +954,12 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 3000000,
-        |         text || ' reach alice.w@example.com or bob@test.org call 555-123-4567 see https://docs.example.com/guide'
+        |         text || ' reach alice.w@example.com or bob@test.org'
+        |              || ' call 555-123-4567 see https://docs.example.com/guide'
         |  FROM documents WHERE doc_id % 100 = 0)
         |SELECT doc_id,
-        |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(lower(text),
+        |            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(lower(text), '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |       CAST(len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS BIGINT) AS n_urls
         |FROM all_docs ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -1582,7 +1584,8 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 3000000,
-        |         text || ' reach alice.w@example.com or bob@test.org call 555-123-4567 see https://docs.example.com/guide'
+        |         text || ' reach alice.w@example.com or bob@test.org'
+        |              || ' call 555-123-4567 see https://docs.example.com/guide'
         |  FROM documents WHERE doc_id % 100 = 0),
         |s0 AS (SELECT doc_id AS id, lower(text) t FROM all_docs),
         |s1 AS (SELECT id,

@@ -402,10 +402,13 @@ object TextOps {
    * Scale design: tokens and bigrams travel as xxhash64 longs, never
    * strings (collision-equivalent to string matching, the model every
    * hash join here accepts). The model sides are DISTINCT-aggregated
-   * (bounded by reference vocabulary size, not corpus size) and feed
-   * left_anti/left_semi joins that AQE turns into broadcasts whenever
-   * the trained model fits — a Wikipedia-scale vocab at ~10^7 longs is
-   * ~80 MB, still broadcastable; beyond that the joins degrade
+   * (bounded by reference vocabulary size, not corpus size) and, with
+   * `broadcastModel` (default), explicitly broadcast into the
+   * left_anti/left_semi joins — a trained LM vocabulary is fixed-size
+   * (a Wikipedia-scale vocab at ~10^7 longs is ~80 MB, broadcastable),
+   * and broadcasting avoids shuffling the exploded corpus-side tokens,
+   * the dominant cost at 100 TB. Pass `broadcastModel = false` for a
+   * reference corpus with an unbounded vocabulary: the joins degrade
    * gracefully to hash-shuffles on 8-byte keys.
    */
   def lmCoverageSignals(
@@ -413,8 +416,11 @@ object TextOps {
       ref: DataFrame,
       idCol: String,
       textCol: String,
-      minCount: Int = 2): DataFrame = {
+      minCount: Int = 2,
+      broadcastModel: Boolean = true): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def model(side: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(side) else side
     // cached: the per-doc token arrays feed three consumers (token
     // explode, bigram explode, per-doc base row); one array<string> row
     // per doc, far smaller than re-tokenizing the raw text per branch.
@@ -426,10 +432,10 @@ object TextOps {
     val refBigrams = refWords.select(explode(bigramHashes(col("ws"))).as("gh")).distinct()
     val oov = docWords.select(col("id"), explode(col("ws")).as("w"))
       .select(col("id"), xxhash64(col("w")).as("wh"))
-      .join(vocab, Seq("wh"), "left_anti")
+      .join(model(vocab), Seq("wh"), "left_anti")
       .groupBy("id").agg(count(lit(1)).as("n_oov"))
     val known = docWords.select(col("id"), explode(bigramHashes(col("ws"))).as("gh"))
-      .join(refBigrams, Seq("gh"), "left_semi")
+      .join(model(refBigrams), Seq("gh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_known_bigrams"))
     // split() never yields an empty array, so n_tokens >= 1 and the
     // oov_frac division is total; single-token docs have no bigrams.
