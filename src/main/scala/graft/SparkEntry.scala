@@ -3256,6 +3256,57 @@ object SparkEntry {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("inter"), col("uni"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Image perceptual-hash near-dup pairs — the multimodal x dedup
+    // crossover: REAL PNG decode -> dHash -> hamming-banded self-join.
+    // Exact-oracle design: content is planted (`synthesizeImageContent`
+    // pixels are (seed*31 + 7x + y) & 0xffffff, PNG roundtrip lossless,
+    // q77's invariant) and seeded with doc_id % 250, so each seed group
+    // is an exact-duplicate image cluster (hamming 0); the oracle
+    // recomputes the same 9x8 point-sampled integer dHash from the pixel
+    // formula and takes ALL-pairs hamming — banding loses nothing for
+    // maxHamming < bands, so the bucketed join must reproduce the
+    // quadratic ground truth exactly. Different seeds sit ~32 bits apart
+    // (planted formula decorrelates), far above the threshold.
+    q("q115_image_phash_pairs",
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 250 AS seed,
+        |         1 + (doc_id % 250) % 16 AS w,
+        |         1 + ((doc_id % 250) * 7) % 16 AS h
+        |  FROM documents),
+        |grid AS (SELECT gx.range AS x, gy.range AS y FROM range(0,9) gx, range(0,8) gy),
+        |gray AS (
+        |  SELECT doc_id, x, y,
+        |         ((((seed*31 + (x*w//9)*7 + (y*h//8)) & 16777215) >> 16) +
+        |          ((((seed*31 + (x*w//9)*7 + (y*h//8)) & 16777215) >> 8) & 255) +
+        |          (((seed*31 + (x*w//9)*7 + (y*h//8)) & 16777215) & 255)) // 3 AS g
+        |  FROM docs CROSS JOIN grid),
+        |bits AS (
+        |  SELECT a.doc_id, a.y*8 + a.x AS i,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM gray a JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |ham AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+        .select(col("doc_id"), (col("doc_id") % 250).as("seed"))
+      // synthesize each distinct seed's payload ONCE, broadcast to the
+      // corpus (at 100 TB the content column arrives from ingestion and
+      // this join disappears)
+      val content = Multimodal.synthesizeImageContent(
+        docs.select(col("seed").as("doc_id")).distinct(), "doc_id")
+        .select(col("doc_id").as("seed"), col("content"))
+      val hashed = Multimodal.imageDhash(
+        docs.join(broadcast(content), "seed").select("doc_id", "content"), "doc_id")
+      Multimodal.imageNearDupPairs(hashed, "doc_id", "phash", maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
     }
   )
 

@@ -379,6 +379,102 @@ object Multimodal {
   }
 
   /**
+   * Perceptual dHash over REAL decoded image payloads: decode -> 9x8
+   * nearest-neighbor downsample (the floor sampling of [[resizeImages]])
+   * -> integer grayscale `(r+g+b)/3` -> 64-bit gradient hash (bit
+   * `y*8+x` set iff `gray(x+1,y) > gray(x,y)`). Two images within a few
+   * bits of hamming distance are near-identical up to re-encoding — the
+   * standard image near-duplicate fingerprint. Pure integer arithmetic
+   * end to end, so the hash is an exactly-reproducible function of the
+   * decoded pixels. Undecodable or null payloads keep their row with a
+   * null hash (filter, don't fail, at 100 TB). Zero shuffle; one decoder
+   * context per partition.
+   */
+  def imageDhash(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    val input = df.select(col(idCol).cast("long"), col("content"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
+        val content = r.getAs[Array[Byte]](1)
+        val img = if (content == null) null
+        else try ImageIO.read(new ByteArrayInputStream(content))
+        catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val rgb = img.getRGB(x * w / 9, y * h / 8) & 0xffffff
+              gray(y)(x) =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(y)(x + 1) > gray(y)(x)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Image near-duplicate pairs from dHash fingerprints — the multimodal
+   * analogue of text simhash banding. The 64-bit hash splits into
+   * `bands` slices; a pair within `maxHamming` bits differs in at most
+   * `maxHamming < bands` slices, so by pigeonhole it matches EXACTLY on
+   * at least one slice and the banded equi-join loses nothing (recall is
+   * exact, like `Dedup.simhashNearDupPairs`). Candidates verify with the
+   * native `bit_count(a ^ b)` expression — codegen'd, no UDF. One
+   * shuffle on (band, slice) 12-byte keys, never a cross join; the
+   * verification rides the join output, so each hash travels as one
+   * extra long.
+   */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding is only lossless for maxHamming < bands, got $maxHamming >= $bands")
+    val bandLen = 64 / bands
+    val mask = if (bandLen == 64) -1L else (1L << bandLen) - 1L
+    val hs = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .where(col("h").isNotNull)
+    val banded = hs.select(col("id"), col("h"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftrightunsigned", col("h"), b * lit(bandLen))
+          .bitwiseAND(lit(mask)))))
+      .toDF("id", "h", "band", "key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Partition-batched REAL image decode: content -> (width, height,
    * n_frames, format) via `javax.imageio` header reads. Undecodable or
    * null payloads keep their row with null feature columns (a curation

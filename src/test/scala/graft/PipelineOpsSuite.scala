@@ -521,6 +521,48 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("image dHash reproduces the planted pixels; banded pairs = all-pairs hamming") {
+    import spark.implicits._
+    // two docs share a seed (exact-duplicate payloads), two don't
+    val seeds = Seq((10L, 3L), (11L, 3L), (12L, 7L), (13L, 9L)).toDF("doc_id", "seed")
+    val content = Multimodal.synthesizeImageContent(
+      seeds.select(col("seed").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("seed"), col("content"))
+    val hashed = Multimodal.imageDhash(
+      seeds.join(content, "seed").select("doc_id", "content"), "doc_id")
+    val m = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the hash is an exact function of the planted-pixel formula
+    def expected(seed: Long): Long = {
+      val (w, h) = Multimodal.syntheticDims(seed)
+      def gray(x: Int, y: Int): Int = {
+        val rgb = ((seed * 31 + (x * w / 9) * 7 + (y * h / 8)) & 0xffffff).toInt
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+      (for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y))
+        yield 1L << (y * 8 + x)).fold(0L)(_ | _)
+    }
+    assert(m === Map(10L -> expected(3L), 11L -> expected(3L),
+      12L -> expected(7L), 13L -> expected(9L)))
+    // the banded join must equal brute-force hamming (pigeonhole recall)
+    val pairs = Multimodal.imageNearDupPairs(hashed, "doc_id", "phash", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = m.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      hm = java.lang.Long.bitCount(m(i) ^ m(j)) if hm <= 3
+    } yield (i, j, hm.toLong)).toSet
+    assert(pairs === brute)
+    assert(pairs.contains((10L, 11L, 0L)))
+    // undecodable / null payloads keep their row with a null hash
+    val junk = Seq((1L, Array[Byte](9, 9)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "content")
+    assert(Multimodal.imageDhash(junk, "doc_id").collect().forall(_.isNullAt(1)))
+    // and the pair search is a bucketed equi-join, never a cross join
+    val plan = Multimodal.imageNearDupPairs(hashed, "doc_id", "phash", 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("corrupt payloads resize to a null-feature row, not a job failure") {
     import spark.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
