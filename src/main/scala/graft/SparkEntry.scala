@@ -3307,6 +3307,39 @@ object SparkEntry {
         docs.join(broadcast(content), "seed").select("doc_id", "content"), "doc_id")
       Multimodal.imageNearDupPairs(hashed, "doc_id", "phash", maxHamming = 3, bands = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // theta_containment (beyond reference surface): |A ∩ B| / |A| between
+    // independently-built sketches — the decontamination direction Jaccard
+    // understates when |B| >> |A|. q31's exactness argument applies (150
+    // users << 2^12 nominal; set ops of exact sketches are exact), and the
+    // division of the two exact integer-valued double estimates is one
+    // IEEE op, identical in DuckDB; both sides round to 9 dp.
+    q("q116_theta_containment",
+      """WITH d AS (
+        |  SELECT user_id,
+        |         epoch_ns(ts)//86400000000000
+        |           - (SELECT min(epoch_ns(ts)//86400000000000) FROM events) AS day
+        |  FROM events),
+        |a AS (SELECT DISTINCT user_id FROM d WHERE day = 0),
+        |b AS (SELECT DISTINCT user_id FROM d WHERE day = 1)
+        |SELECT round(
+        |  CAST((SELECT count(*) FROM (SELECT user_id FROM a
+        |        INTERSECT SELECT user_id FROM b)) AS DOUBLE)
+        |  / CAST((SELECT count(*) FROM a) AS DOUBLE), 9) AS containment""".stripMargin) {
+      (s, d) =>
+      view(s, d, "events")
+      s.sql("""
+        |WITH dd AS (
+        |  SELECT user_id,
+        |         ts DIV 86400000000000
+        |           - (SELECT min(ts DIV 86400000000000) FROM events) AS day
+        |  FROM events),
+        |s AS (
+        |  SELECT theta_accumulate(CASE WHEN day = 0 THEN CAST(user_id AS STRING) END) ask,
+        |         theta_accumulate(CASE WHEN day = 1 THEN CAST(user_id AS STRING) END) bsk
+        |  FROM dd)
+        |SELECT round(theta_containment(ask, bsk), 9) AS containment FROM s""".stripMargin)
     }
   )
 

@@ -37,6 +37,22 @@ object ThetaSketchFacade {
     inter.getResult.toByteArray
   }
 
+  /** containment(A, B) = |A ∩ B| / |A| from the double estimates — the
+   *  decontamination measure (what fraction of benchmark A leaked into
+   *  corpus B), which Jaccard understates when |B| >> |A|. Exact while
+   *  both sketches are exact (sub-2^lgK). Null when A is empty: the
+   *  fraction is undefined, not 0. */
+  def containment(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val sa = sketchFromBytes(a)
+    if (sa.getEstimate == 0.0) null
+    else {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(sa)
+      inter.intersect(sketchFromBytes(b))
+      java.lang.Double.valueOf(inter.getResult.getEstimate / sa.getEstimate)
+    }
+  }
+
   /** A ∪ B as compact-sketch bytes; `lgK` bounds the RESULT's nominal
    *  size (the accumulate-side conf, frozen driver-side like every
    *  sketch param here). */

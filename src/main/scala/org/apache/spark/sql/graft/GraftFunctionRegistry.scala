@@ -508,6 +508,18 @@ object GraftFunctionRegistry {
       "agg_funcs") { args =>
       ThetaUnionPair(args(0), args(1), ThetaParams.resolveLgK())
     },
+    fd("theta_containment",
+      "_FUNC_(a, b) - containment |A ∩ B| / |A| of two serialized theta sketches " +
+        "(DOUBLE) — the decontamination measure (what fraction of benchmark A " +
+        "appears in corpus B), which Jaccard understates when B is much larger. " +
+        "NULL on corrupt input and for an empty A.",
+      Seq(2),
+      Seq("a" -> "a BINARY theta sketch", "b" -> "a BINARY theta sketch"),
+      Seq(("SELECT _FUNC_(theta_accumulate(a), theta_accumulate(b)) " +
+        "FROM VALUES ('x', 'x') AS tab(a, b)") -> "1.0"),
+      "agg_funcs") { args =>
+      ThetaContainment(args(0), args(1))
+    },
     fd("theta_estimate",
       "_FUNC_(sketch) - The cardinality stored in a serialized theta sketch; NULL on " +
         "corrupt bytes.",

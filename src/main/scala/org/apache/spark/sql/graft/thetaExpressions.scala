@@ -9,6 +9,7 @@
  *   theta_union(sketch)     agg: merge sketch column -> BINARY
  *   theta_intersect(sketch) agg: intersect sketch column -> BINARY (null on empty)
  *   theta_a_not_b(a, b)     scalar: difference sketch -> BINARY
+ *   theta_containment(a, b) scalar: |A ∩ B| / |A| -> DOUBLE (null on empty A)
  *   theta_estimate(sketch)  scalar: cardinality -> BIGINT (null on corrupt)
  */
 package org.apache.spark.sql.graft
@@ -283,6 +284,52 @@ case class ThetaUnionPair(left: Expression, right: Expression, lgK: Int)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = (byte[]) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * Scalar `theta_containment(a, b)` -> DOUBLE `|A ∩ B| / |A|` — the
+ * decontamination measure (what fraction of benchmark A appears in
+ * corpus B), which Jaccard understates when `|B| >> |A|`. Exact while
+ * both sketches are exact (sub-2^lgK cardinalities). Null on corrupt
+ * bytes and for an empty A (the fraction is undefined, not 0).
+ */
+case class ThetaContainment(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  override def prettyName: String = "theta_containment"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  @transient private[this] lazy val fn: (Any, Any) => Any = { (a, b) =>
+    try ThetaSketchFacade.containment(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    catch {
+      case NonFatal(_) =>
+        logWarning("Illegal input bytes for theta sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = fn(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("containFn", fn, classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Object $result = $ref.apply($a, $b);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (java.lang.Double) $result;
          |}
        """.stripMargin)
   }

@@ -105,6 +105,26 @@ class ThetaSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("containment |A∩B|/|A| is exact, directional, null on empty A / corrupt") {
+    setup()
+    // A = {u1,u2,u3}, B = {u2,u3,u4}: containment(A,B) = 2/3, (B,A) = 2/3;
+    // with B' = B ∪ {u5,u6} containment(A,B') stays 2/3 while jaccard drops
+    val r = spark.sql("""
+      |SELECT round(theta_containment(a.sk, b.sk), 9),
+      |       round(theta_containment(b.sk, a.sk), 9)
+      |FROM (SELECT sk FROM theta_sets WHERE k = 'a') a,
+      |     (SELECT sk FROM theta_sets WHERE k = 'b') b""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === math.rint(2.0 / 3.0 * 1e9) / 1e9)
+    assert(r.getDouble(1) === math.rint(2.0 / 3.0 * 1e9) / 1e9)
+    // empty A -> null (undefined, not 0); corrupt bytes -> null
+    val empty = spark.sql("""
+      |SELECT theta_containment(theta_accumulate(CAST(NULL AS STRING)), sk),
+      |       theta_containment(binary('junk'), sk)
+      |FROM theta_sets WHERE k = 'a'
+      |GROUP BY sk""".stripMargin).collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+  }
+
   test("theta lgK conf is registered and validated") {
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"SET ${GraftConf.THETA_LGK_KEY}=99").collect()
