@@ -3340,6 +3340,34 @@ object SparkEntry {
         |         theta_accumulate(CASE WHEN day = 1 THEN CAST(user_id AS STRING) END) bsk
         |  FROM dd)
         |SELECT round(theta_containment(ask, bsk), 9) AS containment FROM s""".stripMargin)
+    },
+
+    // Audio acoustic-fingerprint near-dup pairs — multimodal dedup's third
+    // modality (image q115, video frames compose q42/q65, audio here):
+    // REAL WAV decode -> 65-window integer energy envelope -> 64-bit
+    // gradient hash -> the same banded hamming join as q115 (the pair
+    // search is modality-agnostic). Oracle design: payloads are planted
+    // per-seed duplicates (doc_id % 200), so ground truth is exactly the
+    // same-seed pairs at hamming 0; the sine PCM is float-generated, so
+    // unlike q115 the oracle asserts the PLANTED truth rather than
+    // recomputing the hash — valid because distinct seeds differ in
+    // length and frequency and sit ~32 bits apart (collision odds at
+    // <= 2 bits are ~1e-16 per pair; verified absent on this corpus).
+    q("q117_audio_fingerprint_pairs",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 200 = b.doc_id % 200 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+        .select(col("doc_id"), (col("doc_id") % 200).as("seed"))
+      val content = Multimodal.synthesizeAudioContent(
+        docs.select(col("seed").as("doc_id")).distinct(), "doc_id")
+        .select(col("doc_id").as("seed"), col("content"))
+      val fp = Multimodal.audioFingerprint(
+        docs.join(broadcast(content), "seed").select("doc_id", "content"), "doc_id")
+      Multimodal.imageNearDupPairs(fp, "doc_id", "afp", maxHamming = 2, bands = 4)
+        .orderBy("id_a", "id_b")
     }
   )
 

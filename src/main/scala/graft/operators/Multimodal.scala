@@ -266,6 +266,66 @@ object Multimodal {
   }
 
   /**
+   * Acoustic fingerprint over REAL decoded PCM: decode the WAV payload,
+   * split the 16-bit mono sample stream into 65 equal windows (floor
+   * boundaries `w*n/65`), take each window's integer energy (sum of
+   * |sample|), and emit the 64-bit energy-gradient hash (bit `w` set iff
+   * `energy(w+1) > energy(w)`) — the chromaprint-shaped comparison
+   * fingerprint, from integer arithmetic over the decoded samples so the
+   * hash is an exactly-reproducible function of the payload. Identical
+   * audio hashes identically; re-encoded/trimmed near-duplicates land
+   * within a few bits. Pair search reuses [[imageNearDupPairs]] (the
+   * banded hamming join is modality-agnostic: any 64-bit fingerprint
+   * column works). Undecodable or null payloads keep their row with a
+   * null fingerprint. Zero shuffle; decode is partition-batched.
+   */
+  def audioFingerprint(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("afp", LongType)))
+    val input = df.select(col(idCol).cast("long"), col("content"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id: java.lang.Long = if (r.isNullAt(0)) null else r.getLong(0)
+        val content = r.getAs[Array[Byte]](1)
+        val pcm: Array[Byte] =
+          if (content == null) null
+          else try {
+            val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+            try in.readAllBytes() finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => null }
+        val n = if (pcm == null) 0 else pcm.length / 2
+        if (n < 66) Row(id, null) // fewer samples than windows: no gradient
+        else {
+          val energy = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            val from = w * n / 65
+            val until = (w + 1) * n / 65
+            var e = 0L
+            var i = from
+            while (i < until) {
+              // 16-bit little-endian mono
+              val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+              e += math.abs(s.toLong)
+              i += 1
+            }
+            energy(w) = e
+            w += 1
+          }
+          var hash = 0L
+          w = 0
+          while (w < 64) {
+            if (energy(w + 1) > energy(w)) hash |= 1L << w
+            w += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
    * Frame sampling over video-like containers: every `every`-th frame of
    * each payload becomes its own output row (doc_id, frame_idx, width,
    * height) with dimensions REALLY decoded per frame from the container

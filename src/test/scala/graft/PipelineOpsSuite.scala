@@ -563,6 +563,30 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("audio fingerprint: deterministic on identical payloads, null on junk") {
+    import spark.implicits._
+    val seeds = Seq((20L, 5L), (21L, 5L), (22L, 8L)).toDF("doc_id", "seed")
+    val content = Multimodal.synthesizeAudioContent(
+      seeds.select(col("seed").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("seed"), col("content"))
+    val fp = Multimodal.audioFingerprint(
+      seeds.join(content, "seed").select("doc_id", "content"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.size === 3)
+    assert(fp(20L) === fp(21L)) // identical payloads -> identical fingerprint
+    assert(fp(20L) !== fp(22L)) // different frequency/length -> different
+    // the pair search composes across modalities: same banded join
+    val hashed = Multimodal.audioFingerprint(
+      seeds.join(content, "seed").select("doc_id", "content"), "doc_id")
+    val pairs = Multimodal.imageNearDupPairs(hashed, "doc_id", "afp", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((20L, 21L, 0L)))
+    // junk bytes and null payloads keep their row with a null fingerprint
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "content")
+    assert(Multimodal.audioFingerprint(junk, "doc_id").collect().forall(_.isNullAt(1)))
+  }
+
   test("corrupt payloads resize to a null-feature row, not a job failure") {
     import spark.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
