@@ -3368,6 +3368,100 @@ object SparkEntry {
         docs.join(broadcast(content), "seed").select("doc_id", "content"), "doc_id")
       Multimodal.imageNearDupPairs(fp, "doc_id", "afp", maxHamming = 2, bands = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // sparse TF-IDF cosine near-neighbor pairs (inverted-index candidate
+    // generation on rare terms, exact fixed-point verification) — the
+    // lexical complement of q23/q28's dense-embedding paths
+    q("q118_sparse_cosine_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_transform(range(len(ws) - 2),
+        |                     i -> array_to_string(ws[i+1:i+3], ' ')) END AS gs
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, unnest(gs) AS term FROM grams),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, term,
+        |         tf * CAST(round(ln((n + 1.0) / (df + 1.0)) * 10000) AS BIGINT) AS w,
+        |         df
+        |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+        |rare AS (SELECT doc_id, term FROM w WHERE df <= 10),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
+        |num AS (
+        |  SELECT c.id_a, c.id_b, sum(wa.w * wb.w) AS num
+        |  FROM cand c
+        |  JOIN w wa ON wa.doc_id = c.id_a
+        |  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+        |  GROUP BY 1, 2)
+        |SELECT num.id_a, num.id_b,
+        |       round(num / (sqrt(na.n2) * sqrt(nb.n2)), 9) AS cosine
+        |FROM num
+        |JOIN nrm na ON na.doc_id = num.id_a
+        |JOIN nrm nb ON nb.doc_id = num.id_b
+        |WHERE num / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Similarity.sparseCosinePairs(s.table("documents"), "doc_id", "text",
+        threshold = 0.6, maxDf = 10, ngram = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // decode-QC pass: encoding-health signals per document (replacement
+    // chars, raw control bytes, UTF-8-as-Latin-1 mojibake digraphs). The
+    // word-soup corpus is pure ASCII, so the artifacts a crawl decoder
+    // produces are PLANTED deterministically (same device as q51's
+    // accented copies): legit diacritics on doc_id%7, mojibake digraphs
+    // on %11, U+FFFD on %13, a raw control byte on %17.
+    q("q119_encoding_qc",
+      """WITH p1 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'café résumé ' || text
+        |              ELSE text END AS t FROM documents),
+        |p2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN t || ' Ã© â€™'
+        |              ELSE t END AS t FROM p1),
+        |p3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN t || ' ' || chr(65533)
+        |              ELSE t END AS t FROM p2),
+        |inp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN t || ' ' || chr(1) || 'x'
+        |              ELSE t END AS text FROM p3)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS n_non_ascii,
+        |  round(len(regexp_extract_all(text, '[^\x00-\x7F]'))
+        |        / CAST(greatest(length(text), 1) AS DOUBLE), 9) AS non_ascii_frac,
+        |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+        |  CAST(len(regexp_extract_all(text, 'Ã|Â|â€')) AS BIGINT) AS n_mojibake,
+        |  (len(regexp_extract_all(text, '\x{FFFD}'))
+        |   + len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]'))
+        |   + len(regexp_extract_all(text, 'Ã|Â|â€'))) > 0 AS enc_suspect
+        |FROM inp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val t0 = col("text")
+      val t1 = when(col("doc_id") % 7 === 0, concat(lit("café résumé "), t0)).otherwise(t0)
+      val t2 = when(col("doc_id") % 11 === 0, concat(t1, lit(" Ã© â€™"))).otherwise(t1)
+      val t3 = when(col("doc_id") % 13 === 0, concat(t2, lit(" �"))).otherwise(t2)
+      val t4 = when(col("doc_id") % 17 === 0, concat(t3, lit(" \u0001x"))).otherwise(t3)
+      TextOps.encodingSignals(
+        docs.select(col("doc_id"), t4.as("text")), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 

@@ -286,4 +286,87 @@ object Similarity {
       .agg((count(col("a.neighbor_id")) / count(lit(1))).as("recall"))
       .agg(avg(col("recall")).as("mean_recall"))
   }
+
+  /**
+   * Sparse-vector near-neighbor pairs over TF-IDF term vectors — the
+   * lexical complement to the dense-embedding paths above (near-dup text
+   * that a dense encoder misses, e.g. templated pages differing in one
+   * rare token).
+   *
+   * Per document: TF-IDF weights with a fixed-point smoothed IDF
+   * `tf * round(ln((N+1)/(df+1)) * 1e4)` so every weight is an exact
+   * integer and the cosine `num / (sqrt(na)*sqrt(nb))` is a
+   * deterministic function of integer inputs (sqrt, *, / are
+   * correctly-rounded IEEE ops — any engine reproduces the double
+   * bit-for-bit; a float log-weight sum would be summation-order
+   * sensitive).
+   *
+   * Scale shape (the inverted-index pruning of Bayardo et al. 2007's
+   * all-pairs family): candidate pairs come ONLY from posting lists of
+   * rare terms (`df <= maxDf`), so generation cost is sum of
+   * posting-list^2 over rare terms — bounded by `maxDf^2 * |rare
+   * vocab|`, never corpus^2. Exact cosine verification then runs on
+   * candidates alone: pair x term-list joins, all on 8-byte xxhash64
+   * term keys (strings never shuffle past tokenization — the same
+   * collision-equivalence model as [[TextOps.lmCoverageSignals]]).
+   * Recall is restricted to pairs sharing at least one rare term: two
+   * documents built entirely of stop-words are invisible, the standard
+   * df-pruning trade every sparse-ANN system makes; precision is exact.
+   * `ngram > 1` switches the term space to word n-grams — on a
+   * small-vocabulary corpus where every unigram is a stop-word, the
+   * n-gram space restores the rare-term structure df-pruning needs
+   * (and is itself the standard n-gram-cosine dedup variant).
+   */
+  def sparseCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxDf: Int = 10,
+      ngram: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val ws = TextOps.words(col(textCol))
+    // docs shorter than the gram width collapse to one whole-text term
+    // (the same fallback as the Jaccard shingles — an empty term list
+    // would silently drop the doc from the vector space)
+    val terms =
+      if (ngram == 1) ws
+      else when(size(ws) < ngram, array(array_join(ws, " ")))
+        .otherwise(transform(sequence(lit(0), size(ws) - ngram),
+          i => array_join(slice(ws, i + lit(1), lit(ngram)), " ")))
+    // one row per (doc, term-hash) with its term frequency; feeds doc
+    // frequencies, weights, and norms, so compute it once
+    val tf = df
+      .select(col(idCol).as("id"), explode(terms).as("term"))
+      .groupBy(col("id"), xxhash64(col("term")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val stats = broadcast(tf.select(countDistinct(col("id")).as("n")))
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, Seq("th"))
+      .crossJoin(stats) // one-row broadcast, same pattern as the BM25 stats join
+      .withColumn("w", col("tf") *
+        round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) * lit(1e4)).cast("long"))
+      .select(col("id"), col("th"), col("w"), col("df"))
+      .cache()
+    val nrm = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val rare = w.where(col("df") <= maxDf).select("id", "th")
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.th") === col("b.th") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val num = cand
+      .join(w.select(col("id").as("id_a"), col("th"), col("w").as("wa")), Seq("id_a"))
+      .join(w.select(col("id").as("id_b"), col("th"), col("w").as("wb")), Seq("id_b", "th"))
+      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("num"))
+    num
+      .join(nrm.select(col("id").as("id_a"), col("n2").as("na")), Seq("id_a"))
+      .join(nrm.select(col("id").as("id_b"), col("n2").as("nb")), Seq("id_b"))
+      .withColumn("cos", col("num") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cosine"))
+  }
 }

@@ -607,4 +607,40 @@ object TextOps {
 
   /** Number of HTML tags in the raw text (a "was this HTML" signal). */
   def htmlTagCount(text: Column): Column = regexp_count(text, lit("<[^>]*>"))
+
+  /**
+   * Per-document encoding-health signals — the decode-QC pass a
+   * web-crawl corpus runs before any text filter (mis-decoded bytes
+   * poison tokenization, language-ID, and dedup fingerprints alike):
+   *
+   *   - `n_non_ascii`   codepoints above U+007F (legitimate for most
+   *                     languages; a *ratio* spike against the doc's
+   *                     claimed language is the suspect signal)
+   *   - `non_ascii_frac` n_non_ascii / char length (rounded, 9 places)
+   *   - `n_replacement` U+FFFD replacement chars — a decoder already
+   *                     gave up on those bytes
+   *   - `n_ctrl`        C0 control chars other than tab/LF/CR — raw
+   *                     binary that survived into "text"
+   *   - `n_mojibake`    UTF-8-read-as-Latin-1 digraph markers (`Ã`,
+   *                     `Â`, `â€`) — the classic double-decode artifact
+   *   - `enc_suspect`   any replacement / control / mojibake hit
+   *
+   * Pure per-row codegen'd expressions (regexp counts over the text
+   * column): embarrassingly parallel, no shuffle, no UDF.
+   */
+  def encodingSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nNonAscii = regexp_count(t, lit("[^\\x00-\\x7F]")).cast("long")
+    val nRepl = regexp_count(t, lit("�")).cast("long")
+    val nCtrl = regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    val nMoji = regexp_count(t, lit("Ã|Â|â€")).cast("long")
+    df.select(
+      col(idCol),
+      nNonAscii.as("n_non_ascii"),
+      round(nNonAscii / greatest(length(t), lit(1)), 9).as("non_ascii_frac"),
+      nRepl.as("n_replacement"),
+      nCtrl.as("n_ctrl"),
+      nMoji.as("n_mojibake"),
+      (nRepl + nCtrl + nMoji > 0).as("enc_suspect"))
+  }
 }

@@ -949,4 +949,46 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       assert(rows.toSeq === rows.toSeq.sorted)
     }
   }
+
+  test("sparse cosine pairs: near-dups found, unrelated doc excluded, case-folded dup exact") {
+    val pairs = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      threshold = 0.6, maxDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 0/3 differ only in case+whitespace: identical token vectors => cosine 1.0
+    assert(pairs((0L, 3L)) === 1.0)
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L))
+    // tighter threshold keeps only the exact dup pair
+    val tight = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      threshold = 0.999, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === Set((0L, 3L)))
+    // the n-gram term space finds the same exact dup
+    val grams = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      threshold = 0.999, maxDf = 3, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grams === Set((0L, 3L)))
+  }
+
+  test("encoding signals: counts and suspect flag per artifact class") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "plain ascii text"),
+      (1L, "café crème"), // legit diacritics: non-ascii but NOT suspect
+      (2L, "lost byte � here"),
+      (3L, "raw ctl \u0001\u0002 bytes"),
+      (4L, "moji Ã© and â€™ marks"),
+      (5L, "tab\tand\nnewline are fine")).toDF("doc_id", "text")
+    val rows = TextOps.encodingSignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getBoolean(6)).toSeq ===
+      Seq(false, false, true, true, true, false))
+    assert(rows(1).getLong(1) === 2L && rows(1).getLong(3) === 0L) // 2 non-ascii, 0 replacement
+    assert(rows(2).getLong(3) === 1L) // one U+FFFD
+    assert(rows(3).getLong(4) === 2L) // two control bytes
+    assert(rows(4).getLong(5) === 2L) // 'Ã' and 'â€' both hit
+    assert(rows(5).getLong(4) === 0L) // tab/newline are not "control" here
+    // frac is against codepoint length
+    assert(rows(1).getDouble(2) === math.rint(2.0 / 10 * 1e9) / 1e9)
+  }
 }
