@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomIndex, Dedup, Embeddings, EventOps, IvfIndex, JoinStats,
-  Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, IvfIndex,
+  JoinStats, Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps, UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -3462,6 +3462,151 @@ object SparkEntry {
       TextOps.encodingSignals(
         docs.select(col("doc_id"), t4.as("text")), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // One-pass exact Gram matrix of the embedding corpus (covariance/PCA
+    // input) via the mergeable vec_gram_agg aggregate — d^2 state per
+    // partition, merged by elementwise addition; the corpus is read ONCE
+    // and never shuffled (only the d^2 partials move). Vectors are
+    // quantized to the 1/1000 integer lattice so every Gram entry is an
+    // integer-valued double — exact in FP regardless of partitioning or
+    // summation order — which is what lets DuckDB replay it bit-for-bit.
+    q("q120_embedding_gram",
+      """WITH v AS (
+        |  SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) q
+        |  FROM embeddings),
+        |idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) i)
+        |SELECT a.i AS i, b.i AS j,
+        |       CAST(sum(v.q[a.i + 1] * v.q[b.i + 1]) AS BIGINT) AS g
+        |FROM v, idx a, idx b
+        |WHERE a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val quant = s.table("embeddings").select(
+        transform(col("embedding"), x => round(x.cast("double") * 1000)).as("v"))
+      val g = quant.agg(call_function("vec_gram_agg", col("v")).as("g"))
+        .withColumn("d", sqrt(size(col("g"))).cast("int"))
+      g.select(col("d"), posexplode(col("g")).as(Seq("k", "gv")))
+        .select((col("k") / col("d")).cast("int").as("i"),
+          (col("k") % col("d")).cast("int").as("j"),
+          col("gv").cast("long").as("g"))
+        .where(col("i") <= col("j"))
+        .orderBy("i", "j")
+    },
+
+    // Frequent-Directions matrix sketch vs the exact Gram, checked
+    // against its own proven spectral bound: every entry of |exact - FD|
+    // must sit within ||A||_F^2/ell. Both aggregates run in the SAME
+    // one-pass scan (one ObjectHashAggregate, two buffers). The bound is
+    // a theorem, so the oracle pins the contract at every sf — the same
+    // scale-independent-contract pattern as the q25/q68 recall gates.
+    q("q121_fd_spectral_bound",
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, 16 AS ell,
+        |       true AS bound_ok, true AS trace_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val vecs = s.table("embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+      vecs.agg(
+        call_function("vec_gram_agg", col("v")).as("g"),
+        call_function("fd_accumulate", col("v"), lit(16)).as("s"),
+        count(lit(1)).as("n_vectors"))
+        .select(
+          col("n_vectors"),
+          lit(16).as("ell"),
+          (array_max(zip_with(col("g"),
+            call_function("fd_gram_estimate", col("s")),
+            (a, b) => abs(a - b)))
+            <= call_function("fd_error_bound", col("s")) + lit(1e-6)).as("bound_ok"),
+          (aggregate(call_function("fd_singular_values", col("s")),
+            lit(0.0d), (acc, x) => acc + x)
+            <= aggregate(col("g"), lit(0.0d), (acc, x) => acc + x) + lit(1e-6))
+            .as("trace_ok"))
+    },
+
+    // Deterministic k-means (SemDeDup's clustering stage): seed = the 8
+    // lowest-id vectors, 2 Lloyd iterations on the 1/1000 integer
+    // lattice with floor-of-mean centroid updates — every distance and
+    // centroid is an integer-valued double, so assignments are
+    // bit-reproducible at any parallelism and DuckDB replays the exact
+    // iteration. Assignment is a projection against broadcast centroid
+    // literals (no corpus shuffle); the update shuffles only k*d
+    // partial sums.
+    q("q122_kmeans_assign", {
+      def step(vTbl: String, cTbl: String, sAs: String, aAs: String): String =
+        s"""$sAs AS (
+           |  SELECT v.vec_id, $cTbl.j,
+           |         list_sum(list_transform(range(1, 65),
+           |           i -> (v.q[i] - $cTbl.c[i]) * (v.q[i] - $cTbl.c[i]))) dist
+           |  FROM v CROSS JOIN $cTbl),
+           |$aAs AS (
+           |  SELECT vec_id, j AS cl FROM (
+           |    SELECT vec_id, j,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rk
+           |    FROM $sAs) WHERE rk = 1)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id j, q c FROM v WHERE vec_id < 8),
+         |${step("v", "c0", "s0", "a0")},
+         |m1 AS (
+         |  SELECT a0.cl, i.i, CAST(floor(sum(v.q[i.i]) / count(*)) AS DOUBLE) ci
+         |  FROM a0 JOIN v USING (vec_id)
+         |       CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) i) i
+         |  GROUP BY a0.cl, i.i),
+         |c1 AS (SELECT cl j, list(ci ORDER BY i) c FROM m1 GROUP BY cl),
+         |${step("v", "c1", "s1", "a1")},
+         |m2 AS (
+         |  SELECT a1.cl, i.i, CAST(floor(sum(v.q[i.i]) / count(*)) AS DOUBLE) ci
+         |  FROM a1 JOIN v USING (vec_id)
+         |       CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) i) i
+         |  GROUP BY a1.cl, i.i),
+         |c2 AS (SELECT cl j, list(ci ORDER BY i) c FROM m2 GROUP BY cl),
+         |${step("v", "c2", "s2", "a2")}
+         |SELECT vec_id AS id, CAST(cl AS BIGINT) AS cluster
+         |FROM a2 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "embeddings")
+      Clustering.kmeansAssign(s.table("embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .orderBy("id")
+    },
+
+    // Streaming MinHash-LSH near-dup discovery, driver-checked by bounded
+    // replay: documents stream through `StreamingOps.nearDupPairs` in two
+    // doc_id-ordered micro-batches (LSH bucket state carries across the
+    // batch boundary), and the emitted verified pairs — deduped across
+    // bands — must equal the batch q21/q22 pair set, pinned by the same
+    // brute-force Jaccard oracle.
+    q("q123_streaming_neardup", jaccardOracle) { (s, d) =>
+      view(s, d, "documents")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)](s)
+      val pairs = graft.streaming.StreamingOps.nearDupPairs(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val sink = "graft_q123_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // q69's state-partition sizing rationale: one state-store commit
+      // per partition per micro-batch dominates a bounded replay
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val qy = pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toSeq)
+        qy.processAllAvailable()
+        input.addData(b2.toSeq)
+        qy.processAllAvailable()
+      } finally {
+        qy.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).distinct().orderBy("id_a", "id_b")
     }
   )
 

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed k-means clustering of embedding columns — the grouping
+ * stage of SemDeDup-style semantic dedup (cluster, then near-dup only
+ * within clusters) and of domain-balancing pipelines (cluster, then
+ * sample per cluster).
+ *
+ * Design for 100 TB:
+ *  - Lloyd iterations are pure DataFrame aggregations: assignment is a
+ *    stateless projection against BROADCAST centroid literals (k*d
+ *    doubles baked into the plan — no join, no shuffle of the corpus),
+ *    and the centroid update is one `posexplode` + groupBy(cluster, dim)
+ *    shuffle of k*d partial sums with map-side combine. The corpus is
+ *    never collected; the driver holds only the k*d centroid matrix per
+ *    iteration (the same bounded-scalar contract as the IVF probe-set
+ *    collect, `IvfIndex.scala`).
+ *  - DETERMINISTIC REPLAY: vectors are quantized to an integer lattice
+ *    (`round(x * quantScale)`), centroid updates use the floor of the
+ *    per-cluster mean, and ties in the argmin break toward the smallest
+ *    seed id. Every quantity is then an integer-valued double (exact in
+ *    FP regardless of partitioning or summation order), so cluster
+ *    assignments are bit-reproducible across engines, run-to-run, and
+ *    at any parallelism — the property the duckdb oracle (q122) pins.
+ *    Seeding is the k lowest-id vectors: reproducible without an RNG.
+ *    The lattice spacing (1/quantScale of the embedding scale) is far
+ *    below any plausible cluster separation, so assignments match
+ *    float k-means everywhere except exact decision boundaries.
+ */
+object Clustering {
+
+  /** Squared L2 distance to a centroid literal, sequential over dims. */
+  private def sqDist(v: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(v, typedlit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  /**
+   * Assign every row to the nearest of `k` centroids after `iters`
+   * Lloyd updates from the deterministic seed (the `k` lowest-id rows).
+   * Returns (id, cluster) where cluster is the SEED id of the centroid
+   * lineage (stable labels even if a cluster empties out).
+   */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val q = df.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => round(x.cast("double") * quantScale).cast("double"))
+        .as("v"))
+
+    // deterministic seed: the k lowest-id vectors (k*d doubles to driver)
+    var cents: Seq[(Long, Array[Double])] = q.orderBy("id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+    def assigned: DataFrame = {
+      // argmin over the centroid list: distances array + array_position
+      // of the min — first match, so ties break toward the earlier
+      // (lower seed id) centroid; centroid order is kept id-ascending
+      val dists = array(cents.map { case (_, c) => sqDist(col("v"), c) }: _*)
+      val labels = typedlit(cents.map(_._1))
+      q.withColumn("cluster",
+        element_at(labels, array_position(dists, array_min(dists)).cast("int")))
+    }
+
+    for (_ <- 1 to iters) {
+      // one shuffle of k*d partial sums; floor-of-mean keeps the lattice
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"), floor(col("s") / col("n")).cast("double").as("c"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cl, rows) =>
+        val c = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        (cl, c)
+      }.toSeq.sortBy(_._1)
+    }
+
+    assigned.select(col("id"), col("cluster"))
+  }
+
+  /**
+   * Per-cluster sizes and within-cluster mean squared distance — the
+   * SSE/k diagnostic for choosing k. Same determinism contract.
+   */
+  def kmeansProfile(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val a = kmeansAssign(df, idCol, vecCol, k, iters, quantScale)
+    a.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster")
+  }
+}

@@ -1,0 +1,344 @@
+package graft.sketches
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * Frequent Directions — a mergeable MATRIX sketch (Liberty, KDD 2013;
+ * Ghashami/Liberty/Phillips/Woodruff, SIAM J. Comput. 2016): maintain an
+ * `ell x d` row buffer B such that for the full row-stream matrix A,
+ *
+ *     0  <=  x'(A'A - B'B)x  <=  ||A||_F^2 / ell      for all unit x,
+ *
+ * i.e. B'B approximates the Gram/covariance structure of A with additive
+ * spectral error that shrinks as 1/ell — the matrix analogue of
+ * Misra-Gries heavy hitters (the reference's freq-items family,
+ * `/root/reference/.../freqItemSketches.scala:37-99`, is the vector
+ * special case of the same "charge then subtract the median" idea).
+ *
+ * Why it's in a 100 TB engine: embedding-covariance analytics (PCA
+ * direction estimates, spectral norms, whitening diagnostics) in ONE
+ * pass with O(ell*d) state per group instead of the exact aggregate's
+ * O(d^2) — at d=4096, exact Gram state is 128 MB while FD at ell=64 is
+ * 2 MB — and the buffers merge associatively, so partial sketches roll
+ * up through Spark's partial/final aggregation like every other graft
+ * sketch family.
+ *
+ * Implementation: the standard doubled-buffer variant — collect up to
+ * 2*ell rows, then SHRINK: eigendecompose B'B restricted to the buffer's
+ * row space via the small 2ell x 2ell Gram of the buffer rows (Jacobi
+ * rotations — dependency-free, adequate for 2ell <= a few hundred),
+ * subtract the ell-th eigenvalue from every eigenvalue, and rebuild the
+ * surviving rows as sqrt(lambda_i - lambda_ell) * v_i. All arithmetic in
+ * doubles. Pure JVM, no Spark dependency.
+ */
+final class FrequentDirections private (
+    val ell: Int,
+    val d: Int,
+    // row-major (2*ell) x d buffer; rows [0, used) are live
+    private val buf: Array[Double],
+    private var used: Int) {
+
+  def this(ell: Int, d: Int) = this(ell, d, new Array[Double](2 * ell * d), 0)
+
+  def isEmpty: Boolean = used == 0 && !seen
+  private var seen: Boolean = used > 0
+
+  /** Total squared Frobenius mass ingested (the error-bound numerator). */
+  private var frobSq: Double = 0.0
+  def frobeniusSquared: Double = frobSq
+
+  def update(row: Array[Double]): Unit = {
+    require(row.length == d, s"expected dim $d, got ${row.length}")
+    if (used == 2 * ell) shrink()
+    System.arraycopy(row, 0, buf, used * d, d)
+    var i = 0
+    while (i < d) { frobSq += row(i) * row(i); i += 1 }
+    used += 1
+    seen = true
+  }
+
+  def merge(other: FrequentDirections): Unit = {
+    require(other.d == d && other.ell == ell,
+      s"cannot merge FD($ell,$d) with FD(${other.ell},${other.d})")
+    var r = 0
+    while (r < other.used) {
+      if (used == 2 * ell) shrink()
+      System.arraycopy(other.buf, r * d, buf, used * d, d)
+      used += 1
+      r += 1
+    }
+    frobSq += other.frobSq
+    seen ||= other.seen
+  }
+
+  /** Approximate Gram `B'B` as a row-major d*d array. */
+  def gram: Array[Double] = {
+    val g = new Array[Double](d * d)
+    var r = 0
+    while (r < used) {
+      val off = r * d
+      var i = 0
+      while (i < d) {
+        val bi = buf(off + i)
+        if (bi != 0.0) {
+          var j = 0
+          while (j < d) { g(i * d + j) += bi * buf(off + j); j += 1 }
+        }
+        i += 1
+      }
+      r += 1
+    }
+    g
+  }
+
+  /** Squared singular values of B (eigenvalues of B'B), descending,
+   *  padded/truncated to `ell` entries. */
+  def squaredSingularValues: Array[Double] = {
+    val m = used
+    if (m == 0) return new Array[Double](ell)
+    val (eig, _) = FrequentDirections.symEigen(rowGram(m), m)
+    val out = new Array[Double](ell)
+    val sorted = eig.sortBy(-_)
+    var i = 0
+    while (i < ell && i < m) { out(i) = math.max(0.0, sorted(i)); i += 1 }
+    out
+  }
+
+  /** The small m x m Gram of the buffer ROWS (B B'), m = live rows. */
+  private def rowGram(m: Int): Array[Double] = {
+    val g = new Array[Double](m * m)
+    var a = 0
+    while (a < m) {
+      var b = a
+      while (b < m) {
+        var s = 0.0
+        var i = 0
+        val oa = a * d
+        val ob = b * d
+        while (i < d) { s += buf(oa + i) * buf(ob + i); i += 1 }
+        g(a * m + b) = s
+        g(b * m + a) = s
+        b += 1
+      }
+      a += 1
+    }
+    g
+  }
+
+  /** Eigendecompose the buffer's row Gram, shrink by the ell-th
+   *  eigenvalue, rebuild rows as sqrt(lambda_i - delta) * (v_i' B). */
+  private def shrink(): Unit = {
+    val m = used // == 2*ell here, but works for any m
+    val (eigRaw, vecs) = FrequentDirections.symEigen(rowGram(m), m)
+    // order eigenpairs descending
+    val order = eigRaw.indices.sortBy(i => -eigRaw(i))
+    val delta = if (m > ell) math.max(0.0, eigRaw(order(ell - 1))) else 0.0
+    val next = new Array[Double](buf.length)
+    var keep = 0
+    var oi = 0
+    while (oi < math.min(ell, m)) {
+      val e = order(oi)
+      val lam = eigRaw(e) - delta
+      if (lam > 1e-12) {
+        val scale = math.sqrt(lam)
+        // eigenvector norm: Jacobi returns orthonormal columns; the
+        // buffer row built is scale * sum_r vecs(r,e)/sqrt(eig) * B_r,
+        // i.e. the unit LEFT singular vector times the shrunk value.
+        val inv = 1.0 / math.sqrt(math.max(eigRaw(e), 1e-300))
+        var i = 0
+        while (i < d) {
+          var s = 0.0
+          var r = 0
+          while (r < m) { s += vecs(r * m + e) * buf(r * d + i); r += 1 }
+          next(keep * d + i) = scale * inv * s
+          i += 1
+        }
+        keep += 1
+      }
+      oi += 1
+    }
+    System.arraycopy(next, 0, buf, 0, buf.length)
+    used = keep
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * 4 + 8 + used * d * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(FrequentDirections.MAGIC).putInt(ell).putInt(d).putInt(used)
+    bb.putDouble(frobSq)
+    var i = 0
+    while (i < used * d) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object FrequentDirections {
+  private[sketches] val MAGIC = 0x46447331 // "FDs1"
+
+  def create(ell: Int, d: Int): FrequentDirections = new FrequentDirections(ell, d)
+
+  def fromBytes(bytes: Array[Byte]): FrequentDirections = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == MAGIC, "not a graft FD sketch image")
+    val ell = bb.getInt()
+    val d = bb.getInt()
+    val used = bb.getInt()
+    require(ell > 0 && d > 0 && used >= 0 && used <= 2 * ell,
+      s"corrupt FD header: ell=$ell d=$d used=$used")
+    val buf = new Array[Double](2 * ell * d)
+    val frob = bb.getDouble()
+    var i = 0
+    while (i < used * d) { buf(i) = bb.getDouble(); i += 1 }
+    val fd = new FrequentDirections(ell, d, buf, used)
+    fd.frobSq = frob
+    fd.seen = true
+    fd
+  }
+
+  /**
+   * Cyclic Jacobi eigendecomposition of a symmetric n x n matrix given
+   * row-major. Returns (eigenvalues, row-major eigenvector matrix V with
+   * eigenvector i in COLUMN i). Classical textbook algorithm (Golub &
+   * Van Loan §8.5); O(n^3) per sweep, fine for the n <= few-hundred
+   * buffer Grams it is used on.
+   */
+  private[graft] def symEigen(aIn: Array[Double], n: Int): (Array[Double], Array[Double]) = {
+    val a = aIn.clone()
+    val v = new Array[Double](n * n)
+    var i = 0
+    while (i < n) { v(i * n + i) = 1.0; i += 1 }
+    var sweep = 0
+    var off = offDiag(a, n)
+    val tol = 1e-11 * (1.0 + frob(a, n))
+    while (sweep < 64 && off > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p * n + q)
+          if (math.abs(apq) > tol / (n * n)) {
+            val app = a(p * n + p)
+            val aqq = a(q * n + q)
+            val theta = (aqq - app) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k * n + p)
+              val akq = a(k * n + q)
+              a(k * n + p) = c * akp - s * akq
+              a(k * n + q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p * n + k)
+              val aqk = a(q * n + k)
+              a(p * n + k) = c * apk - s * aqk
+              a(q * n + k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k * n + p)
+              val vkq = v(k * n + q)
+              v(k * n + p) = c * vkp - s * vkq
+              v(k * n + q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a, n)
+      sweep += 1
+    }
+    val eig = new Array[Double](n)
+    i = 0
+    while (i < n) { eig(i) = a(i * n + i); i += 1 }
+    (eig, v)
+  }
+
+  private def offDiag(a: Array[Double], n: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { s += 2.0 * a(i * n + j) * a(i * n + j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  private def frob(a: Array[Double], n: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < n * n) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/**
+ * Exact one-pass Gram accumulator — the d^2-state companion to
+ * [[FrequentDirections]] for moderate d: Gram entries are plain sums of
+ * products, so partials merge by elementwise addition and the aggregate
+ * runs as a single pass with map-side combine. Used by `vec_gram_agg`.
+ */
+final class GramAccumulator(val d: Int) {
+  private[sketches] val g = new Array[Double](d * d)
+  private[sketches] var n: Long = 0L
+
+  def count: Long = n
+  def isEmpty: Boolean = n == 0L
+
+  def update(row: Array[Double]): Unit = {
+    require(row.length == d, s"expected dim $d, got ${row.length}")
+    var i = 0
+    while (i < d) {
+      val ri = row(i)
+      if (ri != 0.0) {
+        var j = 0
+        while (j < d) { g(i * d + j) += ri * row(j); j += 1 }
+      }
+      i += 1
+    }
+    n += 1
+  }
+
+  def merge(other: GramAccumulator): Unit = {
+    require(other.d == d, s"cannot merge Gram($d) with Gram(${other.d})")
+    var i = 0
+    while (i < d * d) { g(i) += other.g(i); i += 1 }
+    n += other.n
+  }
+
+  def gram: Array[Double] = g.clone()
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 4 + 8 + d * d * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(GramAccumulator.MAGIC).putInt(d).putLong(n)
+    var i = 0
+    while (i < d * d) { bb.putDouble(g(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object GramAccumulator {
+  private[sketches] val MAGIC = 0x47524d31 // "GRM1"
+
+  def create(d: Int): GramAccumulator = new GramAccumulator(d)
+
+  def fromBytes(bytes: Array[Byte]): GramAccumulator = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == MAGIC, "not a graft Gram image")
+    val d = bb.getInt()
+    require(d > 0 && bytes.length == 4 + 4 + 8 + d * d * 8, s"corrupt Gram image: d=$d")
+    val acc = new GramAccumulator(d)
+    acc.n = bb.getLong()
+    var i = 0
+    while (i < d * d) { acc.g(i) = bb.getDouble(); i += 1 }
+    acc
+  }
+}

@@ -264,4 +264,99 @@ object StreamingOps {
           }
       }
   }
+
+  /**
+   * Streaming MinHash-LSH NEAR-duplicate pair detection — the streaming
+   * variant of the batch `Dedup.minhashLshPairs` (q22): as documents
+   * arrive, each is banded into `bands` LSH buckets; per bucket, the new
+   * document is exact-Jaccard-verified against the documents already
+   * seen in that bucket, and every verified pair `(id_a < id_b, inter,
+   * uni)` with `inter/uni >= num/den` is emitted. Batch and streaming
+   * agree: the pair set (after a downstream `distinct()` — a pair found
+   * in several bands emits once per band) equals the batch operator's
+   * output whenever the banding recall holds, which the shared oracle
+   * (q21/q22/q123's brute-force Jaccard replay) pins.
+   *
+   * Scale design:
+   *  - the stateless prefix (shingle hashing, MinHash signatures, band
+   *    keys) is the same native-expression pipeline as batch — runs
+   *    inside whole-stage codegen on the micro-batch;
+   *  - state is PER LSH BUCKET (groupByKey on the band key), holding the
+   *    (id, shingle-set) of bucket members — near-dup buckets are small
+   *    by construction (a hot bucket means actual duplicates, which a
+   *    pipeline deletes downstream); `maxPerBucket` hard-caps degenerate
+   *    buckets (e.g. the empty-text bucket): beyond it, new members are
+   *    verified against, but not appended to, the bucket (documented
+   *    recall loss only among 257+-deep duplicate swarms);
+   *  - verification happens IN-STATE (the stored shingle sets), so the
+   *    streaming path needs no second join against the corpus.
+   */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      num: Int = 4,
+      den: Int = 5,
+      maxPerBucket: Int = 256): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sh = graft.operators.Dedup.shingleHashes(col(textCol), n)
+    val sig = call_function("graft_minhash", sh, lit(numHashes))
+    val banded = df.select(col(idCol).cast("long").as("id"), sh.as("sh"), sig.as("sig"))
+      .select(col("id"), col("sh"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("id", "sh", "band", "key")
+
+    implicit val stateEnc: Encoder[Vector[(Long, Array[Long])]] =
+      Encoders.kryo[Vector[(Long, Array[Long])]]
+    implicit val outEnc: Encoder[(Long, Long, Long, Long)] =
+      Encoders.product[(Long, Long, Long, Long)]
+
+    banded
+      .groupByKey((r: Row) => (r.getInt(2), r.getLong(3)))(
+        Encoders.product[(Int, Long)])
+      .flatMapGroupsWithState[Vector[(Long, Array[Long])], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), members: Iterator[Row],
+         state: GroupState[Vector[(Long, Array[Long])]]) =>
+          var bucket = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[(Long, Long, Long, Long)]
+          // id-sorted within the batch: same-batch pairs emit exactly once
+          members.toVector.sortBy(_.getLong(0)).foreach { r =>
+            val id = r.getLong(0)
+            val mySh: Array[Long] =
+              r.getSeq[Long](1).toArray.sorted
+            bucket.foreach { case (oid, osh) =>
+              if (oid != id) {
+                val inter = sortedIntersect(mySh, osh)
+                val uni = mySh.length.toLong + osh.length - inter
+                if (inter * den >= uni * num && uni > 0) {
+                  out += ((math.min(oid, id), math.max(oid, id), inter, uni))
+                }
+              }
+            }
+            if (bucket.length < maxPerBucket && !bucket.exists(_._1 == id)) {
+              bucket = bucket :+ (id -> mySh)
+            }
+          }
+          state.update(bucket)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b", "inter", "uni")
+  }
+
+  /** Intersection size of two ascending-sorted long arrays. */
+  private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
 }

@@ -1097,6 +1097,79 @@ object GraftFunctionRegistry {
       WinnowFingerprints(args(0),
         intLiteral("graft_winnow", "k", args(1)),
         intLiteral("graft_winnow", "w", args(2)))
+    },
+
+    // --- matrix / spectral aggregates ---------------------------------
+    fd("vec_gram_agg",
+      "_FUNC_(vec) - Aggregates ARRAY<DOUBLE> vectors into the exact Gram matrix " +
+        "sum(v * v') as a row-major ARRAY<DOUBLE> of length d*d — the covariance/PCA " +
+        "input computed in one distributed pass; partial Grams merge by elementwise " +
+        "addition (map-side combine). NULL for an empty group.",
+      Seq(1),
+      Seq("vec" -> "an ARRAY<DOUBLE> (or castable) embedding column of uniform dimension"),
+      Seq("SELECT _FUNC_(v) FROM VALUES (array(1.0d, 0.0d)) AS tab(v)" ->
+        "[1.0,0.0,0.0,0.0]"),
+      "agg_funcs") { args =>
+      VecGramAgg(args(0))
+    },
+    fd("fd_accumulate",
+      "_FUNC_(vec, ell) - Aggregates ARRAY<DOUBLE> vectors into a serialized " +
+        "Frequent-Directions matrix sketch (BINARY): ell rows approximating the " +
+        "stream's Gram with spectral error at most ||A||_F^2/ell using O(ell*d) state " +
+        "instead of the exact aggregate's O(d^2). Mergeable with fd_combine.",
+      Seq(2),
+      Seq("vec" -> "an ARRAY<DOUBLE> (or castable) embedding column of uniform dimension",
+        "ell" -> "constant sketch size (rows retained), >= 2"),
+      Seq(("SELECT fd_error_bound(_FUNC_(v, 8)) FROM " +
+        "VALUES (array(1.0d, 0.0d)) AS tab(v)") -> "0.125"),
+      "agg_funcs") { args =>
+      FdAccumulate(args(0), args(1), FdAccumulate.resolveEll(args(1)))
+    },
+    fd("fd_combine",
+      "_FUNC_(sketch) - Merges serialized Frequent-Directions sketches into one " +
+        "(BINARY); FD merge is associative with the same spectral guarantee, so " +
+        "per-group sketches roll up to any coarser grouping.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT fd_error_bound(_FUNC_(s)) FROM (SELECT fd_accumulate(v, 8) s " +
+        "FROM VALUES (array(1.0d, 0.0d)) tab(v) GROUP BY v)") -> "0.125"),
+      "agg_funcs") { args =>
+      FdCombine(args(0))
+    },
+    fd("fd_gram_estimate",
+      "_FUNC_(sketch) - The approximate Gram matrix B'B stored in a serialized " +
+        "Frequent-Directions sketch, as a row-major ARRAY<DOUBLE> of length d*d; " +
+        "every entry is within fd_error_bound(sketch) of the exact Gram. NULL on " +
+        "corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT _FUNC_(fd_accumulate(v, 8))[0] FROM " +
+        "VALUES (array(1.0d, 0.0d)) AS tab(v)") -> "1.0"),
+      "misc_funcs") { args =>
+      FdGramEstimate(args(0))
+    },
+    fd("fd_singular_values",
+      "_FUNC_(sketch) - The squared singular values (descending, ell entries, " +
+        "zero-padded) of the rows of a serialized Frequent-Directions sketch — " +
+        "approximate principal-component energies of the ingested vectors. NULL on " +
+        "corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT _FUNC_(fd_accumulate(v, 2))[0] FROM " +
+        "VALUES (array(2.0d, 0.0d)) AS tab(v)") -> "4.0"),
+      "misc_funcs") { args =>
+      FdSingularValues(args(0))
+    },
+    fd("fd_error_bound",
+      "_FUNC_(sketch) - The proven additive error cap ||A||_F^2 / ell of a serialized " +
+        "Frequent-Directions sketch: no Gram entry or Rayleigh quotient deviates from " +
+        "the exact stream Gram by more. NULL on corrupt bytes.",
+      Seq(1),
+      Seq(sketchArg),
+      Seq(("SELECT _FUNC_(fd_accumulate(v, 8)) FROM " +
+        "VALUES (array(1.0d, 0.0d)) AS tab(v)") -> "0.125"),
+      "misc_funcs") { args =>
+      FdErrorBound(args(0))
     }
   )
 
