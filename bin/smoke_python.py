@@ -13,7 +13,7 @@ spark = (SparkSession.builder
          .appName("graft-python-smoke")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.shuffle.partitions", "2")
-         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         .config("spark.sql.session.timeZone", "UTC")
          .getOrCreate())
 
 # Py4J hook (idempotent even when the extension already registered everything)
@@ -88,8 +88,11 @@ api.textIndexBuild(docs._jdf, "doc_id", "text", tidx, 8)
 ih = DataFrame(api.textIndexQuery(spark._jsparkSession, tidx,
                                   [[1, "hash join"]], 5, 8), spark)
 assert ih.count() == 5
+# events.ts is parquet timestamp[us] (TIMESTAMP_NTZ) since r6 — micros as
+# the asof key; NTZ->LTZ cast is exact under the UTC session timezone
 ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-    .selectExpr("event_id", "user_id", "ts DIV 1000 AS t")
+    .selectExpr("event_id", "user_id",
+                "unix_micros(CAST(ts AS TIMESTAMP)) AS t")
 fwd = DataFrame(api.asofForward(ev.limit(200)._jdf, ev._jdf, "user_id", "t"), spark)
 assert fwd.count() == 200
 
@@ -103,6 +106,17 @@ assert nfc == docs.count()
 
 rep = DataFrame(api.textProfile(docs._jdf, "doc_id", "text"), spark)
 assert rep.count() == 1 and rep.collect()[0]["n_docs"] == docs.count()
+
+# matrix sketches + deterministic k-means over embeddings
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+fdrow = emb.selectExpr("CAST(embedding AS ARRAY<DOUBLE>) v") \
+    .selectExpr("vec_gram_agg(v) g", "fd_accumulate(v, 8) s") \
+    .selectExpr("size(g) d2", "fd_error_bound(s) eps",
+                "fd_singular_values(s)[0] sv0").collect()[0]
+assert fdrow["d2"] == 64 * 64 and fdrow["eps"] > 0 and fdrow["sv0"] > 0
+km = DataFrame(api.kmeansAssign(emb._jdf, "vec_id", "embedding", 4, 2), spark)
+assert km.count() == emb.count()
+assert km.select("cluster").distinct().count() <= 4
 
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

@@ -195,4 +195,16 @@ object functions {
       F.array(bounds.map(F.lit): _*))
   def graft_bucket_index(bounds: Column, v: Column): Column =
     F.call_function("graft_bucket_index", bounds, v)
+
+  // --- matrix / spectral aggregates (Gram + Frequent Directions) -------
+  def vec_gram_agg(vec: Column): Column = F.call_function("vec_gram_agg", vec)
+  def fd_accumulate(vec: Column, ell: Int): Column =
+    F.call_function("fd_accumulate", vec, F.lit(ell))
+  def fd_combine(sketch: Column): Column = F.call_function("fd_combine", sketch)
+  def fd_gram_estimate(sketch: Column): Column =
+    F.call_function("fd_gram_estimate", sketch)
+  def fd_singular_values(sketch: Column): Column =
+    F.call_function("fd_singular_values", sketch)
+  def fd_error_bound(sketch: Column): Column =
+    F.call_function("fd_error_bound", sketch)
 }

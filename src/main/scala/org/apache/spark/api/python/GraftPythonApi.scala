@@ -17,9 +17,9 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, BloomIndex, Classifier, CorpusDiff, Dedup, IvfIndex,
-  JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps, TextProfile,
-  UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Classifier, Clustering, CorpusDiff, Dedup,
+  IvfIndex, JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps,
+  TextProfile, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -188,4 +188,16 @@ object GraftPythonApi {
     }
     TextIndex.query(spark, path, qs, k, buckets)
   }
+
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    Clustering.kmeansAssign(df, idCol, vecCol, k, iters)
+
+  def kmeansProfile(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    Clustering.kmeansProfile(df, idCol, vecCol, k, iters)
+
+  def streamingNearDupPairs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.streaming.StreamingOps.nearDupPairs(df, idCol, textCol)
 }
