@@ -117,6 +117,10 @@ assert fdrow["d2"] == 64 * 64 and fdrow["eps"] > 0 and fdrow["sv0"] > 0
 km = DataFrame(api.kmeansAssign(emb._jdf, "vec_id", "embedding", 4, 2), spark)
 assert km.count() == emb.count()
 assert km.select("cluster").distinct().count() <= 4
+cov = DataFrame(api.covarianceN2(emb._jdf, "embedding"), spark)
+assert cov.count() == 64 * 65 // 2
+pca = DataFrame(api.pcaProject(emb._jdf, "vec_id", "embedding", 4), spark)
+assert pca.agg(F.min("residual_sq")).collect()[0][0] >= -1e-9
 
 print("PYTHON-SMOKE OK", agg, scalar, js)
 spark.stop()

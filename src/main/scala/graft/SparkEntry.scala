@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, IvfIndex,
-  JoinStats, Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, TextOps, UrlOps}
+  JoinStats, Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, Spectral, TextOps,
+  UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -3607,6 +3608,66 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table(sink).distinct().orderBy("id_a", "id_b")
+    },
+
+    // Exact n^2-scaled covariance matrix of the embedding corpus from ONE
+    // homogeneous-coordinate Gram pass (gram, per-dim sums, and n in a
+    // single aggregate): cov_n2 = n*gram - sum_i*sum_j, all integers on
+    // the quantization lattice, LONG-exact in any engine at any
+    // parallelism.
+    q("q124_embedding_cov",
+      """WITH v AS (
+        |  SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) q
+        |  FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM v),
+        |idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) i),
+        |s AS (SELECT i, CAST(sum(v.q[i + 1]) AS BIGINT) s FROM v, idx GROUP BY i),
+        |g AS (SELECT a.i i, b.i j, CAST(sum(v.q[a.i + 1] * v.q[b.i + 1]) AS BIGINT) g
+        |      FROM v, idx a, idx b WHERE a.i <= b.i GROUP BY 1, 2)
+        |SELECT g.i, g.j, CAST(nn.n * g.g - sa.s * sb.s AS BIGINT) AS cov_n2
+        |FROM g CROSS JOIN nn
+        |     JOIN s sa ON sa.i = g.i
+        |     JOIN s sb ON sb.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Spectral.covarianceN2(s.table("embeddings"), "embedding")
+        .orderBy("i", "j")
+    },
+
+    // PCA projection + residual outlier score: top-8 principal
+    // directions from one Gram pass (driver-side Jacobi on the d x d
+    // matrix), projection as a broadcast-literal stateless map. The
+    // eigenbasis is corpus-deterministic but not engine-portable, so the
+    // oracle pins the spectral CONTRACTS: per-component captured energy
+    // strictly ordered, residuals non-negative, total energy conserved
+    // (captured + residual = |v|^2 summed) — the q25/q121 pattern.
+    q("q125_pca_project",
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, 8 AS m,
+        |       true AS energy_desc, true AS resid_ok, true AS energy_conserved
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val proj = Spectral.pcaProject(s.table("embeddings"), "vec_id", "embedding", m = 8)
+      val energies = (0 until 8).map(k =>
+        sum(element_at(col("proj"), k + 1) * element_at(col("proj"), k + 1)).as(s"e$k"))
+      val vecs = s.table("embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+        .agg(sum(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)).as("total"))
+      proj.agg(
+        count(lit(1)).as("n_vectors"),
+        energies: _*)
+        .crossJoin(broadcast(
+          proj.agg(sum(col("residual_sq")).as("resid_total"),
+            min(col("residual_sq")).as("resid_min"),
+            sum(aggregate(col("proj"), lit(0.0d), (acc, x) => acc + x * x))
+              .as("captured_total"))))
+        .crossJoin(broadcast(vecs))
+        .select(
+          col("n_vectors"), lit(8).as("m"),
+          (0 until 7).map(k => col(s"e$k") >= col(s"e${k + 1}") - lit(1e-6))
+            .reduce(_ && _).as("energy_desc"),
+          (col("resid_min") >= lit(-1e-6)).as("resid_ok"),
+          (abs(col("captured_total") + col("resid_total") - col("total"))
+            <= lit(1e-4) * col("total")).as("energy_conserved"))
     }
   )
 

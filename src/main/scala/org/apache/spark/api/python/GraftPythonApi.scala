@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 import graft.operators.{AsofJoin, BloomIndex, Classifier, Clustering, CorpusDiff, Dedup,
-  IvfIndex, JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, TextIndex, TextOps,
-  TextProfile, UrlOps}
+  IvfIndex, JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, Spectral,
+  TextIndex, TextOps, TextProfile, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -200,4 +200,10 @@ object GraftPythonApi {
   def streamingNearDupPairs(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     graft.streaming.StreamingOps.nearDupPairs(df, idCol, textCol)
+
+  def covarianceN2(df: DataFrame, vecCol: String): DataFrame =
+    Spectral.covarianceN2(df, vecCol)
+
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
+    Spectral.pcaProject(df, idCol, vecCol, m)
 }

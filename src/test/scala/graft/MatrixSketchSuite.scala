@@ -212,4 +212,52 @@ class MatrixSketchSuite extends AnyFunSuite with GraftSparkSession {
     }
     assert(e1.getMessage.contains("ell"))
   }
+
+  test("Spectral.covarianceN2 matches the definition and is partition-invariant") {
+    import spark.implicits._
+    val d = 5
+    val rows = randRows(80, d, 9L).toSeq.map(_.toSeq)
+    val df = rows.toDF("embedding")
+    val cov = graft.operators.Spectral.covarianceN2(df, "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // brute-force replay on the same lattice
+    val q = rows.map(_.map(x => math.round(x * 1000).toDouble))
+    val n = q.length.toLong
+    def s(i: Int) = q.map(_(i).toLong).sum
+    def g(i: Int, j: Int) = q.map(v => v(i).toLong * v(j).toLong).sum
+    for { i <- 0 until d; j <- i until d } {
+      assert(cov((i, j)) === n * g(i, j) - s(i) * s(j), s"cov($i,$j)")
+    }
+    val cov9 = graft.operators.Spectral.covarianceN2(df.repartition(9), "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(cov9 === cov)
+  }
+
+  test("Spectral.pcaProject recovers a planted dominant direction") {
+    import spark.implicits._
+    val d = 10
+    val r = rng(10L)
+    val dir = {
+      val raw = Array.fill(d)(r.nextGaussian())
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+    // strong rank-1 signal + small isotropic noise
+    val rows = Seq.fill(200) {
+      val a = 10.0 * r.nextGaussian()
+      dir.map(x => a * x + 0.1 * r.nextGaussian()).toSeq
+    }
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "embedding")
+    val (comps, eig, dd) = graft.operators.Spectral.principalComponents(df, "embedding", 2)
+    assert(dd === d && eig(0) > 50 * eig(1))
+    val align = math.abs(comps(0).zip(dir).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"top component misaligned: $align")
+    val proj = graft.operators.Spectral.pcaProject(df, "id", "embedding", 2)
+    val stats = proj.selectExpr("min(residual_sq)", "max(residual_sq)",
+      "sum(proj[0]*proj[0])", "sum(proj[1]*proj[1])").collect()(0)
+    assert(stats.getDouble(0) >= -1e-9)
+    assert(stats.getDouble(2) > stats.getDouble(3)) // energy ordered
+    // residual is only the noise floor: tiny relative to captured energy
+    assert(stats.getDouble(1) < 0.05 * eig(0))
+  }
 }
