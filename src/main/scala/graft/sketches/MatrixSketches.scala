@@ -220,7 +220,10 @@ object FrequentDirections {
             val app = a(p * n + p)
             val aqq = a(q * n + q)
             val theta = (aqq - app) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // sign(0) must be +1: equal diagonal entries need the full
+            // 45-degree rotation, not a no-op (signum(0) would stall)
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var k = 0

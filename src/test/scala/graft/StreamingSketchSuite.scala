@@ -176,4 +176,41 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
       assert(latest.toSeq === Seq(Row("x", 3L), Row("y", 1L)))
     } finally q.stop()
   }
+
+  test("FrequentDirections facade as mapGroupsWithState user state") {
+    import graft.sketches.FrequentDirections
+    import spark.implicits._
+    // continuous spectral monitoring: per-source FD sketch as streaming
+    // state, top singular energy emitted each micro-batch
+    val input = MemoryStream[(String, Seq[Double])](spark)
+
+    def update(key: String, rows: Iterator[(String, Seq[Double])],
+        state: GroupState[Array[Byte]]): (String, Double, Double) = {
+      val fd = if (state.exists) FrequentDirections.fromBytes(state.get)
+        else FrequentDirections.create(4, 3)
+      rows.foreach { case (_, v) => fd.update(v.toArray) }
+      state.update(fd.toBytes)
+      (key, fd.squaredSingularValues.head, fd.frobeniusSquared)
+    }
+
+    val energies = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("k", "top_energy", "frob_sq")
+    val q = energies.writeStream
+      .format("memory").queryName("fd_state").outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(("s1", Seq(2.0, 0.0, 0.0)), ("s1", Seq(2.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      input.addData(("s1", Seq(2.0, 0.0, 0.0)), ("s2", Seq(0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      val latest = spark.table("fd_state")
+        .groupBy("k").agg(max("top_energy").as("e"), max("frob_sq").as("f"))
+        .orderBy("k").collect()
+      // s1 ingested three [2,0,0] rows: top energy 12, frob 12 (exact —
+      // under ell the sketch never shrinks); s2 one unit row
+      assert(latest.toSeq === Seq(Row("s1", 12.0, 12.0), Row("s2", 1.0, 1.0)))
+    } finally q.stop()
+  }
 }
