@@ -181,4 +181,50 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
       assert(d.contains("Arguments:") && d.contains("Examples:"), fn)
     }
   }
+
+  test("matrix family validates dims, ell constancy, and image headers") {
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0, 5.0))).toDF("id", "v")
+      .createOrReplaceTempView("epm")
+    // ragged vector dims fail loudly, never silently mis-accumulate —
+    // either at update ("expected dim") or at partial merge ("cannot
+    // merge"), depending on how rows land in partitions
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT vec_gram_agg(v) FROM epm").collect()
+    }
+    assert(e1.getMessage.contains("expected dim") ||
+      e1.getMessage.contains("cannot merge Gram"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT fd_accumulate(v, 4) FROM epm").collect()
+    }
+    assert(e2.getMessage.contains("expected dim") ||
+      e2.getMessage.contains("cannot merge FD"))
+    // ell must be a constant literal >= 2
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT fd_accumulate(v, CAST(id AS INT)) FROM epm").collect()
+    }
+    assert(e3.getMessage.contains("ell"))
+    // fd_combine rejects a non-FD binary image as data corruption
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT fd_combine(s) FROM (SELECT binary('junk') s)").collect()
+    }
+    assert(e4.getMessage.contains("invalid FD sketch image") ||
+      e4.getMessage.contains("FD"))
+    // mismatched ell across images cannot merge (would break the bound)
+    val e5 = intercept[Exception] {
+      spark.sql("""SELECT fd_combine(s) FROM (
+        |  SELECT fd_accumulate(v, 4) s FROM (SELECT array(1.0d) v)
+        |  UNION ALL
+        |  SELECT fd_accumulate(v, 8) s FROM (SELECT array(1.0d) v))""".stripMargin)
+        .collect()
+    }
+    assert(e5.getMessage.contains("cannot merge FD"))
+    // documentation present for the whole family
+    Seq("vec_gram_agg", "fd_accumulate", "fd_combine", "fd_gram_estimate",
+      "fd_singular_values", "fd_error_bound").foreach { fn =>
+      val d = spark.sql(s"DESCRIBE FUNCTION EXTENDED $fn")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(d.contains("Arguments:") && d.contains("Examples:"), fn)
+    }
+  }
 }
