@@ -3533,41 +3533,10 @@ object SparkEntry {
     // iteration. Assignment is a projection against broadcast centroid
     // literals (no corpus shuffle); the update shuffles only k*d
     // partial sums.
-    q("q122_kmeans_assign", {
-      def step(vTbl: String, cTbl: String, sAs: String, aAs: String): String =
-        s"""$sAs AS (
-           |  SELECT v.vec_id, $cTbl.j,
-           |         list_sum(list_transform(range(1, 65),
-           |           i -> (v.q[i] - $cTbl.c[i]) * (v.q[i] - $cTbl.c[i]))) dist
-           |  FROM v CROSS JOIN $cTbl),
-           |$aAs AS (
-           |  SELECT vec_id, j AS cl FROM (
-           |    SELECT vec_id, j,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rk
-           |    FROM $sAs) WHERE rk = 1)""".stripMargin
-      s"""WITH v AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) q
-         |  FROM embeddings),
-         |c0 AS (SELECT vec_id j, q c FROM v WHERE vec_id < 8),
-         |${step("v", "c0", "s0", "a0")},
-         |m1 AS (
-         |  SELECT a0.cl, i.i, CAST(floor(sum(v.q[i.i]) / count(*)) AS DOUBLE) ci
-         |  FROM a0 JOIN v USING (vec_id)
-         |       CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) i) i
-         |  GROUP BY a0.cl, i.i),
-         |c1 AS (SELECT cl j, list(ci ORDER BY i) c FROM m1 GROUP BY cl),
-         |${step("v", "c1", "s1", "a1")},
-         |m2 AS (
-         |  SELECT a1.cl, i.i, CAST(floor(sum(v.q[i.i]) / count(*)) AS DOUBLE) ci
-         |  FROM a1 JOIN v USING (vec_id)
-         |       CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) i) i
-         |  GROUP BY a1.cl, i.i),
-         |c2 AS (SELECT cl j, list(ci ORDER BY i) c FROM m2 GROUP BY cl),
-         |${step("v", "c2", "s2", "a2")}
+    q("q122_kmeans_assign",
+      s"""$kmeansOracleCtes
          |SELECT vec_id AS id, CAST(cl AS BIGINT) AS cluster
-         |FROM a2 ORDER BY id""".stripMargin
-    }) { (s, d) =>
+         |FROM a2 ORDER BY id""".stripMargin) { (s, d) =>
       view(s, d, "embeddings")
       Clustering.kmeansAssign(s.table("embeddings"), "vec_id", "embedding",
         k = 8, iters = 2)
@@ -3668,6 +3637,46 @@ object SparkEntry {
           (col("resid_min") >= lit(-1e-6)).as("resid_ok"),
           (abs(col("captured_total") + col("resid_total") - col("total"))
             <= lit(1e-4) * col("total")).as("energy_conserved"))
+    },
+
+    // SemDeDup with a fully-exact oracle: deterministic k-means clusters
+    // (the q122 lattice iteration) restrict the pair search to
+    // same-cluster candidates; a document is dropped when a LOWER-id
+    // cluster-mate sits at cosine >= 0.47 (exact double math, the q23
+    // convention). Work is sum of cluster-size^2 — SemDeDup's own
+    // recall/cost contract — while removals stay precision-exact.
+    // DuckDB replays clustering AND pair search bit-for-bit.
+    q("q126_semdedup_exact",
+      s"""$kmeansOracleCtes,
+         |e2 AS (
+         |  SELECT a2.vec_id id, a2.cl, CAST(embedding AS DOUBLE[]) ev
+         |  FROM a2 JOIN embeddings ON a2.vec_id = embeddings.vec_id),
+         |p AS (
+         |  SELECT DISTINCT y.id FROM e2 x JOIN e2 y
+         |    ON x.cl = y.cl AND x.id < y.id
+         |  WHERE list_dot_product(x.ev, y.ev)
+         |        / (sqrt(list_dot_product(x.ev, x.ev))
+         |           * sqrt(list_dot_product(y.ev, y.ev))) >= 0.47)
+         |SELECT id, CAST(cl AS BIGINT) AS cluster,
+         |       id NOT IN (SELECT id FROM p) AS kept
+         |FROM e2 ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      val assigned = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      val vecs = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("ev"))
+        .withColumn("nrm", sqrt(Similarity.dot(col("ev"), col("ev"))))
+      val a = assigned.join(vecs, "id")
+      val removed = a.as("x").join(a.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+        .where(Similarity.dot(col("x.ev"), col("y.ev"))
+          / (col("x.nrm") * col("y.nrm")) >= 0.47)
+        .select(col("y.id").as("id")).distinct()
+      assigned
+        .join(removed.withColumn("removed", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          coalesce(!col("removed"), lit(true)).as("kept"))
+        .orderBy("id")
     }
   )
 
@@ -3797,6 +3806,42 @@ object SparkEntry {
       s"substr('0123456789abcdef', 1 + ${terms.mkString(" + ")}, 1)"
     }
     (0 until 16).map(nibble).mkString(" || ")
+  }
+
+  /** DuckDB replay of [[graft.operators.Clustering.kmeansAssign]] with
+   *  k=8, iters=2 on the 1/1000 integer lattice: CTE chain ending in
+   *  `a2(vec_id, cl)`, every distance and centroid an integer-valued
+   *  double so the unrolled iteration is bit-exact in any engine.
+   *  Shared by q122 (assignments) and q126 (SemDeDup composition). */
+  private def kmeansOracleCtes: String = {
+    def step(cTbl: String, sAs: String, aAs: String): String =
+      s"""$sAs AS (
+         |  SELECT v.vec_id, $cTbl.j,
+         |         list_sum(list_transform(range(1, 65),
+         |           i -> (v.q[i] - $cTbl.c[i]) * (v.q[i] - $cTbl.c[i]))) dist
+         |  FROM v CROSS JOIN $cTbl),
+         |$aAs AS (
+         |  SELECT vec_id, j AS cl FROM (
+         |    SELECT vec_id, j,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rk
+         |    FROM $sAs) WHERE rk = 1)""".stripMargin
+    def lloyd(aTbl: String, mAs: String, cAs: String): String =
+      s"""$mAs AS (
+         |  SELECT $aTbl.cl, i.i, CAST(floor(sum(v.q[i.i]) / count(*)) AS DOUBLE) ci
+         |  FROM $aTbl JOIN v USING (vec_id)
+         |       CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) i) i
+         |  GROUP BY $aTbl.cl, i.i),
+         |$cAs AS (SELECT cl j, list(ci ORDER BY i) c FROM $mAs GROUP BY cl)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id j, q c FROM v WHERE vec_id < 8),
+       |${step("c0", "s0", "a0")},
+       |${lloyd("a0", "m1", "c1")},
+       |${step("c1", "s1", "a1")},
+       |${lloyd("a1", "m2", "c2")},
+       |${step("c2", "s2", "a2")}""".stripMargin
   }
 
   /** DuckDB brute-force word-5-gram Jaccard pairs at threshold 4/5 (integer
