@@ -90,6 +90,30 @@ class ClusteringSuite extends AnyFunSuite with GraftSparkSession {
     assert(batch.exists { case (a, b, _, _) => a == 1L && b == 2L }) // sanity
   }
 
+  test("plan shapes: assignment and PCA scoring are shuffle-free maps") {
+    import spark.implicits._
+    val data = clusteredVecs(60, 6, 3, 11L)
+    val df = data.map { case (id, _, v) => (id, v) }.toDF("id", "vec")
+    // final assignment: centroids are plan literals — scan + project, no
+    // Exchange (the corpus is never shuffled to be labeled)
+    val assignPlan = graft.operators.Clustering
+      .kmeansAssign(df, "id", "vec", 3, 0)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), assignPlan)
+    // PCA projection: one Gram pass happened at build time; the scoring
+    // pass itself is a stateless map against broadcast literals
+    val pcaPlan = graft.operators.Spectral
+      .pcaProject(df, "id", "vec", 2)
+      .queryExecution.executedPlan.toString
+    assert(!pcaPlan.contains("Exchange"), pcaPlan)
+    // the gram aggregate plans as partial/final ObjectHashAggregate with
+    // ONE exchange carrying only the d^2 partial state
+    val gramPlan = df.selectExpr("vec_gram_agg(CAST(vec AS ARRAY<DOUBLE>)) g")
+      .queryExecution.executedPlan.toString
+    assert(gramPlan.contains("ObjectHashAggregate"), gramPlan)
+    assert("Exchange".r.findAllIn(gramPlan).length === 1, gramPlan)
+  }
+
   test("streaming nearDupPairs maxPerBucket caps state but keeps verifying") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
