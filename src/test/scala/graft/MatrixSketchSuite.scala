@@ -213,6 +213,42 @@ class MatrixSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(e1.getMessage.contains("ell"))
   }
 
+  test("property: FD bound, monotone trace, and merge-order invariance hold " +
+    "across random shapes") {
+    // randomized (n, d, ell, data) sweeps with fixed seeds — the FD
+    // guarantee is a theorem, so EVERY draw must satisfy it exactly
+    for (caseId <- 0 until 12) {
+      val r = rng(100L + caseId)
+      val d = 2 + r.nextInt(12)
+      val ell = 2 + r.nextInt(6)
+      val n = 1 + r.nextInt(300)
+      val scale = math.pow(10, r.nextInt(5) - 2)
+      val rows = Array.fill(n)(Array.fill(d)(scale * r.nextGaussian()))
+      val fd = FrequentDirections.create(ell, d)
+      rows.foreach(fd.update)
+      val exact = exactGram(rows, d)
+      val diff = exact.zip(fd.gram).map { case (a, b) => a - b }
+      val bound = fd.frobeniusSquared / ell
+      assert(specNorm(diff, d) <= bound * (1 + 1e-9) + 1e-12,
+        s"case $caseId: n=$n d=$d ell=$ell")
+      // under-estimation: diagonal of the deficit never negative
+      (0 until d).foreach(i => assert(diff(i * d + i) >= -1e-6 * bound - 1e-12))
+      // merge-order invariance of the GUARANTEE (not of the bytes): any
+      // split must still satisfy the bound with the summed ledger
+      val cut = r.nextInt(n + 1)
+      val (h1, h2) = rows.splitAt(cut)
+      val f1 = FrequentDirections.create(ell, d)
+      val f2 = FrequentDirections.create(ell, d)
+      h1.foreach(f1.update)
+      h2.foreach(f2.update)
+      f2.merge(f1) // reverse order on purpose
+      val diff2 = exact.zip(f2.gram).map { case (a, b) => a - b }
+      assert(specNorm(diff2, d) <= f2.frobeniusSquared / ell * (1 + 1e-9) + 1e-12)
+      assert(math.abs(f2.frobeniusSquared - fd.frobeniusSquared) <=
+        1e-9 * (1 + fd.frobeniusSquared))
+    }
+  }
+
   test("Spectral.covarianceN2 matches the definition and is partition-invariant") {
     import spark.implicits._
     val d = 5
