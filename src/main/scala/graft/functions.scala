@@ -196,6 +196,11 @@ object functions {
   def graft_bucket_index(bounds: Column, v: Column): Column =
     F.call_function("graft_bucket_index", bounds, v)
 
+  // --- sparse integer-weighted vectors ---------------------------------
+  def graft_sparse_dot(keysA: Column, valsA: Column,
+      keysB: Column, valsB: Column): Column =
+    F.call_function("graft_sparse_dot", keysA, valsA, keysB, valsB)
+
   // --- matrix / spectral aggregates (Gram + Frequent Directions) -------
   def vec_gram_agg(vec: Column): Column = F.call_function("vec_gram_agg", vec)
   def fd_accumulate(vec: Column, ell: Int): Column =

@@ -352,19 +352,31 @@ object Similarity {
         round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) * lit(1e4)).cast("long"))
       .select(col("id"), col("th"), col("w"), col("df"))
       .cache()
-    val nrm = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
     val rare = w.where(col("df") <= maxDf).select("id", "th")
     val cand = rare.as("a")
       .join(rare.as("b"), col("a.th") === col("b.th") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val num = cand
-      .join(w.select(col("id").as("id_a"), col("th"), col("w").as("wa")), Seq("id_a"))
-      .join(w.select(col("id").as("id_b"), col("th"), col("w").as("wb")), Seq("id_b", "th"))
-      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("num"))
-    num
-      .join(nrm.select(col("id").as("id_a"), col("n2").as("na")), Seq("id_a"))
-      .join(nrm.select(col("id").as("id_b"), col("n2").as("nb")), Seq("id_b"))
+    // Pack each doc's term vector into aligned sorted (th, w) long arrays
+    // plus its norm, then verify candidates with ONE in-row sorted-merge
+    // dot (`graft_sparse_dot`) — each doc's terms ship once per side as a
+    // packed array instead of exploding candidates back to term-level
+    // rows and re-aggregating per pair (two term-level shuffles and a
+    // pair groupBy saved; LONG weights keep the dot exact either way).
+    val vecs = w.groupBy("id").agg(
+      sort_array(collect_list(struct(col("th"), col("w")))).as("tw"),
+      sum(col("w") * col("w")).as("n2"))
+      .select(col("id"),
+        transform(col("tw"), t => t("th")).as("ths"),
+        transform(col("tw"), t => t("w")).as("ws"),
+        col("n2"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("ths").as("tha"),
+        col("ws").as("wsa"), col("n2").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("ths").as("thb"),
+        col("ws").as("wsb"), col("n2").as("nb")), Seq("id_b"))
+      .withColumn("num", call_function("graft_sparse_dot",
+        col("tha"), col("wsa"), col("thb"), col("wsb")))
       .withColumn("cos", col("num") / (sqrt(col("na")) * sqrt(col("nb"))))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cosine"))

@@ -1099,6 +1099,22 @@ object GraftFunctionRegistry {
         intLiteral("graft_winnow", "w", args(2)))
     },
 
+    fd("graft_sparse_dot",
+      "_FUNC_(keys_a, vals_a, keys_b, vals_b) - Dot product of two sparse " +
+        "integer-weighted vectors given as aligned (sorted-key, value) long-array " +
+        "pairs: a sorted-merge pass sums vals_a*vals_b over matching keys, exact in " +
+        "LONG arithmetic. Keys must be sorted ascending and unique per vector.",
+      Seq(4),
+      Seq("keys_a" -> "sorted ARRAY<LONG> of the left vector's keys",
+        "vals_a" -> "ARRAY<LONG> of the left vector's values, aligned with keys_a",
+        "keys_b" -> "sorted ARRAY<LONG> of the right vector's keys",
+        "vals_b" -> "ARRAY<LONG> of the right vector's values, aligned with keys_b"),
+      Seq(("SELECT _FUNC_(array(1L, 3L), array(2L, 5L), " +
+        "array(3L, 4L), array(7L, 9L))") -> "35"),
+      "misc_funcs") { args =>
+      SparseDot(args(0), args(1), args(2), args(3))
+    },
+
     // --- matrix / spectral aggregates ---------------------------------
     fd("vec_gram_agg",
       "_FUNC_(vec) - Aggregates ARRAY<DOUBLE> vectors into the exact Gram matrix " +

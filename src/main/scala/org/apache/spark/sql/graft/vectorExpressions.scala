@@ -414,3 +414,65 @@ case class BucketIndex(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * `graft_sparse_dot(keys_a, vals_a, keys_b, vals_b)` — dot product of two
+ * SPARSE integer-weighted vectors given as aligned (sorted-key, value)
+ * long-array pairs: one sorted-merge pass sums `vals_a[i] * vals_b[j]`
+ * over matching keys. LONG arithmetic throughout — with fixed-point
+ * integer weights the result is exact and order-independent, the
+ * property the sparse-cosine oracle replay relies on.
+ *
+ * Replaces the per-term join + pair groupBy in candidate verification:
+ * each document's term vector ships ONCE as two packed arrays and the
+ * dot runs in-row inside codegen, instead of exploding candidates back
+ * to term-level rows and re-aggregating.
+ *
+ * Keys must be sorted ascending and unique per vector (the term-hash
+ * groupBy guarantees both); arrays of a pair must have equal length.
+ */
+case class SparseDot(
+    keysA: Expression, valsA: Expression,
+    keysB: Expression, valsB: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_sparse_dot"
+  override def first: Expression = keysA
+  override def second: Expression = valsA
+  override def third: Expression = keysB
+  override def fourth: Expression = valsB
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def compute(ka: ArrayData, va: ArrayData, kb: ArrayData, vb: ArrayData): Long = {
+    val na = math.min(ka.numElements(), va.numElements())
+    val nb = math.min(kb.numElements(), vb.numElements())
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val x = ka.getLong(i)
+      val y = kb.getLong(j)
+      if (x == y) { acc += va.getLong(i) * vb.getLong(j); i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sparseDot", this, classOf[SparseDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = $ref.compute($a, $b, $c, $d);")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(keysA = a, valsA = b, keysB = c, valsB = d)
+}

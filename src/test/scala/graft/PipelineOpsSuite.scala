@@ -968,6 +968,17 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       threshold = 0.999, maxDf = 3, ngram = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(grams === Set((0L, 3L)))
+    // the in-row verifier: sorted-merge dot over aligned (key, value)
+    // arrays, exact LONG arithmetic, disjoint keys -> 0, null -> null
+    val sd = spark.sql(
+      """SELECT graft_sparse_dot(array(1L, 3L, 9L), array(2L, 5L, 1L),
+        |                        array(3L, 4L, 9L), array(7L, 9L, -4L)) a,
+        |       graft_sparse_dot(array(1L), array(2L), array(2L), array(3L)) b,
+        |       graft_sparse_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L),
+        |                        array(1L), array(1L)) c""".stripMargin).collect()(0)
+    assert(sd.getLong(0) === 35L - 4L)
+    assert(sd.getLong(1) === 0L)
+    assert(sd.isNullAt(2))
   }
 
   test("encoding signals: counts and suspect flag per artifact class") {
