@@ -124,4 +124,39 @@ class WireFormatSuite extends AnyFunSuite with GraftSparkSession {
       assert(combined.getDouble(0) === direct.getDouble(0))
     }
   }
+
+  test("FD and Gram images: graft-specific layout pinned byte-for-byte") {
+    import graft.sketches.{FrequentDirections, GramAccumulator}
+    // These two are the ONLY graft sketch families with a graft-native
+    // wire format (no DataSketches matrix sketch exists to be compatible
+    // with); pin the exact layout so stored summary tables survive
+    // library upgrades: little-endian [magic, ell|d, d|n, used] header
+    // then doubles.
+    val fd = FrequentDirections.create(2, 2)
+    fd.update(Array(1.0, 2.0))
+    val fdBytes = fd.toBytes
+    val bb = java.nio.ByteBuffer.wrap(fdBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() === 0x46447331) // "FDs1"
+    assert(bb.getInt() === 2 && bb.getInt() === 2 && bb.getInt() === 1)
+    assert(bb.getDouble() === 5.0) // frobenius ledger
+    assert(bb.getDouble() === 1.0 && bb.getDouble() === 2.0)
+    assert(fdBytes.length === 16 + 8 + 2 * 8)
+
+    val g = GramAccumulator.create(2)
+    g.update(Array(3.0, 4.0))
+    val gBytes = g.toBytes
+    val gb = java.nio.ByteBuffer.wrap(gBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(gb.getInt() === 0x47524d31) // "GRM1"
+    assert(gb.getInt() === 2 && gb.getLong() === 1L)
+    assert(Seq(gb.getDouble(), gb.getDouble(), gb.getDouble(), gb.getDouble())
+      === Seq(9.0, 12.0, 12.0, 16.0))
+    assert(gBytes.length === 4 + 4 + 8 + 4 * 8)
+    // and the golden bytes round-trip through the SQL estimators
+    import spark.implicits._
+    val est = Seq(fdBytes).toDF("s")
+      .selectExpr("fd_error_bound(s)", "fd_gram_estimate(s)[3]").collect()(0)
+    assert(est.getDouble(0) === 2.5 && est.getDouble(1) === 4.0)
+  }
 }
