@@ -30,6 +30,7 @@ object GraftConf {
   val THETA_LGK_KEY = "spark.sql.dataSketches.theta.lgK"
   val TUPLE_LGK_KEY = "spark.sql.dataSketches.tuple.lgK"
   val TDIGEST_K_KEY = "spark.sql.dataSketches.tdigest.k"
+  val FD_ELL_KEY = "spark.sql.dataSketches.fd.ell"
 
   /** Default quantile algorithm: REQ, k=12 (reference: DataSketchConf.scala:36-55). */
   def quantileSketchImpl: String = GraftConfEntries.getString(GraftConfEntries.QUANTILE_SKETCH_IMPL)
@@ -54,4 +55,7 @@ object GraftConf {
 
   /** t-digest compression: more centroids = tighter tail-weighted rank error. */
   def tdigestK: Int = GraftConfEntries.getInt(GraftConfEntries.TDIGEST_K)
+
+  /** Frequent-Directions sketch rows; spectral error <= ||A||_F^2 / ell. */
+  def fdEll: Int = GraftConfEntries.getInt(GraftConfEntries.FD_ELL)
 }

@@ -1129,17 +1129,24 @@ object GraftFunctionRegistry {
       VecGramAgg(args(0))
     },
     fd("fd_accumulate",
-      "_FUNC_(vec, ell) - Aggregates ARRAY<DOUBLE> vectors into a serialized " +
+      "_FUNC_(vec[, ell]) - Aggregates ARRAY<DOUBLE> vectors into a serialized " +
         "Frequent-Directions matrix sketch (BINARY): ell rows approximating the " +
         "stream's Gram with spectral error at most ||A||_F^2/ell using O(ell*d) state " +
-        "instead of the exact aggregate's O(d^2). Mergeable with fd_combine.",
-      Seq(2),
+        "instead of the exact aggregate's O(d^2). Mergeable with fd_combine. " +
+        "Without ell, `spark.sql.dataSketches.fd.ell` applies (default 16), frozen " +
+        "into the plan at driver-side creation like every other sketch parameter.",
+      Seq(1, 2),
       Seq("vec" -> "an ARRAY<DOUBLE> (or castable) embedding column of uniform dimension",
-        "ell" -> "constant sketch size (rows retained), >= 2"),
+        "ell" -> ("constant sketch size (rows retained), >= 2; " +
+          "defaults to spark.sql.dataSketches.fd.ell")),
       Seq(("SELECT fd_error_bound(_FUNC_(v, 8)) FROM " +
         "VALUES (array(1.0d, 0.0d)) AS tab(v)") -> "0.125"),
       "agg_funcs") { args =>
-      FdAccumulate(args(0), args(1), FdAccumulate.resolveEll(args(1)))
+      if (args.length == 1) {
+        FdAccumulate(args(0), Literal(GraftConf.fdEll), GraftConf.fdEll)
+      } else {
+        FdAccumulate(args(0), args(1), FdAccumulate.resolveEll(args(1)))
+      }
     },
     fd("fd_combine",
       "_FUNC_(sketch) - Merges serialized Frequent-Directions sketches into one " +

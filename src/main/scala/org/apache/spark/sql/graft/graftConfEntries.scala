@@ -119,6 +119,15 @@ object GraftConfEntries {
       .checkValue(v => v >= 10 && v <= 10000, "The parameter `k` must be in [10, 10000].")
       .createWithDefault(200)
 
+  val FD_ELL: ConfigEntry[Int] =
+    buildConf("spark.sql.dataSketches.fd.ell")
+      .doc("The sketch size (rows retained) of the Frequent-Directions matrix " +
+        "sketch (fd_accumulate without an explicit ell argument); the Gram " +
+        "approximation's spectral error is bounded by ||A||_F^2 / ell.")
+      .intConf
+      .checkValue(v => v >= 2 && v <= 4096, "The parameter `ell` must be in [2, 4096].")
+      .createWithDefault(16)
+
   val APPROX_COUNT_DISTINCT_ENABLED: ConfigEntry[Boolean] =
     buildConf("spark.sql.graft.approxCountDistinct.enabled")
       .doc("When true, exact COUNT(DISTINCT x) aggregates over string/integral " +

@@ -213,6 +213,25 @@ class MatrixSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(e1.getMessage.contains("ell"))
   }
 
+  test("SQL: one-arg fd_accumulate freezes ell from the session conf") {
+    withSQLConf("spark.sql.dataSketches.fd.ell" -> "4") {
+      val sv = spark.sql(
+        "SELECT fd_singular_values(fd_accumulate(v)) FROM VALUES (array(1.0d, 0.0d)) t(v)")
+        .collect()(0).getSeq[Double](0)
+      assert(sv.length === 4) // padded to the conf'd ell
+    }
+    // default ell = 16
+    val svd = spark.sql(
+      "SELECT fd_singular_values(fd_accumulate(v)) FROM VALUES (array(1.0d, 0.0d)) t(v)")
+      .collect()(0).getSeq[Double](0)
+    assert(svd.length === 16)
+    // bad conf values rejected at SET time
+    val e = intercept[Exception] {
+      spark.conf.set("spark.sql.dataSketches.fd.ell", "1")
+    }
+    assert(e.getMessage.contains("ell"))
+  }
+
   test("property: FD bound, monotone trace, and merge-order invariance hold " +
     "across random shapes") {
     // randomized (n, d, ell, data) sweeps with fixed seeds — the FD
