@@ -140,7 +140,7 @@ class ErrorPathSuite extends AnyFunSuite with GraftSparkSession {
     val rows = spark.sql("SET -v").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .filter(_._1.startsWith("spark.sql.dataSketches."))
-    assert(rows.length === 11)
+    assert(rows.length === 12)
     val kll = rows.find(_._1 == GraftConf.QUANTILE_KLL_K_KEY).get
     assert(kll._2 === "200")
     assert(kll._3.nonEmpty) // doc string present
