@@ -3677,6 +3677,51 @@ object SparkEntry {
         .select(col("id"), col("cluster"),
           coalesce(!col("removed"), lit(true)).as("kept"))
         .orderBy("id")
+    },
+
+    // Embedding distribution drift between corpus slices, exact: the
+    // cross-normalized Gram difference n_B*G_A - n_A*G_B per (i, j) on
+    // the integer lattice (LONG-exact at any parallelism). Two
+    // comparisons side by side: even- vs odd-id halves (same
+    // distribution — drift is sampling noise) and even half vs the odd
+    // half with a PLANTED +0.5 shift on dim 0 (structured drift
+    // concentrated in row/col 0). DuckDB replays every entry.
+    q("q127_embedding_drift",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |qa AS (SELECT list_transform(v, x -> round(x * 1000)) q
+        |       FROM base WHERE vec_id % 2 = 0),
+        |qb AS (SELECT list_transform(v, x -> round(x * 1000)) q
+        |       FROM base WHERE vec_id % 2 = 1),
+        |qc AS (SELECT list_transform([v[1] + 0.5] || v[2:], x -> round(x * 1000)) q
+        |       FROM base WHERE vec_id % 2 = 1),
+        |idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) i),
+        |na AS (SELECT CAST(count(*) AS BIGINT) n FROM qa),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) n FROM qb),
+        |ga AS (SELECT x.i i, y.i j, CAST(sum(qa.q[x.i + 1] * qa.q[y.i + 1]) AS BIGINT) g
+        |       FROM qa, idx x, idx y WHERE x.i <= y.i GROUP BY 1, 2),
+        |gb AS (SELECT x.i i, y.i j, CAST(sum(qb.q[x.i + 1] * qb.q[y.i + 1]) AS BIGINT) g
+        |       FROM qb, idx x, idx y WHERE x.i <= y.i GROUP BY 1, 2),
+        |gc AS (SELECT x.i i, y.i j, CAST(sum(qc.q[x.i + 1] * qc.q[y.i + 1]) AS BIGINT) g
+        |       FROM qc, idx x, idx y WHERE x.i <= y.i GROUP BY 1, 2)
+        |SELECT ga.i, ga.j,
+        |       CAST(nb.n * ga.g - na.n * gb.g AS BIGINT) AS drift_halves,
+        |       CAST(nb.n * ga.g - na.n * gc.g AS BIGINT) AS drift_planted
+        |FROM ga JOIN gb ON ga.i = gb.i AND ga.j = gb.j
+        |        JOIN gc ON ga.i = gc.i AND ga.j = gc.j
+        |        CROSS JOIN na CROSS JOIN nb
+        |ORDER BY ga.i, ga.j""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val a = e.where(col("vec_id") % 2 === 0).select(col("v").as("embedding"))
+      val b = e.where(col("vec_id") % 2 === 1).select(col("v").as("embedding"))
+      val c = e.where(col("vec_id") % 2 === 1).select(
+        expr("concat(array(v[0] + 0.5d), slice(v, 2, size(v) - 1))").as("embedding"))
+      Spectral.gramDrift(a, b, "embedding")
+        .withColumnRenamed("drift", "drift_halves")
+        .join(Spectral.gramDrift(a, c, "embedding")
+          .withColumnRenamed("drift", "drift_planted"), Seq("i", "j"))
+        .orderBy("i", "j")
     }
   )
 

@@ -88,6 +88,35 @@ object Spectral {
     (comps, order.map(eig(_)).toArray, d)
   }
 
+  /**
+   * Second-moment DRIFT between two corpus slices, exact: for slices A
+   * and B, `drift(i, j) = n_B * G_A(i, j) - n_A * G_B(i, j)` — the
+   * cross-normalized Gram difference (zero iff the two slices' mean
+   * second moments agree at (i, j)), computed on the integer lattice so
+   * every entry is LONG-exact at any parallelism. One Gram pass per
+   * slice; assembly on the driver over the bounded d x d matrices.
+   * Output: (i, j, drift) upper triangle. Distribution shift between
+   * ingestion snapshots / sources shows up as structured mass here
+   * (e.g. a mean shift along dim k inflates row/col k) — and because
+   * entries are exact integers, alerting thresholds are reproducible
+   * across runs, engines, and cluster sizes.
+   */
+  def gramDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      vecCol: String,
+      quantScale: Int = 1000): DataFrame = {
+    val (fa, dpa) = gramToDriver(dfA, homogeneousQuant(col(vecCol), quantScale))
+    val (fb, dpb) = gramToDriver(dfB, homogeneousQuant(col(vecCol), quantScale))
+    require(dpa == dpb, s"dimension mismatch: ${dpa - 1} vs ${dpb - 1}")
+    val d = dpa - 1
+    val na = fa(d * dpa + d).toLong
+    val nb = fb(d * dpa + d).toLong
+    val rows = for { i <- 0 until d; j <- i until d } yield
+      (i, j, nb * fa(i * dpa + j).toLong - na * fb(i * dpa + j).toLong)
+    dfA.sparkSession.createDataFrame(rows).toDF("i", "j", "drift")
+  }
+
   /** Dot of a vector column against a literal direction (sequential). */
   private def dotLit(v: Column, c: Array[Double]): Column =
     aggregate(zip_with(v, typedlit(c.toSeq), (a, b) => a * b),

@@ -206,4 +206,7 @@ object GraftPythonApi {
 
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
     Spectral.pcaProject(df, idCol, vecCol, m)
+
+  def gramDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String): DataFrame =
+    Spectral.gramDrift(dfA, dfB, vecCol)
 }

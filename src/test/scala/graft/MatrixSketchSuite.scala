@@ -288,6 +288,26 @@ class MatrixSketchSuite extends AnyFunSuite with GraftSparkSession {
     assert(cov9 === cov)
   }
 
+  test("Spectral.gramDrift: zero for identical slices, localized for a planted shift") {
+    import spark.implicits._
+    val d = 4
+    val rows = randRows(100, d, 12L).toSeq.map(_.toSeq)
+    val df = rows.toDF("embedding")
+    // identical slices: every drift entry is exactly zero
+    val same = graft.operators.Spectral.gramDrift(df, df, "embedding")
+      .collect()
+    assert(same.length === d * (d + 1) / 2)
+    assert(same.forall(_.getLong(2) === 0L))
+    // planted +1.0 on dim 2: drift concentrates in row/col 2
+    val shifted = rows.map(v => v.updated(2, v(2) + 1.0)).toDF("embedding")
+    val drift = graft.operators.Spectral.gramDrift(df, shifted, "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val touched = drift.filter { case ((i, j), _) => i == 2 || j == 2 }
+    val untouched = drift.filter { case ((i, j), _) => i != 2 && j != 2 }
+    assert(touched.values.forall(_ != 0L))
+    assert(untouched.values.forall(_ === 0L)) // only dim 2 moved
+  }
+
   test("Spectral.pcaProject recovers a planted dominant direction") {
     import spark.implicits._
     val d = 10
