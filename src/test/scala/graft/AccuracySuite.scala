@@ -118,4 +118,37 @@ class AccuracySuite extends AnyFunSuite with GraftSparkSession {
     // binomial(2000, ~0.5): 6 sigma ~ 134
     assert(math.abs(below - 1000) < 150, s"below-median count $below should be ~1000")
   }
+
+  test("FD Gram error shrinks with ell and stays far under the worst-case bound") {
+    import graft.sketches.{FrequentDirections, GramAccumulator}
+    val r = new scala.util.Random(21L)
+    val d = 24
+    // realistic spectrum: a few strong directions + isotropic tail
+    val dirs = Array.fill(4)(Array.fill(d)(r.nextGaussian()))
+    val rows = Array.fill(2000) {
+      val strong = dirs.zipWithIndex.map { case (u, k) =>
+        val a = r.nextGaussian() * (8.0 / (k + 1))
+        u.map(_ * a)
+      }.transpose.map(_.sum)
+      strong.zip(Array.fill(d)(r.nextGaussian() * 0.3)).map { case (a, b) => a + b }
+    }
+    val exact = GramAccumulator.create(d)
+    rows.foreach(exact.update)
+    val g = exact.gram
+    def maxAbsErr(ell: Int): (Double, Double) = {
+      val fd = FrequentDirections.create(ell, d)
+      rows.foreach(fd.update)
+      val err = g.zip(fd.gram).map { case (a, b) => math.abs(a - b) }.max
+      (err, fd.frobeniusSquared / ell)
+    }
+    val (e4, b4) = maxAbsErr(4)
+    val (e8, b8) = maxAbsErr(8)
+    val (e16, b16) = maxAbsErr(16)
+    assert(e4 <= b4 && e8 <= b8 && e16 <= b16)
+    // error drops substantially as ell doubles past the true rank (~4)
+    assert(e16 < e4 * 0.5, s"e4=$e4 e8=$e8 e16=$e16")
+    // on a low-rank-plus-noise spectrum, the realized error sits WELL
+    // under the worst-case 1/ell bound once ell covers the strong rank
+    assert(e16 < 0.2 * b16, s"e16=$e16 bound=$b16")
+  }
 }
