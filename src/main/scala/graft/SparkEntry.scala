@@ -3722,6 +3722,40 @@ object SparkEntry {
         .join(Spectral.gramDrift(a, c, "embedding")
           .withColumnRenamed("drift", "drift_planted"), Seq("i", "j"))
         .orderBy("i", "j")
+    },
+
+    // Mixture rebalancing under a token budget (the DoReMi-style data-
+    // mixture curation step): retarget the corpus to en 40% / others 15%
+    // at 60% of the total token mass. Per-language keep thresholds are
+    // floor(2^60 * desired_tokens / actual_tokens) over the q55 md5 hash
+    // space — integer-exact end to end, so the oracle replays the
+    // thresholds AND the per-row selection bit-for-bit (HUGEINT for the
+    // 2^60 * desired product, which overflows BIGINT).
+    q("q128_mixture_rebalance",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) toks,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) hv
+        |  FROM documents),
+        |tot AS (SELECT lang, sum(toks) t FROM t GROUP BY 1),
+        |b AS (SELECT sum(t) * 3 // 5 AS bud FROM tot),
+        |thr AS (
+        |  SELECT lang,
+        |         CAST(least(
+        |           CAST(1152921504606846976 AS HUGEINT),
+        |           CAST(1152921504606846976 AS HUGEINT)
+        |             * ((SELECT bud FROM b)
+        |                * (CASE lang WHEN 'en' THEN 40 ELSE 15 END) // 100)
+        |             // t) AS BIGINT) cut
+        |  FROM tot)
+        |SELECT t.doc_id, t.lang FROM t JOIN thr USING (lang)
+        |WHERE t.hv < thr.cut ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val shares = Map("en" -> (40, 100), "zh" -> (15, 100), "es" -> (15, 100),
+        "de" -> (15, 100), "fr" -> (15, 100))
+      Sampling.rebalanceMixture(s.table("documents"), "doc_id", "lang", "text",
+          shares, budgetNum = 3, budgetDen = 5)
+        .select("doc_id", "lang").orderBy("doc_id")
     }
   )
 

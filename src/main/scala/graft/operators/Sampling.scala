@@ -77,6 +77,60 @@ object Sampling {
   }
 
   /**
+   * Rebalance a corpus toward a TARGET mixture under a TOKEN budget: for
+   * each group (language/source/domain), keep a deterministic hash slice
+   * sized so the group's expected surviving tokens hit
+   * `share * budget` (clamped at keep-everything for under-represented
+   * groups — rebalancing deletes, it cannot invent data). The DoReMi /
+   * data-mixture curation step as one operator.
+   *
+   * Exact integer contract end to end: per-group token totals are LONG
+   * sums of the pinned token counter, the budget is an integer fraction
+   * of the corpus total, and each group's keep threshold is
+   * `floor(2^60 * desired / actual)` over the same md5 60-bit hash space
+   * as [[weightedMix]] — so selection is a pure function of the id,
+   * stable across runs/engines/parallelism, and replayable by the
+   * driver's DuckDB oracle (q128).
+   *
+   * Scale design: ONE tiny aggregate (one LONG per group — bounded by
+   * the group-key cardinality, collected like every other bounded
+   * driver scalar here), then a map-side literal CASE filter. The corpus
+   * is never shuffled.
+   */
+  def rebalanceMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      targetShares: Map[String, (Int, Int)],
+      budgetNum: Int,
+      budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget must be a fraction in [0,1], got $budgetNum/$budgetDen")
+    targetShares.values.foreach { case (n, d) =>
+      require(d > 0 && n >= 0, s"shares must be non-negative rationals")
+    }
+    val toks = TextOps.tokenCount(col(textCol)).cast("long")
+    val totals = df.groupBy(col(groupCol).as("g")).agg(sum(toks).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = BigInt(totals.values.sum) * budgetNum / budgetDen
+    val thresholds: Map[String, Long] = totals.map { case (g, t) =>
+      val (n, d) = targetShares.getOrElse(g, (0, 1))
+      val desired = budget * n / d
+      val cut =
+        if (t <= 0L) BigInt(0)
+        else (HashSpace * desired / t).min(HashSpace)
+      g -> cut.toLong
+    }
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val cutoff = thresholds.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((g, c), alt) => when(col(groupCol) === g, lit(c)).otherwise(alt)
+    }
+    df.where(hv < cutoff)
+  }
+
+  /**
    * Deterministic disjoint split assignment (train/val/test): partition
    * the 2^60 hash space of [[weightedMix]] into consecutive ranges
    * proportional to the integer `weights`, and label each row by the

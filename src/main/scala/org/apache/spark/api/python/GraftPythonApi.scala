@@ -209,4 +209,17 @@ object GraftPythonApi {
 
   def gramDrift(dfA: DataFrame, dfB: DataFrame, vecCol: String): DataFrame =
     Spectral.gramDrift(dfA, dfB, vecCol)
+
+  // shares: [[group, num, den], ...] from the Python side
+  def rebalanceMixture(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, shares: java.util.List[java.util.List[Object]],
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val m = shares.asScala.map { s =>
+      val p = s.asScala
+      p(0).asInstanceOf[String] ->
+        (p(1).asInstanceOf[Number].intValue(), p(2).asInstanceOf[Number].intValue())
+    }.toMap
+    Sampling.rebalanceMixture(df, idCol, groupCol, textCol, m, budgetNum, budgetDen)
+  }
 }

@@ -250,6 +250,34 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(repart === half)
   }
 
+  test("mixture rebalance: budget honored, under-represented groups clamp to keep-all") {
+    import spark.implicits._
+    // a dominates tokens 4:1; target a=50%, b=50% under a half budget
+    val df = (0L until 400L).map { i =>
+      val g = if (i % 5 == 4) "b" else "a"
+      (i, g, Seq.fill(10)("tok").mkString(" "))
+    }.toDF("id", "grp", "text")
+    val kept = Sampling.rebalanceMixture(df, "id", "grp", "text",
+      Map("a" -> ((50, 100)), "b" -> ((50, 100))), budgetNum = 1, budgetDen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // total 4000 tokens, budget 2000, desired 1000 each = 100 docs;
+    // a has 320 docs (3200 tokens) -> rate 1000/3200; b has 80 docs
+    // (800 tokens) < desired -> clamp: keep ALL of b
+    assert(byG("b") === 80)
+    assert(math.abs(byG("a") - 100) < 35, s"a kept ${byG("a")} of ~100")
+    // deterministic: repartitioned rerun selects the same rows
+    val again = Sampling.rebalanceMixture(df.repartition(11), "id", "grp", "text",
+      Map("a" -> ((50, 100)), "b" -> ((50, 100))), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet === kept.toSet)
+    // a group absent from the target map is dropped entirely
+    val dropped = Sampling.rebalanceMixture(df, "id", "grp", "text",
+      Map("a" -> ((100, 100))), 1, 2)
+      .collect().map(_.getString(1)).toSet
+    assert(dropped === Set("a"))
+  }
+
   test("chunking covers every token with the configured overlap") {
     import spark.implicits._
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b")).toDF("id", "text")
