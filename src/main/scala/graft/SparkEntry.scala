@@ -3756,6 +3756,38 @@ object SparkEntry {
       Sampling.rebalanceMixture(s.table("documents"), "doc_id", "lang", "text",
           shares, budgetNum = 3, budgetDen = 5)
         .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // CCNet-style perplexity quality signal: every document scored under
+    // an add-one-smoothed bigram LM trained on the corpus itself. The
+    // per-bigram log-probs are FIXED-POINT (round(ln(p)*1e4) BIGINT — the
+    // q47/q118 convention), so the per-doc sums are exact and
+    // order-independent, and DuckDB replays training AND scoring.
+    q("q129_bigram_lm_score",
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |  FROM documents),
+        |cu AS (SELECT w, count(*) cw FROM (SELECT unnest(ws) w FROM d) GROUP BY 1),
+        |vv AS (SELECT count(*) v FROM cu),
+        |bg AS (
+        |  SELECT doc_id, b['w1'] w1, b['w2'] w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |             i -> {'w1': ws[i], 'w2': ws[i + 1]})) b
+        |    FROM d WHERE len(ws) >= 2)),
+        |cb AS (SELECT w1, w2, count(*) cb FROM bg GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, count(*) nb,
+        |         sum(CAST(round(ln((cb.cb + 1.0) / (cu.cw + vv.v)) * 10000)
+        |             AS BIGINT)) lp
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu ON cu.w = bg.w1 CROSS JOIN vv
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(nb, 0) AS n_bigrams,
+        |       coalesce(lp, 0) AS logprob_fp
+        |FROM d LEFT JOIN scored USING (doc_id) ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Classifier.bigramLmScore(
+          s.table("documents"), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

@@ -89,4 +89,63 @@ object Classifier {
     rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
     w.toSeq
   }
+
+  /**
+   * CCNet-style perplexity quality signal: score every document under an
+   * add-one-smoothed BIGRAM language model trained on the corpus itself
+   * (or any reference corpus). Output per doc:
+   * `(id, n_bigrams, logprob_fp)` where `logprob_fp` is the sum over the
+   * document's adjacent-token bigrams of
+   * `round(ln((c(w1,w2) + 1) / (c(w1) + V)) * 10^4)` — FIXED-POINT
+   * integers, so the sum is exact and order-independent and the driver's
+   * DuckDB oracle replays it bit-for-bit (the q47/q118 rounding
+   * convention). Unusually-low average log-prob = boilerplate-ish or
+   * garbled text; unusually high = templated/repetitive.
+   *
+   * Scale design: model training is two grouped counts over tokens and
+   * bigrams (map-side partial aggregation; keys are the corpus
+   * vocabulary, Zipf-bounded), and scoring joins each document bigram
+   * against the model on the bigram key — the model never collects
+   * anywhere, so reference corpora of any size work. Documents with
+   * fewer than two tokens score (0, 0).
+   */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: Option[DataFrame] = None): DataFrame = {
+    val scoreDocs = df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+    val refDocs = reference match {
+      case Some(r) => r.select(TextOps.words(col(textCol)).as("ws"))
+      case None => scoreDocs.select("ws")
+    }
+    val refTokens = refDocs.select(explode(col("ws")).as("w"))
+    val unigrams = refTokens.groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = unigrams.agg(count(lit(1)).as("v"))
+    def bigramsOf(wsCol: Column): Column =
+      when(size(wsCol) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(wsCol) - 2),
+          i => struct(element_at(wsCol, i + 1).as("w1"),
+            element_at(wsCol, i + 2).as("w2"))))
+    val refBigrams = refDocs.select(explode(bigramsOf(col("ws"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val docBigrams = scoreDocs
+      .select(col("id"), explode(bigramsOf(col("ws"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val scored = docBigrams
+      .join(refBigrams, Seq("w1", "w2"), "left")
+      .join(unigrams.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // one-row V, the stats-join pattern
+      .withColumn("lp_fp",
+        round(log((coalesce(col("cb"), lit(0L)) + lit(1.0d)) /
+          (coalesce(col("cw"), lit(0L)) + col("v"))) * lit(1e4)).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("logprob_fp"))
+    scoreDocs.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_fp"), lit(0L)).as("logprob_fp"))
+  }
 }

@@ -222,4 +222,11 @@ object GraftPythonApi {
     }.toMap
     Sampling.rebalanceMixture(df, idCol, groupCol, textCol, m, budgetNum, budgetDen)
   }
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Classifier.bigramLmScore(df, idCol, textCol)
+
+  def bigramLmScoreAgainst(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame): DataFrame =
+    Classifier.bigramLmScore(df, idCol, textCol, Some(reference))
 }

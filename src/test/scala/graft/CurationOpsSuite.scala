@@ -278,6 +278,37 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(dropped === Set("a"))
   }
 
+  test("bigram LM score: fluent text beats shuffled text; reference corpus option") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val corpus = Seq(
+      (1L, fluent),
+      (2L, "the cat sat on the rug and the dog sat on the mat"),
+      (3L, "rug the and mat dog on the sat cat sat the on the")) // same tokens, shuffled
+      .toDF("doc_id", "text")
+    val scores = graft.operators.Classifier.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same token count => same bigram count; fluency shows in logprob
+    assert(scores(1L)._1 === scores(3L)._1)
+    assert(scores(1L)._2 > scores(3L)._2,
+      s"fluent ${scores(1L)} should beat shuffled ${scores(3L)}")
+    // short docs score (0, 0)
+    val short = graft.operators.Classifier.bigramLmScore(
+      Seq((9L, "one")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(short.getLong(1) === 0L && short.getLong(2) === 0L)
+    // scoring against a DISJOINT reference corpus: unseen bigrams get
+    // the smoothing floor, so out-of-domain text scores below in-domain
+    val ref = Seq((1L, fluent)).toDF("doc_id", "text")
+    val out = graft.operators.Classifier.bigramLmScore(
+      Seq((1L, fluent), (2L, "completely alien vocabulary here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", reference = Some(ref))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2).toDouble /
+        math.max(r.getLong(1), 1L))).toMap
+    assert(out(1L) > out(2L))
+  }
+
   test("chunking covers every token with the configured overlap") {
     import spark.implicits._
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b")).toDF("id", "text")
