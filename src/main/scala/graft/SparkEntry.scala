@@ -3788,6 +3788,49 @@ object SparkEntry {
       graft.operators.Classifier.bigramLmScore(
           s.table("documents"), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // Streaming per-language TOKEN-budget admission, driver-checked by
+    // bounded replay (the q69 pattern): documents stream through
+    // `tokenQuotaPerKey` in two doc_id-ordered micro-batches; the
+    // monotone prefix semantics make the admitted set equal the batch
+    // running-sum window exactly, which the oracle replays.
+    q("q130_streaming_token_quota",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |             sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) cum
+        |      FROM t)
+        |SELECT doc_id, lang FROM c WHERE cum <= 2000 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      view(s, d, "documents")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("documents").select(col("doc_id"), col("lang"), col("text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val input = MemoryStream[(Long, String, String)](s)
+      val admitted = graft.streaming.StreamingOps.tokenQuotaPerKey(
+        input.toDF().toDF("doc_id", "lang", "text"),
+        "lang", "doc_id", "text", budgetTokens = 2000L)
+      val sink = "graft_q130_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val qy = admitted.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toSeq)
+        qy.processAllAvailable()
+        input.addData(b2.toSeq)
+        qy.processAllAvailable()
+      } finally {
+        qy.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).select("doc_id", "lang").orderBy("doc_id")
     }
   )
 

@@ -349,6 +349,54 @@ object StreamingOps {
       .toDF("id_a", "id_b", "inter", "uni")
   }
 
+  /**
+   * Streaming TOKEN-budget admission per key: admit each arriving
+   * document while the key's cumulative admitted token count (including
+   * the candidate) stays within `budgetTokens` — the ingestion-time
+   * form of the batch mixture-rebalance step (q128): cap what each
+   * language/source/tenant may contribute to a training corpus AS IT
+   * STREAMS, by token mass rather than row count (quotaPerKey's axis).
+   *
+   * State is ONE Long per key: the cumulative token mass of EVERY
+   * arrival (admitted or not), which is monotone — so "admit while the
+   * running total fits" is a pure prefix rule, and a bounded replay
+   * equals the batch window `sum(toks) OVER (ORDER BY id) <= budget`
+   * exactly (q130's oracle). The first overflow closes the key for
+   * good: predictable cut semantics under re-runs and backfills, the
+   * same reason assignSplits uses prefix hash ranges. Within a
+   * micro-batch, arrival ties resolve in ascending `idCol` order (the
+   * q69 bounded-replay convention).
+   */
+  def tokenQuotaPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val withToks = df.where(col(keyCol).isNotNull)
+      .withColumn("__graft_toks", TextOps.tokenCount(col(textCol)).cast("long"))
+    val outSchema = withToks.schema
+    val tokIdx = outSchema.fieldIndex("__graft_toks")
+    withToks
+      .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val admitted = Vector.newBuilder[Row]
+          rows.toVector.sortBy(_.getAs[Long](idIdx)).foreach { r =>
+            seen += r.getLong(tokIdx)
+            if (seen <= budgetTokens) admitted += r
+          }
+          state.update(seen)
+          admitted.result().iterator
+      }(Encoders.scalaLong, Encoders.row(outSchema))
+      .drop("__graft_toks")
+  }
+
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
     var i = 0; var j = 0; var c = 0L

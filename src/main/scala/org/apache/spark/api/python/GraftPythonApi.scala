@@ -229,4 +229,8 @@ object GraftPythonApi {
   def bigramLmScoreAgainst(df: DataFrame, idCol: String, textCol: String,
       reference: DataFrame): DataFrame =
     Classifier.bigramLmScore(df, idCol, textCol, Some(reference))
+
+  def tokenQuotaPerKey(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, budgetTokens: Long): DataFrame =
+    graft.streaming.StreamingOps.tokenQuotaPerKey(df, keyCol, idCol, textCol, budgetTokens)
 }

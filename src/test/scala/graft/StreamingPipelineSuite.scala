@@ -176,6 +176,35 @@ class StreamingPipelineSuite extends AnyFunSuite with GraftSparkSession {
     } finally q.stop()
   }
 
+  test("streaming token quota: monotone prefix cut, state carries across batches") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String)](spark)
+    // 4 tokens per doc; budget 10 => the first two docs per key fit
+    // (cum 4, 8), the third overflows (12) and CLOSES the key
+    val admitted = StreamingOps.tokenQuotaPerKey(
+      input.toDF().toDF("doc_id", "src", "text"),
+      "src", "doc_id", "text", budgetTokens = 10L)
+    val sink = "tok_quota_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = admitted.writeStream
+      .format("memory").queryName(sink).outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (1L, "a", "w w w w"), (2L, "a", "w w w w"),
+        (10L, "b", "w w w w"))
+      q.processAllAvailable()
+      // a is at 8/10: doc 3 (4 tokens) overflows and the key closes —
+      // even the later 1-token doc 4 is rejected (prefix semantics);
+      // b admits one more then closes
+      input.addData(
+        (3L, "a", "w w w w"), (4L, "a", "w"),
+        (11L, "b", "w w w w"), (12L, "b", "w w w"))
+      q.processAllAvailable()
+      val ids = spark.table(sink).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 10L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming quota drops null-key/null-time rows and keeps literal 'null' keys distinct") {
     import spark.implicits._
     val input = MemoryStream[(Option[java.sql.Timestamp], Option[String], Long)](spark)
