@@ -3831,6 +3831,32 @@ object SparkEntry {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table(sink).select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Hard-negative mining for contrastive training: per query, the 3
+    // most-similar corpus vectors BELOW the near-dup band (cosine <
+    // 0.47, q23's threshold) — positives/duplicates are excluded before
+    // ranking. Exact double math + 9-dp rounding, the q24 oracle shape.
+    q("q131_hard_negatives",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+        |         list_dot_product(q.v, c.v)
+        |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) cosine
+        |  FROM q JOIN e c ON q.vec_id != c.vec_id)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |       round(cosine, 9) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) rk
+        |  FROM scored WHERE cosine < 0.47)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, maxCosine = 0.47)
+        .orderBy("query_id", "rk")
     }
   )
 

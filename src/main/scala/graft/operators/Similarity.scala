@@ -61,6 +61,46 @@ object Similarity {
   }
 
   /**
+   * HARD-NEGATIVE mining for contrastive training: for each query, the
+   * k most-similar corpus rows whose cosine stays BELOW `maxCosine` —
+   * i.e. the nearest neighbors that are NOT near-duplicates. Pairs at
+   * or above `maxCosine` are positives/duplicates (the q23 near-dup
+   * band), useless and harmful as negatives; everything far below the
+   * top is too easy to teach anything. Output:
+   * (query_id, rk, neighbor_id, cosine) with cosine rounded to 9 dp
+   * (the engine-portable rounding convention).
+   *
+   * Same scale shape as [[bruteForceKnn]]: broadcast query side, corpus
+   * streamed once, WindowGroupLimit prunes per-query top-k map-side
+   * before the single shuffle.
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxCosine: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .where(col("cn") > 0)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .where(col("qn") > 0)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .where(col("cosine") < maxCosine)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cosine"), 9).as("cosine"))
+  }
+
+  /**
    * The full centroid set packed into ONE broadcastable row:
    * `cents = array<struct<cell, centroid>>`. Joining this to a big table
    * is a broadcast nested-loop of exactly one row — effectively free —

@@ -233,4 +233,8 @@ object GraftPythonApi {
   def tokenQuotaPerKey(df: DataFrame, keyCol: String, idCol: String,
       textCol: String, budgetTokens: Long): DataFrame =
     graft.streaming.StreamingOps.tokenQuotaPerKey(df, keyCol, idCol, textCol, budgetTokens)
+
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxCosine: Double): DataFrame =
+    Similarity.hardNegatives(corpus, queries, idCol, vecCol, k, maxCosine)
 }
