@@ -3857,6 +3857,33 @@ object SparkEntry {
       Similarity.hardNegatives(e, e.where(col("vec_id") < 20),
           "vec_id", "embedding", k = 3, maxCosine = 0.47)
         .orderBy("query_id", "rk")
+    },
+
+    // Per-document novelty in corpus order: distinct 5-gram shingles
+    // first seen in this document vs the document's shingle count — the
+    // "how much of this snapshot is actually new text" diagnostic.
+    // First-occurrence is a min-id property, so the oracle replays it
+    // with a plain grouped min over the same shingle definition.
+    q("q132_novelty_scores",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |p AS (SELECT doc_id, unnest(sh) g FROM d),
+        |f AS (SELECT g, min(doc_id) first_id FROM p GROUP BY g),
+        |nv AS (SELECT p.doc_id, count(*) n_novel
+        |       FROM p JOIN f ON p.g = f.g AND p.doc_id = f.first_id
+        |       GROUP BY p.doc_id)
+        |SELECT d.doc_id AS id, CAST(len(d.sh) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
+        |FROM d LEFT JOIN nv USING (doc_id) ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Dedup.noveltyScores(s.table("documents"), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

@@ -242,6 +242,37 @@ object Dedup {
     verifyJaccard(candidates, sets, num, den)
   }
 
+  /**
+   * Per-document NOVELTY: how many of a document's distinct shingles
+   * appear for the FIRST time in this document, scanning the corpus in
+   * ascending id order — the redundancy diagnostic behind "how much of
+   * this crawl snapshot is actually new text". Output:
+   * (id, n_shingles, n_novel); `n_novel / n_shingles` near 1 = fresh
+   * content, near 0 = recombination of text already in the corpus.
+   *
+   * Scale: one explode over 8-byte shingle hashes, a min-id aggregate
+   * per hash (map-side partials; repeated boilerplate shingles combine
+   * before the shuffle), and a count-join back — text never shuffles,
+   * and no pairwise work at all (novelty is a first-occurrence
+   * property, not a pair property).
+   */
+  def noveltyScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val posting = sets.select(col("id"), explode(col("sh")).as("h"))
+    val firstSeen = posting.groupBy("h").agg(min(col("id")).as("first_id"))
+    val novel = posting.join(firstSeen, "h")
+      .where(col("id") === col("first_id"))
+      .groupBy("id").agg(count(lit(1)).as("n_novel"))
+    sets.select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
   /** Exact-verify candidate pairs against full shingle sets (integer threshold). */
   private def verifyJaccard(
       candidates: DataFrame, sets: DataFrame, num: Int, den: Int): DataFrame = {
