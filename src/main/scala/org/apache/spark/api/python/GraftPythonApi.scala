@@ -237,4 +237,7 @@ object GraftPythonApi {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, maxCosine: Double): DataFrame =
     Similarity.hardNegatives(corpus, queries, idCol, vecCol, k, maxCosine)
+
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.noveltyScores(df, idCol, textCol)
 }
