@@ -981,6 +981,37 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(sd.isNullAt(2))
   }
 
+  test("hard negatives exclude the near-dup band and keep rank order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (1L, Seq(0.99f, 0.14f)), // near-dup (cos ~0.990) — excluded
+      (2L, Seq(0.8f, 0.6f)),   // cos 0.8 — best negative
+      (3L, Seq(0.0f, 1.0f)),   // cos 0 — weaker negative
+      (4L, Seq(-1.0f, 0.0f))   // cos -1
+    ).toDF("id", "vec")
+    val out = Similarity.hardNegatives(corpus,
+      corpus.where(col("id") === 0), "id", "vec", k = 2, maxCosine = 0.95)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 2L), (2, 3L)))
+  }
+
+  test("novelty scores: first occurrence wins, duplicates score zero") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, base),             // everything novel
+      (2L, base),             // exact dup: zero novel
+      (3L, base + " nine"),   // one new shingle ("six seven eight nine"... )
+      (4L, "totally different words here now then")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === out(1L)._2) // all novel
+    assert(out(2L)._2 === 0L)
+    assert(out(3L)._2 === 1L && out(3L)._1 === 5L) // 9 tokens -> 5 shingles, 1 new
+    assert(out(4L)._1 === out(4L)._2)
+  }
+
   test("encoding signals: counts and suspect flag per artifact class") {
     import spark.implicits._
     val df = Seq(
