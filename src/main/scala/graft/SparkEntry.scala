@@ -3884,6 +3884,49 @@ object SparkEntry {
       view(s, d, "documents")
       Dedup.noveltyScores(s.table("documents"), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // approx_ks_distance (beyond reference surface): two-sample
+    // Kolmogorov-Smirnov drift between the even/odd-linenumber slices of
+    // a value-bounded subset. Each side is <= ~101 rows at every SF,
+    // inside KLL k=200's exact (pre-compaction) regime even after the
+    // per-suppkey accumulate -> combine rollup, so the sketch-side KS
+    // walk equals the exact SQL ECDF KS bit-for-bit (both sides compute
+    // count/ n as IEEE double division; round 9dp absorbs nothing here
+    // but keeps the suite's convention).
+    q("q133_ks_drift",
+      """WITH a AS (SELECT CAST(CAST(l_quantity AS REAL) AS DOUBLE) v
+        |           FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 0),
+        |b AS (SELECT CAST(CAST(l_quantity AS REAL) AS DOUBLE) v
+        |      FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 1),
+        |na AS (SELECT CAST(count(*) AS DOUBLE) n FROM a),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) n FROM b),
+        |pts AS (SELECT DISTINCT v FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+        |ecdf AS (
+        |  SELECT pts.v,
+        |         CAST((SELECT count(*) FROM a WHERE a.v <= pts.v) AS DOUBLE) / na.n fa,
+        |         CAST((SELECT count(*) FROM b WHERE b.v <= pts.v) AS DOUBLE) / nb.n fb
+        |  FROM pts, na, nb)
+        |SELECT round(max(abs(fa - fb)), 9) AS ks FROM ecdf""".stripMargin) { (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "lineitem")
+        s.sql("""
+          |WITH a AS (SELECT approx_percentile_combine(s) sk FROM (
+          |             SELECT approx_percentile_accumulate(l_quantity) s
+          |             FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 0
+          |             GROUP BY l_suppkey)),
+          |b AS (SELECT approx_percentile_combine(s) sk FROM (
+          |        SELECT approx_percentile_accumulate(l_quantity) s
+          |        FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 1
+          |        GROUP BY l_suppkey))
+          |SELECT round(approx_ks_distance(a.sk, b.sk), 9) AS ks FROM a, b""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 

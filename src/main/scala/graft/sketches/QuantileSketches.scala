@@ -62,6 +62,11 @@ sealed trait QuantileSketchFacade {
   /** Normalized rank of `value` under the EXCLUSIVE criterion
    *  (= fraction of items strictly below `value`). */
   def rank(value: Double): Double
+  /** (ascending retained quantiles, cumulative weights) from the sketch's
+   *  sorted view, plus the total stream length; the ECDF inputs
+   *  [[QuantileSketchFacade.ksDelta]] walks. Quantile values may repeat
+   *  (one entry per retained item). */
+  def sortedItems: (Array[Double], Array[Long], Long)
   def toBytes: Array[Byte]
 
   protected def splitPoints(min: Double, max: Double, numSplits: Int): Array[Double] = {
@@ -90,6 +95,45 @@ object QuantileSketchFacade {
         new MergeableFacade(UpdateDoublesSketch.heapify(mem), k)
     }
   }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov distance between two sketched
+   * distributions: `max over v of |F_a(v) - F_b(v)|` where `F` is the
+   * INCLUSIVE empirical CDF (fraction of items <= v), evaluated at every
+   * retained quantile of either sketch. While both sketches are in their
+   * exact (pre-compaction) regime this IS the exact two-sample KS
+   * statistic; afterwards it is the natural plug-in estimate over the
+   * retained items (the same evaluation points datasketches'
+   * `KolmogorovSmirnov.computeKSDelta` uses). Implemented as an explicit
+   * merge-walk — rather than delegating to `computeKSDelta` — so the
+   * arithmetic (`cumWeight/n` double division at each distinct value) is
+   * bit-reproducible against an exact SQL ECDF oracle.
+   *
+   * BEYOND the reference surface (it stops at quantile/PMF estimates);
+   * the drift-monitoring primitive a continuously-ingested corpus needs:
+   * per-slice sketches roll up mergeably, and KS between any two rollups
+   * costs O(retained) on the driver with zero re-reads.
+   */
+  def ksDelta(a: QuantileSketchFacade, b: QuantileSketchFacade): Double = {
+    val (qa, ca, naL) = a.sortedItems
+    val (qb, cb, nbL) = b.sortedItems
+    val na = naL.toDouble
+    val nb = nbL.toDouble
+    var i = 0
+    var j = 0
+    var delta = 0.0
+    while (i < qa.length || j < qb.length) {
+      val v =
+        if (j >= qb.length || (i < qa.length && qa(i) <= qb(j))) qa(i) else qb(j)
+      while (i < qa.length && qa(i) == v) i += 1
+      while (j < qb.length && qb(j) == v) j += 1
+      val fa = if (i == 0) 0.0 else ca(i - 1).toDouble / na
+      val fb = if (j == 0) 0.0 else cb(j - 1).toDouble / nb
+      val d = math.abs(fa - fb)
+      if (d > delta) delta = d
+    }
+    delta
+  }
 }
 
 private final class KllFacade(var impl: KllFloatsSketch, k: Int) extends QuantileSketchFacade {
@@ -110,6 +154,10 @@ private final class KllFacade(var impl: KllFloatsSketch, k: Int) extends Quantil
     impl.getCDF(sp.map(_.toFloat), CRITERIA)
   }
   override def rank(value: Double): Double = impl.getRank(value.toFloat, CRITERIA)
+  override def sortedItems: (Array[Double], Array[Long], Long) = {
+    val sv = impl.getSortedView
+    (sv.getQuantiles.map(_.toDouble), sv.getCumulativeWeights, impl.getN)
+  }
   override def toBytes: Array[Byte] = impl.toByteArray
 }
 
@@ -131,6 +179,10 @@ private final class ReqFacade(var impl: ReqSketch, k: Int) extends QuantileSketc
     impl.getCDF(sp.map(_.toFloat), CRITERIA)
   }
   override def rank(value: Double): Double = impl.getRank(value.toFloat, CRITERIA)
+  override def sortedItems: (Array[Double], Array[Long], Long) = {
+    val sv = impl.getSortedView
+    (sv.getQuantiles.map(_.toDouble), sv.getCumulativeWeights, impl.getN)
+  }
   override def toBytes: Array[Byte] = impl.toByteArray
 }
 
@@ -157,5 +209,9 @@ private final class MergeableFacade(var impl: UpdateDoublesSketch, k: Int)
     impl.getCDF(sp, CRITERIA)
   }
   override def rank(value: Double): Double = impl.getRank(value, CRITERIA)
+  override def sortedItems: (Array[Double], Array[Long], Long) = {
+    val sv = impl.getSortedView
+    (sv.getQuantiles, sv.getCumulativeWeights, impl.getN)
+  }
   override def toBytes: Array[Byte] = impl.toByteArray
 }

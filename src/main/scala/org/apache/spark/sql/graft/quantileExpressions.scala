@@ -556,3 +556,66 @@ case class ApproxRankEstimate(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * `approx_ks_distance(sketch_a, sketch_b)` — scalar: the two-sample
+ * Kolmogorov–Smirnov distance between two serialized quantile sketches
+ * (max absolute difference of the two inclusive ECDFs, evaluated at
+ * every retained quantile of either side — see
+ * [[graft.sketches.QuantileSketchFacade.ksDelta]]). Exact while both
+ * sketches are pre-compaction; the retained-item plug-in estimate
+ * afterwards. NULL for undecodable bytes or if either sketch is empty,
+ * so drift scans over partially-built summary tables degrade instead of
+ * failing. BEYOND the reference surface (its quantile family stops at
+ * point/PMF estimates); this is the slice-vs-slice distribution-drift
+ * primitive: per-slice sketches roll up with `approx_percentile_combine`
+ * and any two rollups compare in O(retained) without re-reading data.
+ */
+case class ApproxKsDistance(
+    left: Expression,
+    right: Expression,
+    algoName: String,
+    k: Int)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  private val algo = QuantileAlgo.fromString(algoName)
+
+  override def prettyName: String = "approx_ks_distance"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  @transient private[this] lazy val decodeFn: (Any, Any) => Any = { (aRaw, bRaw) =>
+    try {
+      val a = QuantileSketchFacade.fromBytes(algo, k, aRaw.asInstanceOf[Array[Byte]])
+      val b = QuantileSketchFacade.fromBytes(algo, k, bRaw.asInstanceOf[Array[Byte]])
+      if (a.isEmpty || b.isEmpty) null
+      else java.lang.Double.valueOf(QuantileSketchFacade.ksDelta(a, b))
+    } catch {
+      case NonFatal(_) =>
+        logWarning(s"Illegal input bytes for $algoName quantile sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = decodeFn(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addReferenceObj("decodeFn", decodeFn,
+      classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Object $result = $fn.apply($a, $b);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (java.lang.Double) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -239,4 +239,64 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
       .selectExpr("approx_percentile_estimate(s, 0.5) AS p50").collect()
     assert(est.toSeq === Seq(Row(2.0)))
   }
+
+  test("approx_ks_distance: exact two-sample KS on tiny inputs, all impls") {
+    for (impl <- quantileImpls) {
+      withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> impl) {
+        // identical distributions -> 0
+        val same = spark.sql(
+          "SELECT approx_ks_distance(approx_percentile_accumulate(a), " +
+            "approx_percentile_accumulate(b)) FROM " +
+            "VALUES (1, 1), (2, 2), (3, 3) AS t(a, b)").collect()
+        assert(same.toSeq === Seq(Row(0.0)), s"impl=$impl")
+        // disjoint supports -> 1
+        val disjoint = spark.sql(
+          "SELECT approx_ks_distance(approx_percentile_accumulate(a), " +
+            "approx_percentile_accumulate(b)) FROM " +
+            "VALUES (0, 10), (1, 11) AS t(a, b)").collect()
+        assert(disjoint.toSeq === Seq(Row(1.0)), s"impl=$impl")
+        // a={1,2,3,4}, b={3,4,5,6}: max |F_a - F_b| is 0.5 (at v=2..4)
+        val mixed = spark.sql(
+          "SELECT approx_ks_distance(approx_percentile_accumulate(a), " +
+            "approx_percentile_accumulate(b)) FROM " +
+            "VALUES (1, 3), (2, 4), (3, 5), (4, 6) AS t(a, b)").collect()
+        assert(mixed.toSeq === Seq(Row(0.5)), s"impl=$impl")
+      }
+    }
+  }
+
+  test("approx_ks_distance: facade walk matches brute-force ECDF sup") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 20) {
+      val na = 1 + rnd.nextInt(150)
+      val nb = 1 + rnd.nextInt(150)
+      // small value domain forces heavy ties across and within sides
+      val a = Array.fill(na)(rnd.nextInt(40).toFloat)
+      val b = Array.fill(nb)(rnd.nextInt(40).toFloat)
+      val sa = graft.sketches.QuantileSketchFacade.create(
+        graft.sketches.QuantileAlgo.KLL, 200)
+      val sb = graft.sketches.QuantileSketchFacade.create(
+        graft.sketches.QuantileAlgo.KLL, 200)
+      a.foreach(sa.update)
+      b.foreach(sb.update)
+      val got = graft.sketches.QuantileSketchFacade.ksDelta(sa, sb)
+      val pts = (a ++ b).distinct
+      val want = pts.map { v =>
+        math.abs(a.count(_ <= v).toDouble / na - b.count(_ <= v).toDouble / nb)
+      }.max
+      assert(got === want, s"trial=$trial na=$na nb=$nb")
+    }
+  }
+
+  test("approx_ks_distance: null on empty side and on corrupt bytes") {
+    val empty = spark.sql(
+      "SELECT approx_ks_distance(" +
+        "approx_percentile_accumulate(a) FILTER (WHERE a > 99), " +
+        "approx_percentile_accumulate(a)) FROM VALUES (1), (2) AS t(a)").collect()
+    assert(empty.toSeq === Seq(Row(null)))
+    val corrupt = spark.sql(
+      "SELECT approx_ks_distance(binary('garbage'), " +
+        "approx_percentile_accumulate(a)) FROM VALUES (1), (2) AS t(a)").collect()
+    assert(corrupt.toSeq === Seq(Row(null)))
+  }
 }
