@@ -3927,6 +3927,77 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Streaming drift monitor, driver-checked by bounded replay: the
+    // bounded (user_id < 12, <= ~40 rows/day at every SF) event stream
+    // flows through `windowedDistributionSketch` (per-day KLL sketches,
+    // append mode); ONE far-future sentinel then pushes the watermark so
+    // every real day finalizes in the no-data follow-up batch (the
+    // sentinel's own window never does; a day-bound filter guards it
+    // out regardless).
+    // Each emitted day's sketch is compared against the FIRST day's with
+    // approx_ks_distance — all windows are inside KLL k=200's exact
+    // regime, so the streamed sketch KS equals DuckDB's exact per-day
+    // ECDF KS (day 0 vs itself = 0.0 anchors the join).
+    q("q134_streaming_drift",
+      """WITH ev AS (SELECT epoch_us(ts)//86400000000 AS day,
+        |                   CAST(CAST(value AS REAL) AS DOUBLE) v
+        |            FROM events WHERE user_id < 12),
+        |d0 AS (SELECT v FROM ev WHERE day = (SELECT min(day) FROM ev)),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) n FROM d0),
+        |days AS (SELECT DISTINCT day FROM ev)
+        |SELECT days.day AS day,
+        |       (SELECT round(max(abs(
+        |           CAST((SELECT count(*) FROM ev e2 WHERE e2.day = days.day AND e2.v <= p.v) AS DOUBLE)
+        |             / (SELECT CAST(count(*) AS DOUBLE) FROM ev e3 WHERE e3.day = days.day)
+        |           - CAST((SELECT count(*) FROM d0 WHERE d0.v <= p.v) AS DOUBLE) / n0.n)), 9)
+        |        FROM (SELECT DISTINCT v FROM (SELECT v FROM ev e4 WHERE e4.day = days.day
+        |                                      UNION ALL SELECT v FROM d0)) p, n0
+        |       ) AS ks
+        |FROM days ORDER BY day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rows = s.table("events").where(col("user_id") < 12)
+          .select(expr("timestamp_micros(ts DIV 1000)").as("t"), col("value"))
+          .orderBy("t").collect()
+          .map(r => (r.getTimestamp(0), r.getDouble(1)))
+        val maxT = rows.map(_._1.getTime).max
+        val input = MemoryStream[(java.sql.Timestamp, Double)](s)
+        val sketches = graft.streaming.StreamingOps.windowedDistributionSketch(
+          input.toDF().toDF("t", "value"), "t", "value", "1 day", "0 seconds")
+        val sink = "graft_q134_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = sketches.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(rows.toSeq)
+          qy.processAllAvailable()
+          input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L), 0.0)))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        val maxRealDay = maxT / 86400000L
+        val wins = s.table(sink)
+          .select(expr("unix_micros(window_start) DIV 86400000000").as("day"), col("sk"))
+          .where(col("day") <= lit(maxRealDay))
+        val ref = wins.orderBy("day").limit(1).select(col("sk").as("ref_sk"))
+        wins.crossJoin(broadcast(ref))
+          .select(col("day"),
+            round(expr("approx_ks_distance(sk, ref_sk)"), 9).as("ks"))
+          .orderBy("day")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
     }
   )
 

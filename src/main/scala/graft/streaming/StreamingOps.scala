@@ -397,6 +397,31 @@ object StreamingOps {
       .drop("__graft_toks")
   }
 
+  /**
+   * Streaming per-window distribution sketch: one serialized quantile
+   * sketch per tumbling event-time window of `valCol`, emitted (append
+   * mode) once the watermark finalizes the window. The continuous
+   * drift-monitor front half: downstream, any window's sketch compares
+   * against a golden reference with `approx_ks_distance` (or rolls up
+   * across shards with `approx_percentile_combine`) without touching the
+   * raw stream again.
+   *
+   * Scale design: this is a plain streaming windowed aggregation — state
+   * per (window) is ONE sketch buffer (KB-scale, k-bounded), partial
+   * aggregation happens map-side per micro-batch, and eviction follows
+   * the watermark. Nothing here grows with stream length.
+   */
+  def windowedDistributionSketch(
+      df: DataFrame,
+      eventTimeCol: String,
+      valCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration))
+      .agg(expr(s"approx_percentile_accumulate($valCol)").as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
     var i = 0; var j = 0; var c = 0L

@@ -213,4 +213,48 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
       assert(latest.toSeq === Seq(Row("s1", 12.0, 12.0), Row("s2", 1.0, 1.0)))
     } finally q.stop()
   }
+
+  test("windowedDistributionSketch: per-day sketches flush on watermark, KS-comparable") {
+    import spark.implicits._
+    withSQLConf(graft.conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      val input = MemoryStream[(java.sql.Timestamp, Double)](spark)
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+      val sketches = graft.streaming.StreamingOps.windowedDistributionSketch(
+        input.toDF().toDF("t", "v"), "t", "v", "1 day", "0 seconds")
+      val q = sketches.writeStream
+        .format("memory").queryName("wds_stream").outputMode(OutputMode.Append())
+        .start()
+      try {
+        // day 1 = {1,2,3}, day 2 = {11,12,13}; split across micro-batches
+        input.addData(Seq(
+          (ts("2024-01-01 01:00:00"), 1.0), (ts("2024-01-01 09:00:00"), 2.0),
+          (ts("2024-01-02 02:00:00"), 11.0)): _*)
+        q.processAllAvailable()
+        input.addData(Seq(
+          (ts("2024-01-01 23:00:00"), 3.0), (ts("2024-01-02 03:00:00"), 12.0),
+          (ts("2024-01-02 04:00:00"), 13.0)): _*)
+        q.processAllAvailable()
+        // ONE far-future sentinel: its batch advances the watermark past
+        // both real days, and Spark's no-data follow-up batch emits them;
+        // the sentinel's own window never finalizes (nothing later)
+        input.addData(Seq((ts("2024-09-01 00:00:00"), 0.0)): _*)
+        q.processAllAvailable()
+        val out = spark.table("wds_stream")
+          .selectExpr("window_start",
+            "approx_percentile_estimate(sk, 0.5) AS p50",
+            "approx_ks_distance(sk, sk) AS self_ks")
+          .orderBy("window_start").collect()
+        assert(out.length === 2)
+        assert(out.map(_.getDouble(1)).toSeq === Seq(2.0, 12.0))
+        assert(out.map(_.getDouble(2)).toSeq === Seq(0.0, 0.0))
+        // cross-day drift: disjoint supports -> KS = 1
+        val cross = spark.table("wds_stream").orderBy("window_start")
+          .selectExpr("sk").collect()
+        val ks = spark.sql(
+          s"SELECT approx_ks_distance(X'${cross(0).getAs[Array[Byte]](0).map("%02x".format(_)).mkString}', " +
+            s"X'${cross(1).getAs[Array[Byte]](0).map("%02x".format(_)).mkString}')").collect()
+        assert(ks.toSeq === Seq(Row(1.0)))
+      } finally q.stop()
+    }
+  }
 }
