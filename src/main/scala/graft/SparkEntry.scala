@@ -3998,6 +3998,77 @@ object SparkEntry {
           case None => s.conf.unset(key)
         }
       }
+    },
+
+    // Classifier calibration: fixed-width reliability bins over the
+    // frozen hashed-BoW score (the q89 scorer) against the lang='en'
+    // label. Scores are integer-valued doubles (integer weights), so
+    // binning, counts and the 9dp positive rate are all cross-engine
+    // exact; fixed-width (not ntile) bins keep the plan a pure
+    // map+groupBy at any scale.
+    q("q135_calibration_bins",
+      s"""WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |         CAST(list_sum(list_transform(
+        |             regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |             w -> ${bowWeightSql(64)})) AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT CAST(floor(score / 250.0) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 9) AS pos_rate
+        |FROM t GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val scored = s.table("documents")
+        .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+          graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+            .as("bow_score"))
+      graft.operators.Classifier
+        .calibrationBins(scored, "is_en", "bow_score", 250.0)
+        .orderBy("bin")
+    },
+
+    // Leakage-free splits: train/val/test assignment hashed on the
+    // near-dup CLUSTER label (q35's connected components over n-gram
+    // Jaccard edges), so near-copies can never straddle a split. The
+    // oracle replays the recursive-CTE components and then q58's
+    // md5-hash-space CASE on the component label.
+    q("q136_leakage_free_splits",
+      s"""WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cc AS (SELECT dst AS id, min(src) AS comp FROM reach GROUP BY dst),
+        |v AS (SELECT id, comp,
+        |             CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)),1,15)) AS BIGINT) AS hv
+        |      FROM cc)
+        |SELECT id, comp, $splitOracleCase AS split
+        |FROM v ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      Dedup.leakageFreeSplits(
+          docs.select(col("doc_id")), edges, "doc_id", splitWeights)
+        .orderBy("id")
     }
   )
 

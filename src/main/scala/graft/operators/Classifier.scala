@@ -148,4 +148,35 @@ object Classifier {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob_fp"), lit(0L)).as("logprob_fp"))
   }
+
+  /**
+   * Calibration (reliability-diagram) bins for a scored, labeled corpus:
+   * per fixed-width score bin `floor(score / binWidth)`, the row count,
+   * positive count, and positive rate — the "does score X actually mean
+   * quality X" check run before trusting a classifier to gate a corpus.
+   *
+   * Fixed-width binning (not ntile/quantile binning) on purpose: it is a
+   * pure map + groupBy on at most `O(score_range/binWidth)` keys — no
+   * global sort, no single-partition window — so the plan is identical
+   * at 100 TB. Quantile bin EDGES, when wanted, come from
+   * `approx_percentile_ex` in a separate one-row pass.
+   *
+   * `labelCol` is cast to boolean; null-label or null-score rows are
+   * ignored. `pos_rate` is rounded to 9 dp (the suite's cross-engine
+   * float convention).
+   */
+  def calibrationBins(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    df.where(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(floor(col(scoreCol) / lit(binWidth)).cast("long").as("bin"),
+        col(labelCol).cast("boolean").as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n"), 9))
+  }
 }

@@ -931,4 +931,30 @@ object Dedup {
         col("__dw.n_words").cast("long").as("n_words"),
         col("__dw.n_dropped").cast("long").as("n_dropped"))
   }
+
+  /**
+   * Leakage-free split assignment: hash-assign train/val/test at the
+   * NEAR-DUP CLUSTER level, not the document level, so two near-copies
+   * can never straddle a split (the eval-set contamination mode that
+   * per-document hashing is blind to). Every document maps to its
+   * connected-component label under `edges` (min id in the cluster;
+   * singletons label themselves), and [[graft.operators.Sampling
+   * .assignSplits]]'s deterministic md5 hash-space partition runs on the
+   * LABEL. Output: (id, comp, split).
+   *
+   * Scale design inherits both halves': bucketed near-dup edges, the
+   * bounded/distributed component loop, and a pure map-side hash for the
+   * split itself — no extra shuffle beyond the component join.
+   */
+  def leakageFreeSplits(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    val comps = connectedComponents(nodes, edges, idCol)
+    comps.join(
+        Sampling.assignSplits(comps.select(col("comp")).distinct(), "comp", splits),
+        Seq("comp"))
+      .select(col("id"), col("comp"), col("split"))
+  }
 }

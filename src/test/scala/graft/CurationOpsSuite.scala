@@ -1153,4 +1153,18 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .select("lid", "rid").collect().map(re => (re.getLong(0), re.getLong(1)))
     assert(wide.toSeq.sorted === out.toSeq.sorted)
   }
+  test("calibration bins: exact counts, fixed-width bins, null rows ignored") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Boolean)](
+      (-120.0, true), (-10.0, false), (0.0, true), (49.0, true),
+      (50.0, false), (120.0, true), (null, true), (60.0, null))
+      .toDF("score", "label")
+    val out = graft.operators.Classifier
+      .calibrationBins(df, "label", "score", 50.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // floor semantics on negatives: -120/50 -> bin -3, -10/50 -> bin -1
+    assert(out === Map(
+      -3L -> ((1L, 1L, 1.0)), -1L -> ((1L, 0L, 0.0)),
+      0L -> ((2L, 2L, 1.0)), 1L -> ((1L, 0L, 0.0)), 2L -> ((1L, 1L, 1.0))))
+  }
 }

@@ -154,6 +154,29 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(comps.count { case (id, c) => id != c } === 3)
   }
 
+  test("leakage-free splits keep every near-dup cluster in one split") {
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("doc_id")
+    // clusters {1,2,3}, {5,6}, singletons elsewhere
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageFreeSplits(nodes, edges, "doc_id",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 12)
+    // cluster members share both label and split
+    val byComp = out.groupBy(_._2)
+    assert(byComp(1L).map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(byComp(1L).map(_._3).toSet.size === 1)
+    assert(byComp(5L).map(_._1).toSet === Set(5L, 6L))
+    assert(byComp(5L).map(_._3).toSet.size === 1)
+    // the split of a cluster equals assignSplits of its LABEL: doc 4 is
+    // a singleton, so its split must match per-id assignment of id 4
+    val solo = graft.operators.Sampling.assignSplits(Seq(4L).toDF("comp"), "comp",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .collect().head.getString(1)
+    assert(out.find(_._1 == 4L).get._3 === solo)
+  }
+
   test("connected components on empty input return empty (no NPE)") {
     import spark.implicits._
     val nodes = Seq.empty[Long].toDF("doc_id")
