@@ -4069,6 +4069,66 @@ object SparkEntry {
       Dedup.leakageFreeSplits(
           docs.select(col("doc_id")), edges, "doc_id", splitWeights)
         .orderBy("id")
+    },
+
+    // approx_histogram_estimate (fixed-bin PMF) + total-variation drift:
+    // per-bin masses of two bounded slices (user_id < 3, <= ~115 rows
+    // per side at every SF — KLL-exact) over SHARED split points, plus
+    // the integerized per-bin |p_a - p_b| (summable to TVD as exact
+    // longs, immune to float summation order). The oracle replays
+    // datasketches' PMF arithmetic exactly: CDF value = count(v <
+    // split)/n as double division, bucket = adjacent CDF difference
+    // (NOT count-ratio directly — 1-ulp different), final bucket from
+    // the constant 1.0.
+    q("q137_tvd_drift",
+      """WITH av AS (SELECT CAST(CAST(value AS REAL) AS DOUBLE) v FROM events
+        |            WHERE user_id < 3 AND event_id % 2 = 0),
+        |bv AS (SELECT CAST(CAST(value AS REAL) AS DOUBLE) v FROM events
+        |       WHERE user_id < 3 AND event_id % 2 = 1),
+        |na AS (SELECT CAST(count(*) AS DOUBLE) n FROM av),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) n FROM bv),
+        |bins(bin, lo, hi) AS (VALUES
+        |  (0, CAST(NULL AS DOUBLE), 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0),
+        |  (3, 150.0, 200.0), (4, 200.0, 250.0), (5, 250.0, 300.0),
+        |  (6, 300.0, CAST(NULL AS DOUBLE))),
+        |pa AS (SELECT bin,
+        |         (CASE WHEN hi IS NULL THEN 1.0
+        |               ELSE CAST((SELECT count(*) FROM av WHERE v < hi) AS DOUBLE)/na.n END)
+        |       - (CASE WHEN lo IS NULL THEN 0.0
+        |               ELSE CAST((SELECT count(*) FROM av WHERE v < lo) AS DOUBLE)/na.n END) AS p
+        |       FROM bins, na),
+        |pb AS (SELECT bin,
+        |         (CASE WHEN hi IS NULL THEN 1.0
+        |               ELSE CAST((SELECT count(*) FROM bv WHERE v < hi) AS DOUBLE)/nb.n END)
+        |       - (CASE WHEN lo IS NULL THEN 0.0
+        |               ELSE CAST((SELECT count(*) FROM bv WHERE v < lo) AS DOUBLE)/nb.n END) AS p
+        |       FROM bins, nb)
+        |SELECT CAST(pa.bin AS BIGINT) AS bin, round(pa.p, 9) AS p_a, round(pb.p, 9) AS p_b,
+        |       CAST(round(abs(pa.p - pb.p) * 1e9) AS BIGINT) AS absdiff_fp
+        |FROM pa JOIN pb ON pa.bin = pb.bin ORDER BY bin""".stripMargin) { (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "events")
+        s.sql("""
+          |WITH a AS (SELECT approx_percentile_accumulate(value) s FROM events
+          |           WHERE user_id < 3 AND event_id % 2 = 0),
+          |b AS (SELECT approx_percentile_accumulate(value) s FROM events
+          |      WHERE user_id < 3 AND event_id % 2 = 1),
+          |h AS (SELECT
+          |  approx_histogram_estimate(a.s, array(50D, 100D, 150D, 200D, 250D, 300D)) pa,
+          |  approx_histogram_estimate(b.s, array(50D, 100D, 150D, 200D, 250D, 300D)) pb
+          |  FROM a, b)
+          |SELECT CAST(e.pos AS BIGINT) AS bin, round(e.p, 9) AS p_a,
+          |       round(pb[e.pos], 9) AS p_b,
+          |       CAST(round(abs(e.p - pb[e.pos]) * 1e9) AS BIGINT) AS absdiff_fp
+          |FROM h LATERAL VIEW posexplode(pa) e AS pos, p
+          |ORDER BY bin""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 

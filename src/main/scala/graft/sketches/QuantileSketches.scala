@@ -59,6 +59,11 @@ sealed trait QuantileSketchFacade {
   /** Cumulative ranks at the same (un-offset) split points as [[pmf]];
    *  the final element is always 1.0. */
   def cdf(numSplits: Int): Array[Double]
+  /** PMF over EXPLICIT ascending split points (EXCLUSIVE criterion:
+   *  bucket i is the mass in [split_{i-1}, split_i)), for histograms on
+   *  FIXED bins that stay comparable across slices/sketches — unlike
+   *  [[pmf]], whose data-dependent [min,max] bins differ per sketch. */
+  def pmfAt(splits: Array[Double]): Array[Double]
   /** Normalized rank of `value` under the EXCLUSIVE criterion
    *  (= fraction of items strictly below `value`). */
   def rank(value: Double): Double
@@ -154,6 +159,8 @@ private final class KllFacade(var impl: KllFloatsSketch, k: Int) extends Quantil
     impl.getCDF(sp.map(_.toFloat), CRITERIA)
   }
   override def rank(value: Double): Double = impl.getRank(value.toFloat, CRITERIA)
+  override def pmfAt(splits: Array[Double]): Array[Double] =
+    impl.getPMF(splits.map(_.toFloat), CRITERIA)
   override def sortedItems: (Array[Double], Array[Long], Long) = {
     val sv = impl.getSortedView
     (sv.getQuantiles.map(_.toDouble), sv.getCumulativeWeights, impl.getN)
@@ -179,6 +186,8 @@ private final class ReqFacade(var impl: ReqSketch, k: Int) extends QuantileSketc
     impl.getCDF(sp.map(_.toFloat), CRITERIA)
   }
   override def rank(value: Double): Double = impl.getRank(value.toFloat, CRITERIA)
+  override def pmfAt(splits: Array[Double]): Array[Double] =
+    impl.getPMF(splits.map(_.toFloat), CRITERIA)
   override def sortedItems: (Array[Double], Array[Long], Long) = {
     val sv = impl.getSortedView
     (sv.getQuantiles.map(_.toDouble), sv.getCumulativeWeights, impl.getN)
@@ -209,6 +218,8 @@ private final class MergeableFacade(var impl: UpdateDoublesSketch, k: Int)
     impl.getCDF(sp, CRITERIA)
   }
   override def rank(value: Double): Double = impl.getRank(value, CRITERIA)
+  override def pmfAt(splits: Array[Double]): Array[Double] =
+    impl.getPMF(splits, CRITERIA)
   override def sortedItems: (Array[Double], Array[Long], Long) = {
     val sv = impl.getSortedView
     (sv.getQuantiles, sv.getCumulativeWeights, impl.getN)

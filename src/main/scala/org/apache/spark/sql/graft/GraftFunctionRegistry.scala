@@ -195,6 +195,21 @@ object GraftFunctionRegistry {
       val (a, k) = QuantileParams.resolveDefault()
       ApproxRankEstimate(args(0), args(1), a, k)
     },
+    fd("approx_histogram_estimate",
+      "_FUNC_(sketch, splits) - Returns the PMF of a serialized quantile sketch " +
+        "over EXPLICIT constant ascending split points (bucket i is the mass in " +
+        "[splits[i-1], splits[i]); splits.length + 1 buckets) — fixed bins that " +
+        "stay comparable across slices, unlike approx_pmf_estimate's per-sketch " +
+        "[min, max] bins.",
+      Seq(2),
+      Seq(sketchArg,
+        "splits" -> "constant ascending ARRAY<DOUBLE> of bucket boundaries"),
+      Seq("SELECT _FUNC_(approx_percentile_accumulate(col), array(1.0D, 2.0D)) " +
+        "FROM VALUES (0), (1), (2), (3) AS tab(col)" -> "[0.25,0.25,0.5]"),
+      "agg_funcs") { args =>
+      val (a, k) = QuantileParams.resolveDefault()
+      ApproxHistogramEstimate(args(0), args(1), a, k)
+    },
     fd("approx_ks_distance",
       "_FUNC_(sketch_a, sketch_b) - Returns the two-sample Kolmogorov-Smirnov " +
         "distance between two serialized quantile sketches (max absolute " +

@@ -619,3 +619,81 @@ case class ApproxKsDistance(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * `approx_histogram_estimate(sketch, splits)` — scalar: PMF over
+ * EXPLICIT constant ascending split points (EXCLUSIVE criterion: bucket
+ * `i` is the mass in `[splits[i-1], splits[i])`; `splits.length + 1`
+ * buckets). Unlike `approx_pmf_estimate`, whose equi-width bins depend
+ * on each sketch's own [min, max], fixed split points make histograms
+ * COMPARABLE across slices, days, and shards — the input to any binned
+ * drift statistic (total-variation distance, PSI, chi-square). NULL for
+ * undecodable bytes or an empty sketch.
+ */
+case class ApproxHistogramEstimate(
+    left: Expression,
+    right: Expression,
+    algoName: String,
+    k: Int)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  private val algo = QuantileAlgo.fromString(algoName)
+
+  override def prettyName: String = "approx_histogram_estimate"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(DoubleType, containsNull = false))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val splits: Array[Double] = right.eval() match {
+    case null => null
+    case a: ArrayData => a.toDoubleArray()
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val defaultCheck = super.checkInputDataTypes()
+    if (defaultCheck.isFailure) {
+      defaultCheck
+    } else if (!right.foldable) {
+      TypeCheckFailure(s"Split points must be a constant literal array, but got $right")
+    } else if (splits == null || splits.isEmpty) {
+      TypeCheckFailure("Split points must be a non-empty array")
+    } else if (splits.sliding(2).exists(w => w.length == 2 && w(0) >= w(1))) {
+      TypeCheckFailure(
+        s"Split points must be strictly ascending, but got ${splits.mkString("[", ", ", "]")}")
+    } else {
+      TypeCheckSuccess
+    }
+  }
+
+  @transient private[this] lazy val decodeFn: Any => Any = { (bytesRaw: Any) =>
+    try {
+      val buf = QuantileSketchFacade.fromBytes(algo, k, bytesRaw.asInstanceOf[Array[Byte]])
+      if (buf.isEmpty) null else new GenericArrayData(buf.pmfAt(splits))
+    } catch {
+      case NonFatal(_) =>
+        logWarning(s"Illegal input bytes for $algoName quantile sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(bytes: Any, splitsRaw: Any): Any = decodeFn(bytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addReferenceObj("decodeFn", decodeFn, classOf[Any => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (bytes, _) =>
+      s"""
+         |Object $result = $fn.apply($bytes);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

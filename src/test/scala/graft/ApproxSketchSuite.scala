@@ -299,4 +299,31 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
         "approx_percentile_accumulate(a)) FROM VALUES (1), (2) AS t(a)").collect()
     assert(corrupt.toSeq === Seq(Row(null)))
   }
+
+  test("approx_histogram_estimate: fixed-bin PMF, all impls; error paths") {
+    for (impl <- quantileImpls) {
+      withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> impl) {
+        val r = spark.sql(
+          "SELECT approx_histogram_estimate(approx_percentile_accumulate(col), " +
+            "array(1.0D, 2.0D)) FROM VALUES (0), (1), (2), (3) AS tab(col)").collect()
+        assert(r.toSeq === Seq(Row(Seq(0.25, 0.25, 0.5))), s"impl=$impl")
+      }
+    }
+    // corrupt bytes -> NULL
+    val corrupt = spark.sql(
+      "SELECT approx_histogram_estimate(binary('garbage'), array(1.0D))").collect()
+    assert(corrupt.toSeq === Seq(Row(null)))
+    // non-ascending splits -> analysis-time failure
+    val err = intercept[AnalysisException] {
+      spark.sql("SELECT approx_histogram_estimate(approx_percentile_accumulate(col), " +
+        "array(2.0D, 1.0D)) FROM VALUES (0) AS tab(col)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("ascending"))
+    // non-foldable splits -> analysis-time failure
+    val err2 = intercept[AnalysisException] {
+      spark.sql("SELECT approx_histogram_estimate(approx_percentile_accumulate(col), " +
+        "array(CAST(col AS DOUBLE))) FROM VALUES (0) AS tab(col)").collect()
+    }
+    assert(err2.getMessage.toLowerCase.contains("constant"))
+  }
 }
