@@ -4129,6 +4129,45 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // approx_emd_distance: 1-Wasserstein drift between the same bounded
+    // even/odd slices as q133 — the magnitude-sensitive companion to KS
+    // (value-unit shift, not max ECDF gap). Both sides integrate the
+    // step-function |ECDF_a - ECDF_b| over the merged support; round 6dp
+    // absorbs the summation-order ulps of the ~30-term float sum (terms
+    // are identical doubles cross-engine; only the addition order
+    // differs).
+    q("q138_emd_drift",
+      """WITH a AS (SELECT CAST(CAST(l_quantity AS REAL) AS DOUBLE) v
+        |           FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 0),
+        |b AS (SELECT CAST(CAST(l_quantity AS REAL) AS DOUBLE) v
+        |      FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 1),
+        |na AS (SELECT CAST(count(*) AS DOUBLE) n FROM a),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) n FROM b),
+        |pts AS (SELECT DISTINCT v FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+        |f AS (SELECT v,
+        |        CAST((SELECT count(*) FROM a WHERE a.v <= pts.v) AS DOUBLE) / na.n
+        |        - CAST((SELECT count(*) FROM b WHERE b.v <= pts.v) AS DOUBLE) / nb.n AS gap,
+        |        lead(v) OVER (ORDER BY v) AS nv
+        |      FROM pts, na, nb)
+        |SELECT round(sum(abs(gap) * (nv - v)), 6) AS emd FROM f WHERE nv IS NOT NULL""".stripMargin) {
+      (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "lineitem")
+        s.sql("""
+          |WITH a AS (SELECT approx_percentile_accumulate(l_quantity) s
+          |           FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 0),
+          |b AS (SELECT approx_percentile_accumulate(l_quantity) s
+          |      FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 1)
+          |SELECT round(approx_emd_distance(a.s, b.s), 6) AS emd FROM a, b""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 

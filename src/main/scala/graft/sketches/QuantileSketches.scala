@@ -139,6 +139,45 @@ object QuantileSketchFacade {
     }
     delta
   }
+
+  /**
+   * 1-Wasserstein (earth mover's) distance between two sketched
+   * distributions: `integral |F_a(x) - F_b(x)| dx` over the merged
+   * retained support — the ECDFs are step functions, so the integral is
+   * the exact sum `sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i)` over
+   * ascending distinct retained values. The magnitude-sensitive
+   * companion to [[ksDelta]] (KS says the distributions differ; EMD says
+   * by HOW MUCH in value units — a whole-corpus doc-length shift moves
+   * EMD proportionally but barely moves KS). Same walk, same exactness
+   * regime, same inclusive-ECDF arithmetic. Terms accumulate in
+   * ascending-v order (deterministic; a cross-engine check should round
+   * to ~6 dp to absorb summation-order ulps).
+   */
+  def emdDelta(a: QuantileSketchFacade, b: QuantileSketchFacade): Double = {
+    val (qa, ca, naL) = a.sortedItems
+    val (qb, cb, nbL) = b.sortedItems
+    val na = naL.toDouble
+    val nb = nbL.toDouble
+    var i = 0
+    var j = 0
+    var emd = 0.0
+    var havePrev = false
+    var prevV = 0.0
+    var prevGap = 0.0
+    while (i < qa.length || j < qb.length) {
+      val v =
+        if (j >= qb.length || (i < qa.length && qa(i) <= qb(j))) qa(i) else qb(j)
+      if (havePrev) emd += prevGap * (v - prevV)
+      while (i < qa.length && qa(i) == v) i += 1
+      while (j < qb.length && qb(j) == v) j += 1
+      val fa = if (i == 0) 0.0 else ca(i - 1).toDouble / na
+      val fb = if (j == 0) 0.0 else cb(j - 1).toDouble / nb
+      prevGap = math.abs(fa - fb)
+      prevV = v
+      havePrev = true
+    }
+    emd
+  }
 }
 
 private final class KllFacade(var impl: KllFloatsSketch, k: Int) extends QuantileSketchFacade {

@@ -225,6 +225,22 @@ object GraftFunctionRegistry {
       val (a, k) = QuantileParams.resolveDefault()
       ApproxKsDistance(args(0), args(1), a, k)
     },
+    fd("approx_emd_distance",
+      "_FUNC_(sketch_a, sketch_b) - Returns the 1-Wasserstein (earth mover's) " +
+        "distance between two serialized quantile sketches: the integral of " +
+        "|ECDF_a - ECDF_b| over the merged retained support, i.e. the " +
+        "distribution shift in VALUE UNITS (the magnitude-sensitive companion " +
+        "to approx_ks_distance); exact while both sketches are pre-compaction. " +
+        "NULL if either side is empty or undecodable.",
+      Seq(2),
+      Seq("sketch_a" -> "a serialized quantile sketch (approx_percentile_accumulate/_combine)",
+        "sketch_b" -> "a serialized quantile sketch of the same implementation"),
+      Seq(("SELECT _FUNC_(approx_percentile_accumulate(a), approx_percentile_accumulate(b)) " +
+        "FROM VALUES (0, 10), (1, 11) AS tab(a, b)") -> "10.0"),
+      "agg_funcs") { args =>
+      val (a, k) = QuantileParams.resolveDefault()
+      ApproxEmdDistance(args(0), args(1), a, k)
+    },
     // --- frequent items ------------------------------------------------
     fd("approx_freqitems",
       "_FUNC_(col) - Returns the approximate heavy hitters of a string/integral `col` as " +

@@ -697,3 +697,63 @@ case class ApproxHistogramEstimate(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * `approx_emd_distance(sketch_a, sketch_b)` — scalar: the 1-Wasserstein
+ * (earth mover's) distance between two serialized quantile sketches
+ * (`integral |F_a - F_b| dx` over the merged retained support — see
+ * [[graft.sketches.QuantileSketchFacade.emdDelta]]). The
+ * magnitude-sensitive companion to `approx_ks_distance`: KS reports the
+ * max ECDF gap (scale-free), EMD reports the shift in VALUE UNITS, so a
+ * corpus whose doc lengths all grew 10% shows a proportional EMD. Exact
+ * while both sketches are pre-compaction. NULL for undecodable bytes or
+ * an empty side.
+ */
+case class ApproxEmdDistance(
+    left: Expression,
+    right: Expression,
+    algoName: String,
+    k: Int)
+  extends BinaryExpression with ImplicitCastInputTypes with Logging {
+
+  private val algo = QuantileAlgo.fromString(algoName)
+
+  override def prettyName: String = "approx_emd_distance"
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  @transient private[this] lazy val decodeFn: (Any, Any) => Any = { (aRaw, bRaw) =>
+    try {
+      val a = QuantileSketchFacade.fromBytes(algo, k, aRaw.asInstanceOf[Array[Byte]])
+      val b = QuantileSketchFacade.fromBytes(algo, k, bRaw.asInstanceOf[Array[Byte]])
+      if (a.isEmpty || b.isEmpty) null
+      else java.lang.Double.valueOf(QuantileSketchFacade.emdDelta(a, b))
+    } catch {
+      case NonFatal(_) =>
+        logWarning(s"Illegal input bytes for $algoName quantile sketch state")
+        null
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = decodeFn(a, b)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.addReferenceObj("decodeFn", decodeFn,
+      classOf[(Any, Any) => Any].getCanonicalName)
+    val result = ctx.freshName("result")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Object $result = $fn.apply($a, $b);
+         |if ($result == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (java.lang.Double) $result;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -326,4 +326,45 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
     }
     assert(err2.getMessage.toLowerCase.contains("constant"))
   }
+
+  test("approx_emd_distance: exact 1-Wasserstein on tiny inputs, all impls") {
+    for (impl <- quantileImpls) {
+      withSQLConf(GraftConf.QUANTILE_SKETCH_IMPL_KEY -> impl) {
+        // pure shift: EMD = shift size, KS stays 1 regardless of size
+        val shift = spark.sql(
+          "SELECT approx_emd_distance(approx_percentile_accumulate(a), " +
+            "approx_percentile_accumulate(b)) FROM " +
+            "VALUES (0, 10), (1, 11) AS t(a, b)").collect()
+        assert(shift.toSeq === Seq(Row(10.0)), s"impl=$impl")
+        // identical -> 0
+        val same = spark.sql(
+          "SELECT approx_emd_distance(approx_percentile_accumulate(a), " +
+            "approx_percentile_accumulate(a)) FROM " +
+            "VALUES (1), (5), (9) AS t(a)").collect()
+        assert(same.toSeq === Seq(Row(0.0)), s"impl=$impl")
+      }
+    }
+  }
+
+  test("approx_emd_distance: facade walk matches brute-force ECDF integral") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 0 until 20) {
+      val na = 1 + rnd.nextInt(120)
+      val nb = 1 + rnd.nextInt(120)
+      val a = Array.fill(na)(rnd.nextInt(30).toFloat)
+      val b = Array.fill(nb)(rnd.nextInt(30).toFloat)
+      val sa = graft.sketches.QuantileSketchFacade.create(
+        graft.sketches.QuantileAlgo.KLL, 200)
+      val sb = graft.sketches.QuantileSketchFacade.create(
+        graft.sketches.QuantileAlgo.KLL, 200)
+      a.foreach(sa.update)
+      b.foreach(sb.update)
+      val got = graft.sketches.QuantileSketchFacade.emdDelta(sa, sb)
+      val pts = (a ++ b).distinct.sorted
+      val want = pts.sliding(2).collect { case Array(v, nv) =>
+        math.abs(a.count(_ <= v).toDouble / na - b.count(_ <= v).toDouble / nb) * (nv - v)
+      }.sum
+      assert(math.abs(got - want) < 1e-9, s"trial=$trial got=$got want=$want")
+    }
+  }
 }
