@@ -4168,6 +4168,61 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Population stability index from the fixed-bin histogram — PURE
+    // COMPOSITION, no new engine code: psi = sum (p-q)*ln(p/q) over
+    // shared bins, each term integerized (round(term*1e8) as long) so
+    // the cross-engine sum is exact integer arithmetic; the 1e-8
+    // granularity absorbs the <=1-ulp difference between Java's and
+    // DuckDB's ln. Splits (50,100,150) keep every bin non-empty on both
+    // slices at every SF (PSI is undefined on empty bins).
+    q("q139_psi_drift",
+      """WITH av AS (SELECT CAST(CAST(value AS REAL) AS DOUBLE) v FROM events
+        |            WHERE user_id < 3 AND event_id % 2 = 0),
+        |bv AS (SELECT CAST(CAST(value AS REAL) AS DOUBLE) v FROM events
+        |       WHERE user_id < 3 AND event_id % 2 = 1),
+        |na AS (SELECT CAST(count(*) AS DOUBLE) n FROM av),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) n FROM bv),
+        |bins(bin, lo, hi) AS (VALUES
+        |  (0, CAST(NULL AS DOUBLE), 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0),
+        |  (3, 150.0, CAST(NULL AS DOUBLE))),
+        |pa AS (SELECT bin,
+        |         (CASE WHEN hi IS NULL THEN 1.0
+        |               ELSE CAST((SELECT count(*) FROM av WHERE v < hi) AS DOUBLE)/na.n END)
+        |       - (CASE WHEN lo IS NULL THEN 0.0
+        |               ELSE CAST((SELECT count(*) FROM av WHERE v < lo) AS DOUBLE)/na.n END) AS p
+        |       FROM bins, na),
+        |pb AS (SELECT bin,
+        |         (CASE WHEN hi IS NULL THEN 1.0
+        |               ELSE CAST((SELECT count(*) FROM bv WHERE v < hi) AS DOUBLE)/nb.n END)
+        |       - (CASE WHEN lo IS NULL THEN 0.0
+        |               ELSE CAST((SELECT count(*) FROM bv WHERE v < lo) AS DOUBLE)/nb.n END) AS p
+        |       FROM bins, nb)
+        |SELECT CAST(sum(CAST(round((pa.p - pb.p) * ln(pa.p / pb.p) * 1e8) AS BIGINT))
+        |            AS BIGINT) AS psi_fp
+        |FROM pa JOIN pb ON pa.bin = pb.bin""".stripMargin) { (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "events")
+        s.sql("""
+          |WITH a AS (SELECT approx_percentile_accumulate(value) s FROM events
+          |           WHERE user_id < 3 AND event_id % 2 = 0),
+          |b AS (SELECT approx_percentile_accumulate(value) s FROM events
+          |      WHERE user_id < 3 AND event_id % 2 = 1),
+          |h AS (SELECT
+          |  approx_histogram_estimate(a.s, array(50D, 100D, 150D)) pa,
+          |  approx_histogram_estimate(b.s, array(50D, 100D, 150D)) pb
+          |  FROM a, b)
+          |SELECT CAST(sum(CAST(round((e.p - pb[e.pos]) * ln(e.p / pb[e.pos]) * 1e8)
+          |                     AS BIGINT)) AS BIGINT) AS psi_fp
+          |FROM h LATERAL VIEW posexplode(pa) e AS pos, p""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 
