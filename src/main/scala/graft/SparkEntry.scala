@@ -4223,6 +4223,31 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Shard-manifest sink: hash-sharded parquet export + per-shard
+    // (rows, tokens, order-independent xor-of-md5-fingerprints)
+    // integrity manifest, aggregated from the WRITTEN files. The oracle
+    // recomputes the manifest from the source table with the same
+    // seeded-md5 shard assignment — equality proves the write round-trip
+    // lost/duplicated nothing (count + checksum per shard).
+    q("q140_shard_manifest",
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 8 AS shard,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS fp,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+        |  FROM documents)
+        |SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       CAST(bit_xor(fp) AS BIGINT) AS xor_fp
+        |FROM v GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_q140_").toString
+      operators.Sinks.writeShardsWithManifest(
+          s.table("documents"), "doc_id", "text", out, numShards = 8)
+        .orderBy("shard")
     }
   )
 

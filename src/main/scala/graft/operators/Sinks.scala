@@ -51,4 +51,50 @@ object Sinks {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     bounds
   }
+
+  /**
+   * Write the corpus as deterministic hash-sharded parquet
+   * (`path/data/shard=N/`) plus a per-shard MANIFEST
+   * (`path/manifest/`): row count, total token count, and an
+   * order-independent 64-bit id checksum (`bit_xor` of each id's
+   * md5-derived fingerprint). Returns the manifest as read back from
+   * disk.
+   *
+   * The integrity artifact a 100 TB export needs: any shard can later be
+   * re-validated (or an incremental re-export diffed) by recomputing
+   * count/tokens/xor over that ONE shard directory — no global re-read,
+   * and the xor checksum is insensitive to row order within the shard,
+   * so a recompute after any repartitioning still matches. Shard
+   * assignment reuses the seeded-md5 hash-space mechanics of
+   * [[Sampling.shuffleShards]] (deterministic across engines and runs).
+   * The manifest aggregates the WRITTEN files, not the input plan —
+   * what's attested is what landed.
+   */
+  def writeShardsWithManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary"))
+    val shard = (conv(substring(key, 1, 15), 16, 10).cast("long") % numShards)
+      .cast("int")
+    df.where(col(idCol).isNotNull)
+      .withColumn("shard", shard)
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    val spark = df.sparkSession
+    val fp = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    spark.read.parquet(s"$path/data")
+      .withColumn("__graft_fp", fp)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        expr("bit_xor(__graft_fp)").as("xor_fp"))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest")
+  }
 }

@@ -240,4 +240,21 @@ object GraftPythonApi {
 
   def noveltyScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.noveltyScores(df, idCol, textCol)
+
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+      binWidth: Double): DataFrame =
+    Classifier.calibrationBins(df, labelCol, scoreCol, binWidth)
+
+  /** `splits` as (name, weight) pairs, e.g. [("train", 8), ("val", 1), ("test", 1)]. */
+  def leakageFreeSplits(nodes: DataFrame, edges: DataFrame, idCol: String,
+      names: java.util.List[String], weights: java.util.List[Integer]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val splits = names.asScala.toSeq.zip(weights.asScala.toSeq.map(_.intValue))
+    Dedup.leakageFreeSplits(nodes, edges, idCol, splits)
+  }
+
+  def windowedDistributionSketch(df: DataFrame, eventTimeCol: String,
+      valCol: String, windowDuration: String, watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingOps.windowedDistributionSketch(
+      df, eventTimeCol, valCol, windowDuration, watermarkDelay)
 }

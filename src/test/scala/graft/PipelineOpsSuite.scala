@@ -973,6 +973,29 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("shard manifest sink: counts/tokens/checksums match source, xor order-free") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = Files.createTempDirectory("graft_manifest").toString + "/out"
+    val manifest = graft.operators.Sinks
+      .writeShardsWithManifest(docs, "doc_id", "text", path, numShards = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(manifest.keySet === Set(0, 1, 2, 3))
+    assert(manifest.values.map(_._1).sum === docs.count())
+    // recomputing any one shard's stats from its own directory alone
+    // reproduces the manifest row (the incremental re-validation path),
+    // and a repartition (row-order change) does not move the xor
+    val shard0 = spark.read.parquet(s"$path/data/shard=0").repartition(7)
+    val re = shard0
+      .withColumn("fp", expr(
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .agg(count(lit(1)),
+        sum(graft.operators.TextOps.tokenCount(col("text")).cast("long")),
+        expr("bit_xor(fp)"))
+      .collect().head
+    assert((re.getLong(0), re.getLong(1), re.getLong(2)) === manifest(0))
+  }
+
   test("sparse cosine pairs: near-dups found, unrelated doc excluded, case-folded dup exact") {
     val pairs = Similarity.sparseCosinePairs(docs, "doc_id", "text",
       threshold = 0.6, maxDf = 3)
