@@ -4248,6 +4248,47 @@ object SparkEntry {
       operators.Sinks.writeShardsWithManifest(
           s.table("documents"), "doc_id", "text", out, numShards = 8)
         .orderBy("shard")
+    },
+
+    // Reciprocal-rank-fusion ensemble curation: three incommensurable
+    // quality signals (token count, hashed-BoW classifier score,
+    // distinct-token count) fused by integerized RRF. Ranks come from
+    // the two-level distributed ranking (sketch range buckets +
+    // within-bucket windows — no single-partition window), which is
+    // EXACT, so the oracle's plain row_number() ranks match; RRF terms
+    // are fixed-point longs, summed exactly.
+    q("q141_rank_fusion",
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') toks
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS DOUBLE) s_tokens,
+        |         CAST(list_sum(list_transform(toks, w -> ${bowWeightSql(64)})) AS DOUBLE) s_quality,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) s_distinct
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY s_tokens DESC, doc_id) r1,
+        |         row_number() OVER (ORDER BY s_quality DESC, doc_id) r2,
+        |         row_number() OVER (ORDER BY s_distinct DESC, doc_id) r3
+        |  FROM sig)
+        |SELECT doc_id, CAST(r1 AS BIGINT) AS rank_s_tokens,
+        |       CAST(r2 AS BIGINT) AS rank_s_quality,
+        |       CAST(r3 AS BIGINT) AS rank_s_distinct,
+        |       CAST(CAST(round(1e9/(60+r1)) AS BIGINT)
+        |            + CAST(round(1e9/(60+r2)) AS BIGINT)
+        |            + CAST(round(1e9/(60+r3)) AS BIGINT) AS BIGINT) AS rrf_fp
+        |FROM r ORDER BY rrf_fp DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val sig = s.table("documents").select(col("doc_id"),
+        size(ws).cast("double").as("s_tokens"),
+        graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+          .as("s_quality"),
+        size(array_distinct(ws)).cast("double").as("s_distinct"))
+      graft.operators.Classifier.rrfEnsemble(
+        sig, "doc_id", Seq("s_tokens", "s_quality", "s_distinct"), k = 50)
     }
   )
 

@@ -179,4 +179,86 @@ object Classifier {
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
       .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n"), 9))
   }
+
+  /**
+   * EXACT global 1-based descending rank of `valueCol` (ties broken by
+   * ascending `idCol`), computed WITHOUT a single-partition window — the
+   * scale trap in the naive `row_number() OVER (ORDER BY v DESC)`, which
+   * funnels the whole table through one task. Two-level instead:
+   * `approx_partition_bounds` sketches ~`buckets` range boundaries in
+   * one pass, every row maps to its bucket with the codegen'd binary
+   * search (bucketing is monotone in value, so equal values — the only
+   * cross-row rank dependency — always share a bucket), per-bucket
+   * counts (<= buckets+1 scalars) prefix-sum on the driver, and the
+   * window ranks only WITHIN each bucket. Rank = suffix offset +
+   * within-bucket row_number: exact, and every stage is
+   * partition-parallel. Sketch error only skews bucket SIZES, never
+   * correctness.
+   */
+  def globalRankDesc(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      rankCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
+    val boundsRow = df
+      .agg(call_function("approx_partition_bounds",
+        col(valueCol).cast("double"), lit(buckets)).as("bs"))
+      .collect()(0)
+    // empty input: the bounds sketch aggregates to NULL
+    val bounds = if (boundsRow.isNullAt(0)) Nil else boundsRow.getSeq[Double](0)
+    if (bounds.isEmpty) {
+      // empty input: no bounds; emit the schema with an empty rank
+      return df.withColumn(rankCol, lit(0L)).where(lit(false))
+    }
+    val bucketed = df.withColumn("__graft_rb",
+      graft.functions.graft_value_bucket(col(valueCol).cast("double"), bounds))
+    val counts = bucketed.groupBy("__graft_rb").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // descending rank: rows in HIGHER buckets (strictly larger values)
+    // rank first, so bucket b's offset is the suffix sum above b
+    val offsets = counts.map { case (b, _) =>
+      b -> counts.collect { case (b2, c) if b2 > b => c }.sum
+    }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__graft_rb", "__graft_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__graft_rb"))
+      .orderBy(col(valueCol).cast("double").desc, col(idCol))
+    bucketed.join(broadcast(offDf), Seq("__graft_rb"))
+      .withColumn(rankCol, col("__graft_off") + row_number().over(w).cast("long"))
+      .drop("__graft_rb", "__graft_off")
+  }
+
+  /**
+   * Reciprocal-rank-fusion ensemble curation: rank the corpus by each
+   * signal independently (descending, exact global ranks via
+   * [[globalRankDesc]]) and fuse with the integerized RRF score
+   * `sum_s round(1e9 / (rrfConst + rank_s))` — rank fusion needs no
+   * signal normalization, which is what makes it the robust way to
+   * combine incommensurable quality signals (token counts vs classifier
+   * scores vs novelty). The fixed-point longs sum exactly in any order,
+   * so the score is engine-reproducible. Returns the top `k` rows as
+   * (id, rank_<signal>..., rrf_fp), best first.
+   */
+  def rrfEnsemble(
+      df: DataFrame,
+      idCol: String,
+      signalCols: Seq[String],
+      k: Int,
+      rrfConst: Int = 60): DataFrame = {
+    require(signalCols.nonEmpty, "need at least one signal column")
+    require(k > 0 && rrfConst >= 0, s"bad k=$k / rrfConst=$rrfConst")
+    val ranked = signalCols.foldLeft(df) { (acc, s) =>
+      globalRankDesc(acc, idCol, s, s"rank_$s")
+    }
+    val rrf = signalCols
+      .map(s => round(lit(1e9) / (lit(rrfConst.toDouble) + col(s"rank_$s"))).cast("long"))
+      .reduce(_ + _)
+    ranked
+      .select(col(idCol) +: signalCols.map(s => col(s"rank_$s")) :+ rrf.as("rrf_fp"): _*)
+      .orderBy(col("rrf_fp").desc, col(idCol))
+      .limit(k)
+  }
 }

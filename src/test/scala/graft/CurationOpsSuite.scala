@@ -1167,4 +1167,44 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       -3L -> ((1L, 1L, 1.0)), -1L -> ((1L, 0L, 0.0)),
       0L -> ((2L, 2L, 1.0)), 1L -> ((1L, 0L, 0.0)), 2L -> ((1L, 1L, 1.0))))
   }
+
+  test("globalRankDesc: exact vs naive window, heavy ties, tiny bucket count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy ties (values 0..9 over 500 rows) stress the equal-values-
+    // share-a-bucket invariant; buckets=4 forces multi-row buckets
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(10).toDouble)).toDF("id", "v")
+    val got = graft.operators.Classifier
+      .globalRankDesc(df, "id", "v", "rk", buckets = 4)
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // empty input: empty output, no crash
+    assert(graft.operators.Classifier
+      .globalRankDesc(df.where(col("v") > 100), "id", "v", "rk")
+      .collect().isEmpty)
+  }
+
+  test("rrfEnsemble: integerized RRF ordering and exact ranks") {
+    import spark.implicits._
+    // id 1 is best on s1, id 3 best on s2, id 2 second on both; RRF
+    // weights a #1 rank heavily, so the split winners outrank the
+    // consistent second: fp(1)+fp(3) > 2*fp(2)
+    val df = Seq((1L, 10.0, 1.0), (2L, 9.0, 9.0), (3L, 1.0, 10.0))
+      .toDF("id", "s1", "s2")
+    val out = graft.operators.Classifier
+      .rrfEnsemble(df, "id", Seq("s1", "s2"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def fp(r: Long) = math.round(1e9 / (60.0 + r))
+    val expect = Map(
+      1L -> (1L, 3L), 2L -> (2L, 2L), 3L -> (3L, 1L))
+    out.foreach { case (id, r1, r2, rrf) =>
+      assert((r1, r2) === expect(id), s"id=$id")
+      assert(rrf === fp(r1) + fp(r2), s"id=$id")
+    }
+    // best-first ordering: 1 and 3 tie on RRF (id tiebreak), 2 last
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L))
+  }
 }
