@@ -4289,6 +4289,52 @@ object SparkEntry {
         size(array_distinct(ws)).cast("double").as("s_distinct"))
       graft.operators.Classifier.rrfEnsemble(
         sig, "doc_id", Seq("s_tokens", "s_quality", "s_distinct"), k = 50)
+    },
+
+    // Per-group drift monitor: one aggregation pass builds a sketch per
+    // (event_type, day); each compares (KS) against its type's min-day
+    // baseline via a tiny broadcastable join of per-type baselines. The
+    // per-group granularity is where sketch drift pays off at scale — N
+    // groups cost one groupBy, not N scans. Groups are <= ~86 rows at
+    // sf0.01 (KLL-exact; the correctness gate's SF); larger SFs run the
+    // same plan in the approximate regime.
+    q("q142_group_drift",
+      """WITH ev AS (SELECT event_type g, epoch_us(ts)//86400000000 AS day,
+        |                   CAST(CAST(value AS REAL) AS DOUBLE) v FROM events),
+        |base AS (SELECT g, min(day) d0 FROM ev GROUP BY g),
+        |b AS (SELECT ev.g, v FROM ev JOIN base ON ev.g = base.g AND ev.day = base.d0),
+        |grp AS (SELECT DISTINCT g, day FROM ev)
+        |SELECT grp.g AS event_type, CAST(grp.day AS BIGINT) AS day,
+        |  (SELECT round(max(abs(
+        |      CAST((SELECT count(*) FROM ev e2
+        |            WHERE e2.g = grp.g AND e2.day = grp.day AND e2.v <= p.v) AS DOUBLE)
+        |        / (SELECT CAST(count(*) AS DOUBLE) FROM ev e3
+        |           WHERE e3.g = grp.g AND e3.day = grp.day)
+        |      - CAST((SELECT count(*) FROM b WHERE b.g = grp.g AND b.v <= p.v) AS DOUBLE)
+        |        / (SELECT CAST(count(*) AS DOUBLE) FROM b b2 WHERE b2.g = grp.g))), 9)
+        |   FROM (SELECT DISTINCT v FROM (
+        |           SELECT v FROM ev e4 WHERE e4.g = grp.g AND e4.day = grp.day
+        |           UNION ALL SELECT v FROM b WHERE b.g = grp.g)) p) AS ks
+        |FROM grp ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "events")
+        s.sql("""
+          |WITH sk AS (
+          |  SELECT event_type, ts DIV 86400000000000 AS day,
+          |         approx_percentile_accumulate(value) s
+          |  FROM events GROUP BY 1, 2),
+          |base AS (SELECT event_type, min_by(s, day) AS s0 FROM sk GROUP BY event_type)
+          |SELECT sk.event_type, CAST(sk.day AS BIGINT) AS day,
+          |       round(approx_ks_distance(sk.s, base.s0), 9) AS ks
+          |FROM sk JOIN base ON sk.event_type = base.event_type
+          |ORDER BY event_type, day""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 
