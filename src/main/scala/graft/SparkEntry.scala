@@ -4335,6 +4335,34 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Deterministic T5-style span corruption: token i masks iff
+    // (i + doc_id) % 7 == 0, sentinels numbered per doc, target pairs
+    // each sentinel with the hidden token. Pure function of (id,
+    // position) — the oracle rebuilds the same pairs with DuckDB list
+    // lambdas; a restarted job regenerates byte-identical pairs (the
+    // reproducibility RNG masking can't give).
+    q("q143_span_corruption",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |x AS (SELECT doc_id, ws, doc_id % 7 AS m, (7 - doc_id % 7) % 7 AS j0 FROM t)
+        |SELECT doc_id AS id,
+        |       array_to_string(list_transform(range(len(ws)), i ->
+        |         CASE WHEN (i + m) % 7 = 0
+        |              THEN '<extra_id_' || CAST((i - j0) // 7 AS VARCHAR) || '>'
+        |              ELSE ws[i+1] END), ' ') AS corrupted,
+        |       array_to_string(list_filter(list_transform(range(len(ws)), i ->
+        |         CASE WHEN (i + m) % 7 = 0
+        |              THEN '<extra_id_' || CAST((i - j0) // 7 AS VARCHAR) || '> ' || ws[i+1]
+        |              ELSE NULL END), v -> v IS NOT NULL), ' ') AS target,
+        |       CAST(len(list_filter(range(len(ws)), i -> (i + m) % 7 = 0)) AS BIGINT)
+        |         AS n_masked
+        |FROM x ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.TextOps.spanCorruptionPairs(
+          s.table("documents"), "doc_id", "text", every = 7)
+        .orderBy("id")
     }
   )
 

@@ -643,4 +643,43 @@ object TextOps {
       nMoji.as("n_mojibake"),
       (nRepl + nCtrl + nMoji > 0).as("enc_suspect"))
   }
+
+  /**
+   * Deterministic T5-style span corruption pairs for denoising training:
+   * every token whose 0-based position `i` satisfies
+   * `(i + doc_id) % every == 0` is replaced by a numbered sentinel
+   * `<extra_id_K>` (K counts masked slots within the doc, 0-based), and
+   * the TARGET sequence pairs each sentinel with the token it hid. The
+   * doc-id phase shift varies WHICH positions mask across documents
+   * while staying a pure function of (id, position) — reproducible
+   * across runs, engines and retries, unlike RNG masking, so a restarted
+   * 100 TB job regenerates byte-identical training pairs. Map-only: no
+   * shuffle, no state; the pinned [[words]] tokenizer.
+   *
+   * Output: (id, corrupted, target, n_masked).
+   */
+  def spanCorruptionPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      every: Int = 7): DataFrame = {
+    require(every >= 2, s"every must be >= 2, got $every")
+    val ws = words(col(textCol))
+    val m = pmod(col(idCol), lit(every.toLong)).cast("int")
+    val j0 = pmod(lit(every) - m, lit(every))
+    def isMasked(i: Column): Column = pmod(i + m, lit(every)) === 0
+    def sentinel(i: Column): Column =
+      concat(lit("<extra_id_"), ((i - j0) / lit(every)).cast("int").cast("string"), lit(">"))
+    val corrupted = array_join(
+      transform(ws, (w, i) => when(isMasked(i), sentinel(i)).otherwise(w)), " ")
+    val target = array_join(
+      filter(
+        transform(ws, (w, i) =>
+          when(isMasked(i), concat(sentinel(i), lit(" "), w)).otherwise(lit(null))),
+        x => x.isNotNull),
+      " ")
+    val nMasked = size(filter(transform(ws, (_, i) => isMasked(i)), x => x)).cast("long")
+    df.select(col(idCol).as("id"), corrupted.as("corrupted"),
+      target.as("target"), nMasked.as("n_masked"))
+  }
 }

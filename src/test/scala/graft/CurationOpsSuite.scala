@@ -1207,4 +1207,20 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     // best-first ordering: 1 and 3 tie on RRF (id tiebreak), 2 last
     assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L))
   }
+
+  test("span corruption pairs: deterministic masks, numbered sentinels, empty target") {
+    import spark.implicits._
+    val df = Seq(
+      (7L, "a b c d e f g h"),  // m=0: masks i=0 and i=7
+      (3L, "a b c d e"),        // m=3, j0=4: masks i=4 only
+      (10L, "a b c")            // m=3, j0=4: nothing masked
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanCorruptionPairs(df, "doc_id", "text", every = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(7L) === (("<extra_id_0> b c d e f g <extra_id_1>",
+      "<extra_id_0> a <extra_id_1> h", 2L)))
+    assert(out(3L) === (("a b c d <extra_id_0>", "<extra_id_0> e", 1L)))
+    assert(out(10L) === (("a b c", "", 0L)))
+  }
 }
