@@ -4363,6 +4363,50 @@ object SparkEntry {
       graft.operators.TextOps.spanCorruptionPairs(
           s.table("documents"), "doc_id", "text", every = 7)
         .orderBy("id")
+    },
+
+    // Streaming per-window heavy-hitters, driver-checked by bounded
+    // replay (the q134 harness shape): per-day frequent-items sketches
+    // of event_type for the bounded user slice, flushed by one
+    // far-future sentinel, then exploded to (day, item, estimated).
+    // <= 5 distinct types and <= ~40 rows/day keep every sketch in the
+    // exact regime, so estimates equal the oracle's exact counts.
+    q("q144_streaming_topk",
+      """SELECT epoch_us(ts)//86400000000 AS day, event_type AS item,
+        |       count(*) AS estimated
+        |FROM events WHERE user_id < 12
+        |GROUP BY 1, 2 ORDER BY day, item""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rows = s.table("events").where(col("user_id") < 12)
+          .select(expr("timestamp_micros(ts DIV 1000)").as("t"), col("event_type"))
+          .orderBy("t").collect()
+          .map(r => (r.getTimestamp(0), r.getString(1)))
+        val maxT = rows.map(_._1.getTime).max
+        val input = MemoryStream[(java.sql.Timestamp, String)](s)
+        val sketches = graft.streaming.StreamingOps.windowedTopItemsSketch(
+          input.toDF().toDF("t", "event_type"), "t", "event_type", "1 day", "0 seconds")
+        val sink = "graft_q144_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = sketches.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(rows.toSeq)
+          qy.processAllAvailable()
+          input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L), "view")))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        val maxRealDay = maxT / 86400000L
+        s.table(sink)
+          .select(expr("unix_micros(window_start) DIV 86400000000").as("day"), col("sk"))
+          .where(col("day") <= lit(maxRealDay))
+          .select(col("day"), expr("inline(approx_freqitems_estimate(sk))"))
+          .toDF("day", "item", "estimated")
+          .orderBy("day", "item")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   )
 

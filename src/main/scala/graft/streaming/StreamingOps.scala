@@ -422,6 +422,28 @@ object StreamingOps {
       .agg(expr(s"approx_percentile_accumulate($valCol)").as("sk"))
       .select(col("window.start").as("window_start"), col("sk"))
 
+  /**
+   * Streaming per-window heavy-hitters sketch: one serialized
+   * frequent-items sketch per tumbling event-time window of `itemCol`
+   * (the categorical companion to [[windowedDistributionSketch]] — "what
+   * were the top sources/types this hour"). Downstream,
+   * `inline(approx_freqitems_estimate(sk))` explodes any window into
+   * (item, estimated) rows, and windows roll up across shards with
+   * `approx_freqitems_combine`. Same bounded-state properties: one
+   * maxMapSize-bounded sketch per window, map-side partials,
+   * watermark-driven eviction.
+   */
+  def windowedTopItemsSketch(
+      df: DataFrame,
+      eventTimeCol: String,
+      itemCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration))
+      .agg(expr(s"approx_freqitems_accumulate($itemCol)").as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"))
+
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
     var i = 0; var j = 0; var c = 0L

@@ -257,4 +257,29 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
       } finally q.stop()
     }
   }
+
+  test("windowedTopItemsSketch: per-day heavy hitters flush and explode exactly") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val sketches = graft.streaming.StreamingOps.windowedTopItemsSketch(
+      input.toDF().toDF("t", "item"), "t", "item", "1 day", "0 seconds")
+    val q = sketches.writeStream
+      .format("memory").queryName("wti_stream").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Seq(
+        (ts("2024-01-01 01:00:00"), "a"), (ts("2024-01-01 02:00:00"), "a"),
+        (ts("2024-01-01 03:00:00"), "b"), (ts("2024-01-02 01:00:00"), "b")): _*)
+      q.processAllAvailable()
+      input.addData(Seq((ts("2024-09-01 00:00:00"), "x")): _*)
+      q.processAllAvailable()
+      val out = spark.table("wti_stream")
+        .selectExpr("window_start", "inline(approx_freqitems_estimate(sk))")
+        .collect().map(r => (r.getTimestamp(0).toString.take(10),
+          r.getString(1), r.getLong(2))).toSet
+      assert(out === Set(("2024-01-01", "a", 2L), ("2024-01-01", "b", 1L),
+        ("2024-01-02", "b", 1L)))
+    } finally q.stop()
+  }
 }
