@@ -4407,6 +4407,52 @@ object SparkEntry {
           .toDF("day", "item", "estimated")
           .orderBy("day", "item")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
+    // Per-source percentile normalization: rank-based percentile of the
+    // classifier score WITHIN each language — the scale-free transform
+    // that makes scores comparable across sources with different score
+    // distributions. One window per group partition; no global stage.
+    q("q145_group_percentile",
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(list_sum(list_transform(
+        |             regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |             w -> ${bowWeightSql(64)})) AS DOUBLE) score
+        |  FROM documents)
+        |SELECT doc_id, lang, score,
+        |       CAST(row_number() OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |            AS BIGINT) AS rank_in_group,
+        |       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_in_group,
+        |       round(CAST(row_number() OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |                  AS DOUBLE) / count(*) OVER (PARTITION BY lang), 9) AS pct
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val scored = s.table("documents").select(col("doc_id"), col("lang"),
+        graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+          .as("score"))
+      Sampling.groupPercentile(scored, "doc_id", "lang", "score")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic curriculum interleave: fixed-width token-count
+    // difficulty buckets, position within bucket; consuming in
+    // (pos, bucket) order round-robins the difficulty spectrum. Pure
+    // function of (difficulty, id) — byte-identical across runs.
+    q("q146_curriculum",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) dif
+        |  FROM documents)
+        |SELECT doc_id, CAST(floor(dif / 10.0) AS BIGINT) AS bucket,
+        |       CAST(row_number() OVER (PARTITION BY floor(dif / 10.0)
+        |                               ORDER BY dif, doc_id) AS BIGINT) AS pos
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dif = s.table("documents").select(col("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("double").as("dif"))
+      Sampling.curriculumInterleave(dif, "doc_id", "dif", binWidth = 10.0)
+        .orderBy("doc_id")
     }
   )
 

@@ -519,4 +519,56 @@ object Sampling {
       .where(hv < col("__thr"))
       .drop("__thr")
   }
+
+  /**
+   * Rank-based percentile of `valueCol` WITHIN each group (ascending
+   * rank `r`, ties broken by `idCol`; pct = r / group size, rounded
+   * 9 dp) — the scale-free normalization that makes quality scores
+   * comparable ACROSS sources whose score distributions differ (a 0.9
+   * raw score can be mediocre for Wikipedia and exceptional for a web
+   * crawl). One window per group partition: fully parallel across
+   * groups, no global sort, no single-partition stage.
+   */
+  def groupPercentile(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .withColumn("n_in_group",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+      .withColumn("pct",
+        round(col("rank_in_group").cast("double") / col("n_in_group"), 9))
+  }
+
+  /**
+   * Deterministic curriculum interleave: assign each row a fixed-width
+   * difficulty bucket (`floor(difficulty / binWidth)`), position rows
+   * within their bucket (ascending difficulty, id tiebreak), and emit
+   * (id, bucket, pos). Consuming in (pos, bucket) order yields the
+   * round-robin curriculum — one row from each difficulty band, easiest
+   * band first within each cycle — so every training window sees the
+   * full difficulty spectrum instead of a sorted-by-difficulty corpus's
+   * phase shifts. Fixed-width buckets (not ntile) and per-bucket
+   * windows keep every stage partition-parallel; the ordering is a pure
+   * function of (difficulty, id) — reproducible across runs and
+   * engines.
+   */
+  def curriculumInterleave(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val bucket = floor(col(difficultyCol) / lit(binWidth)).cast("long")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(difficultyCol), col(idCol))
+    df.select(col(idCol), col(difficultyCol))
+      .withColumn("bucket", bucket)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("bucket"), col("pos"))
+  }
 }

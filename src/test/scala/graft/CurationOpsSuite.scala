@@ -1223,4 +1223,29 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out(3L) === (("a b c d <extra_id_0>", "<extra_id_0> e", 1L)))
     assert(out(10L) === (("a b c", "", 0L)))
   }
+
+  test("group percentile and curriculum interleave: exact ranks, determinism") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 5.0),
+      (4L, "b", 9.0), (5L, "b", 2.0)).toDF("id", "g", "v")
+    val pct = Sampling.groupPercentile(df, "id", "g", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // ties (ids 1,3 both 5.0) break by id; pct = rank/n
+    assert(pct(2L) === ((1L, 3L, round9(1.0 / 3))))
+    assert(pct(1L) === ((2L, 3L, round9(2.0 / 3))))
+    assert(pct(3L) === ((3L, 3L, 1.0)))
+    assert(pct(5L) === ((1L, 2L, 0.5)))
+    assert(pct(4L) === ((2L, 2L, 1.0)))
+
+    val cur = Sampling.curriculumInterleave(df.withColumnRenamed("v", "dif"),
+        "id", "dif", binWidth = 4.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // buckets: 1.0,2.0 -> 0; 5.0,5.0 -> 1; 9.0 -> 2
+    assert(cur(2L) === ((0L, 1L)) && cur(5L) === ((0L, 2L)))
+    assert(cur(1L) === ((1L, 1L)) && cur(3L) === ((1L, 2L)))
+    assert(cur(4L) === ((2L, 1L)))
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
