@@ -4453,6 +4453,27 @@ object SparkEntry {
         graft.operators.TextOps.tokenCount(col("text")).cast("double").as("dif"))
       Sampling.curriculumInterleave(dif, "doc_id", "dif", binWidth = 10.0)
         .orderBy("doc_id")
+    },
+
+    // Token-distribution entropy (integerized): the concentration signal
+    // length/stopword ratios miss — chant/boilerplate docs score low.
+    // Per-type terms are fixed-point longs (exact order-free sum);
+    // Spark groups token HASHES (8-byte shuffle keys), the oracle the
+    // strings — collision-equivalent (the q59 model).
+    q("q147_token_entropy",
+      """WITH t AS (SELECT doc_id id,
+        |                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w
+        |           FROM documents),
+        |c AS (SELECT id, w, count(*) c FROM t GROUP BY 1, 2),
+        |x AS (SELECT id, c, sum(c) OVER (PARTITION BY id) n FROM c)
+        |SELECT id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CAST(round(-(CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n) * 1e8)
+        |                     AS BIGINT)) AS BIGINT) AS entropy_fp
+        |FROM x GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.TextOps.tokenEntropy(s.table("documents"), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

@@ -682,4 +682,33 @@ object TextOps {
     df.select(col(idCol).as("id"), corrupted.as("corrupted"),
       target.as("target"), nMasked.as("n_masked"))
   }
+
+  /**
+   * Per-document Shannon entropy of the token distribution, integerized:
+   * `entropy_fp = sum over token types of round(-(c/n) ln(c/n) * 1e8)`
+   * (exact long sum; ln ulps vanish at 1e-8 granularity). Low entropy
+   * flags chant/boilerplate/gibberish documents whose token mass
+   * concentrates in a few types — the signal length and stopword ratios
+   * miss. Also returns n_tokens and n_types.
+   *
+   * Scale design: tokens shuffle once as xxhash64 longs (8-byte keys,
+   * collision-equivalent to string grouping — the q59 hash-join model),
+   * per-(doc, type) counts partially aggregate map-side, and the windowed
+   * n-per-doc reuses the same partitioning, so the doc-level reduce is
+   * the only other exchange.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val counts = toks.groupBy(col("id"), xxhash64(col("w")).as("wh"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("id")
+    counts.withColumn("n", sum(col("c")).over(w))
+      .withColumn("term_fp",
+        round(-(col("c") / col("n")) * log(col("c") / col("n")) * lit(1e8)).cast("long"))
+      .groupBy("id")
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("term_fp")).as("entropy_fp"))
+  }
 }

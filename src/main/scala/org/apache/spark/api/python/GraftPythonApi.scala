@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 import graft.operators.{AsofJoin, BloomIndex, Classifier, Clustering, CorpusDiff, Dedup,
-  IvfIndex, JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, Spectral,
-  TextIndex, TextOps, TextProfile, UrlOps}
+  IvfIndex, JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, Sinks,
+  Spectral, TextIndex, TextOps, TextProfile, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -257,4 +257,35 @@ object GraftPythonApi {
       valCol: String, windowDuration: String, watermarkDelay: String): DataFrame =
     graft.streaming.StreamingOps.windowedDistributionSketch(
       df, eventTimeCol, valCol, windowDuration, watermarkDelay)
+
+  def windowedTopItemsSketch(df: DataFrame, eventTimeCol: String,
+      itemCol: String, windowDuration: String, watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingOps.windowedTopItemsSketch(
+      df, eventTimeCol, itemCol, windowDuration, watermarkDelay)
+
+  def globalRankDesc(df: DataFrame, idCol: String, valueCol: String,
+      rankCol: String, buckets: Int): DataFrame =
+    Classifier.globalRankDesc(df, idCol, valueCol, rankCol, buckets)
+
+  def rrfEnsemble(df: DataFrame, idCol: String,
+      signalCols: java.util.List[String], k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Classifier.rrfEnsemble(df, idCol, signalCols.asScala.toSeq, k)
+  }
+
+  def writeShardsWithManifest(df: DataFrame, idCol: String, textCol: String,
+      path: String, numShards: Int): DataFrame =
+    Sinks.writeShardsWithManifest(df, idCol, textCol, path, numShards)
+
+  def spanCorruptionPairs(df: DataFrame, idCol: String, textCol: String,
+      every: Int): DataFrame =
+    TextOps.spanCorruptionPairs(df, idCol, textCol, every)
+
+  def groupPercentile(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame =
+    Sampling.groupPercentile(df, idCol, groupCol, valueCol)
+
+  def curriculumInterleave(df: DataFrame, idCol: String, difficultyCol: String,
+      binWidth: Double): DataFrame =
+    Sampling.curriculumInterleave(df, idCol, difficultyCol, binWidth)
 }

@@ -1246,6 +1246,22 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(cur(4L) === ((2L, 1L)))
   }
 
+  test("token entropy: uniform max, single-type zero, exact fixed-point terms") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b")).toDF("doc_id", "text")
+    val out = TextOps.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def term(c: Long, n: Long): Long = math.round(-(c.toDouble / n) * math.log(c.toDouble / n) * 1e8)
+    // uniform over 4 types: 4 terms of (1/4)ln4
+    assert(out(1L) === ((4L, 4L, 4 * term(1, 4))))
+    // one type: ln(1) = 0
+    assert(out(2L) === ((4L, 1L, 0L)))
+    // two types at 2/4 each
+    assert(out(3L) === ((4L, 2L, 2 * term(2, 4))))
+    // ordering sanity: uniform > bimodal > constant
+    assert(out(1L)._3 > out(3L)._3 && out(3L)._3 > out(2L)._3)
+  }
+
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
