@@ -4474,6 +4474,56 @@ object SparkEntry {
       view(s, d, "documents")
       graft.operators.TextOps.tokenEntropy(s.table("documents"), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // Robust per-group scaling: (score - median)/IQR per language, the
+    // quartiles from one sketch pass broadcast back to the corpus. KLL
+    // k is raised to 400 for this query (largest group is 218 docs at
+    // sf0.01) so every group sits in the exact regime and the sketch
+    // quartiles equal the oracle's EXCLUSIVE-rank picks.
+    q("q148_robust_scaling",
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(list_sum(list_transform(
+        |             regexp_split_to_array(trim(lower(text)), '\\s+'),
+        |             w -> ${bowWeightSql(64)})) AS DOUBLE) score
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, score,
+        |        row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) rn,
+        |        count(*) OVER (PARTITION BY lang) n
+        |      FROM t),
+        |p AS (SELECT lang,
+        |        max(CASE WHEN rn = least(CAST(floor(0.25*n)+1 AS BIGINT), n) THEN score END) p25,
+        |        max(CASE WHEN rn = least(CAST(floor(0.5*n)+1 AS BIGINT), n) THEN score END) p50,
+        |        max(CASE WHEN rn = least(CAST(floor(0.75*n)+1 AS BIGINT), n) THEN score END) p75
+        |      FROM r GROUP BY lang)
+        |SELECT t.doc_id, t.lang, t.score,
+        |       CASE WHEN p.p75 <> p.p25
+        |            THEN round((t.score - p.p50) / (p.p75 - p.p25), 9) END AS robust
+        |FROM t JOIN p USING (lang) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val implKey = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val kKey = conf.GraftConf.QUANTILE_KLL_K_KEY
+      val prevImpl = s.conf.getOption(implKey)
+      val prevK = s.conf.getOption(kKey)
+      s.conf.set(implKey, "KLL")
+      s.conf.set(kKey, "400")
+      try {
+        view(s, d, "documents")
+        val scored = s.table("documents").select(col("doc_id"), col("lang"),
+          graft.functions.graft_hashed_bow_score(col("text"), bowWeights(64))
+            .as("score"))
+        Sampling.groupRobustScale(scored, "doc_id", "lang", "score")
+          .orderBy("doc_id")
+      } finally {
+        (prevImpl match {
+          case Some(v) => s.conf.set(implKey, v)
+          case None => s.conf.unset(implKey)
+        })
+        (prevK match {
+          case Some(v) => s.conf.set(kKey, v)
+          case None => s.conf.unset(kKey)
+        })
+      }
     }
   )
 

@@ -571,4 +571,30 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("bucket"), col("pos"))
   }
+
+  /**
+   * Robust per-group scaling: `(value - median) / IQR` with the
+   * quartiles read from ONE sketch aggregation per group and broadcast
+   * back — median/IQR are outlier-immune where mean/stddev are not, so
+   * this is the normalization of choice for heavy-tailed quality
+   * scores. NULL `robust` where a group's IQR is zero (degenerate
+   * constant group). The corpus never shuffles: the group stats travel
+   * to it, not it to them. Exact whenever groups are inside the sketch's
+   * exact regime (bump `spark.sql.dataSketches.quantiles.kll.k` for
+   * bigger groups); approximate-but-bounded beyond.
+   */
+  def groupRobustScale(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val p = df.groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile_ex($valueCol, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(col(groupCol), col("ps")(0).as("__p25"), col("ps")(1).as("__p50"),
+        col("ps")(2).as("__p75"))
+    df.join(broadcast(p), Seq(groupCol))
+      .withColumn("robust", when(col("__p75") =!= col("__p25"),
+        round((col(valueCol) - col("__p50")) / (col("__p75") - col("__p25")), 9)))
+      .select(col(idCol), col(groupCol), col(valueCol), col("robust"))
+  }
 }

@@ -1262,6 +1262,24 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out(1L)._3 > out(3L)._3 && out(3L)._3 > out(2L)._3)
   }
 
+  test("group robust scale: median/IQR per group, degenerate group nulls") {
+    import spark.implicits._
+    withSQLConf(graft.conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      // group a: {0,1,2,3,10} -> p25=1, p50=2, p75=3 (EXCLUSIVE picks);
+      // group b constant -> IQR 0 -> null
+      val df = Seq((1L, "a", 0.0), (2L, "a", 1.0), (3L, "a", 2.0),
+        (4L, "a", 3.0), (5L, "a", 10.0), (6L, "b", 7.0), (7L, "b", 7.0))
+        .toDF("id", "g", "v")
+      val out = Sampling.groupRobustScale(df, "id", "g", "v")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))).toMap
+      assert(out(3L) === 0.0)   // (2-2)/(3-1)
+      assert(out(1L) === -1.0)  // (0-2)/2
+      assert(out(5L) === 4.0)   // (10-2)/2
+      assert(out(6L) === null && out(7L) === null)
+    }
+  }
+
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
