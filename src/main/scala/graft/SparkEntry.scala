@@ -4524,6 +4524,57 @@ object SparkEntry {
           case None => s.conf.unset(kKey)
         })
       }
+    },
+
+    // Pairwise drift matrix: token-count distributions of all N language
+    // slices compared KS-pairwise from ONE corpus scan — N sketches,
+    // N(N-1)/2 comparisons, zero re-reads (the capability that makes
+    // sketch drift O(slices^2) cheap where raw ECDF comparison is
+    // O(slices^2) SCANS). KLL k=400 keeps the largest slice (218 docs at
+    // sf0.01) exact.
+    q("q149_drift_matrix",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS REAL)
+        |              AS DOUBLE) v
+        |  FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS DOUBLE) n FROM t GROUP BY lang),
+        |pr AS (SELECT a.lang la, b.lang lb FROM n a JOIN n b ON a.lang < b.lang)
+        |SELECT pr.la AS lang_a, pr.lb AS lang_b,
+        |  (SELECT round(max(abs(
+        |      CAST((SELECT count(*) FROM t WHERE t.lang = pr.la AND t.v <= p.v) AS DOUBLE)
+        |        / (SELECT n FROM n WHERE n.lang = pr.la)
+        |      - CAST((SELECT count(*) FROM t WHERE t.lang = pr.lb AND t.v <= p.v) AS DOUBLE)
+        |        / (SELECT n FROM n WHERE n.lang = pr.lb))), 9)
+        |   FROM (SELECT DISTINCT v FROM t WHERE t.lang IN (pr.la, pr.lb)) p) AS ks
+        |FROM pr ORDER BY lang_a, lang_b""".stripMargin) { (s, d) =>
+      val implKey = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val kKey = conf.GraftConf.QUANTILE_KLL_K_KEY
+      val prevImpl = s.conf.getOption(implKey)
+      val prevK = s.conf.getOption(kKey)
+      s.conf.set(implKey, "KLL")
+      s.conf.set(kKey, "400")
+      try {
+        view(s, d, "documents")
+        s.sql("""
+          |WITH sk AS (
+          |  SELECT lang, approx_percentile_accumulate(
+          |           size(split(trim(lower(text)), '\\s+'))) s
+          |  FROM documents GROUP BY lang)
+          |SELECT a.lang AS lang_a, b.lang AS lang_b,
+          |       round(approx_ks_distance(a.s, b.s), 9) AS ks
+          |FROM sk a JOIN sk b ON a.lang < b.lang
+          |ORDER BY lang_a, lang_b""".stripMargin)
+      } finally {
+        (prevImpl match {
+          case Some(v) => s.conf.set(implKey, v)
+          case None => s.conf.unset(implKey)
+        })
+        (prevK match {
+          case Some(v) => s.conf.set(kKey, v)
+          case None => s.conf.unset(kKey)
+        })
+      }
     }
   )
 

@@ -273,18 +273,20 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
       // small value domain forces heavy ties across and within sides
       val a = Array.fill(na)(rnd.nextInt(40).toFloat)
       val b = Array.fill(nb)(rnd.nextInt(40).toFloat)
-      val sa = graft.sketches.QuantileSketchFacade.create(
-        graft.sketches.QuantileAlgo.KLL, 200)
-      val sb = graft.sketches.QuantileSketchFacade.create(
-        graft.sketches.QuantileAlgo.KLL, 200)
-      a.foreach(sa.update)
-      b.foreach(sb.update)
-      val got = graft.sketches.QuantileSketchFacade.ksDelta(sa, sb)
       val pts = (a ++ b).distinct
       val want = pts.map { v =>
         math.abs(a.count(_ <= v).toDouble / na - b.count(_ <= v).toDouble / nb)
       }.max
-      assert(got === want, s"trial=$trial na=$na nb=$nb")
+      // exact regime for every impl: KLL/MERGEABLE k=200, REQ high k
+      for (algo <- Seq(graft.sketches.QuantileAlgo.KLL,
+          graft.sketches.QuantileAlgo.REQ, graft.sketches.QuantileAlgo.MERGEABLE)) {
+        val sa = graft.sketches.QuantileSketchFacade.create(algo, 256)
+        val sb = graft.sketches.QuantileSketchFacade.create(algo, 256)
+        a.foreach(sa.update)
+        b.foreach(sb.update)
+        val got = graft.sketches.QuantileSketchFacade.ksDelta(sa, sb)
+        assert(got === want, s"trial=$trial algo=$algo na=$na nb=$nb")
+      }
     }
   }
 
@@ -353,18 +355,19 @@ class ApproxSketchSuite extends AnyFunSuite with GraftSparkSession {
       val nb = 1 + rnd.nextInt(120)
       val a = Array.fill(na)(rnd.nextInt(30).toFloat)
       val b = Array.fill(nb)(rnd.nextInt(30).toFloat)
-      val sa = graft.sketches.QuantileSketchFacade.create(
-        graft.sketches.QuantileAlgo.KLL, 200)
-      val sb = graft.sketches.QuantileSketchFacade.create(
-        graft.sketches.QuantileAlgo.KLL, 200)
-      a.foreach(sa.update)
-      b.foreach(sb.update)
-      val got = graft.sketches.QuantileSketchFacade.emdDelta(sa, sb)
       val pts = (a ++ b).distinct.sorted
       val want = pts.sliding(2).collect { case Array(v, nv) =>
         math.abs(a.count(_ <= v).toDouble / na - b.count(_ <= v).toDouble / nb) * (nv - v)
       }.sum
-      assert(math.abs(got - want) < 1e-9, s"trial=$trial got=$got want=$want")
+      for (algo <- Seq(graft.sketches.QuantileAlgo.KLL,
+          graft.sketches.QuantileAlgo.REQ, graft.sketches.QuantileAlgo.MERGEABLE)) {
+        val sa = graft.sketches.QuantileSketchFacade.create(algo, 256)
+        val sb = graft.sketches.QuantileSketchFacade.create(algo, 256)
+        a.foreach(sa.update)
+        b.foreach(sb.update)
+        val got = graft.sketches.QuantileSketchFacade.emdDelta(sa, sb)
+        assert(math.abs(got - want) < 1e-9, s"trial=$trial algo=$algo got=$got want=$want")
+      }
     }
   }
 }
