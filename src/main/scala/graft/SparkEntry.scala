@@ -4575,6 +4575,77 @@ object SparkEntry {
           case None => s.conf.unset(kKey)
         })
       }
+    },
+
+    // Drift report capstone: the full drift toolkit — KS (max ECDF
+    // gap), EMD (value-unit shift), TVD and PSI (fixed-bin, integerized)
+    // — off ONE pair of slice sketches, no re-reads between metrics.
+    // Same bounded slices as q133/q138; bins (10,25,40) are non-empty
+    // on both sides at every SF. The binned sums fold with
+    // zip_with+aggregate into exact longs.
+    q("q150_drift_report",
+      """WITH a AS (SELECT CAST(CAST(l_quantity AS REAL) AS DOUBLE) v
+        |           FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 0),
+        |b AS (SELECT CAST(CAST(l_quantity AS REAL) AS DOUBLE) v
+        |      FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 1),
+        |na AS (SELECT CAST(count(*) AS DOUBLE) n FROM a),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) n FROM b),
+        |pts AS (SELECT DISTINCT v FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+        |f AS (SELECT v,
+        |        CAST((SELECT count(*) FROM a WHERE a.v <= pts.v) AS DOUBLE) / na.n
+        |        - CAST((SELECT count(*) FROM b WHERE b.v <= pts.v) AS DOUBLE) / nb.n AS gap,
+        |        lead(v) OVER (ORDER BY v) AS nv
+        |      FROM pts, na, nb),
+        |bins(bin, lo, hi) AS (VALUES
+        |  (0, CAST(NULL AS DOUBLE), 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0),
+        |  (3, 40.0, CAST(NULL AS DOUBLE))),
+        |pa AS (SELECT bin,
+        |         (CASE WHEN hi IS NULL THEN 1.0
+        |               ELSE CAST((SELECT count(*) FROM a WHERE v < hi) AS DOUBLE)/na.n END)
+        |       - (CASE WHEN lo IS NULL THEN 0.0
+        |               ELSE CAST((SELECT count(*) FROM a WHERE v < lo) AS DOUBLE)/na.n END) AS p
+        |       FROM bins, na),
+        |pb AS (SELECT bin,
+        |         (CASE WHEN hi IS NULL THEN 1.0
+        |               ELSE CAST((SELECT count(*) FROM b WHERE v < hi) AS DOUBLE)/nb.n END)
+        |       - (CASE WHEN lo IS NULL THEN 0.0
+        |               ELSE CAST((SELECT count(*) FROM b WHERE v < lo) AS DOUBLE)/nb.n END) AS p
+        |       FROM bins, nb)
+        |SELECT
+        |  (SELECT round(max(abs(gap)), 9) FROM f) AS ks,
+        |  (SELECT round(sum(abs(gap) * (nv - v)), 6) FROM f WHERE nv IS NOT NULL) AS emd,
+        |  (SELECT CAST(sum(CAST(round(abs(pa.p - pb.p) * 1e9) AS BIGINT)) AS BIGINT)
+        |   FROM pa JOIN pb ON pa.bin = pb.bin) AS tvd_fp,
+        |  (SELECT CAST(sum(CAST(round((pa.p - pb.p) * ln(pa.p / pb.p) * 1e8) AS BIGINT))
+        |          AS BIGINT)
+        |   FROM pa JOIN pb ON pa.bin = pb.bin) AS psi_fp""".stripMargin) { (s, d) =>
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      try {
+        view(s, d, "lineitem")
+        s.sql("""
+          |WITH a AS (SELECT approx_percentile_accumulate(l_quantity) s
+          |           FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 0),
+          |b AS (SELECT approx_percentile_accumulate(l_quantity) s
+          |      FROM lineitem WHERE l_orderkey < 40 AND l_linenumber % 2 = 1),
+          |h AS (SELECT a.s sa, b.s sb,
+          |        approx_histogram_estimate(a.s, array(10D, 25D, 40D)) pa,
+          |        approx_histogram_estimate(b.s, array(10D, 25D, 40D)) pb
+          |      FROM a, b)
+          |SELECT round(approx_ks_distance(sa, sb), 9) AS ks,
+          |       round(approx_emd_distance(sa, sb), 6) AS emd,
+          |       aggregate(zip_with(pa, pb,
+          |           (x, y) -> CAST(round(abs(x - y) * 1e9) AS BIGINT)),
+          |         CAST(0 AS BIGINT), (acc, t) -> acc + t) AS tvd_fp,
+          |       aggregate(zip_with(pa, pb,
+          |           (x, y) -> CAST(round((x - y) * ln(x / y) * 1e8) AS BIGINT)),
+          |         CAST(0 AS BIGINT), (acc, t) -> acc + t) AS psi_fp
+          |FROM h""".stripMargin)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 
