@@ -1187,6 +1187,18 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect().isEmpty)
   }
 
+  test("globalRankDesc plans no single-partition exchange (the scale invariant)") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, (i % 97).toDouble)).toDF("id", "v")
+    val plan = graft.operators.Classifier
+      .globalRankDesc(df, "id", "v", "rk", buckets = 16)
+      .queryExecution.executedPlan.toString
+    // the naive row_number() OVER (ORDER BY ...) would show here as a
+    // SinglePartition exchange feeding an unpartitioned Window
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(plan.contains("Window"), "rank window missing entirely")
+  }
+
   test("rrfEnsemble: integerized RRF ordering and exact ranks") {
     import spark.implicits._
     // id 1 is best on s1, id 3 best on s2, id 2 second on both; RRF
