@@ -4646,6 +4646,35 @@ object SparkEntry {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Contrastive TRIPLET mining: per anchor, best positive (near-dup
+    // band, cosine >= 0.47 — q23's threshold) and best hard negative
+    // (cosine < 0.3) from ONE scored pass; anchors lacking either side
+    // drop (a triplet loss needs both). Exact double cosine, the
+    // q23/q131 arithmetic.
+    q("q151_contrastive_triplets",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT a.vec_id anchor_id, b.vec_id neighbor_id,
+        |        list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) c
+        |      FROM e a JOIN e b ON a.vec_id < 200 AND a.vec_id != b.vec_id),
+        |p AS (SELECT anchor_id, neighbor_id positive_id, round(c, 9) pos_cosine,
+        |        row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neighbor_id) rk
+        |      FROM s WHERE c >= 0.47),
+        |n AS (SELECT anchor_id, neighbor_id negative_id, round(c, 9) neg_cosine,
+        |        row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neighbor_id) rk
+        |      FROM s WHERE c < 0.3)
+        |SELECT p.anchor_id AS anchor_id, positive_id, pos_cosine,
+        |       negative_id, neg_cosine
+        |FROM p JOIN n ON p.anchor_id = n.anchor_id AND p.rk = 1 AND n.rk = 1
+        |ORDER BY p.anchor_id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      graft.operators.Similarity.contrastiveTriplets(
+          e, e.where(col("vec_id") < 200), "vec_id", "embedding",
+          minPositive = 0.47, maxNegative = 0.3)
+        .orderBy("anchor_id")
     }
   )
 

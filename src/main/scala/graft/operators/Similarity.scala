@@ -101,6 +101,49 @@ object Similarity {
   }
 
   /**
+   * Contrastive-training TRIPLET mining: for each anchor, its best
+   * positive (highest-cosine neighbor AT/ABOVE `minPositive` — the
+   * near-dup band) and its best hard negative (highest-cosine neighbor
+   * BELOW `maxNegative` — similar but wrong), in one scored pass.
+   * Anchors lacking either side are dropped: a triplet loss needs both.
+   * Output: (anchor_id, positive_id, pos_cosine, negative_id,
+   * neg_cosine), cosines rounded 9 dp.
+   *
+   * Same scale shape as [[hardNegatives]]: the anchor side broadcasts,
+   * the corpus streams once, and the two per-anchor argmax windows are
+   * WindowGroupLimit-pruned map-side (k=1) before their shuffle.
+   */
+  def contrastiveTriplets(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minPositive: Double,
+      maxNegative: Double): DataFrame = {
+    require(maxNegative <= minPositive,
+      s"negative band must sit below the positive band: $maxNegative > $minPositive")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .where(col("cn") > 0)
+    val q = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .where(col("qn") > 0)
+    val scored = c.join(broadcast(q), col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    def top1(side: DataFrame, idAs: String, cosAs: String): DataFrame = side
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("anchor_id"), col("neighbor_id").as(idAs),
+        round(col("cosine"), 9).as(cosAs))
+    top1(scored.where(col("cosine") >= minPositive), "positive_id", "pos_cosine")
+      .join(top1(scored.where(col("cosine") < maxNegative), "negative_id", "neg_cosine"),
+        Seq("anchor_id"))
+  }
+
+  /**
    * The full centroid set packed into ONE broadcastable row:
    * `cents = array<struct<cell, centroid>>`. Joining this to a big table
    * is a broadcast nested-loop of exactly one row — effectively free —

@@ -973,6 +973,29 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("contrastive triplets: both bands required, top-1 picks, bands disjoint") {
+    import spark.implicits._
+    // anchor 1: positive 2 (identical dir), negatives 4,5 (orthogonal-ish)
+    // anchor 3: no positive -> dropped
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(-1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.contrastiveTriplets(
+        vecs, vecs.where(col("vec_id") <= 3), "vec_id", "embedding",
+        minPositive = 0.95, maxNegative = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // anchor 1 and 2 pair up; anchor 3's best cosines (with 1,2 = 0.6;
+    // with 4 = 0.8) never reach 0.95 -> no positive -> dropped
+    assert(out.map(_._1).toSet === Set(1L, 2L))
+    val t1 = out.find(_._1 == 1L).get
+    assert(t1._2 === 2L)       // positive: same direction
+    assert(t1._3 === 4L)       // hard negative: cosine 0 < 0.3, id-tiebreak over 5
+    intercept[IllegalArgumentException] {
+      Similarity.contrastiveTriplets(vecs, vecs, "vec_id", "embedding", 0.3, 0.5)
+    }
+  }
+
   test("shard manifest sink: counts/tokens/checksums match source, xor order-free") {
     import java.nio.file.Files
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
