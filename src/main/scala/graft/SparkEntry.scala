@@ -4675,6 +4675,34 @@ object SparkEntry {
           e, e.where(col("vec_id") < 200), "vec_id", "embedding",
           minPositive = 0.47, maxNegative = 0.3)
         .orderBy("anchor_id")
+    },
+
+    // Language-ID confidence margin: q18's argmax pick plus best/second
+    // stopword scores and their gap — margin 0 = tie/no evidence, the
+    // threshold that drops mixed-language docs instead of trusting a
+    // coin-flip label. Integer counts end to end.
+    q("q152_langid_margin", {
+      def hits(w: String) =
+        s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x = '$w'))"
+      val scores = operators.TextOps.langMarkers
+        .map { case (l, ws) => l -> ws.map(hits).mkString(" + ") }
+      val scoreCols = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+      val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+      val caseChain = scores
+        .map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      val arr = s"list_reverse_sort([${scores.map("s_" + _._1).mkString(", ")}])"
+      s"""WITH scored AS (SELECT doc_id, $scoreCols FROM documents),
+         |b AS (SELECT *, $best AS best, $arr AS sorted FROM scored)
+         |SELECT doc_id AS id, CASE $caseChain ELSE 'und' END AS lang_pred,
+         |       CAST(sorted[1] AS BIGINT) AS best,
+         |       CAST(sorted[2] AS BIGINT) AS second,
+         |       CAST(sorted[1] - sorted[2] AS BIGINT) AS margin
+         |FROM b ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.TextOps.languageConfidence(s.table("documents"), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

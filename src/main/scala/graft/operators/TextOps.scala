@@ -94,6 +94,33 @@ object TextOps {
   }
 
   /**
+   * Language ID with a CONFIDENCE margin: the argmax language (exactly
+   * [[languageId]]'s pick) plus the best and second-best stopword
+   * scores and their difference — the filter signal "how sure was the
+   * ID": margin 0 means two languages tied (or nothing matched), and
+   * thresholding on it is how a pipeline drops mixed-language or
+   * too-short documents instead of trusting a coin-flip label. All 16
+   * marker counts still come from ONE `graft_marker_hits` pass.
+   */
+  def languageConfidence(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withHits = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__hits", markerHits(col("__t"), langMarkers.flatMap(_._2)))
+    var off = 0
+    val scores = langMarkers.map { case (lang, ws) =>
+      val s = ws.indices.map(i => element_at(col("__hits"), off + i + 1)).reduce(_ + _)
+      off += ws.size
+      lang -> s
+    }
+    val arr = sort_array(array(scores.map(_._2): _*), asc = false)
+    withHits
+      .withColumn("lang_pred", languageId(col("__t")))
+      .withColumn("best", element_at(arr, 1).cast("long"))
+      .withColumn("second", element_at(arr, 2).cast("long"))
+      .withColumn("margin", (element_at(arr, 1) - element_at(arr, 2)).cast("long"))
+      .select("id", "lang_pred", "best", "second", "margin")
+  }
+
+  /**
    * BPE-ish subword token count: runs of letters, runs of digits, and
    * individual punctuation each count as one token (the shape a byte-pair
    * vocabulary converges to), over the lower-cased text. A cheap,

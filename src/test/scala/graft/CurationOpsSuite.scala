@@ -1292,6 +1292,21 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("language confidence: argmax matches languageId, margin zero on ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of to"),    // strongly en
+      (2L, "the der"),                       // en/de tie -> margin 0
+      (3L, "xyzzy plugh")                    // no evidence -> und, 0/0
+    ).toDF("doc_id", "text")
+    val out = TextOps.languageConfidence(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L)._1 === "en" && out(1L)._4 > 0)
+    assert(out(2L)._2 === 1L && out(2L)._3 === 1L && out(2L)._4 === 0L)
+    assert(out(3L) === (("und", 0L, 0L, 0L)))
+  }
+
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
