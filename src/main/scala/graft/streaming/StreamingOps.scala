@@ -407,20 +407,23 @@ object StreamingOps {
    * raw stream again.
    *
    * Scale design: this is a plain streaming windowed aggregation — state
-   * per (window) is ONE sketch buffer (KB-scale, k-bounded), partial
-   * aggregation happens map-side per micro-batch, and eviction follows
-   * the watermark. Nothing here grows with stream length.
+   * per (window, keys) is ONE sketch buffer (KB-scale, k-bounded),
+   * partial aggregation happens map-side per micro-batch, and eviction
+   * follows the watermark. Nothing here grows with stream length. Pass
+   * `keyCols` for per-key monitoring (per-source daily length sketches);
+   * state then scales with |keys| per horizon, not with rows.
    */
   def windowedDistributionSketch(
       df: DataFrame,
       eventTimeCol: String,
       valCol: String,
       windowDuration: String,
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String,
+      keyCols: Seq[String] = Nil): DataFrame =
     df.withWatermark(eventTimeCol, watermarkDelay)
-      .groupBy(window(col(eventTimeCol), windowDuration))
+      .groupBy(window(col(eventTimeCol), windowDuration) +: keyCols.map(col): _*)
       .agg(expr(s"approx_percentile_accumulate($valCol)").as("sk"))
-      .select(col("window.start").as("window_start"), col("sk"))
+      .select(col("window.start").as("window_start") +: keyCols.map(col) :+ col("sk"): _*)
 
   /**
    * Streaming per-window heavy-hitters sketch: one serialized
@@ -438,11 +441,12 @@ object StreamingOps {
       eventTimeCol: String,
       itemCol: String,
       windowDuration: String,
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String,
+      keyCols: Seq[String] = Nil): DataFrame =
     df.withWatermark(eventTimeCol, watermarkDelay)
-      .groupBy(window(col(eventTimeCol), windowDuration))
+      .groupBy(window(col(eventTimeCol), windowDuration) +: keyCols.map(col): _*)
       .agg(expr(s"approx_freqitems_accumulate($itemCol)").as("sk"))
-      .select(col("window.start").as("window_start"), col("sk"))
+      .select(col("window.start").as("window_start") +: keyCols.map(col) :+ col("sk"): _*)
 
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {

@@ -282,4 +282,31 @@ class StreamingSketchSuite extends AnyFunSuite with GraftSparkSession {
         ("2024-01-02", "b", 1L)))
     } finally q.stop()
   }
+
+  test("keyed windowed sketches: one sketch per (window, key)") {
+    import spark.implicits._
+    withSQLConf(graft.conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY -> "KLL") {
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+      val sketches = graft.streaming.StreamingOps.windowedDistributionSketch(
+        input.toDF().toDF("t", "src", "v"), "t", "v", "1 day", "0 seconds",
+        keyCols = Seq("src"))
+      val q = sketches.writeStream
+        .format("memory").queryName("kwds_stream").outputMode(OutputMode.Append())
+        .start()
+      try {
+        input.addData(Seq(
+          (ts("2024-01-01 01:00:00"), "web", 1.0),
+          (ts("2024-01-01 02:00:00"), "web", 3.0),
+          (ts("2024-01-01 03:00:00"), "books", 10.0)): _*)
+        q.processAllAvailable()
+        input.addData(Seq((ts("2024-09-01 00:00:00"), "web", 0.0)): _*)
+        q.processAllAvailable()
+        val out = spark.table("kwds_stream")
+          .selectExpr("src", "approx_percentile_estimate(sk, 0.5) AS p50")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(out === Map("web" -> 3.0, "books" -> 10.0))
+      } finally q.stop()
+    }
+  }
 }
