@@ -4703,6 +4703,44 @@ object SparkEntry {
       view(s, d, "documents")
       graft.operators.TextOps.languageConfidence(s.table("documents"), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // Incremental manifest diff: write the corpus manifest twice (full,
+    // and with every 5th doc dropped — simulated deletions) and diff
+    // per shard: row delta and whether the xor checksum moved. This is
+    // the re-validation workflow q140's sink exists for — a changed
+    // shard is detectable from two 8-row manifests, no corpus re-read.
+    q("q153_manifest_diff",
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 8 AS shard,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS fp
+        |  FROM documents),
+        |a AS (SELECT shard, count(*) n, bit_xor(fp) x FROM v GROUP BY shard),
+        |b AS (SELECT shard, count(*) n, bit_xor(fp) x FROM v
+        |      WHERE doc_id % 5 != 0 GROUP BY shard)
+        |SELECT a.shard AS shard, CAST(a.n AS BIGINT) AS n_full,
+        |       CAST(coalesce(b.n, 0) AS BIGINT) AS n_pruned,
+        |       CAST(a.n - coalesce(b.n, 0) AS BIGINT) AS rows_removed,
+        |       (b.x IS NULL OR a.x != b.x) AS checksum_changed
+        |FROM a LEFT JOIN b ON a.shard = b.shard ORDER BY shard""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val out1 = java.nio.file.Files.createTempDirectory("graft_q153a_").toString
+      val out2 = java.nio.file.Files.createTempDirectory("graft_q153b_").toString
+      val full = operators.Sinks.writeShardsWithManifest(
+        docs, "doc_id", "text", out1, numShards = 8)
+      val pruned = operators.Sinks.writeShardsWithManifest(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", out2, numShards = 8)
+      full.select(col("shard"), col("n_rows").as("n_full"), col("xor_fp").as("xa"))
+        .join(pruned.select(col("shard"), col("n_rows").as("n_pruned"),
+          col("xor_fp").as("xb")), Seq("shard"), "left")
+        .select(col("shard"), col("n_full"),
+          coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+          (col("n_full") - coalesce(col("n_pruned"), lit(0L))).as("rows_removed"),
+          (col("xb").isNull || col("xa") =!= col("xb")).as("checksum_changed"))
+        .orderBy("shard")
     }
   )
 
