@@ -4741,6 +4741,33 @@ object SparkEntry {
           (col("n_full") - coalesce(col("n_pruned"), lit(0L))).as("rows_removed"),
           (col("xb").isNull || col("xa") =!= col("xb")).as("checksum_changed"))
         .orderBy("shard")
+    },
+
+    // Dedup savings accounting: with q15's planted duplicates, how many
+    // docs and how much token mass exact dedup keeps vs drops PER
+    // LANGUAGE — the before/after report a data-mix owner reads on
+    // every ingestion. Keep-first rule; exact integer token sums.
+    q("q154_dedup_savings",
+      """WITH inp AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, lang, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |x AS (SELECT doc_id, lang,
+        |        len(regexp_split_to_array(trim(lower(text)), '\s+')) toks,
+        |        doc_id = min(doc_id) OVER (PARTITION BY md5(text)) keep
+        |      FROM inp)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |       CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |       CAST(sum(toks) - sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
+        |         AS tokens_dropped
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dup = s.sql("""SELECT doc_id, lang, text FROM documents UNION ALL
+                        |SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+                        |WHERE doc_id % 5 = 0""".stripMargin)
+      Dedup.dedupSavings(dup, "doc_id", "text", "lang").orderBy("lang")
     }
   )
 

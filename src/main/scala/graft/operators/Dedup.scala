@@ -57,6 +57,33 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Per-group dedup SAVINGS report: how many documents and how much
+   * token mass exact dedup keeps vs drops, per source/language — the
+   * accounting a data-mix owner reads before and after every ingestion
+   * ("web re-crawls cost us 40% duplicate tokens"). Keep-first (min id
+   * per content hash, the [[exactDedup]] rule); one window over the
+   * content-hash partitioning plus one group-by, no text beyond the
+   * hash ever shuffles twice.
+   */
+  def dedupSavings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val w = Window.partitionBy("__graft_h")
+    df.withColumn("__graft_h", md5(col(textCol).cast("binary")))
+      .withColumn("__graft_keep", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("__graft_toks", TextOps.tokenCount(col(textCol)).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__graft_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__graft_toks")).as("tokens_total"),
+        sum(when(col("__graft_keep"), col("__graft_toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("tokens_dropped", col("tokens_total") - col("tokens_kept"))
+  }
+
   /** Normalized dedup: like [[exactDedup]] but on the whitespace/case fingerprint. */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextOps.fingerprint(col(textCol)).as("content_hash"))

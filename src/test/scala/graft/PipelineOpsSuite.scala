@@ -973,6 +973,21 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("dedup savings: keep-first accounting, cross-group duplicate charged once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y z"),  // dup within group a
+      (3L, "b", "x y z"),                       // same content, later id, group b
+      (4L, "b", "unique doc here four")).toDF("id", "g", "text")
+    val out = Dedup.dedupSavings(df, "id", "text", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // group a: 2 docs, keeper is id 1 (3 tokens kept, 3 dropped)
+    assert(out("a") === ((2L, 1L, 6L, 3L, 3L)))
+    // group b: id 3 loses to id 1 globally; id 4 is unique
+    assert(out("b") === ((2L, 1L, 7L, 4L, 3L)))
+  }
+
   test("contrastive triplets: both bands required, top-1 picks, bands disjoint") {
     import spark.implicits._
     // anchor 1: positive 2 (identical dir), negatives 4,5 (orthogonal-ish)
