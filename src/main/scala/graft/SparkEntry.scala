@@ -4768,6 +4768,83 @@ object SparkEntry {
                         |SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
                         |WHERE doc_id % 5 = 0""".stripMargin)
       Dedup.dedupSavings(dup, "doc_id", "text", "lang").orderBy("lang")
+    },
+
+    // STREAMING per-source drift: the keyed windowed-sketch operator
+    // builds one sketch per (event_type, day) from a bounded replay,
+    // and after the sentinel flush the same per-type min-day KS join as
+    // batch q142 runs on the emitted sketches — the streamed result
+    // must equal the batch result bit-for-bit (shared oracle).
+    q("q155_streaming_group_drift",
+      """WITH ev AS (SELECT event_type g, epoch_us(ts)//86400000000 AS day,
+        |                   CAST(CAST(value AS REAL) AS DOUBLE) v FROM events),
+        |base AS (SELECT g, min(day) d0 FROM ev GROUP BY g),
+        |b AS (SELECT ev.g, v FROM ev JOIN base ON ev.g = base.g AND ev.day = base.d0),
+        |grp AS (SELECT DISTINCT g, day FROM ev)
+        |SELECT grp.g AS event_type, CAST(grp.day AS BIGINT) AS day,
+        |  (SELECT round(max(abs(
+        |      CAST((SELECT count(*) FROM ev e2
+        |            WHERE e2.g = grp.g AND e2.day = grp.day AND e2.v <= p.v) AS DOUBLE)
+        |        / (SELECT CAST(count(*) AS DOUBLE) FROM ev e3
+        |           WHERE e3.g = grp.g AND e3.day = grp.day)
+        |      - CAST((SELECT count(*) FROM b WHERE b.g = grp.g AND b.v <= p.v) AS DOUBLE)
+        |        / (SELECT CAST(count(*) AS DOUBLE) FROM b b2 WHERE b2.g = grp.g))), 9)
+        |   FROM (SELECT DISTINCT v FROM (
+        |           SELECT v FROM ev e4 WHERE e4.g = grp.g AND e4.day = grp.day
+        |           UNION ALL SELECT v FROM b WHERE b.g = grp.g)) p) AS ks
+        |FROM grp ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val key = conf.GraftConf.QUANTILE_SKETCH_IMPL_KEY
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "KLL")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val rows = s.table("events")
+          .select(expr("timestamp_micros(ts DIV 1000)").as("t"),
+            col("event_type"), col("value"))
+          .orderBy("t", "event_type").collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+        val maxT = rows.map(_._1.getTime).max
+        val input = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+        val sketches = graft.streaming.StreamingOps.windowedDistributionSketch(
+          input.toDF().toDF("t", "event_type", "value"), "t", "value",
+          "1 day", "0 seconds", keyCols = Seq("event_type"))
+        val sink = "graft_q155_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = sketches.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(rows.toSeq)
+          qy.processAllAvailable()
+          input.addData(Seq(
+            (new java.sql.Timestamp(maxT + 100L * 86400000L), "view", 0.0)))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        val maxRealDay = maxT / 86400000L
+        val wins = s.table(sink)
+          .select(col("event_type"),
+            expr("unix_micros(window_start) DIV 86400000000").as("day"), col("sk"))
+          .where(col("day") <= lit(maxRealDay))
+        // the per-type baseline is |types| rows — materialize it into a
+        // fresh DataFrame (broadcast-baseline pattern); joining two
+        // reads of the same memory-sink view trips Catalyst's
+        // conflicting-attribute check under min_by
+        val base = wins.groupBy("event_type").agg(expr("min_by(sk, day)").as("s0"))
+          .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+          .toDF("event_type", "s0")
+        wins.join(base, Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            round(expr("approx_ks_distance(sk, s0)"), 9).as("ks"))
+          .orderBy("event_type", "day")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
     }
   )
 
