@@ -250,7 +250,12 @@ object Classifier {
       rrfConst: Int = 60): DataFrame = {
     require(signalCols.nonEmpty, "need at least one signal column")
     require(k > 0 && rrfConst >= 0, s"bad k=$k / rrfConst=$rrfConst")
-    val ranked = signalCols.foldLeft(df) { (acc, s) =>
+    // each signal's ranking makes two passes (bounds sketch + counts) —
+    // cache the signal projection once instead of recomputing it
+    // 2×|signals| times (text-derived signals re-tokenize otherwise);
+    // per-query working state, reclaimed by the harness's cache clear
+    val cached = df.select(col(idCol) +: signalCols.map(col): _*).cache()
+    val ranked = signalCols.foldLeft(cached) { (acc, s) =>
       globalRankDesc(acc, idCol, s, s"rank_$s")
     }
     val rrf = signalCols
