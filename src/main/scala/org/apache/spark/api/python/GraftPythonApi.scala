@@ -288,4 +288,23 @@ object GraftPythonApi {
   def curriculumInterleave(df: DataFrame, idCol: String, difficultyCol: String,
       binWidth: Double): DataFrame =
     Sampling.curriculumInterleave(df, idCol, difficultyCol, binWidth)
+
+  def groupRobustScale(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame =
+    Sampling.groupRobustScale(df, idCol, groupCol, valueCol)
+
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextOps.tokenEntropy(df, idCol, textCol)
+
+  def languageConfidence(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextOps.languageConfidence(df, idCol, textCol)
+
+  def dedupSavings(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    Dedup.dedupSavings(df, idCol, textCol, groupCol)
+
+  def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, minPositive: Double, maxNegative: Double): DataFrame =
+    Similarity.contrastiveTriplets(corpus, anchors, idCol, vecCol,
+      minPositive, maxNegative)
 }
