@@ -3782,7 +3782,7 @@ object SparkEntry {
         |  FROM bg JOIN cb USING (w1, w2) JOIN cu ON cu.w = bg.w1 CROSS JOIN vv
         |  GROUP BY doc_id)
         |SELECT d.doc_id AS id, coalesce(nb, 0) AS n_bigrams,
-        |       coalesce(lp, 0) AS logprob_fp
+        |       CAST(coalesce(lp, 0) AS BIGINT) AS logprob_fp
         |FROM d LEFT JOIN scored USING (doc_id) ORDER BY id""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       graft.operators.Classifier.bigramLmScore(

@@ -194,6 +194,11 @@ object Classifier {
    * within-bucket row_number: exact, and every stage is
    * partition-parallel. Sketch error only skews bucket SIZES, never
    * correctness.
+   *
+   * Null and NaN `valueCol` rows have no defined position in a
+   * descending order (the bucket binary-search and the window would
+   * disagree on where they land), so they are EXCLUDED from the output
+   * — same contract as SQL `rank()` over a `WHERE v IS NOT NULL` scan.
    */
   def globalRankDesc(
       df: DataFrame,
@@ -203,7 +208,9 @@ object Classifier {
       buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = df.sparkSession
-    val boundsRow = df
+    val ranked = df.where(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")))
+    val boundsRow = ranked
       .agg(call_function("approx_partition_bounds",
         col(valueCol).cast("double"), lit(buckets)).as("bs"))
       .collect()(0)
@@ -213,10 +220,14 @@ object Classifier {
       // empty input: no bounds; emit the schema with an empty rank
       return df.withColumn(rankCol, lit(0L)).where(lit(false))
     }
-    val bucketed = df.withColumn("__graft_rb",
+    val bucketed = ranked.withColumn("__graft_rb",
       graft.functions.graft_value_bucket(col(valueCol).cast("double"), bounds))
     val counts = bucketed.groupBy("__graft_rb").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().flatMap { r =>
+        // defensive: a null bucket (shouldn't occur post-filter) is dropped
+        // rather than NPE'ing the driver
+        Option(r.getAs[Integer]("__graft_rb")).map(_.intValue -> r.getLong(1))
+      }.toMap
     // descending rank: rows in HIGHER buckets (strictly larger values)
     // rank first, so bucket b's offset is the suffix sum above b
     val offsets = counts.map { case (b, _) =>
@@ -240,7 +251,9 @@ object Classifier {
    * combine incommensurable quality signals (token counts vs classifier
    * scores vs novelty). The fixed-point longs sum exactly in any order,
    * so the score is engine-reproducible. Returns the top `k` rows as
-   * (id, rank_<signal>..., rrf_fp), best first.
+   * (id, rank_<signal>..., rrf_fp), best first. Rows with a null/NaN
+   * value in ANY signal are excluded (see [[globalRankDesc]]) — a row
+   * that can't be ranked under one signal has no fusable RRF score.
    */
   def rrfEnsemble(
       df: DataFrame,

@@ -69,6 +69,12 @@ object Sinks {
    * [[Sampling.shuffleShards]] (deterministic across engines and runs).
    * The manifest aggregates the WRITTEN files, not the input plan —
    * what's attested is what landed.
+   *
+   * A null id cannot be fingerprinted, so an input containing one FAILS
+   * fast (IllegalArgumentException) instead of silently shrinking an
+   * export that claims integrity; the precheck is a limit-1 scan, not a
+   * full pass. An empty input writes an empty manifest with the
+   * explicit (shard, n_rows, n_tokens, xor_fp) schema and returns it.
    */
   def writeShardsWithManifest(
       df: DataFrame,
@@ -78,14 +84,23 @@ object Sinks {
       numShards: Int,
       seed: Long = 0L): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(df.where(col(idCol).isNull).isEmpty,
+      s"writeShardsWithManifest: null $idCol — every exported row must be fingerprintable")
+    val spark = df.sparkSession
+    val manifestSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "shard INT, n_rows BIGINT, n_tokens BIGINT, xor_fp BIGINT")
+    if (df.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          manifestSchema)
+        .write.mode("overwrite").parquet(s"$path/manifest")
+      return spark.read.parquet(s"$path/manifest")
+    }
     val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary"))
     val shard = (conv(substring(key, 1, 15), 16, 10).cast("long") % numShards)
       .cast("int")
-    df.where(col(idCol).isNotNull)
-      .withColumn("shard", shard)
+    df.withColumn("shard", shard)
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
-    val spark = df.sparkSession
     val fp = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     spark.read.parquet(s"$path/data")

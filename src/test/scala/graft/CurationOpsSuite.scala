@@ -1187,6 +1187,19 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect().isEmpty)
   }
 
+  test("globalRankDesc: null and NaN values are excluded, finite rows rank cleanly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(Double.NaN)),
+      (4L, Some(9.0)), (5L, Some(5.0)))
+      .toDF("id", "v")
+    val got = graft.operators.Classifier
+      .globalRankDesc(df, "id", "v", "rk", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // null (id 2) and NaN (id 3) dropped; 9.0 ranks 1, tied 5.0s by id
+    assert(got === Map(4L -> 1L, 1L -> 2L, 5L -> 3L))
+  }
+
   test("globalRankDesc plans no single-partition exchange (the scale invariant)") {
     import spark.implicits._
     val df = (1L to 2000L).map(i => (i, (i % 97).toDouble)).toDF("id", "v")

@@ -1034,6 +1034,23 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert((re.getLong(0), re.getLong(1), re.getLong(2)) === manifest(0))
   }
 
+  test("shard manifest sink: null id fails fast, empty input yields empty manifest") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val withNull = Seq((Some(1L), "a b"), (None, "c d"))
+      .toDF("doc_id", "text")
+    val p1 = Files.createTempDirectory("graft_manifest_null").toString + "/out"
+    intercept[IllegalArgumentException] {
+      graft.operators.Sinks.writeShardsWithManifest(withNull, "doc_id", "text", p1, 2)
+    }
+    val p2 = Files.createTempDirectory("graft_manifest_empty").toString + "/out"
+    val empty = graft.operators.Sinks.writeShardsWithManifest(
+      withNull.where(lit(false)), "doc_id", "text", p2, 2)
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSeq ===
+      Seq("shard", "n_rows", "n_tokens", "xor_fp"))
+  }
+
   test("sparse cosine pairs: near-dups found, unrelated doc excluded, case-folded dup exact") {
     val pairs = Similarity.sparseCosinePairs(docs, "doc_id", "text",
       threshold = 0.6, maxDf = 3)
