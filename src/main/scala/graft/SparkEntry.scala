@@ -4845,8 +4845,189 @@ object SparkEntry {
           case None => s.conf.unset(key)
         }
       }
+    },
+
+    // Distributed BPE tokenizer training: 8 merge rounds over the
+    // word-type vocabulary. Counts are exact integers and the argmax
+    // tie-break (count desc, then lexicographic pair) is total, so the
+    // learned merge table is bit-identical across engines; DuckDB
+    // replays the full train loop via the chained round CTEs.
+    q("q156_bpe_merges",
+      bpeRoundsCte(8) + "\n" +
+        (1 to 8).map(k =>
+          s"SELECT CAST($k AS INTEGER) AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM m$k")
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY round")) {
+      (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Bpe.trainMerges(s.table("documents"), "text", 8)
+        .orderBy("round")
+    },
+
+    // BPE inference + tokenizer-fertility audit: tokenize every document
+    // with the 8 learned merges and report tokens-per-word in 1e4 fixed
+    // point (pure integer half-up — no float in the comparison path).
+    // The oracle reuses the training CTE chain: after 8 merge folds,
+    // each word type's token count is just len(syms).
+    q("q157_bpe_fertility",
+      bpeRoundsCte(8) + """,
+        |dw AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w
+        |       FROM documents)
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(len(s8.syms)) AS BIGINT) AS n_tokens,
+        |       CAST((2 * CAST(sum(len(s8.syms)) AS BIGINT) * 10000 + count(*))
+        |            // (2 * count(*)) AS BIGINT) AS fertility_fp
+        |FROM dw JOIN s8 USING (w)
+        |WHERE dw.w <> '' AND NOT contains(dw.w, chr(31))
+        |GROUP BY doc_id ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val merges = graft.operators.Bpe.trainMerges(docs, "text", 8)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.tokenizeFertility(docs, "doc_id", "text", merges)
+        .orderBy("id")
+    },
+
+    // Fuzzy vocabulary pairs (SymSpell deletion-neighborhood blocking +
+    // exact Levenshtein verify); the oracle brute-forces the tiny
+    // verification-scale vocabulary — candidate GENERATION differs, the
+    // verified pair set must not.
+    q("q158_fuzzy_vocab",
+      """WITH wx AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) n FROM wx WHERE w <> '' GROUP BY 1)
+        |SELECT a.w AS w_a, b.w AS w_b, a.n AS n_a, b.n AS n_b,
+        |       CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+        |ORDER BY w_a, w_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Dedup.fuzzyVocabPairs(s.table("documents"), "text", maxDist = 2)
+        .orderBy("w_a", "w_b")
+    },
+
+    // Near-dup cluster representative selection: best n_chars per
+    // connected component (ties to the smallest id) — keep-best curation
+    // instead of keep-first. Clusters replayed by q35's recursive CTE.
+    q("q159_keep_best_cluster",
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |  UNION SELECT doc_id, doc_id FROM documents),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labeled AS (SELECT dst AS id, min(src) AS comp FROM reach GROUP BY dst),
+        |ranked AS (
+        |  SELECT comp, id, n_chars,
+        |         row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, id) rk,
+        |         count(*) OVER (PARTITION BY comp) nm
+        |  FROM labeled JOIN documents ON id = doc_id)
+        |SELECT comp, id AS kept_id, CAST(n_chars AS BIGINT) AS best_score,
+        |       CAST(nm AS BIGINT) AS n_members
+        |FROM ranked WHERE rk = 1 ORDER BY comp""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      val comps = Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id")
+      val scored = comps.join(
+        docs.select(col("doc_id").as("id"), col("n_chars").as("score")), Seq("id"))
+      Dedup.keepBestPerCluster(scored, "id", "comp", "score")
+        .select(col("comp"), col("kept_id"), col("best_score"), col("n_members"))
+        .orderBy("comp")
+    },
+
+    // Soft dedup over a dup-planted corpus: per normalized-content group
+    // of size n, weight 1e4/n (integer half-up) and an unbiased seeded
+    // keep decision hash60(0, id) * n < 2^60 — engine-replayable via the
+    // md5 hash-space convention.
+    q("q160_soft_dedup",
+      """WITH inp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0),
+        |g AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) fp FROM inp),
+        |n AS (SELECT fp, CAST(count(*) AS BIGINT) n_dups FROM g GROUP BY 1)
+        |SELECT doc_id AS id, n_dups,
+        |       (2 * 10000 + n_dups) // (2 * n_dups) AS weight_fp,
+        |       CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)::HUGEINT
+        |         * n_dups < 1152921504606846976 AS kept
+        |FROM g JOIN n USING (fp) ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dup = s.sql("""SELECT doc_id, text FROM documents UNION ALL
+                        |SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                        |WHERE doc_id % 4 = 0""".stripMargin)
+      Dedup.softDedupWeights(dup, "doc_id", "text").orderBy("id")
+    },
+
+    // k-anonymity profile over (lang, source) quasi-identifiers, k=5
+    q("q161_k_anonymity",
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Privacy.kAnonymityProfile(
+          s.table("documents"), Seq("lang", "source"), 5)
+        .orderBy("lang", "source")
+    },
+
+    // k-anonymity suppression release: only rows hiding among >= 5
+    // peers on (lang, source) survive
+    q("q162_k_suppression",
+      """WITH keep AS (
+        |  SELECT lang, source FROM documents GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN keep USING (lang, source) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Privacy.kAnonymitySuppress(
+          s.table("documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), 5)
+        .orderBy("doc_id")
     }
   )
+
+  /** DuckDB replay of [[graft.operators.Bpe.trainMerges]]'s first
+   *  `rounds` rounds: word-type table with counts, then per round a
+   *  pair-count CTE, a LIMIT-1 argmax CTE, and a merge-application CTE.
+   *  The merge fold runs in `list_reduce` over a chr(31)-delimited
+   *  symbol string: appending `x` WITHOUT the delimiter when the
+   *  accumulator's last token equals the round's lhs IS the merge
+   *  (lhs || rhs = their concatenation), and a freshly-merged tail can
+   *  never re-match as lhs — exactly the greedy left-to-right
+   *  non-overlapping semantics of the Spark-side array fold. Words
+   *  containing chr(31) are excluded on both sides by contract. */
+  private def bpeRoundsCte(rounds: Int): String = {
+    val head =
+      """WITH wx AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w FROM documents),
+        |wt AS (SELECT w, CAST(count(*) AS BIGINT) c FROM wx
+        |       WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY 1),
+        |s0 AS (SELECT w, string_split(w, '') syms, c FROM wt)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT p['l'] l, p['r'] r, CAST(sum(c) AS BIGINT) cnt FROM (
+         |  SELECT unnest(list_transform(range(1, len(syms)),
+         |           i -> {'l': syms[i], 'r': syms[i+1]})) p, c FROM s${k - 1}) GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$k AS (SELECT w, string_split(list_reduce(syms,
+         |  (acc, x) -> CASE WHEN x = m$k.r AND (acc = m$k.l OR ends_with(acc, chr(31) || m$k.l))
+         |              THEN acc || x ELSE acc || chr(31) || x END), chr(31)) syms, c
+         |  FROM s${k - 1} CROSS JOIN m$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** q89/q90's deterministic integer-valued weight vector: slot i weighs
    *  (i*37 mod 101) - 50 — integer-valued doubles, so sums are exact and

@@ -984,4 +984,110 @@ object Dedup {
         Seq("comp"))
       .select(col("id"), col("comp"), col("split"))
   }
+
+  /**
+   * Fuzzy vocabulary pairs (typo/variant canonicalization): every pair of
+   * corpus word types within Levenshtein distance `maxDist` (1 or 2),
+   * with both words' frequencies — the input to spelling-variant merging
+   * before vocabulary or n-gram statistics are trusted.
+   *
+   * Scale design — SymSpell deletion-neighborhood blocking, not all
+   * pairs: each word emits its <= 1 + L + L(L-1)/2 deletion variants
+   * (depth `maxDist`) as join keys; two words within distance d <= 2
+   * provably share a depth-d deletion variant, so the candidate join is
+   * an equi-join on short keys and ONLY candidates pay the exact
+   * `levenshtein` verification. The whole pipeline runs on the word-TYPE
+   * table (one hash agg collapses the corpus), so the join volume is
+   * vocabulary-sized regardless of corpus size. Production lever for
+   * pathological corpora: a frequency cap on degenerate keys (variants
+   * of 1-2 char words) bounds the hottest bucket.
+   */
+  def fuzzyVocabPairs(
+      df: DataFrame,
+      textCol: String,
+      maxDist: Int = 2,
+      minCount: Long = 1L): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    def del1(v: Column): Column =
+      when(length(v) >= 1, transform(sequence(lit(1), length(v)),
+        i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v) - i))))
+        .otherwise(array().cast("array<string>"))
+    val vocab = df.select(explode(TextOps.words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    val d1 = del1(col("w"))
+    val variants =
+      if (maxDist == 1) array_distinct(concat(array(col("w")), d1))
+      else array_distinct(concat(array(col("w")), d1,
+        flatten(transform(d1, v => del1(v)))))
+    val keyed = vocab.select(col("w"), col("n"), explode(variants).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w_a"), col("b.w").as("w_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("int"))
+      .where(col("dist") <= maxDist)
+  }
+
+  /**
+   * Representative selection for near-dup clusters: given component
+   * labels (from [[connectedComponents]]) and a per-document quality
+   * score, keep the best-scoring document per cluster (ties broken by
+   * smallest id) — the curation policy that beats [[exactDedup]]'s
+   * keep-first when duplicates differ in quality (truncation, OCR noise,
+   * boilerplate variants). Null scores are excluded before selection.
+   *
+   * One partial-aggregable hash aggregation — `max(struct(score, -id))`
+   * — per cluster: no window sort, no per-cluster row buffering, so a
+   * billion-member boilerplate cluster reduces map-side like any other
+   * group. Returns (comp, kept_id, best_score, n_members).
+   */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      compCol: String,
+      scoreCol: String): DataFrame =
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(col(compCol).as("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("best"))
+      .select(col("comp"), (-col("best.negid")).as("kept_id"),
+        col("best.s").as("best_score"), col("n_members"))
+
+  /**
+   * Soft dedup: instead of dropping duplicates, every document in a
+   * normalized-content group of size n keeps weight 1/n (1e4 fixed
+   * point, half-up) and an UNBIASED deterministic keep decision —
+   * `hash60(seed, id) * n < 2^60` — so the expected kept mass per group
+   * is one document, but WHICH copy survives is a seeded coin, not
+   * always the smallest id (the keep-first bias that skews source
+   * mixtures when duplication correlates with source). The Lee et al.
+   * "keep one random member" policy, reproducible across engines and
+   * runs via the md5 hash-space convention of [[Sampling.weightedMix]].
+   *
+   * Shuffle discipline: the text collapses to a 16-byte fingerprint
+   * before the group-size aggregation, and the join back to documents
+   * carries (fingerprint, n) only — document text never rides a
+   * shuffle. Decimal(38) arithmetic keeps `hash * n` exact (no long
+   * overflow for any group size).
+   */
+  def softDedupWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: Long = 0L): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+    val sizes = keyed.groupBy("__fp").agg(count(lit(1)).as("n_dups"))
+    val hv = conv(substring(
+      md5(concat(lit(s"$seed:"), col("id").cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("decimal(38,0)")
+    keyed.join(sizes, Seq("__fp"))
+      .select(col("id"), col("n_dups"),
+        expr("(2 * 10000 + n_dups) DIV (2 * n_dups)").as("weight_fp"),
+        (hv * col("n_dups") <
+          lit(new java.math.BigDecimal("1152921504606846976"))).as("kept"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy gates for corpus release: k-anonymity over quasi-identifier
+ * columns — the check a dataset export runs before metadata columns
+ * (language, source, geography, timestamps) ship alongside content.
+ * Complements the content-level PII redaction in [[TextOps]].
+ *
+ * Scale design: both operators are a single hash aggregation on the
+ * quasi-identifier key. Suppression joins the qualifying group KEYS back
+ * left-semi — co-partitioned with the aggregation's own shuffle, rows
+ * never buffer per group (no window), and the semi-join side carries
+ * keys only, never payload columns.
+ */
+object Privacy {
+
+  /** Per-group k-anonymity profile: (quasi..., n, anonymous) — one row
+    * per distinct quasi-identifier combination, `anonymous = n >= k`.
+    * Null quasi-values form their own group (SQL GROUP BY semantics),
+    * which is the conservative reading: a null combination seen once is
+    * still a singleton that re-identifies. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
+  /** Suppression release: only rows whose quasi-identifier combination
+    * appears >= k times survive — every released row hides among at
+    * least k-1 others. */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keep = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= k)
+      .select(quasiCols.map(col): _*)
+    // USING joins front-load the key columns; restore the input order so
+    // the release has the caller's schema
+    df.join(keep, quasiCols, "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

@@ -17,9 +17,9 @@ package org.apache.spark.api.python
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
-import graft.operators.{AsofJoin, BloomIndex, Classifier, Clustering, CorpusDiff, Dedup,
-  IvfIndex, JoinStats, Profiler, RangeJoin, Retrieval, Sampling, Similarity, Sinks,
-  Spectral, TextIndex, TextOps, TextProfile, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Bpe, Classifier, Clustering, CorpusDiff,
+  Dedup, IvfIndex, JoinStats, Privacy, Profiler, RangeJoin, Retrieval, Sampling,
+  Similarity, Sinks, Spectral, TextIndex, TextOps, TextProfile, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -307,4 +307,38 @@ object GraftPythonApi {
       vecCol: String, minPositive: Double, maxNegative: Double): DataFrame =
     Similarity.contrastiveTriplets(corpus, anchors, idCol, vecCol,
       minPositive, maxNegative)
+
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    Bpe.trainMerges(df, textCol, rounds)
+
+  def bpeTokenizeFertility(df: DataFrame, idCol: String, textCol: String,
+      merges: java.util.List[java.util.List[String]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Bpe.tokenizeFertility(df, idCol, textCol,
+      merges.asScala.toSeq.map(p => (p.get(0), p.get(1))))
+  }
+
+  def fuzzyVocabPairs(df: DataFrame, textCol: String, maxDist: Int,
+      minCount: Long): DataFrame =
+    Dedup.fuzzyVocabPairs(df, textCol, maxDist, minCount)
+
+  def keepBestPerCluster(df: DataFrame, idCol: String, compCol: String,
+      scoreCol: String): DataFrame =
+    Dedup.keepBestPerCluster(df, idCol, compCol, scoreCol)
+
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      seed: Long): DataFrame =
+    Dedup.softDedupWeights(df, idCol, textCol, seed)
+
+  def kAnonymityProfile(df: DataFrame, quasiCols: java.util.List[String],
+      k: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Privacy.kAnonymityProfile(df, quasiCols.asScala.toSeq, k)
+  }
+
+  def kAnonymitySuppress(df: DataFrame, quasiCols: java.util.List[String],
+      k: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Privacy.kAnonymitySuppress(df, quasiCols.asScala.toSeq, k)
+  }
 }

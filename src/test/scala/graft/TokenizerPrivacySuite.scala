@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, Dedup, Privacy}
+
+/** Round-8 operators: distributed BPE training/inference, SymSpell fuzzy
+  * vocabulary pairs, keep-best cluster dedup, soft dedup weights, and
+  * the k-anonymity privacy gates. */
+class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
+
+  test("bpe trainMerges: hand-checkable corpus, greedy non-overlap, early stop") {
+    import spark.implicits._
+    // "low" x3 + "lowest" x1: round 1 must merge (l,o) with count 4,
+    // round 2 (lo,w) with count 4, round 3 (low,est-ish pieces)...
+    val df = Seq("low low low lowest").toDF("text")
+    val m = Bpe.trainMerges(df, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((1, "l", "o", 4L)))
+    assert(m(1) === ((2, "lo", "w", 4L)))
+    // after [low] [low] [low] [low,e,s,t]: pairs (low,e)=1 (e,s)=1 (s,t)=1
+    // -> lexicographic tie-break picks (e, s)
+    assert(m(2) === ((3, "e", "s", 1L)))
+    // greedy non-overlap: "aaaa" word -> (a,a) count 3 in round 1 (adjacent
+    // occurrences), after merge [aa, aa] -> round 2 (aa,aa) count 1
+    val m2 = Bpe.trainMerges(Seq("aaaa").toDF("text"), "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2(0) === ((1, "a", "a", 3L)))
+    assert(m2(1) === ((2, "aa", "aa", 1L)))
+    // round 3: single symbol "aaaa" left everywhere -> early stop at 2 rows
+    assert(m2.length === 2)
+  }
+
+  test("bpe tokenizeFertility: merge order respected, integer half-up fixed point") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low"), (2L, "lowest low w")).toDF("id", "text")
+    val out = Bpe.tokenizeFertility(docs, "id", "text",
+        Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: "low" -> [low] after both merges: 2 words, 2 tokens, 1.0000
+    assert(out(1L) === ((2L, 2L, 10000L)))
+    // doc 2: "lowest" -> [low,e,s,t]=4, "low" -> 1, "w" -> 1: 3 words, 6
+    // tokens, fertility 2.0000
+    assert(out(2L) === ((3L, 6L, 20000L)))
+  }
+
+  test("fuzzy vocab pairs: symspell blocking finds all lev<=2 pairs, none extra") {
+    import spark.implicits._
+    val df = Seq("cat cart carts dog dig zebra cat").toDF("text")
+    val got = Dedup.fuzzyVocabPairs(df, "text", maxDist = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(4))).toMap
+    // brute-force truth (pairs ordered lexicographically: cart < carts < cat)
+    assert(got === Map(
+      ("cart", "cat") -> 1, ("carts", "cat") -> 2,
+      ("cart", "carts") -> 1, ("dig", "dog") -> 1))
+    // counts carried: cat appears twice
+    val counts = Dedup.fuzzyVocabPairs(df, "text", maxDist = 2)
+      .where(col("w_a") === "cart" && col("w_b") === "cat")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(counts === Array((1L, 2L)))
+    // maxDist=1 drops the distance-2 pair
+    val d1 = Dedup.fuzzyVocabPairs(df, "text", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d1 === Set(("cart", "cat"), ("cart", "carts"), ("dig", "dog")))
+  }
+
+  test("keepBestPerCluster: argmax per cluster, id tie-break, null scores excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, Some(5.0)), (2L, 10L, Some(9.0)), (3L, 10L, Some(9.0)),
+      (4L, 20L, None), (5L, 20L, Some(1.0)))
+      .toDF("id", "comp", "score")
+    val out = Dedup.keepBestPerCluster(df, "id", "comp", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // comp 10: best score 9.0 shared by ids 2 and 3 -> smallest id wins
+    assert(out(10L) === ((2L, 9.0, 3L)))
+    // comp 20: null-score row excluded from selection AND membership count
+    assert(out(20L) === ((5L, 1.0, 1L)))
+  }
+
+  test("softDedupWeights: weights sum to ~group mass, kept is deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text"), (2L, "SAME   text"), (3L, "same text"),
+      (4L, "unique one"))
+      .toDF("id", "text")
+    val out = Dedup.softDedupWeights(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // normalization collapses case/whitespace: ids 1,2,3 in one group of 3
+    assert(out(1L)._1 === 3L && out(2L)._1 === 3L && out(3L)._1 === 3L)
+    assert(out(1L)._2 === 3333L) // round(1e4/3) half-up
+    assert(out(4L) === ((1L, 10000L, true))) // singleton always kept
+    // deterministic across runs
+    val again = Dedup.softDedupWeights(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(again === out.map { case (k, v) => k -> v._3 })
+  }
+
+  test("k-anonymity: profile flags small groups, suppression drops their rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "fr", "b"), (5L, "fr", "b"), (6L, "de", "c"))
+      .toDF("id", "lang", "src")
+    val prof = Privacy.kAnonymityProfile(df, Seq("lang", "src"), 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(prof === Map(
+      ("en", "a") -> ((3L, true)), ("fr", "b") -> ((2L, true)),
+      ("de", "c") -> ((1L, false))))
+    val kept = Privacy.kAnonymitySuppress(df, Seq("lang", "src"), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymitySuppress(df, Seq.empty, 2)
+    }
+  }
+}
