@@ -4996,6 +4996,54 @@ object SparkEntry {
           s.table("documents").select("doc_id", "lang", "source"),
           Seq("lang", "source"), 5)
         .orderBy("doc_id")
+    },
+
+    // Fixed-point PageRank (3 iterations, damping 85/100) on the
+    // symmetrized near-dup similarity graph — centrality-based canonical
+    // document selection. All mass is integer (1e12 scale), every update
+    // DIV/sum on longs, so ranks are bit-identical across engines and
+    // the oracle replays the iterations as chained CTEs.
+    q("q163_pagerank", {
+      val iterCtes = (1 to 3).map { k =>
+        s"""i$k AS (
+           |  SELECT nn.id, CAST((15 * c.base + 85 * coalesce(q.s, 0)) // 100 AS BIGINT) r
+           |  FROM nn CROSS JOIN c LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(i${k - 1}.r // deg.deg) AS BIGINT) s
+           |    FROM edges e JOIN i${k - 1} ON e.src = i${k - 1}.id
+           |    JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) q ON q.dst = nn.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') ws FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+         |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+         |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+         |  FROM w),
+         |pairs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 5
+         |        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+         |edges AS (SELECT id_a src, id_b dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) deg FROM edges GROUP BY 1),
+         |nn AS (SELECT doc_id AS id FROM documents),
+         |c AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) base FROM nn),
+         |i0 AS (SELECT id, c.base r FROM nn CROSS JOIN c),
+         |$iterCtes
+         |SELECT id, r AS rank_fp FROM i3 ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Graph.pageRankFp(
+          docs.select(col("doc_id")), edges, "doc_id", iters = 3)
+        .orderBy("id")
     }
   )
 

@@ -341,4 +341,8 @@ object GraftPythonApi {
     import scala.jdk.CollectionConverters._
     Privacy.kAnonymitySuppress(df, quasiCols.asScala.toSeq, k)
   }
+
+  def pageRankFp(nodes: DataFrame, edges: DataFrame, idCol: String,
+      iters: Int, dampNum: Int, dampDen: Int): DataFrame =
+    graft.operators.Graph.pageRankFp(nodes, edges, idCol, iters, dampNum, dampDen)
 }

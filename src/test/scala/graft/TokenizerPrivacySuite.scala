@@ -97,6 +97,29 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(again === out.map { case (k, v) => k -> v._3 })
   }
 
+  test("pageRankFp: hand-computed integer iteration, dangling mass dropped") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val base = graft.operators.Graph.RankScale / 3 // 333333333333
+    val r1 = graft.operators.Graph.pageRankFp(nodes, edges, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r'(v) = (15*base + 85*s(v)) DIV 100; s(1)=base, s(2)=2*base, s(3)=0
+    assert(r1 === Map(
+      1L -> (15L * base + 85L * base) / 100L,
+      2L -> (15L * base + 85L * 2L * base) / 100L,
+      3L -> (15L * base) / 100L))
+    // determinism across reruns (integer math: no summation-order drift)
+    val again = graft.operators.Graph.pageRankFp(nodes, edges, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again2 = graft.operators.Graph.pageRankFp(nodes, edges, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === again2)
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.pageRankFp(nodes, edges, "id", iters = 0)
+    }
+  }
+
   test("k-anonymity: profile flags small groups, suppression drops their rows") {
     import spark.implicits._
     val df = Seq(
