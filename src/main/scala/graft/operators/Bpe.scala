@@ -103,7 +103,15 @@ object Bpe {
    * tokens-per-word in 1e4 fixed point (the cross-engine float
    * convention). The merge table is a driver-side argument (it is
    * `rounds` rows by construction), so the fold compiles to a literal
-   * expression chain — no join, no shuffle beyond the final projection.
+   * expression chain.
+   *
+   * The fold runs once per word TYPE, not per occurrence — the
+   * vocabulary-collapse trick of [[trainMerges]] applied to inference:
+   * a trillion-token corpus pays |merges| array folds per distinct
+   * word, and the (word → token count) table joins back against the
+   * exploded word stream (AQE broadcasts it while it fits; the join
+   * key is the word either way, so the shuffle carries (id, word)
+   * pairs, never text).
    */
   def tokenizeFertility(
       df: DataFrame,
@@ -119,10 +127,12 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
     }
-    df.select(col(idCol).as("id"),
+    val docWords = df.select(col(idCol).as("id"),
         explode(TextOps.words(col(textCol))).as("w"))
       .where(col("w") =!= "" && !col("w").contains(lit("\u001f")))
-      .select(col("id"), size(folded).as("nt"))
+    val tokensPerType = docWords.select("w").distinct()
+      .select(col("w"), size(folded).as("nt"))
+    docWords.join(tokensPerType, Seq("w"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("nt").as("n_tokens"))
       // half-up on the RATIONAL t*1e4/w via pure integer arithmetic —

@@ -52,9 +52,14 @@ object Graph {
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
     val n = nodes.select(col(idCol)).distinct().count()
     require(n > 0, "pageRankFp: empty node set")
-    val ids = nodes.select(col(idCol).as("id")).distinct()
+    // the edge list is consumed once per iteration — pin it (and the
+    // node/degree tables derived from it) so an expensive upstream
+    // (e.g. a similarity join producing the edges) runs once, not
+    // `iters` times
+    val e = edges.cache()
+    val ids = nodes.select(col(idCol).as("id")).distinct().cache()
     val base = (RankScale / n) // SCALE DIV N, exact long division
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     var ranks = ids.withColumn("rank_fp", lit(base)).cache()
     for (_ <- 1 to iters) {
       val inbound = ranks
@@ -74,9 +79,13 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
-    // returned frame stays cached (per-query working state; the
-    // harness/caller clears it) — unpersisting here would force a full
-    // all-iterations recompute on first use
+    // the final rank vector is already materialized, so the working
+    // tables can go; the returned frame itself stays cached (per-query
+    // working state; the harness/caller clears it) — unpersisting IT
+    // would force a full all-iterations recompute on first use
+    e.unpersist(blocking = false)
+    ids.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
     ranks
   }
 }
