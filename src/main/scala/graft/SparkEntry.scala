@@ -5044,6 +5044,41 @@ object SparkEntry {
       graft.operators.Graph.pageRankFp(
           docs.select(col("doc_id")), edges, "doc_id", iters = 3)
         .orderBy("id")
+    },
+
+    // Release-pipeline capstone for the round-8 operators: planted-dup
+    // corpus → soft dedup (seeded unbiased keep) → k-anonymity
+    // suppression on (lang, source) → per-group release accounting.
+    // Every stage is deterministic, so DuckDB replays the whole chain.
+    q("q164_release_pipeline",
+      """WITH inp AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |g AS (SELECT *, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) fp FROM inp),
+        |n AS (SELECT fp, CAST(count(*) AS BIGINT) n_dups FROM g GROUP BY 1),
+        |kept AS (
+        |  SELECT g.* FROM g JOIN n USING (fp)
+        |  WHERE CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)::HUGEINT
+        |        * n_dups < 1152921504606846976),
+        |ok AS (SELECT lang, source FROM kept GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT k.lang, k.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM kept k JOIN ok USING (lang, source)
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dup = s.sql("""SELECT doc_id, text, lang, source FROM documents
+                        |UNION ALL
+                        |SELECT doc_id + 1000000 AS doc_id, text, lang, source
+                        |FROM documents WHERE doc_id % 4 = 0""".stripMargin)
+      val keptIds = Dedup.softDedupWeights(dup, "doc_id", "text")
+        .where(col("kept")).select(col("id").as("doc_id"))
+      val kept = dup.join(keptIds, Seq("doc_id"))
+      graft.operators.Privacy.kAnonymitySuppress(kept, Seq("lang", "source"), 5)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("lang", "source")
     }
   )
 
