@@ -97,6 +97,24 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(again === out.map { case (k, v) => k -> v._3 })
   }
 
+  test("fuzzyVocabPairs plans an equi-join on deletion keys, never a cartesian") {
+    import spark.implicits._
+    val df = Seq("cat cart carts dog dig zebra").toDF("text")
+    val plan = Dedup.fuzzyVocabPairs(df, "text", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    // the all-pairs fallback would surface as a nested-loop/cartesian join
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("kAnonymitySuppress plans a semi-join (keys only, no payload duplication)") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "a"), (2L, "en", "a")).toDF("id", "lang", "src")
+    val plan = Privacy.kAnonymitySuppress(df, Seq("lang", "src"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
   test("pageRankFp: hand-computed integer iteration, dangling mass dropped") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L).toDF("id")
