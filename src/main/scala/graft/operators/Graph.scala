@@ -50,23 +50,26 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
-    val n = nodes.select(col(idCol)).distinct().count()
-    require(n > 0, "pageRankFp: empty node set")
     // the edge list is consumed once per iteration — pin it (and the
-    // node/degree tables derived from it) so an expensive upstream
-    // (e.g. a similarity join producing the edges) runs once, not
-    // `iters` times
-    val e = edges.cache()
+    // node table) so an expensive upstream (e.g. a similarity join
+    // producing the edges) runs once, not `iters` times; N comes from
+    // the same cached table, not a second distinct pass
     val ids = nodes.select(col(idCol).as("id")).distinct().cache()
+    val n = ids.count()
+    require(n > 0, "pageRankFp: empty node set")
     val base = (RankScale / n) // SCALE DIV N, exact long division
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    // hoist the degree join out of the loop: each edge carries its
+    // source's out-degree, so an iteration is ONE rank-vector join +
+    // one partial-aggregable sum — two exchanges, not four
+    val e = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .cache()
     var ranks = ids.withColumn("rank_fp", lit(base)).cache()
     for (_ <- 1 to iters) {
       val inbound = ranks
-        .join(outdeg, ranks("id") === outdeg("src"))
-        .select(col("id").as("u"),
-          expr("rank_fp DIV deg").as("share"))
-        .join(edges, col("u") === edges("src"))
+        .join(e, ranks("id") === e("src"))
+        .select(col("dst"), expr("rank_fp DIV deg").as("share"))
         .groupBy(col("dst").as("id"))
         .agg(sum("share").as("s"))
       val next = ids.join(inbound, Seq("id"), "left")
@@ -85,7 +88,6 @@ object Graph {
     // would force a full all-iterations recompute on first use
     e.unpersist(blocking = false)
     ids.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
     ranks
   }
 }
