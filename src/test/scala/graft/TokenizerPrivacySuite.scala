@@ -32,6 +32,53 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(m2.length === 2)
   }
 
+  test("bpe trainMerges: parity with a driver-side reference on random corpora") {
+    import spark.implicits._
+    // plain-Scala greedy BPE (word-type weighted), the semantics the
+    // distributed pair-count + HOF fold must reproduce exactly
+    def refBpe(words: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var syms: Seq[(List[String], Long)] =
+        words.toSeq.map { case (w, c) => (w.toList.map(_.toString), c) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (s, c) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + c
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+          out += ((r, a, b, cnt))
+          syms = syms.map { case (s, c) =>
+            (s.foldLeft(List.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc.init :+ (a + b)
+              else acc :+ x
+            }, c)
+          }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 12).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val corpus = (1 to 80).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val df = corpus.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+      val wordCounts = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = refBpe(wordCounts, 5)
+      val got = Bpe.trainMerges(df, "text", 5)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got === want, s"trial $trial corpus=${corpus.take(20)}")
+    }
+  }
+
   test("bpe tokenizeFertility: merge order respected, integer half-up fixed point") {
     import spark.implicits._
     val docs = Seq((1L, "low low"), (2L, "lowest low w")).toDF("id", "text")
