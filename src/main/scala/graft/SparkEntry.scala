@@ -5079,6 +5079,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
         .orderBy("lang", "source")
+    },
+
+    // Embedding-column QC over a corpus with planted anomalies (null
+    // vector, wrong dimension, NaN elements, zero vector): per-label
+    // failure-partitioned integer counts — the gate before any ANN
+    // index build or semantic dedup trusts the table.
+    q("q165_embedding_qc",
+      """WITH inp AS (
+        |  SELECT embedding v, label FROM embeddings
+        |  UNION ALL SELECT NULL, 99
+        |  UNION ALL SELECT [1.0, 2.0]::FLOAT[], 99
+        |  UNION ALL SELECT list_transform(range(64), i -> 'NaN'::FLOAT), 99
+        |  UNION ALL SELECT list_transform(range(64), i -> 0.0::FLOAT), 99)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND len(v) != 64
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND len(v) = 64
+        |                AND len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND len(v) = 64
+        |                AND len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        |                AND len(list_filter(v, x -> x != 0)) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM inp GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val planted = s.sql(
+        """SELECT embedding, label FROM embeddings
+          |UNION ALL SELECT CAST(NULL AS ARRAY<FLOAT>), 99
+          |UNION ALL SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 99
+          |UNION ALL SELECT array_repeat(CAST('NaN' AS FLOAT), 64), 99
+          |UNION ALL SELECT array_repeat(CAST(0.0 AS FLOAT), 64), 99""".stripMargin)
+      graft.operators.Embeddings.embeddingQc(
+          planted, "embedding", Seq("label"), expectedDim = 64)
+        .orderBy("label")
     }
   )
 

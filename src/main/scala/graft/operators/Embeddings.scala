@@ -62,4 +62,44 @@ object Embeddings {
         transform(v, x => x / col("__graft_norm"))))
       .drop("__graft_norm")
   }
+
+  /**
+   * Embedding-column QC: per group, how many vectors are null, the
+   * wrong dimension, contain a non-finite (NaN/Inf) or null element,
+   * or are exactly zero (no direction — poisons cosine math downstream)
+   * — the gate an embedding table passes before any ANN index build or
+   * semantic dedup trusts it. A vector counts in the FIRST failing
+   * category only (null → wrong-dim → non-finite → zero), so the
+   * columns partition the failures and `n_vectors - n_null - ... -
+   * n_zero` is the clean count.
+   *
+   * All outputs are integer counts from element-local predicates (no
+   * float accumulation), computed in one partial-aggregable pass —
+   * vectors never shuffle, only the per-group counter tuple does.
+   */
+  def embeddingQc(
+      df: DataFrame,
+      vecCol: String,
+      groupCols: Seq[String],
+      expectedDim: Int): DataFrame = {
+    require(expectedDim >= 1, s"expectedDim must be >= 1, got $expectedDim")
+    val v = col(vecCol)
+    val isNullV = v.isNull
+    val wrongDim = !isNullV && size(v) =!= expectedDim
+    val nonFinite = !isNullV && size(v) === expectedDim &&
+      exists(v, x => x.isNull || isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    val zeroVec = !isNullV && size(v) === expectedDim && !nonFinite &&
+      forall(v, x => x === lit(0.0))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    grouped.agg(
+      count(lit(1)).as("n_vectors"),
+      cnt(isNullV).as("n_null"),
+      cnt(wrongDim).as("n_wrong_dim"),
+      cnt(nonFinite).as("n_nonfinite"),
+      cnt(zeroVec).as("n_zero"))
+  }
 }

@@ -185,6 +185,25 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("embeddingQc: failure categories partition, ungrouped mode, clean corpus") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),                  // clean
+      (2L, None),                                   // null
+      (3L, Some(Seq(1.0f))),                        // wrong dim
+      (4L, Some(Seq(Float.NaN, 1.0f))),             // NaN
+      (5L, Some(Seq(Float.PositiveInfinity, 0f))),  // Inf
+      (6L, Some(Seq(0.0f, 0.0f))))                  // zero vector
+    val df = rows.toDF("id", "v")
+    val out = graft.operators.Embeddings.embeddingQc(df, "v", Seq.empty, 2)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((6L, 1L, 1L, 2L, 1L)))
+    // categories partition: clean = total - sum(failures)
+    assert(out.getLong(0) - out.getLong(1) - out.getLong(2) - out.getLong(3) -
+      out.getLong(4) === 1L)
+  }
+
   test("k-anonymity: profile flags small groups, suppression drops their rows") {
     import spark.implicits._
     val df = Seq(
