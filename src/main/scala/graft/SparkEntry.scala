@@ -5114,6 +5114,28 @@ object SparkEntry {
       graft.operators.Embeddings.embeddingQc(
           planted, "embedding", Seq("label"), expectedDim = 64)
         .orderBy("label")
+    },
+
+    // Filter-sweep report: rows/token-mass surviving each candidate
+    // n_chars cutoff, from one conditional-sum pass (no |thresholds|x
+    // corpus blowup) — the quality-vs-quantity curve read before
+    // committing to a filter threshold.
+    q("q166_filter_sweep",
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS DOUBLE) v,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) w
+        |  FROM documents)
+        |SELECT th.t AS threshold,
+        |  CAST(count(CASE WHEN d.v >= th.t THEN 1 END) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN d.v >= th.t THEN d.w END), 0) AS BIGINT) AS weight_kept
+        |FROM (VALUES (0.0), (100.0), (200.0), (400.0), (800.0)) th(t)
+        |CROSS JOIN t d GROUP BY th.t ORDER BY threshold""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+        .withColumn("__w", TextOps.tokenCount(col("text")))
+      graft.operators.Profiler.filterSweep(docs, "n_chars", "__w",
+          Seq(0.0, 100.0, 200.0, 400.0, 800.0))
+        .orderBy("threshold")
     }
   )
 

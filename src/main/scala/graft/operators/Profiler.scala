@@ -38,6 +38,41 @@ object Profiler {
     profileBy(df, Nil, cols)
 
   /**
+   * Filter-sweep report: for each candidate threshold, how many rows
+   * and how much weight (token mass) would survive `valueCol >=
+   * threshold` — the quality-vs-quantity curve a curation run reads
+   * BEFORE committing to a cutoff, from ONE pass over the corpus.
+   *
+   * One conditional-sum aggregate per threshold inside a single
+   * map-side-combining aggregation (no explode: the corpus is never
+   * multiplied by |thresholds|), then the one aggregated row unpivots
+   * with `stack` into (threshold, n_rows, weight_kept) — driver and
+   * shuffle both carry O(|thresholds|) scalars. Null values never pass
+   * any threshold.
+   */
+  def filterSweep(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size, "duplicate thresholds")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        coalesce(sum(when(col(valueCol) >= t, 1L).otherwise(0L)), lit(0L))
+          .as(s"__n_$i"),
+        coalesce(sum(when(col(valueCol) >= t, col(weightCol).cast("long"))
+          .otherwise(0L)), lit(0L)).as(s"__w_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), __n_$i, __w_$i" }
+      .mkString(", ")
+    one.select(expr(
+        s"stack(${thresholds.size}, $stackArgs) AS (threshold, n_rows, weight_kept)"))
+  }
+
+  /**
    * [[profile]] per group — the per-source / per-language quality
    * dashboard shape. Identical single-pass design: one grouped
    * aggregate carries every profiled column's sketches, then the

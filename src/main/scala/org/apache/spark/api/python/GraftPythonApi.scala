@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftFunctionRegistry
 
 import graft.operators.{AsofJoin, BloomIndex, Bpe, Classifier, Clustering, CorpusDiff,
-  Dedup, IvfIndex, JoinStats, Privacy, Profiler, RangeJoin, Retrieval, Sampling,
-  Similarity, Sinks, Spectral, TextIndex, TextOps, TextProfile, UrlOps}
+  Dedup, Embeddings, IvfIndex, JoinStats, Privacy, Profiler, RangeJoin, Retrieval,
+  Sampling, Similarity, Sinks, Spectral, TextIndex, TextOps, TextProfile, UrlOps}
 
 object GraftPythonApi {
   def install(spark: SparkSession): Unit = {
@@ -345,4 +345,17 @@ object GraftPythonApi {
   def pageRankFp(nodes: DataFrame, edges: DataFrame, idCol: String,
       iters: Int, dampNum: Int, dampDen: Int): DataFrame =
     graft.operators.Graph.pageRankFp(nodes, edges, idCol, iters, dampNum, dampDen)
+
+  def embeddingQc(df: DataFrame, vecCol: String,
+      groupCols: java.util.List[String], expectedDim: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Embeddings.embeddingQc(df, vecCol, groupCols.asScala.toSeq, expectedDim)
+  }
+
+  def filterSweep(df: DataFrame, valueCol: String, weightCol: String,
+      thresholds: java.util.List[java.lang.Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Profiler.filterSweep(df, valueCol, weightCol,
+      thresholds.asScala.toSeq.map(_.doubleValue))
+  }
 }

@@ -204,6 +204,21 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
       out.getLong(4) === 1L)
   }
 
+  test("filterSweep: per-threshold survivors, nulls never pass, empty input zeros") {
+    import spark.implicits._
+    val df = Seq((Some(10.0), 100L), (Some(5.0), 50L), (None, 7L))
+      .toDF("score", "toks")
+    val out = graft.operators.Profiler
+      .filterSweep(df, "score", "toks", Seq(0.0, 6.0, 11.0))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0.0 -> ((2L, 150L)), 6.0 -> ((1L, 100L)), 11.0 -> ((0L, 0L))))
+    val empty = graft.operators.Profiler
+      .filterSweep(df.where(lit(false)), "score", "toks", Seq(1.0))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(empty === Array((0L, 0L)))
+  }
+
   test("k-anonymity: profile flags small groups, suppression drops their rows") {
     import spark.implicits._
     val df = Seq(
