@@ -4989,7 +4989,10 @@ object SparkEntry {
       """WITH keep AS (
         |  SELECT lang, source FROM documents GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT d.doc_id, d.lang, d.source
-        |FROM documents d JOIN keep USING (lang, source) ORDER BY doc_id""".stripMargin) {
+        |FROM documents d JOIN keep k
+        |  ON d.lang IS NOT DISTINCT FROM k.lang
+        | AND d.source IS NOT DISTINCT FROM k.source
+        |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
       view(s, d, "documents")
       graft.operators.Privacy.kAnonymitySuppress(
@@ -5064,8 +5067,10 @@ object SparkEntry {
         |ok AS (SELECT lang, source FROM kept GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT k.lang, k.source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
-        |FROM kept k JOIN ok USING (lang, source)
-        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) { (s, d) =>
+        |FROM kept k JOIN ok
+        |  ON k.lang IS NOT DISTINCT FROM ok.lang
+        | AND k.source IS NOT DISTINCT FROM ok.source
+        |GROUP BY 1, 2 ORDER BY k.lang, k.source""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       val dup = s.sql("""SELECT doc_id, text, lang, source FROM documents
                         |UNION ALL
@@ -5125,11 +5130,12 @@ object SparkEntry {
         |  SELECT CAST(n_chars AS DOUBLE) v,
         |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) w
         |  FROM documents)
-        |SELECT th.t AS threshold,
-        |  CAST(count(CASE WHEN d.v >= th.t THEN 1 END) AS BIGINT) AS n_rows,
-        |  CAST(coalesce(sum(CASE WHEN d.v >= th.t THEN d.w END), 0) AS BIGINT) AS weight_kept
+        |SELECT CAST(th.t AS DOUBLE) AS threshold,
+        |  CAST(count(d.v) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(d.w), 0) AS BIGINT) AS weight_kept
         |FROM (VALUES (0.0), (100.0), (200.0), (400.0), (800.0)) th(t)
-        |CROSS JOIN t d GROUP BY th.t ORDER BY threshold""".stripMargin) { (s, d) =>
+        |LEFT JOIN t d ON d.v >= th.t
+        |GROUP BY th.t ORDER BY threshold""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       val docs = s.table("documents")
         .withColumn("__w", TextOps.tokenCount(col("text")))
@@ -5153,18 +5159,28 @@ object SparkEntry {
     val head =
       """WITH wx AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w FROM documents),
-        |wt AS (SELECT w, CAST(count(*) AS BIGINT) c FROM wx
+        |wt AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) c FROM wx
         |       WHERE w <> '' AND NOT contains(w, chr(31)) GROUP BY 1),
-        |s0 AS (SELECT w, string_split(w, '') syms, c FROM wt)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT w, string_split(w, '') syms, c FROM wt)""".stripMargin
+    // Every chained CTE is MATERIALIZED: the rounds reference each other
+    // multiple times, and DuckDB's default CTE inlining would otherwise
+    // re-expand the whole prefix per reference (exponential in rounds).
+    // mg$k pads the argmax to exactly one (possibly all-NULL) row, so an
+    // early-exhausted training run (no pairs left before round `rounds`)
+    // leaves s$k = s$k-1 (the NULL lhs never matches the fold condition)
+    // instead of emptying every later CTE through the CROSS JOIN —
+    // mirroring the Spark side's early stop
     val steps = (1 to rounds).map { k =>
-      s"""p$k AS (SELECT p['l'] l, p['r'] r, CAST(sum(c) AS BIGINT) cnt FROM (
+      s"""p$k AS MATERIALIZED (SELECT p['l'] l, p['r'] r, CAST(sum(c) AS BIGINT) cnt FROM (
          |  SELECT unnest(list_transform(range(1, len(syms)),
          |           i -> {'l': syms[i], 'r': syms[i+1]})) p, c FROM s${k - 1}) GROUP BY 1, 2),
-         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |s$k AS (SELECT w, string_split(list_reduce(syms,
-         |  (acc, x) -> CASE WHEN x = m$k.r AND (acc = m$k.l OR ends_with(acc, chr(31) || m$k.l))
+         |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |mg$k AS MATERIALIZED (SELECT l, r FROM m$k
+         |  UNION ALL SELECT NULL, NULL WHERE NOT EXISTS (SELECT 1 FROM m$k)),
+         |s$k AS MATERIALIZED (SELECT w, string_split(list_reduce(syms,
+         |  (acc, x) -> CASE WHEN x = mg$k.r AND (acc = mg$k.l OR ends_with(acc, chr(31) || mg$k.l))
          |              THEN acc || x ELSE acc || chr(31) || x END), chr(31)) syms, c
-         |  FROM s${k - 1} CROSS JOIN m$k)""".stripMargin
+         |  FROM s${k - 1} CROSS JOIN mg$k)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }

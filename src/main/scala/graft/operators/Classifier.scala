@@ -252,8 +252,10 @@ object Classifier {
    * scores vs novelty). The fixed-point longs sum exactly in any order,
    * so the score is engine-reproducible. Returns the top `k` rows as
    * (id, rank_<signal>..., rrf_fp), best first. Rows with a null/NaN
-   * value in ANY signal are excluded (see [[globalRankDesc]]) — a row
-   * that can't be ranked under one signal has no fusable RRF score.
+   * value in ANY signal are excluded UP FRONT — a row that can't be
+   * ranked under one signal has no fusable RRF score, and filtering
+   * before any ranking keeps every signal's ranks (and the fused
+   * order) invariant to the order of `signalCols`.
    */
   def rrfEnsemble(
       df: DataFrame,
@@ -267,7 +269,11 @@ object Classifier {
     // cache the signal projection once instead of recomputing it
     // 2×|signals| times (text-derived signals re-tokenize otherwise);
     // per-query working state, reclaimed by the harness's cache clear
-    val cached = df.select(col(idCol) +: signalCols.map(col): _*).cache()
+    val rankable = signalCols
+      .map(s => col(s).isNotNull && !isnan(col(s).cast("double")))
+      .reduce(_ && _)
+    val cached = df.select(col(idCol) +: signalCols.map(col): _*)
+      .where(rankable).cache()
     val ranked = signalCols.foldLeft(cached) { (acc, s) =>
       globalRankDesc(acc, idCol, s, s"rank_$s")
     }

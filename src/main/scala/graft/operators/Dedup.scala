@@ -1037,7 +1037,10 @@ object Dedup {
    * score, keep the best-scoring document per cluster (ties broken by
    * smallest id) — the curation policy that beats [[exactDedup]]'s
    * keep-first when duplicates differ in quality (truncation, OCR noise,
-   * boilerplate variants). Null scores are excluded before selection.
+   * boilerplate variants). Null and NaN scores are excluded before
+   * selection (NaN sorts ABOVE every double in Spark's ordering, so an
+   * unguarded NaN would win its cluster precisely because its quality
+   * signal is broken).
    *
    * One partial-aggregable hash aggregation — `max(struct(score, -id))`
    * — per cluster: no window sort, no per-cluster row buffering, so a
@@ -1048,13 +1051,20 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       compCol: String,
-      scoreCol: String): DataFrame =
-    df.where(col(scoreCol).isNotNull)
+      scoreCol: String): DataFrame = {
+    val scoreOk = df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        col(scoreCol).isNotNull && !isnan(col(scoreCol))
+      case _ => col(scoreCol).isNotNull
+    }
+    df.where(scoreOk)
       .groupBy(col(compCol).as("comp"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("best"))
       .select(col("comp"), (-col("best.negid")).as("kept_id"),
         col("best.s").as("best_score"), col("n_members"))
+  }
 
   /**
    * Soft dedup: instead of dropping duplicates, every document in a

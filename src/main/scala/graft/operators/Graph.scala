@@ -60,11 +60,17 @@ object Graph {
     val base = (RankScale / n) // SCALE DIV N, exact long division
     // hoist the degree join out of the loop: each edge carries its
     // source's out-degree, so an iteration is ONE rank-vector join +
-    // one partial-aggregable sum — two exchanges, not four
-    val e = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    // one partial-aggregable sum — two exchanges, not four. The RAW
+    // edge list is pinned first: the degree self-join references it on
+    // both sides, so without the cache an expensive upstream producer
+    // (similarity join) would evaluate twice just to fill `e`
+    val rawEdges = edges.cache()
+    val e = rawEdges
+      .join(rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .select(col("src"), col("dst"), col("deg"))
       .cache()
+    e.count() // materialize so the raw list can drop now
+    rawEdges.unpersist(blocking = false)
     var ranks = ids.withColumn("rank_fp", lit(base)).cache()
     for (_ <- 1 to iters) {
       val inbound = ranks

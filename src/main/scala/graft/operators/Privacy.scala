@@ -32,16 +32,19 @@ object Privacy {
 
   /** Suppression release: only rows whose quasi-identifier combination
     * appears >= k times survive — every released row hides among at
-    * least k-1 others. */
+    * least k-1 others. The join is NULL-SAFE (`<=>`), matching
+    * [[kAnonymityProfile]]'s null-combination grouping: a null combo
+    * seen >= k times is released like any other group, instead of
+    * being silently dropped by non-null-safe key equality. */
   def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k must be >= 1, got $k")
     val keep = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") >= k)
-      .select(quasiCols.map(col): _*)
-    // USING joins front-load the key columns; restore the input order so
-    // the release has the caller's schema
-    df.join(keep, quasiCols, "left_semi")
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .select(quasiCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }: _*)
+    val cond = quasiCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> keep(s"__k$i") }
+      .reduce(_ && _)
+    df.join(keep, cond, "left_semi")
   }
 }

@@ -1040,9 +1040,15 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     val withNull = Seq((Some(1L), "a b"), (None, "c d"))
       .toDF("doc_id", "text")
     val p1 = Files.createTempDirectory("graft_manifest_null").toString + "/out"
-    intercept[IllegalArgumentException] {
+    // validation is fused into the write pass (raise_error in the shard
+    // expression), so the failure surfaces as a SparkException at write
+    val ex = intercept[Exception] {
       graft.operators.Sinks.writeShardsWithManifest(withNull, "doc_id", "text", p1, 2)
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("every exported row must be fingerprintable")),
+      messages(ex).mkString(" | "))
     val p2 = Files.createTempDirectory("graft_manifest_empty").toString + "/out"
     val empty = graft.operators.Sinks.writeShardsWithManifest(
       withNull.where(lit(false)), "doc_id", "text", p2, 2)

@@ -236,5 +236,16 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymitySuppress(df, Seq.empty, 2)
     }
+    // null quasi-values form their own group (profile semantics) and are
+    // RELEASED when the null-group clears k — the null-safe join
+    val withNulls = Seq(
+      (1L, Some("en"), "a"), (2L, None, "a"), (3L, None, "a"), (4L, None, "b"))
+      .toDF("id", "lang", "src")
+    val keptN = Privacy.kAnonymitySuppress(withNulls, Seq("lang", "src"), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptN === Set(2L, 3L)) // (NULL, a) has 2 members; others are singletons
+    val profN = Privacy.kAnonymityProfile(withNulls, Seq("lang", "src"), 2)
+      .where(col("lang").isNull && col("src") === "a").collect()
+    assert(profN.length === 1 && profN(0).getLong(2) === 2L && profN(0).getBoolean(3))
   }
 }
