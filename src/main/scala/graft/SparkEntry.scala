@@ -5142,6 +5142,51 @@ object SparkEntry {
       graft.operators.Profiler.filterSweep(docs, "n_chars", "__w",
           Seq(0.0, 100.0, 200.0, 400.0, 800.0))
         .orderBy("threshold")
+    },
+
+    // Mixed-language document detection: per-paragraph language ID over
+    // a corpus with planted French paragraphs appended to every 7th doc
+    // — n_langs > 1 is the mixed flag languageId alone cannot raise.
+    q("q167_mixed_lang", {
+      def hits(w: String) =
+        s"len(list_filter(regexp_split_to_array(trim(lower(para)), '\\s+'), x -> x = '$w'))"
+      val scores = TextOps.langMarkers
+        .map { case (l, ws) => l -> ws.map(hits).mkString(" + ") }
+      val scoreCols = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+      val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+      val caseChain = scores
+        .map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }
+        .mkString(" ")
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id,
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN text || chr(10) || 'le la les des le la'
+         |              ELSE text END AS t
+         |  FROM documents),
+         |paras AS (SELECT id, unnest(string_split(t, chr(10))) AS para FROM docs),
+         |scored AS (SELECT id, $scoreCols FROM paras),
+         |b AS (SELECT *, $best AS best FROM scored),
+         |pred AS (SELECT id, CASE $caseChain ELSE 'und' END AS lang_pred FROM b),
+         |cnt AS (SELECT id, lang_pred, CAST(count(*) AS BIGINT) c FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT id, CAST(sum(c) AS BIGINT) np,
+         |               CAST(count(CASE WHEN lang_pred <> 'und' THEN 1 END) AS BIGINT) nl
+         |        FROM cnt GROUP BY 1),
+         |rk AS (SELECT id, lang_pred, c,
+         |              row_number() OVER (PARTITION BY id ORDER BY c DESC, lang_pred) r
+         |       FROM cnt)
+         |SELECT t.id, t.np AS n_paras, t.nl AS n_langs,
+         |       rk.lang_pred AS major_lang,
+         |       CAST(rk.c * 1000000 // t.np AS BIGINT) AS major_share_ppm
+         |FROM tot t JOIN rk ON rk.id = t.id AND rk.r = 1 ORDER BY t.id""".stripMargin
+    }) { (s, d) =>
+      view(s, d, "documents")
+      val planted = s.sql(
+        """SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          |       THEN concat(text, '\n', 'le la les des le la')
+          |       ELSE text END AS text
+          |FROM documents""".stripMargin)
+      TextOps.paragraphLangProfile(planted, "doc_id", "text", "\n")
+        .orderBy("id")
     }
   )
 

@@ -121,6 +121,39 @@ object TextOps {
   }
 
   /**
+   * Paragraph-level language profile — the mixed-language-document
+   * detector [[languageId]] alone is blind to: a document that is half
+   * English half French argmaxes to ONE label, but its paragraphs
+   * don't. Splits on `sepRegex`, IDs each paragraph, and reports per
+   * document: paragraph count, number of distinct non-'und' paragraph
+   * languages, the majority label (ties to the lexicographically
+   * smallest) and its share in ppm (integer division — exact).
+   * `n_langs > 1` is the mixed-document flag.
+   *
+   * Two hash aggregations — (id, lang) counts, then the per-id argmax
+   * via `min(struct(-count, lang))` — both partial-aggregable; no
+   * window, no per-document buffering, paragraphs never reassemble.
+   */
+  def paragraphLangProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String): DataFrame = {
+    val pred = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), sepRegex)).as("__para"))
+      .select(col("id"), languageId(col("__para")).as("lang_pred"))
+    pred.groupBy("id", "lang_pred").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("n_paras"),
+        sum(when(col("lang_pred") =!= "und", 1L).otherwise(0L)).as("n_langs"),
+        min(struct((-col("c")).as("nc"), col("lang_pred").as("l"))).as("m"))
+      .select(col("id"), col("n_paras"), col("n_langs"),
+        col("m.l").as("major_lang"),
+        expr("(-m.nc) * 1000000 DIV n_paras").as("major_share_ppm"))
+  }
+
+  /**
    * BPE-ish subword token count: runs of letters, runs of digits, and
    * individual punctuation each count as one token (the shape a byte-pair
    * vocabulary converges to), over the lower-cased text. A cheap,

@@ -204,6 +204,23 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
       out.getLong(4) === 1L)
   }
 
+  test("paragraphLangProfile: mixed doc flagged, majority share exact, und excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the and of to\nle la les des\nthe of and"), // en,fr,en -> mixed
+      (2L, "der die und das"),                          // pure de
+      (3L, "xyzzy qwerty\nzzz"))                        // und paragraphs only
+      .toDF("id", "text")
+    val out = graft.operators.TextOps
+      .paragraphLangProfile(df, "id", "text", "\n")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 2L, "en", 666666L))) // 2/3 en = 666666 ppm floor
+    assert(out(2L) === ((1L, 1L, "de", 1000000L)))
+    assert(out(3L) === ((2L, 0L, "und", 1000000L)))
+  }
+
   test("filterSweep: per-threshold survivors, nulls never pass, empty input zeros") {
     import spark.implicits._
     val df = Seq((Some(10.0), 100L), (Some(5.0), 50L), (None, 7L))
