@@ -5187,6 +5187,32 @@ object SparkEntry {
           |FROM documents""".stripMargin)
       TextOps.paragraphLangProfile(planted, "doc_id", "text", "\n")
         .orderBy("id")
+    },
+
+    // PMI collocations: top-20 adjacent pairs by fixed-point pointwise
+    // mutual information (bigram-slot marginals; min bigram count 3).
+    // The ratio inside ln is an exact integer quotient, so both engines
+    // round the same double (the q129 log convention).
+    q("q168_collocations",
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') ws FROM documents),
+        |bg AS (SELECT b['w1'] w1, b['w2'] w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws)),
+        |             i -> {'w1': ws[i], 'w2': ws[i+1]})) b
+        |    FROM d WHERE len(ws) >= 2)
+        |  WHERE b['w1'] <> '' AND b['w2'] <> ''),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM bg
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) cw FROM (
+        |         SELECT unnest([w1, w2]) w FROM bg) GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) * 2 AS BIGINT) n FROM bg)
+        |SELECT w1, w2, cb,
+        |  CAST(round(ln(CAST(cb AS DOUBLE) * n / (CAST(a.cw AS DOUBLE) * b2.cw))
+        |       * 10000) AS BIGINT) AS pmi_fp
+        |FROM cb JOIN cu a ON a.w = cb.w1 JOIN cu b2 ON b2.w = cb.w2 CROSS JOIN nn
+        |ORDER BY pmi_fp DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.collocations(s.table("documents"), "text", minCount = 3, k = 20)
     }
   )
 

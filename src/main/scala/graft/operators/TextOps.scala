@@ -648,6 +648,52 @@ object TextOps {
   }
 
   /**
+   * PMI collocations: the top-k adjacent word pairs by pointwise mutual
+   * information `ln(c(a,b) * N / (c(a) * c(b)))` — the classic
+   * statistically-associated-phrase extractor (multi-word expressions,
+   * named entities, boilerplate formulas). `minCount` floors the bigram
+   * count (PMI is noise-dominated on rare pairs). The PMI is 1e4
+   * fixed-point (the q129 log convention): the value inside `ln` is an
+   * exact integer ratio, so both engines round the same double.
+   *
+   * Scale: two hash aggregations over the token stream (bigram counts,
+   * unigram counts) + a one-row total broadcast; unigram counts join
+   * the SURVIVING (>= minCount) bigrams only, and top-k is
+   * TakeOrdered, never a global sort.
+   */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount / k=$k")
+    val ws = words(col(textCol))
+    val bigrams = df
+      .select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => struct(element_at(ws, i + 1).as("w1"),
+            element_at(ws, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minCount)
+    val cu = bigrams
+      .select(explode(array(col("w1"), col("w2"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = broadcast(bigrams.groupBy().agg((count(lit(1)) * 2).as("n")))
+    cb.join(cu.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(cu.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(total)
+      .withColumn("pmi_fp",
+        round(log(col("cb").cast("double") * col("n") /
+          (col("c1").cast("double") * col("c2"))) * lit(1e4)).cast("long"))
+      .select(col("w1"), col("w2"), col("cb"), col("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /**
    * HTML stripping — the first cleaning step of any web-crawl pipeline:
    * drop tags, decode the common entities, collapse whitespace. Composed
    * entirely of codegen'd builtins (regexp_replace / replace), map-only,

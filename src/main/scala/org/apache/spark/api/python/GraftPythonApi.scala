@@ -358,4 +358,12 @@ object GraftPythonApi {
     Profiler.filterSweep(df, valueCol, weightCol,
       thresholds.asScala.toSeq.map(_.doubleValue))
   }
+
+  def paragraphLangProfile(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String): DataFrame =
+    TextOps.paragraphLangProfile(df, idCol, textCol, sepRegex)
+
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame =
+    TextOps.collocations(df, textCol, minCount, k)
 }

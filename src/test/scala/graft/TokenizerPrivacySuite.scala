@@ -221,6 +221,25 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(out(3L) === ((2L, 0L, "und", 1000000L)))
   }
 
+  test("collocations: hand-checked PMI, minCount floor, deterministic top-k order") {
+    import spark.implicits._
+    // "a b" x4, "a c" x2, plus "c c" x2: with minCount=2 all three pairs
+    // survive; (a,b) binds tighter than (a,c)
+    val df = Seq("a b a b c c", "a b a b a c a c c c").toDF("text")
+    val out = graft.operators.TextOps.collocations(df, "text", minCount = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // bigram stream (adjacent pairs within each doc):
+    // doc1: (a,b)(b,a)(a,b)(b,c)(c,c); doc2: (a,b)(b,a)(a,b)(b,a)(a,c)(c,a)(a,c)(c,c)(c,c)
+    // cb: (a,b)=4, (b,a)=3, (a,c)=2, (c,c)=3; N = 2*14 = 28
+    // slot counts: a=10, b=8, c=10
+    assert(out.keySet === Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c")))
+    assert(out(("a", "b"))._1 === 4L)
+    assert(out(("a", "b"))._2 ===
+      math.round(math.log(4.0 * 28 / (10.0 * 8)) * 1e4))
+    assert(out(("c", "c"))._2 ===
+      math.round(math.log(3.0 * 28 / (10.0 * 10)) * 1e4))
+  }
+
   test("filterSweep: per-threshold survivors, nulls never pass, empty input zeros") {
     import spark.implicits._
     val df = Seq((Some(10.0), 100L), (Some(5.0), 50L), (None, 7L))
