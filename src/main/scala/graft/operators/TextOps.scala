@@ -656,10 +656,10 @@ object TextOps {
    * fixed-point (the q129 log convention): the value inside `ln` is an
    * exact integer ratio, so both engines round the same double.
    *
-   * Scale: two hash aggregations over the token stream (bigram counts,
-   * unigram counts) + a one-row total broadcast; unigram counts join
-   * the SURVIVING (>= minCount) bigrams only, and top-k is
-   * TakeOrdered, never a global sort.
+   * Scale: the token stream is read ONCE — one hash aggregation to the
+   * (w1, w2, count) bigram table, which is vocabulary²-bounded; slot
+   * marginals and the total both derive from that small cached table,
+   * and top-k is TakeOrdered, never a global sort.
    */
   def collocations(
       df: DataFrame,
@@ -676,12 +676,17 @@ object TextOps {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .where(col("w1") =!= "" && col("w2") =!= "")
-    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .where(col("cb") >= minCount)
-    val cu = bigrams
-      .select(explode(array(col("w1"), col("w2"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
-    val total = broadcast(bigrams.groupBy().agg((count(lit(1)) * 2).as("n")))
+    // the ONLY pass over the token stream; everything below runs on
+    // this vocabulary^2-bounded table (per-query working state, cleared
+    // by the harness/caller)
+    val cbAll = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).cache()
+    val cb = cbAll.where(col("cb") >= minCount)
+    val cu = cbAll
+      .select(explode(array(
+        struct(col("w1").as("w"), col("cb")),
+        struct(col("w2").as("w"), col("cb")))).as("e"))
+      .groupBy(col("e.w").as("w")).agg(sum(col("e.cb")).as("cw"))
+    val total = broadcast(cbAll.groupBy().agg((sum(col("cb")) * 2).as("n")))
     cb.join(cu.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
       .join(cu.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
       .crossJoin(total)
