@@ -5213,6 +5213,28 @@ object SparkEntry {
         |ORDER BY pmi_fp DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       TextOps.collocations(s.table("documents"), "text", minCount = 3, k = 20)
+    },
+
+    // Heaps-law vocabulary growth at doc-id checkpoints: distinct word
+    // types first seen at or below each id threshold + cumulative token
+    // mass — the keep-crawling-this-source diagnostic.
+    q("q169_vocab_growth",
+      """WITH fs AS (
+        |  SELECT w, min(doc_id) first_id FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w
+        |    FROM documents) WHERE w <> '' GROUP BY w),
+        |tc AS (SELECT doc_id,
+        |              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) t
+        |       FROM documents)
+        |SELECT CAST(cp.c AS BIGINT) AS checkpoint,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fs WHERE first_id <= cp.c) AS vocab_size,
+        |  (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) FROM tc WHERE doc_id <= cp.c) AS tokens
+        |FROM (VALUES (10), (50), (100), (250), (500)) cp(c)
+        |ORDER BY checkpoint""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.vocabGrowth(s.table("documents"), "doc_id", "text",
+          Seq(10L, 50L, 100L, 250L, 500L))
+        .orderBy("checkpoint")
     }
   )
 

@@ -648,6 +648,48 @@ object TextOps {
   }
 
   /**
+   * Heaps-law vocabulary growth: distinct word types and cumulative
+   * token mass among documents with `idCol <= t`, for each checkpoint
+   * t — the "is more data still buying new vocabulary" diagnostic that
+   * decides whether to keep crawling a source. Flat growth = the
+   * source is exhausted (or boilerplate).
+   *
+   * One pass to the (word, first-seen id) table — `min(id)` per word,
+   * partial-aggregable, vocabulary-sized output — then |checkpoints|
+   * conditional sums on it (the [[Profiler.filterSweep]] stack
+   * pattern) joined with the same sums on the doc-level token counts.
+   * The corpus is never multiplied by |checkpoints|.
+   */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    require(checkpoints.distinct.size == checkpoints.size, "duplicate checkpoints")
+    val firstSeen = df
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(min(col("id")).as("first_id"))
+    def sweep(src: DataFrame, gate: Column, weight: Column, prefix: String) = {
+      val aggs = checkpoints.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(gate <= t, weight).otherwise(0L)), lit(0L))
+          .as(s"$prefix$i")
+      }
+      src.agg(aggs.head, aggs.tail: _*)
+    }
+    val v = sweep(firstSeen, col("first_id"), lit(1L), "__v")
+    val tok = sweep(
+      df.select(col(idCol).as("id"), tokenCount(col(textCol)).cast("long").as("tc")),
+      col("id"), col("tc"), "__t")
+    val stackArgs = checkpoints.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS BIGINT), __v$i, __t$i" }
+      .mkString(", ")
+    v.crossJoin(tok).select(expr(
+      s"stack(${checkpoints.size}, $stackArgs) AS (checkpoint, vocab_size, tokens)"))
+  }
+
+  /**
    * PMI collocations: the top-k adjacent word pairs by pointwise mutual
    * information `ln(c(a,b) * N / (c(a) * c(b)))` — the classic
    * statistically-associated-phrase extractor (multi-word expressions,

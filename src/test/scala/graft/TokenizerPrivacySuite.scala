@@ -221,6 +221,21 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(out(3L) === ((2L, 0L, "und", 1000000L)))
   }
 
+  test("vocabGrowth: first-seen semantics, cumulative tokens, empty prefix zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b"), (2L, "b c c"), (3L, "a d"))
+      .toDF("id", "text")
+    val out = graft.operators.TextOps
+      .vocabGrowth(df, "id", "text", Seq(0L, 1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0L -> ((0L, 0L)),   // nothing seen yet
+      1L -> ((2L, 2L)),   // {a,b}, 2 tokens
+      2L -> ((3L, 5L)),   // +c, +3 tokens
+      3L -> ((4L, 7L))))  // +d, +2 tokens
+  }
+
   test("collocations: hand-checked PMI, minCount floor, deterministic top-k order") {
     import spark.implicits._
     // "a b" x4, "a c" x2, plus "c c" x2: with minCount=2 all three pairs
