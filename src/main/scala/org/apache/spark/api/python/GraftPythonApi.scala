@@ -366,4 +366,11 @@ object GraftPythonApi {
   def collocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame =
     TextOps.collocations(df, textCol, minCount, k)
+
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: java.util.List[java.lang.Long]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    TextOps.vocabGrowth(df, idCol, textCol,
+      checkpoints.asScala.toSeq.map(_.longValue))
+  }
 }
