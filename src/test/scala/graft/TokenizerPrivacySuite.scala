@@ -270,6 +270,21 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(empty === Array((0L, 0L)))
   }
 
+  test("pageRankFp: bit-identical across shuffle partitionings (the 100TB claim)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val nodes = (1L to 200L).toDF("id")
+    val edges = (1 to 600)
+      .map(_ => (rnd.nextInt(200).toLong + 1L, rnd.nextInt(200).toLong + 1L))
+      .toDF("src", "dst")
+    def run(parts: String): Map[Long, Long] =
+      withSQLConf("spark.sql.shuffle.partitions" -> parts) {
+        graft.operators.Graph.pageRankFp(nodes, edges, "id", iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    assert(run("3") === run("7"))
+  }
+
   test("k-anonymity: profile flags small groups, suppression drops their rows") {
     import spark.implicits._
     val df = Seq(
