@@ -122,16 +122,11 @@ object Classifier {
     val refTokens = refDocs.select(explode(col("ws")).as("w"))
     val unigrams = refTokens.groupBy("w").agg(count(lit(1)).as("cw"))
     val vocab = unigrams.agg(count(lit(1)).as("v"))
-    def bigramsOf(wsCol: Column): Column =
-      when(size(wsCol) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(0), size(wsCol) - 2),
-          i => struct(element_at(wsCol, i + 1).as("w1"),
-            element_at(wsCol, i + 2).as("w2"))))
-    val refBigrams = refDocs.select(explode(bigramsOf(col("ws"))).as("b"))
+    val refBigrams = refDocs.select(explode(TextOps.bigramsOf(col("ws"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cb"))
     val docBigrams = scoreDocs
-      .select(col("id"), explode(bigramsOf(col("ws"))).as("b"))
+      .select(col("id"), explode(TextOps.bigramsOf(col("ws"))).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val scored = docBigrams
       .join(refBigrams, Seq("w1", "w2"), "left")

@@ -690,6 +690,21 @@ object TextOps {
   }
 
   /**
+   * Adjacent-word bigram structs `(w1, w2)` of a tokenized array;
+   * arrays shorter than 2 contribute an empty list. `ws` MUST be a
+   * bound column (select `words(...)` into a column first): a raw
+   * tokenizer subtree inside the transform lambda would re-evaluate
+   * per element — higher-order functions don't codegen, so nothing
+   * hoists it.
+   */
+  def bigramsOf(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => struct(element_at(ws, i + 1).as("w1"),
+          element_at(ws, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /**
    * PMI collocations: the top-k adjacent word pairs by pointwise mutual
    * information `ln(c(a,b) * N / (c(a) * c(b)))` — the classic
    * statistically-associated-phrase extractor (multi-word expressions,
@@ -709,13 +724,9 @@ object TextOps {
       minCount: Long,
       k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, s"bad minCount=$minCount / k=$k")
-    val ws = words(col(textCol))
     val bigrams = df
-      .select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - 2),
-          i => struct(element_at(ws, i + 1).as("w1"),
-            element_at(ws, i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(words(col(textCol)).as("ws"))
+      .select(explode(bigramsOf(col("ws"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .where(col("w1") =!= "" && col("w2") =!= "")
     // the ONLY pass over the token stream; everything below runs on

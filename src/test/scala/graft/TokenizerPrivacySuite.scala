@@ -241,8 +241,12 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     // "a b" x4, "a c" x2, plus "c c" x2: with minCount=2 all three pairs
     // survive; (a,b) binds tighter than (a,c)
     val df = Seq("a b a b c c", "a b a b a c a c c c").toDF("text")
-    val out = graft.operators.TextOps.collocations(df, "text", minCount = 2, k = 10)
-      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val rows = graft.operators.TextOps.collocations(df, "text", minCount = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    // returned order IS the top-k order: pmi desc, then (w1, w2)
+    assert(rows.map(_._1).toSeq ===
+      Seq(("a", "b"), ("b", "a"), ("c", "c"), ("a", "c")))
+    val out = rows.toMap
     // bigram stream (adjacent pairs within each doc):
     // doc1: (a,b)(b,a)(a,b)(b,c)(c,c); doc2: (a,b)(b,a)(a,b)(b,a)(a,c)(c,a)(a,c)(c,c)(c,c)
     // cb: (a,b)=4, (b,a)=3, (a,c)=2, (c,c)=3; N = 2*14 = 28
