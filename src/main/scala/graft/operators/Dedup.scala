@@ -40,14 +40,17 @@ object Dedup {
    * words contribute their whole text as a single shingle (rather than
    * crashing on a negative-length sequence).
    */
-  def shingles(text: Column, n: Int): Column = {
-    val w = TextOps.words(text)
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " "))))
-      .otherwise(array(array_join(w, " ")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // boundOnce: the token array must be a bound lambda variable — a raw
+    // words(text) subtree inside the shingle lambda would re-tokenize
+    // the document once per shingle (quadratic per doc)
+    graft.operators.boundOnce(TextOps.words(text)) { w =>
+      when(size(w) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " "))))
+        .otherwise(array(array_join(w, " ")))
+    }
 
   /**
    * Exact dedup: keep the smallest `idCol` per identical content

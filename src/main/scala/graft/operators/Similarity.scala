@@ -414,12 +414,15 @@ object Similarity {
     val ws = TextOps.words(col(textCol))
     // docs shorter than the gram width collapse to one whole-text term
     // (the same fallback as the Jaccard shingles — an empty term list
-    // would silently drop the doc from the vector space)
+    // would silently drop the doc from the vector space); boundOnce
+    // hoists the tokenizer out of the n-gram lambda (else quadratic)
     val terms =
       if (ngram == 1) ws
-      else when(size(ws) < ngram, array(array_join(ws, " ")))
-        .otherwise(transform(sequence(lit(0), size(ws) - ngram),
-          i => array_join(slice(ws, i + lit(1), lit(ngram)), " ")))
+      else graft.operators.boundOnce(ws) { w =>
+        when(size(w) < ngram, array(array_join(w, " ")))
+          .otherwise(transform(sequence(lit(0), size(w) - ngram),
+            i => array_join(slice(w, i + lit(1), lit(ngram)), " ")))
+      }
     // one row per (doc, term-hash) with its term frequency; feeds doc
     // frequencies, weights, and norms, so compute it once
     val tf = df

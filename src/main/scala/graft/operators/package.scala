@@ -31,4 +31,20 @@ package graft
  * eviction churn shows up as latency noise (observed as the round-5
  * q21 bench regression before per-query clearing).
  */
-package object operators
+package object operators {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{array, element_at, transform}
+
+  /**
+   * Evaluate `f` with `arr` computed ONCE per row: wraps it in a
+   * single-element array and binds it as a lambda variable. Higher-order
+   * functions don't codegen, and a captured subtree in a lambda BODY
+   * re-evaluates per element — so `transform(sequence(...), i =>
+   * slice(words(text), ...))` tokenizes the document once per output
+   * element (quadratic). Any expression that feeds a derived array into
+   * per-element lambdas should route through this hoist.
+   */
+  private[operators] def boundOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+}
