@@ -45,8 +45,13 @@ object Embeddings {
       seed: Long = 42L): DataFrame = {
     require(inDim > 0 && outDim > 0, "dimensions must be positive")
     val m = typedlit(projectionMatrix(inDim, outDim, seed))
+    // boundOnce: the cast input vector is shared by every output
+    // dimension's dot — captured raw it would re-convert the float
+    // array once per output dim
     df.withColumn(outCol,
-      transform(m, row => Similarity.dot(col(vecCol).cast("array<double>"), row)))
+      graft.operators.boundOnce(col(vecCol).cast("array<double>")) { v =>
+        transform(m, row => Similarity.dot(v, row))
+      })
   }
 
   /**
