@@ -5235,6 +5235,32 @@ object SparkEntry {
       TextOps.vocabGrowth(s.table("documents"), "doc_id", "text",
           Seq(10L, 50L, 100L, 250L, 500L))
         .orderBy("checkpoint")
+    },
+
+    // Zipf rank-frequency slope: OLS of ln(freq) on ln(rank) in pure
+    // fixed-point/decimal arithmetic — the corpus-naturalness signal.
+    // Ranks tie-break (freq desc, term asc) identically in both engines.
+    q("q170_zipf_slope",
+      """WITH v AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) n_occ FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) w
+        |    FROM documents) WHERE w <> '' GROUP BY w),
+        |r AS (SELECT n_occ, row_number() OVER (ORDER BY n_occ DESC, w) rk FROM v),
+        |p AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 10000) AS HUGEINT) x,
+        |             CAST(round(ln(CAST(n_occ AS DOUBLE)) * 10000) AS HUGEINT) y
+        |      FROM r),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) n, sum(x) sx, sum(y) sy,
+        |             sum(x * y) sxy, sum(x * x) sxx FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  CAST(CASE
+        |    WHEN n * sxx - sx * sx = 0 THEN 0
+        |    WHEN n * sxy - sx * sy < 0
+        |      THEN -((-(n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx))
+        |    ELSE ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx)
+        |  END AS BIGINT) AS slope_fp
+        |FROM s""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.zipfSlope(s.table("documents"), "text")
     }
   )
 

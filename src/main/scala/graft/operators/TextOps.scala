@@ -690,6 +690,44 @@ object TextOps {
   }
 
   /**
+   * Zipf rank-frequency slope of the corpus vocabulary: the ordinary
+   * least-squares slope of `ln(freq)` on `ln(rank)` — healthy natural
+   * text sits near -1; a flat slope flags templated/boilerplate
+   * corpora, a cliff flags tiny-vocabulary spam. Returns one row
+   * `(n_types, slope_fp)` with the slope in 1e4 fixed point.
+   *
+   * Engine-exact: each point's `ln` is 1e4 fixed-point (the q129
+   * convention), the OLS sums run in decimal(38) — order-independent
+   * integer arithmetic — and the final `(n·Σxy − ΣxΣy) / (n·Σxx −
+   * Σx²)` resolves with sign-split truncating integer division (both
+   * engines truncate toward zero). Ranks come from
+   * [[Classifier.globalRankDesc]], so there is no single-partition
+   * window even at a 100 TB vocabulary.
+   */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df.select(explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_occ"))
+    val ranked = Classifier.globalRankDesc(vocab, "w", "n_occ", "rk")
+    ranked.select(
+        round(log(col("rk").cast("double")) * lit(1e4))
+          .cast("decimal(20,0)").as("x"),
+        round(log(col("n_occ").cast("double")) * lit(1e4))
+          .cast("decimal(20,0)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_types"),
+        expr("""CAST(CASE
+          |  WHEN n * sxx - sx * sx = 0 THEN 0
+          |  WHEN n * sxy - sx * sy < 0
+          |    THEN -((-(n * sxy - sx * sy) * 10000) DIV (n * sxx - sx * sx))
+          |  ELSE ((n * sxy - sx * sy) * 10000) DIV (n * sxx - sx * sx)
+          |END AS BIGINT)""".stripMargin).as("slope_fp"))
+  }
+
+  /**
    * Adjacent-word bigram structs `(w1, w2)` of a tokenized array;
    * arrays shorter than 2 contribute an empty list. `ws` MUST be a
    * bound column (select `words(...)` into a column first): a raw

@@ -373,4 +373,7 @@ object GraftPythonApi {
     TextOps.vocabGrowth(df, idCol, textCol,
       checkpoints.asScala.toSeq.map(_.longValue))
   }
+
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame =
+    TextOps.zipfSlope(df, textCol)
 }

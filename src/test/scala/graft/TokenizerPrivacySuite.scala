@@ -236,6 +236,23 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
       3L -> ((4L, 7L))))  // +d, +2 tokens
   }
 
+  test("zipfSlope: perfect Zipf corpus slopes to -1, degenerate vocab to 0") {
+    import spark.implicits._
+    // word k (k=1..20) appears floor(1200/k) times -> ln(freq) ~
+    // ln(1200) - ln(rank): slope must land near -1.0000 (floor()
+    // quantization keeps it within a few percent)
+    val corpus = (1 to 20).flatMap(k => Seq.fill(1200 / k)(s"w$k"))
+    val df = corpus.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val row = graft.operators.TextOps.zipfSlope(df, "text").collect().head
+    assert(row.getLong(0) === 20L)
+    val slope = row.getLong(1)
+    assert(slope > -10500 && slope < -9500, s"slope_fp=$slope")
+    // single word type: zero variance in rank -> slope 0 by contract
+    val degenerate = graft.operators.TextOps
+      .zipfSlope(Seq("x x x x").toDF("text"), "text").collect().head
+    assert(degenerate.getLong(0) === 1L && degenerate.getLong(1) === 0L)
+  }
+
   test("collocations: hand-checked PMI, minCount floor, deterministic top-k order") {
     import spark.implicits._
     // "a b" x4, "a c" x2, plus "c c" x2: with minCount=2 all three pairs
