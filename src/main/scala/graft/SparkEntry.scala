@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, IvfIndex,
-  JoinStats, Multimodal, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, Spectral, TextOps,
-  UrlOps}
+  JoinStats, Multimodal, Pq, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, Spectral,
+  TextOps, UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -5261,6 +5261,51 @@ object SparkEntry {
         |FROM s""".stripMargin) { (s, d) =>
       view(s, d, "documents")
       TextOps.zipfSlope(s.table("documents"), "text")
+    },
+
+    // Product quantization codes: 64-dim embeddings → 4 blocks of 16
+    // dims, k=4 deterministic Lloyd (1 round) per block, code = seed
+    // label of the winning codeword. One projection over the corpus;
+    // the oracle replays each block's lattice k-means exactly.
+    q("q171_pq_codes",
+      s"""$pqOracleCtes
+         |SELECT vec_id AS id,
+         |       CAST(c0 AS BIGINT) AS code_0, CAST(c1 AS BIGINT) AS code_1,
+         |       CAST(c2 AS BIGINT) AS code_2, CAST(c3 AS BIGINT) AS code_3
+         |FROM codes ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Pq.encode(s.table("embeddings"), "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1)
+        .orderBy("id")
+    },
+
+    // ADC top-5 for the 3 lowest-id query vectors: per-query subspace
+    // distance tables (m*k driver-side integers) looked up against the
+    // codes in one scan — the compressed-domain ANN pattern. All
+    // distances are lattice integers, so the oracle's join-based replay
+    // hashes identically.
+    q("q172_pq_adc_topk",
+      s"""$pqOracleCtes,
+         |qs AS (SELECT vec_id qid, q FROM v WHERE vec_id < 3),
+         |${(0 until 4).map(pqAdcTableCte).mkString(",\n")},
+         |adc AS (
+         |  SELECT t0.qid, cd.vec_id, t0.d + t1.d + t2.d + t3.d adc
+         |  FROM codes cd
+         |  JOIN t0 ON t0.j = cd.c0
+         |  JOIN t1 ON t1.qid = t0.qid AND t1.j = cd.c1
+         |  JOIN t2 ON t2.qid = t0.qid AND t2.j = cd.c2
+         |  JOIN t3 ON t3.qid = t0.qid AND t3.j = cd.c3)
+         |SELECT qid AS query_id, vec_id, CAST(adc AS BIGINT) AS adc,
+         |       CAST(rk AS INT) AS rk
+         |FROM (SELECT qid, vec_id, adc,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY adc, vec_id) rk
+         |      FROM adc WHERE vec_id <> qid)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Pq.adcSearch(s.table("embeddings"), "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1, nq = 3, topK = 5)
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -5466,6 +5511,61 @@ object SparkEntry {
        |${step("c1", "s1", "a1")},
        |${lloyd("a1", "m2", "c2")},
        |${step("c2", "s2", "a2")}""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.Pq]]: per 16-dim block b of the
+   *  quantized 64-dim vectors, the same lattice Lloyd as
+   *  [[kmeansOracleCtes]] with k=4 seeds (vec_id < 4) and ONE update
+   *  round, ending in the per-block code assignment a1_b; `codes` joins
+   *  the four blocks. Chained CTEs that are referenced more than once
+   *  are MATERIALIZED (DuckDB inlines CTEs per reference — re-expansion
+   *  is exponential otherwise). */
+  private def pqOracleCtes: String = {
+    def block(b: Int): String = {
+      val off = b * 16
+      def step(cTbl: String, sAs: String, aAs: String): String =
+        s"""$sAs AS (
+           |  SELECT v.vec_id, $cTbl.j,
+           |         list_sum(list_transform(range(1, 17),
+           |           i -> (v.qb[i] - $cTbl.c[i]) * (v.qb[i] - $cTbl.c[i]))) dist
+           |  FROM vb$b v CROSS JOIN $cTbl),
+           |$aAs AS (
+           |  SELECT vec_id, j AS cl FROM (
+           |    SELECT vec_id, j,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rk
+           |    FROM $sAs) WHERE rk = 1)""".stripMargin
+      s"""vb$b AS MATERIALIZED (
+         |  SELECT vec_id, q[${off + 1}:${off + 16}] qb FROM v),
+         |c0_$b AS (SELECT vec_id j, qb c FROM vb$b WHERE vec_id < 4),
+         |${step(s"c0_$b", s"s0_$b", s"a0_$b")},
+         |m1_$b AS (
+         |  SELECT a.cl, i.i, CAST(floor(sum(v.qb[i.i]) / count(*)) AS DOUBLE) ci
+         |  FROM a0_$b a JOIN vb$b v USING (vec_id)
+         |       CROSS JOIN (SELECT CAST(unnest(range(1, 17)) AS INT) i) i
+         |  GROUP BY a.cl, i.i),
+         |c1_$b AS MATERIALIZED (SELECT cl j, list(ci ORDER BY i) c FROM m1_$b GROUP BY cl),
+         |${step(s"c1_$b", s"s1_$b", s"a1_$b")}""".stripMargin
+    }
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) q
+       |  FROM embeddings),
+       |${(0 until 4).map(block).mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  SELECT a1_0.vec_id, a1_0.cl c0, a1_1.cl c1, a1_2.cl c2, a1_3.cl c3
+       |  FROM a1_0 JOIN a1_1 USING (vec_id) JOIN a1_2 USING (vec_id)
+       |       JOIN a1_3 USING (vec_id))""".stripMargin
+  }
+
+  /** ADC distance table for block `b`: query subvector (exact, on the
+   *  lattice) vs each surviving codeword of that block's codebook. */
+  private def pqAdcTableCte(b: Int): String = {
+    val off = b * 16
+    s"""t$b AS (
+       |  SELECT qs.qid, c.j,
+       |         list_sum(list_transform(range(1, 17),
+       |           i -> (qs.q[$off + i] - c.c[i]) * (qs.q[$off + i] - c.c[i]))) d
+       |  FROM qs CROSS JOIN c1_$b c)""".stripMargin
   }
 
   /** DuckDB brute-force word-5-gram Jaccard pairs at threshold 4/5 (integer

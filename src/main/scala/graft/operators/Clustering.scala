@@ -52,29 +52,49 @@ object Clustering {
       k: Int,
       iters: Int,
       quantScale: Int = 1000): DataFrame = {
-    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
-    val q = df.select(
+    val q = quantized(df, idCol, vecCol, quantScale)
+    assignToCentroids(q, trainCentroids(q, k, iters))
+      .select(col("id"), col("cluster"))
+  }
+
+  /** Project to (id, v) on the integer lattice — the trainer's input. */
+  private[operators] def quantized(
+      df: DataFrame, idCol: String, vecCol: String, quantScale: Int): DataFrame =
+    df.select(
       col(idCol).as("id"),
       transform(col(vecCol), x => round(x.cast("double") * quantScale).cast("double"))
         .as("v"))
 
+  /** Nearest-centroid label per row: distances array + array_position of
+   *  the min — first match, so ties break toward the earlier (lower seed
+   *  id) centroid; centroid order is kept id-ascending. Pure projection
+   *  against broadcast literals — no join, no shuffle. */
+  private[operators] def assignToCentroids(
+      q: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val dists = array(cents.map { case (_, c) => sqDist(col("v"), c) }: _*)
+    val labels = typedlit(cents.map(_._1))
+    q.withColumn("cluster",
+      element_at(labels, array_position(dists, array_min(dists)).cast("int")))
+  }
+
+  /**
+   * Deterministic Lloyd training over a pre-quantized (id, v) frame:
+   * seeds are the k lowest-id vectors, each round is one shuffle of k*d
+   * partial sums, centroid = floor of the per-cluster mean (stays on the
+   * lattice). Returns the seed-labelled centroid list, id-ascending.
+   * Exposed so subspace trainers (product quantization) can share the
+   * replay contract.
+   */
+  private[operators] def trainCentroids(
+      q: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     // deterministic seed: the k lowest-id vectors (k*d doubles to driver)
     var cents: Seq[(Long, Array[Double])] = q.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
 
-    def assigned: DataFrame = {
-      // argmin over the centroid list: distances array + array_position
-      // of the min — first match, so ties break toward the earlier
-      // (lower seed id) centroid; centroid order is kept id-ascending
-      val dists = array(cents.map { case (_, c) => sqDist(col("v"), c) }: _*)
-      val labels = typedlit(cents.map(_._1))
-      q.withColumn("cluster",
-        element_at(labels, array_position(dists, array_min(dists)).cast("int")))
-    }
-
     for (_ <- 1 to iters) {
       // one shuffle of k*d partial sums; floor-of-mean keeps the lattice
-      val sums = assigned
+      val sums = assignToCentroids(q, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(sum("x").as("s"), count(lit(1)).as("n"))
@@ -86,8 +106,7 @@ object Clustering {
         (cl, c)
       }.toSeq.sortBy(_._1)
     }
-
-    assigned.select(col("id"), col("cluster"))
+    cents
   }
 
   /**

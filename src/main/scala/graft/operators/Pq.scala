@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (PQ) over an embedding column — the memory-side
+ * complement to the IVF scan path ([[IvfIndex]]): split each d-dim
+ * vector into `m` contiguous subvectors, train a small k-means codebook
+ * per subspace, and store each vector as `m` small codes. At 100 TB this
+ * is what makes an in-memory ANN tier possible at all: a 64-dim float
+ * vector (256 B) compresses to m=4 one-byte codes plus a shared m*k*sub
+ * codebook, and queries scan codes — never raw vectors — via
+ * asymmetric-distance (ADC) lookup tables.
+ *
+ * Scale design:
+ *  - Codebook training reuses [[Clustering.trainCentroids]] per block:
+ *    each Lloyd round is one shuffle of k*sub partial sums regardless of
+ *    corpus size, and the driver holds only m*k*sub doubles. (In a real
+ *    deployment you train on a sample; the contract is identical.)
+ *  - Encoding is ONE stateless projection — the m codebooks are baked
+ *    into the plan as literals, so no join and no shuffle of the corpus.
+ *  - ADC search precomputes, per query, an m×k table of subspace
+ *    distances ON THE DRIVER (m*k doubles per query) and evaluates
+ *    `sum_b table_b[code_b]` as a map-literal lookup per corpus row —
+ *    again a pure projection; the only shuffle is the final per-query
+ *    top-k window over rows that survive nothing (full scan of CODES,
+ *    which is the point: the codes table is ~64× smaller than the
+ *    vectors it stands in for).
+ *
+ * Determinism: same integer-lattice contract as [[Clustering]] — inputs
+ * quantized to `round(x*quantScale)`, floor-of-mean centroid updates,
+ * argmin ties toward the lowest seed id — so codes and ADC distances are
+ * integer-valued doubles, bit-reproducible across engines and
+ * partitionings (the property the DuckDB oracle replays).
+ *
+ * Reference scope: the reference plugin (datasketches-spark) stops at
+ * sketches; PQ is part of this library's LLM-pipeline extension surface
+ * alongside [[Similarity]] and [[IvfIndex]].
+ */
+object Pq {
+
+  /** Codebook for one subspace: (seed label, centroid), id-ascending. */
+  type Codebook = Seq[(Long, Array[Double])]
+
+  /**
+   * Train one codebook per block over the quantized corpus. `dim` must
+   * be divisible by `m`; block b covers dims [b*dim/m, (b+1)*dim/m).
+   */
+  def trainCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000): Seq[Codebook] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val sub = dim / m
+    val q = Clustering.quantized(df, idCol, vecCol, quantScale).cache()
+    try {
+      (0 until m).map { b =>
+        val qb = q.select(col("id"), slice(col("v"), b * sub + 1, sub).as("v"))
+        Clustering.trainCentroids(qb, k, iters)
+      }
+    } finally q.unpersist()
+  }
+
+  /** Nearest-codeword label for one block, as a single-pass expression. */
+  private def blockCode(v: Column, off: Int, sub: Int, cents: Codebook): Column =
+    boundOnce(slice(v, off + 1, sub)) { vb =>
+      val dists = array(cents.map { case (_, c) =>
+        aggregate(
+          zip_with(vb, typedlit(c.toSeq), (a, x) => (a - x) * (a - x)),
+          lit(0.0d), (acc, x) => acc + x)
+      }: _*)
+      element_at(typedlit(cents.map(_._1)),
+        array_position(dists, array_min(dists)).cast("int"))
+    }
+
+  /**
+   * Encode every vector as m codes: (id, code_0 .. code_{m-1}), where a
+   * code is the SEED label of the winning codeword (stable across runs).
+   * One projection over the corpus; codebooks are plan literals.
+   */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val books = trainCodebooks(df, idCol, vecCol, dim, m, k, iters, quantScale)
+    encodeWith(df, idCol, vecCol, dim, books, quantScale)
+  }
+
+  /** Encoding against pre-trained codebooks (the steady-state path). */
+  def encodeWith(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      books: Seq[Codebook],
+      quantScale: Int = 1000): DataFrame = {
+    val m = books.size
+    val sub = dim / m
+    val q = Clustering.quantized(df, idCol, vecCol, quantScale)
+    books.zipWithIndex.foldLeft(q) { case (acc, (cents, b)) =>
+      acc.withColumn(s"code_$b", blockCode(col("v"), b * sub, sub, cents))
+    }.drop("v")
+  }
+
+  /**
+   * ADC top-k: the `nq` lowest-id vectors become the query batch; every
+   * other row is scored as `sum_b table_b[code_b]` (asymmetric distance:
+   * exact query subvector vs corpus codeword) and the best `topK` per
+   * query are kept. Returns (query_id, vec_id, adc, rk) with `adc` the
+   * integer-valued lattice distance.
+   */
+  def adcSearch(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      nq: Int,
+      topK: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val sub = dim / m
+    val books = trainCodebooks(df, idCol, vecCol, dim, m, k, iters, quantScale)
+
+    // query batch: nq quantized vectors to the driver (nq*dim doubles)
+    val queries = Clustering.quantized(df, idCol, vecCol, quantScale)
+      .orderBy("id").limit(nq).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    val coded = encodeWith(df, idCol, vecCol, dim, books, quantScale)
+
+    // per (query, block) distance table, computed driver-side: all values
+    // are sums of squares of lattice integers — exact in Double
+    def adcExpr(qv: Array[Double]): Column =
+      books.zipWithIndex.map { case (cents, b) =>
+        val table = cents.map { case (label, c) =>
+          label -> c.indices.map { i =>
+            val dlt = qv(b * sub + i) - c(i); dlt * dlt
+          }.sum
+        }.toMap
+        element_at(typedlit(table), col(s"code_$b"))
+      }.reduce(_ + _)
+
+    // one generator per corpus row fans out all nq query scores in a
+    // single scan of the codes; no join
+    val scored = coded.select(
+      col("id").as("vec_id"),
+      inline(array(queries.map { case (qid, qv) =>
+        struct(lit(qid).as("query_id"), adcExpr(qv).as("adc"))
+      }: _*)))
+
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    scored.where(col("vec_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("adc").cast("long").as("adc"), col("rk"))
+  }
+}

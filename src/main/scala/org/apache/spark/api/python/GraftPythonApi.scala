@@ -376,4 +376,12 @@ object GraftPythonApi {
 
   def zipfSlope(df: DataFrame, textCol: String): DataFrame =
     TextOps.zipfSlope(df, textCol)
+
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): DataFrame =
+    graft.operators.Pq.encode(df, idCol, vecCol, dim, m, k, iters)
+
+  def pqAdcSearch(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, nq: Int, topK: Int): DataFrame =
+    graft.operators.Pq.adcSearch(df, idCol, vecCol, dim, m, k, iters, nq, topK)
 }
