@@ -5306,6 +5306,123 @@ object SparkEntry {
       Pq.adcSearch(s.table("embeddings"), "vec_id", "embedding",
         dim = 64, m = 4, k = 4, iters = 1, nq = 3, topK = 5)
         .orderBy("query_id", "rk")
+    },
+
+    // IVF-PQ: coarse cells (k=4 lattice Lloyd on full vectors) prune
+    // the ADC scan to each query's 2 nearest cells — the partition-
+    // pruned deployment shape of q172. The oracle replays coarse
+    // assignment, probe selection, and the cell-filtered ADC join.
+    q("q173_ivfpq_topk",
+      s"""$pqOracleCtes,
+         |$ivfpqCoarseCtes,
+         |qs AS (SELECT vec_id qid, q FROM v WHERE vec_id < 3),
+         |${(0 until 4).map(pqAdcTableCte).mkString(",\n")},
+         |pr AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, j cell, row_number() OVER (PARTITION BY qid
+         |                                           ORDER BY d, j) rk
+         |    FROM (SELECT qs.qid, c.j,
+         |                 list_sum(list_transform(range(1, 65),
+         |                   i -> (qs.q[i] - c.c[i]) * (qs.q[i] - c.c[i]))) d
+         |          FROM qs CROSS JOIN cc1 c))
+         |  WHERE rk <= 2),
+         |adcf AS (
+         |  SELECT t0.qid, cd.vec_id, t0.d + t1.d + t2.d + t3.d adc
+         |  FROM codes cd
+         |  JOIN ca1 ON ca1.vec_id = cd.vec_id
+         |  JOIN pr ON pr.cell = ca1.cl
+         |  JOIN t0 ON t0.qid = pr.qid AND t0.j = cd.c0
+         |  JOIN t1 ON t1.qid = pr.qid AND t1.j = cd.c1
+         |  JOIN t2 ON t2.qid = pr.qid AND t2.j = cd.c2
+         |  JOIN t3 ON t3.qid = pr.qid AND t3.j = cd.c3)
+         |SELECT qid AS query_id, vec_id, CAST(adc AS BIGINT) AS adc,
+         |       CAST(rk AS INT) AS rk
+         |FROM (SELECT qid, vec_id, adc,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY adc, vec_id) rk
+         |      FROM adcf WHERE vec_id <> qid)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Pq.ivfAdcSearch(s.table("embeddings"), "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1, coarseK = 4, nprobe = 2,
+        nq = 3, topK = 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // PQ quality gate: recall@5 of the ADC ranking against exact
+    // lattice L2 top-5 — the number a deployment tunes (m, k) against.
+    // Both rankings are deterministic, so recall is oracle-exact.
+    q("q174_pq_recall",
+      s"""$pqOracleCtes,
+         |qs AS (SELECT vec_id qid, q FROM v WHERE vec_id < 3),
+         |${(0 until 4).map(pqAdcTableCte).mkString(",\n")},
+         |adc AS (
+         |  SELECT t0.qid, cd.vec_id, t0.d + t1.d + t2.d + t3.d adc
+         |  FROM codes cd
+         |  JOIN t0 ON t0.j = cd.c0
+         |  JOIN t1 ON t1.qid = t0.qid AND t1.j = cd.c1
+         |  JOIN t2 ON t2.qid = t0.qid AND t2.j = cd.c2
+         |  JOIN t3 ON t3.qid = t0.qid AND t3.j = cd.c3),
+         |ap AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |                                           ORDER BY adc, vec_id) rk
+         |    FROM adc WHERE vec_id <> qid) WHERE rk <= 5),
+         |ex AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qs.qid, v.vec_id,
+         |           row_number() OVER (PARTITION BY qs.qid ORDER BY
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (qs.q[i] - v.q[i]) * (qs.q[i] - v.q[i]))),
+         |             v.vec_id) rk
+         |    FROM qs CROSS JOIN v WHERE v.vec_id <> qs.qid) WHERE rk <= 5),
+         |h AS (
+         |  SELECT ap.qid, count(*) nh FROM ap
+         |  JOIN ex ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+         |  GROUP BY ap.qid)
+         |SELECT e.qid AS query_id,
+         |       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.nh, 0) * 10000 // 5 AS BIGINT) AS recall_fp
+         |FROM (SELECT DISTINCT qid FROM ex) e LEFT JOIN h USING (qid)
+         |ORDER BY query_id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Pq.adcRecall(s.table("embeddings"), "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1, nq = 3, topK = 5)
+        .orderBy("query_id")
+    },
+
+    // Median/MAD outlier summary per event type: the robust scale that
+    // extreme rows cannot drag, on the integer lattice (lower medians
+    // at rank (n+1)/2, total order (value, id)) — oracle-exact.
+    q("q175_robust_outliers",
+      """WITH x AS (
+        |  SELECT event_type g, event_id id,
+        |         CAST(round(value * 1000) AS BIGINT) x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT g, count(*) n FROM x GROUP BY g),
+        |r AS (SELECT g, id, x,
+        |             row_number() OVER (PARTITION BY g ORDER BY x, id) rn
+        |      FROM x),
+        |med AS (SELECT r.g, r.x med FROM r JOIN n USING (g)
+        |        WHERE rn = (n + 1) // 2),
+        |d AS (SELECT x.g, x.id, abs(x.x - med.med) dev, med.med
+        |      FROM x JOIN med USING (g)),
+        |rd AS (SELECT g, id, dev,
+        |              row_number() OVER (PARTITION BY g ORDER BY dev, id) rn
+        |       FROM d),
+        |mad AS (SELECT rd.g, rd.dev mad FROM rd JOIN n USING (g)
+        |        WHERE rn = (n + 1) // 2)
+        |SELECT d.g AS event_type, CAST(n.n AS BIGINT) AS n,
+        |       CAST(d.med AS BIGINT) AS med_fp,
+        |       CAST(mad.mad AS BIGINT) AS mad_fp,
+        |       CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (g) JOIN n USING (g)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      Profiler.robustOutliers(s.table("events"), "event_type", "value",
+        "event_id")
+        .orderBy("event_type")
     }
   )
 
@@ -5555,6 +5672,34 @@ object SparkEntry {
        |  SELECT a1_0.vec_id, a1_0.cl c0, a1_1.cl c1, a1_2.cl c2, a1_3.cl c3
        |  FROM a1_0 JOIN a1_1 USING (vec_id) JOIN a1_2 USING (vec_id)
        |       JOIN a1_3 USING (vec_id))""".stripMargin
+  }
+
+  /** Coarse quantizer replay for IVF-PQ (q173): full-vector lattice
+   *  Lloyd, k=4 seeds (vec_id < 4), one update round — cc1 is the
+   *  post-round centroid table and ca1 the cell assignment, mirroring
+   *  [[graft.operators.Pq.ivfAdcSearch]]'s coarse stage. Appends to
+   *  [[pqOracleCtes]] (reuses its MATERIALIZED `v`). */
+  private def ivfpqCoarseCtes: String = {
+    def step(cTbl: String, sAs: String, aAs: String): String =
+      s"""$sAs AS (
+         |  SELECT v.vec_id, $cTbl.j,
+         |         list_sum(list_transform(range(1, 65),
+         |           i -> (v.q[i] - $cTbl.c[i]) * (v.q[i] - $cTbl.c[i]))) dist
+         |  FROM v CROSS JOIN $cTbl),
+         |$aAs AS (
+         |  SELECT vec_id, j AS cl FROM (
+         |    SELECT vec_id, j,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) rk
+         |    FROM $sAs) WHERE rk = 1)""".stripMargin
+    s"""cc0 AS (SELECT vec_id j, q c FROM v WHERE vec_id < 4),
+       |${step("cc0", "cs0", "ca0")},
+       |cm1 AS (
+       |  SELECT a.cl, i.i, CAST(floor(sum(v.q[i.i]) / count(*)) AS DOUBLE) ci
+       |  FROM ca0 a JOIN v USING (vec_id)
+       |       CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) i) i
+       |  GROUP BY a.cl, i.i),
+       |cc1 AS MATERIALIZED (SELECT cl j, list(ci ORDER BY i) c FROM cm1 GROUP BY cl),
+       |${step("cc1", "cs1", "ca1")}""".stripMargin
   }
 
   /** ADC distance table for block `b`: query subvector (exact, on the

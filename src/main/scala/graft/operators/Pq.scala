@@ -168,4 +168,138 @@ object Pq {
       .where(col("rk") <= topK)
       .select(col("query_id"), col("vec_id"), col("adc").cast("long").as("adc"), col("rk"))
   }
+
+  /**
+   * IVF-PQ: coarse-quantize the corpus into `coarseK` cells (same
+   * deterministic Lloyd, full vectors), PQ-encode every row, and answer
+   * each query by ADC over ONLY its `nprobe` nearest cells. At 100 TB
+   * the codes live parquet-partitioned by cell (the [[IvfIndex]] layout)
+   * and the per-query `cell IN (probes)` predicate becomes partition
+   * pruning — a query batch physically reads ~nprobe/coarseK of an
+   * already-64×-compressed table. Here the filter is expressed on the
+   * cell column of the same scan, which Catalyst pushes to the source.
+   * Raw-vector PQ (no residual encoding) keeps the whole pipeline on
+   * the integer lattice, bit-reproducible for the oracle replay.
+   */
+  def ivfAdcSearch(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      coarseK: Int,
+      nprobe: Int,
+      nq: Int,
+      topK: Int,
+      quantScale: Int = 1000): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(nprobe >= 1 && nprobe <= coarseK, "1 <= nprobe <= coarseK")
+    val sub = dim / m
+    val q = Clustering.quantized(df, idCol, vecCol, quantScale).cache()
+    val (coarse, books, queries) =
+      try {
+        val coarse = Clustering.trainCentroids(q, coarseK, iters)
+        val books = (0 until m).map { b =>
+          Clustering.trainCentroids(
+            q.select(col("id"), slice(col("v"), b * sub + 1, sub).as("v")), k, iters)
+        }
+        val queries = q.orderBy("id").limit(nq).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        (coarse, books, queries)
+      } finally q.unpersist()
+
+    // cell + codes in ONE projection (all centroid literals in-plan)
+    val coded = books.zipWithIndex.foldLeft(
+      Clustering.assignToCentroids(
+        Clustering.quantized(df, idCol, vecCol, quantScale), coarse)
+        .withColumnRenamed("cluster", "cell")) { case (acc, (cents, b)) =>
+      acc.withColumn(s"code_$b", blockCode(col("v"), b * sub, sub, cents))
+    }.drop("v")
+
+    def sqTo(qv: Array[Double], c: Array[Double]): Double =
+      c.indices.map { i => val dlt = qv(i) - c(i); dlt * dlt }.sum
+
+    // per-query probe set: nprobe nearest coarse cells, ties to the
+    // lower cell label — driver-side (nq * coarseK distances)
+    def probes(qv: Array[Double]): Seq[Long] =
+      coarse.map { case (label, c) => (sqTo(qv, c), label) }
+        .sortBy(identity).take(nprobe).map(_._2)
+
+    def adcExpr(qv: Array[Double]): Column =
+      books.zipWithIndex.map { case (cents, b) =>
+        val table = cents.map { case (label, c) =>
+          label -> c.indices.map { i =>
+            val dlt = qv(b * sub + i) - c(i); dlt * dlt
+          }.sum
+        }.toMap
+        element_at(typedlit(table), col(s"code_$b"))
+      }.reduce(_ + _)
+
+    // un-probed cells yield a null adc and drop out — with a by-cell
+    // partitioned layout this same predicate prunes whole files
+    val scored = coded.select(
+      col("id").as("vec_id"),
+      inline(array(queries.map { case (qid, qv) =>
+        struct(
+          lit(qid).as("query_id"),
+          when(col("cell").isin(probes(qv): _*), adcExpr(qv)).as("adc"))
+      }: _*)))
+
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    scored.where(col("adc").isNotNull && col("vec_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("adc").cast("long").as("adc"), col("rk"))
+  }
+
+  /**
+   * Recall@topK of [[adcSearch]] against exact lattice L2 top-k, per
+   * query: the quality gate a PQ deployment watches when tuning (m, k).
+   * Both rankings are deterministic, so the recall itself is exact.
+   */
+  def adcRecall(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      nq: Int,
+      topK: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val approx = adcSearch(df, idCol, vecCol, dim, m, k, iters, nq, topK, quantScale)
+      .select(col("query_id"), col("vec_id"))
+
+    val q = Clustering.quantized(df, idCol, vecCol, quantScale)
+    val queries = q.orderBy("id").limit(nq).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def exactExpr(qv: Array[Double]): Column =
+      aggregate(
+        zip_with(col("v"), typedlit(qv.toSeq), (a, x) => (a - x) * (a - x)),
+        lit(0.0d), (acc, x) => acc + x)
+    val exact = q.select(
+      col("id").as("vec_id"),
+      inline(array(queries.map { case (qid, qv) =>
+        struct(lit(qid).as("query_id"), exactExpr(qv).as("dist"))
+      }: _*)))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"))
+
+    // hits per query: approx rows also in the exact top-k (both sides
+    // are topK rows per query — the join is trivially bounded)
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 10000 / topK).cast("long").as("recall_fp"))
+  }
 }

@@ -38,6 +38,58 @@ object Profiler {
     profileBy(df, Nil, cols)
 
   /**
+   * Robust per-group outlier summary on the median/MAD scale: per
+   * group, the LOWER median of the fixed-point value, the lower median
+   * of absolute deviations from it (MAD), and how many rows deviate by
+   * more than `madK`×MAD — the skew/outlier gate that, unlike
+   * mean/stddev, a few extreme rows cannot drag.
+   *
+   * Determinism: values quantize to `round(x*scale)` integers; both
+   * medians are the value at row_number `(n+1)/2` under a total order
+   * (value, then id) — no interpolation, no floats — so the summary is
+   * bit-identical in any engine. Two group-partitioned sorts and one
+   * broadcast of |groups| medians; rows never leave their group
+   * partition, so the plan scales with the widest group, not the table.
+   */
+  def robustOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      scale: Int = 1000,
+      madK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = df.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(
+        col(groupCol).as("g"),
+        col(idCol).as("id"),
+        round(col(valueCol).cast("double") * scale).cast("long").as("x"))
+
+    def lowerMedian(in: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy(col(valCol), col("id"))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        // Column `/` is double division — truncate back to the integer
+        // rank (exact: halves are representable)
+        .where(col("rn") === ((col("n") + 1) / 2).cast("long"))
+        .select(col("g"), col(valCol).as(outCol))
+    }
+
+    val med = lowerMedian(x, "x", "med_fp")
+    val dev = x.join(broadcast(med), Seq("g"))
+      .withColumn("dev", abs(col("x") - col("med_fp")))
+    val mad = lowerMedian(dev.select(col("g"), col("id"), col("dev")), "dev", "mad_fp")
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        first("med_fp").as("med_fp"),
+        first("mad_fp").as("mad_fp"),
+        sum(when(col("dev") > lit(madK) * col("mad_fp"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /**
    * Filter-sweep report: for each candidate threshold, how many rows
    * and how much weight (token mass) would survive `valueCol >=
    * threshold` — the quality-vs-quantity curve a curation run reads

@@ -384,4 +384,18 @@ object GraftPythonApi {
   def pqAdcSearch(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int, nq: Int, topK: Int): DataFrame =
     graft.operators.Pq.adcSearch(df, idCol, vecCol, dim, m, k, iters, nq, topK)
+
+  def pqIvfAdcSearch(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, coarseK: Int, nprobe: Int,
+      nq: Int, topK: Int): DataFrame =
+    graft.operators.Pq.ivfAdcSearch(
+      df, idCol, vecCol, dim, m, k, iters, coarseK, nprobe, nq, topK)
+
+  def pqAdcRecall(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, nq: Int, topK: Int): DataFrame =
+    graft.operators.Pq.adcRecall(df, idCol, vecCol, dim, m, k, iters, nq, topK)
+
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame =
+    graft.operators.Profiler.robustOutliers(df, groupCol, valueCol, idCol)
 }

@@ -1320,6 +1320,33 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out(3L) === (("und", 0L, 0L, 0L)))
   }
 
+  test("robustOutliers: median/MAD summary flags only the planted spike") {
+    import spark.implicits._
+    // group a: tight around 10.0 with one 1000.0 spike; group b: constant
+    val rows = (1L to 9L).map(i => ("a", i, 10.0 + (i % 3) * 0.001)) :+
+      (("a", 10L, 1000.0)) :+ (("b", 11L, 5.0)) :+ (("b", 12L, 5.0))
+    val df = rows.toDF("g", "id", "v")
+    val out = graft.operators.Profiler.robustOutliers(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: n=10, lower median of {10000,10001,10002...,1000000} lattice
+    val (na, medA, madA, outA) = out("a")
+    assert(na === 10L && medA === 10001L)
+    assert(madA === 1L && outA === 1L) // only the spike exceeds 3*MAD
+    // b: constant group -> MAD 0, nothing deviates
+    assert(out("b") === ((2L, 5000L, 0L, 0L)))
+  }
+
+  test("robustOutliers: nulls and NaNs are excluded before ranking") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, Some(1.0)), ("g", 2L, Some(2.0)), ("g", 3L, Some(3.0)),
+      ("g", 4L, None), ("g", 5L, Some(Double.NaN))).toDF("g", "id", "v")
+    val r = graft.operators.Profiler.robustOutliers(df, "g", "v", "id")
+      .collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 2000L)
+  }
+
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

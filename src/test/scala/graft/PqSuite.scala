@@ -57,6 +57,41 @@ class PqSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("ivfAdcSearch: probed-cell hits are a subset of full ADC ranking") {
+    import spark.implicits._
+    val df = vecs(60, 8, 11L).toDF("id", "vec")
+    val full = Pq.adcSearch(df, "id", "vec", 8, 2, 2, 1, nq = 2, topK = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ivf = Pq.ivfAdcSearch(df, "id", "vec", 8, 2, 2, 1,
+      coarseK = 2, nprobe = 1, nq = 2, topK = 5).collect()
+    assert(ivf.nonEmpty)
+    // every pruned hit carries the same ADC distance the full scan gives
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key) && full(key) === r.getLong(2))
+    }
+    // nprobe = coarseK degenerates to the unpruned ranking
+    val all = Pq.ivfAdcSearch(df, "id", "vec", 8, 2, 2, 1,
+      coarseK = 2, nprobe = 2, nq = 2, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    val ref = Pq.adcSearch(df, "id", "vec", 8, 2, 2, 1, nq = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq
+    assert(all === ref)
+  }
+
+  test("adcRecall: separated modes give perfect recall; bounds hold") {
+    import spark.implicits._
+    val df = vecs(40, 8, 13L).toDF("id", "vec")
+    val rec = Pq.adcRecall(df, "id", "vec", 8, 2, 2, 1, nq = 2, topK = 4)
+      .collect()
+    assert(rec.length === 2)
+    rec.foreach { r =>
+      val (hits, fp) = (r.getLong(1), r.getLong(2))
+      assert(hits >= 0 && hits <= 4)
+      assert(fp === hits * 10000 / 4)
+    }
+  }
+
   test("codes and ADC hits are bit-identical across parallelism") {
     import spark.implicits._
     val data = vecs(50, 8, 9L)
