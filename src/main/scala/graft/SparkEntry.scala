@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, IvfIndex,
-  JoinStats, Multimodal, Pq, Profiler, RangeJoin, Sampling, Similarity, SkewJoin, Spectral,
-  TextOps, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, Graph,
+  IvfIndex, JoinStats, Multimodal, Pq, Profiler, RangeJoin, Sampling, Similarity, SkewJoin,
+  Spectral, TextOps, UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -5423,8 +5423,70 @@ object SparkEntry {
       Profiler.robustOutliers(s.table("events"), "event_type", "value",
         "event_id")
         .orderBy("event_type")
+    },
+
+    // Triangle census of the part co-occurrence graph (parts ordered
+    // together): global clustering coefficient as the graph-health
+    // signal. Spark enumerates via degree-ordered orientation (each
+    // triangle exactly once, hub fan-out bounded); the oracle's
+    // id-ordered a<b<c enumeration yields the same triangle set.
+    q("q176_triangle_census",
+      s"""$coPartGraphCtes
+         |SELECT CAST(d.n AS BIGINT) AS n_nodes, CAST(ec.n AS BIGINT) AS n_edges,
+         |       CAST(tc.n AS BIGINT) AS n_triangles,
+         |       CAST(CASE WHEN d.w > 0 THEN (3 * tc.n * 10000) // d.w
+         |            ELSE 0 END AS BIGINT) AS gcc_fp
+         |FROM (SELECT count(*) n, sum(deg * (deg - 1)) // 2 w FROM deg) d,
+         |     (SELECT count(*) n FROM e) ec,
+         |     (SELECT count(*) n FROM tri) tc""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.triangleStats(coPartEdges(s), "src", "dst")
+    },
+
+    // Local clustering for the 10 highest-degree parts: tight
+    // co-purchase communities vs star-shaped hubs.
+    q("q177_local_clustering",
+      s"""$coPartGraphCtes
+         |SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg,
+         |       CAST(coalesce(t.n, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN deg > 1
+         |              THEN (2 * coalesce(t.n, 0) * 10000) // (deg * (deg - 1))
+         |            ELSE 0 END AS BIGINT) AS lcc_fp
+         |FROM (SELECT node, deg,
+         |             row_number() OVER (ORDER BY deg DESC, node) rk
+         |      FROM deg) d
+         |LEFT JOIN (SELECT node, count(*) n FROM
+         |             (SELECT unnest([a, b, c]) node FROM tri) GROUP BY 1) t
+         |  USING (node)
+         |WHERE rk <= 10 ORDER BY node""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.localClustering(coPartEdges(s), "src", "dst", topN = 10)
+        .orderBy("node")
     }
   )
+
+  /** Part co-occurrence edges: two parts appearing in the same order. */
+  private def coPartEdges(s: SparkSession): DataFrame = {
+    val lp = s.table("lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+  }
+
+  /** DuckDB replay of the co-part graph + id-ordered triangle list. */
+  private def coPartGraphCtes: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT x.p a, y.p b FROM lp x
+      |  JOIN lp y ON x.o = y.o AND x.p < y.p),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) deg FROM
+      |    (SELECT a node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.a, e1.b, e2.b c FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Bpe.trainMerges]]'s first
    *  `rounds` rounds: word-type table with counts, then per round a

@@ -398,4 +398,11 @@ object GraftPythonApi {
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame =
     graft.operators.Profiler.robustOutliers(df, groupCol, valueCol, idCol)
+
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    graft.operators.Graph.triangleStats(edges, srcCol, dstCol)
+
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int): DataFrame =
+    graft.operators.Graph.localClustering(edges, srcCol, dstCol, topN)
 }

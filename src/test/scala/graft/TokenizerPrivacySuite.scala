@@ -335,4 +335,34 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
       .where(col("lang").isNull && col("src") === "a").collect()
     assert(profN.length === 1 && profN(0).getLong(2) === 2L && profN(0).getBoolean(3))
   }
+
+  test("triangleStats: K4 census, direction/duplicate/self-loop immune") {
+    import spark.implicits._
+    // K4 (4 triangles, gcc=1) plus a pendant node; edges arrive dirty:
+    // both directions, duplicates, a self-loop
+    val clean = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    val dirty = clean ++ clean.map(_.swap) ++ Seq((0L, 0L), (3L, 4L))
+    val df = dirty.toDF("s", "t")
+    val r = graft.operators.Graph.triangleStats(df, "s", "t").collect().head
+    assert(r.getLong(0) === 5L)   // nodes
+    assert(r.getLong(1) === 7L)   // 6 K4 edges + pendant
+    assert(r.getLong(2) === 4L)   // triangles in K4
+    // wedges: degs 3,3,3,4,1 -> 3+3+3+6+0 = 15; gcc = 12/15 = 0.8
+    assert(r.getLong(3) === 8000L)
+  }
+
+  test("localClustering: hub of a star has lcc 0, K3 members lcc 1") {
+    import spark.implicits._
+    // star center 0 with leaves 1..4, plus triangle 5-6-7
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L)).toDF("s", "t")
+    val out = graft.operators.Graph.localClustering(edges, "s", "t", topN = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === ((4L, 0L, 0L)))       // star hub: no triangles
+    assert(out(5L) === ((2L, 1L, 10000L)))   // K3 member: lcc 1.0
+    assert(out(1L) === ((1L, 0L, 0L)))       // leaf: deg 1 -> lcc 0
+  }
 }
