@@ -5462,6 +5462,66 @@ object SparkEntry {
       view(s, d, "lineitem")
       Graph.localClustering(coPartEdges(s), "src", "dst", topN = 10)
         .orderBy("node")
+    },
+
+    // Link prediction on the co-part graph: top-20 NON-adjacent pairs
+    // by common-neighbor count + neighborhood Jaccard. Super-hub
+    // middles (deg > 100) are excluded before the wedge self-join —
+    // the skew guard that bounds the candidate blow-up.
+    q("q178_link_prediction",
+      s"""$coPartGraphCtes,
+         |adj AS MATERIALIZED (
+         |  SELECT j.m, j.x FROM
+         |    (SELECT a m, b x FROM e UNION ALL SELECT b m, a x FROM e) j
+         |  JOIN deg ON deg.node = j.m WHERE deg.deg <= 100),
+         |cn AS (
+         |  SELECT l.x a, r.x b, count(*) cn FROM adj l
+         |  JOIN adj r ON l.m = r.m AND l.x < r.x GROUP BY 1, 2),
+         |na AS (
+         |  SELECT cn.a, cn.b, cn.cn FROM cn
+         |  LEFT JOIN e ON e.a = cn.a AND e.b = cn.b WHERE e.a IS NULL)
+         |SELECT na.a, na.b, CAST(na.cn AS BIGINT) AS cn,
+         |       CAST((na.cn * 10000) // (da.deg + db.deg - na.cn) AS BIGINT)
+         |         AS jaccard_fp
+         |FROM na JOIN deg da ON da.node = na.a JOIN deg db ON db.node = na.b
+         |ORDER BY cn DESC, jaccard_fp DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.commonNeighborPairs(coPartEdges(s), "src", "dst",
+        topN = 20, maxMiddleDeg = 100L)
+    },
+
+    // Streaming PQ encode: vectors arriving in micro-batches encode
+    // against FROZEN codebooks (trained once on the batch corpus) — a
+    // stateless projection, so append mode needs no state store and
+    // the stream's codes must equal the batch run's (q171's oracle).
+    q("q179_streaming_pq_encode",
+      s"""$pqOracleCtes
+         |SELECT vec_id AS id,
+         |       CAST(c0 AS BIGINT) AS code_0, CAST(c1 AS BIGINT) AS code_1,
+         |       CAST(c2 AS BIGINT) AS code_2, CAST(c3 AS BIGINT) AS code_3
+         |FROM codes ORDER BY id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val books = Pq.trainCodebooks(s.table("embeddings"), "vec_id",
+        "embedding", dim = 64, m = 4, k = 4, iters = 1)
+      val rows = s.table("embeddings").select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val input = MemoryStream[(Long, Seq[Float])](s)
+      val codes = Pq.encodeWith(input.toDF().toDF("id", "vec"),
+        "id", "vec", dim = 64, books)
+      val sink = "graft_q179_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qy = codes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toSeq)
+        qy.processAllAvailable()
+        input.addData(b2.toSeq)
+        qy.processAllAvailable()
+      } finally qy.stop()
+      s.table(sink).orderBy("id")
     }
   )
 

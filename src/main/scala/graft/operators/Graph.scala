@@ -160,6 +160,51 @@ object Graph {
   }
 
   /**
+   * Link prediction by neighborhood overlap: the `topN` NON-adjacent
+   * node pairs with the most common neighbors, scored also by
+   * neighborhood Jaccard in 1e4 fixed point — the "these two documents
+   * share every near-dup partner but never matched directly" signal
+   * that catches candidate-generation misses in a dedup graph.
+   *
+   * Wedge generation is the skew hazard: a middle node of degree d
+   * emits C(d,2) candidate pairs, so super-hubs (which carry no
+   * discriminative signal — everything is their neighbor) are excluded
+   * by `maxMiddleDeg` BEFORE the self-join; the cost bound is then
+   * nodes × C(maxMiddleDeg, 2) regardless of how skewed the graph is.
+   * Returns (a, b, cn, jaccard_fp), ordered (cn desc, jaccard desc,
+   * a, b) — fully deterministic.
+   */
+  def commonNeighborPairs(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      topN: Int,
+      maxMiddleDeg: Long = Long.MaxValue): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol).cache()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // symmetric adjacency, hub middles dropped before the wedge join
+    val adj = canon.select(col("a").as("m"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
+      .join(deg.withColumnRenamed("node", "m"), Seq("m"))
+      .where(col("deg") <= maxMiddleDeg)
+      .select(col("m"), col("x"))
+    val cn = adj.as("l").join(adj.as("r"),
+        col("l.m") === col("r.m") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val nonAdj = cn.join(canon, Seq("a", "b"), "left_anti")
+    nonAdj
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        expr("(cn * 10000L) DIV (da + db - cn)").as("jaccard_fp"))
+      .orderBy(col("cn").desc, col("jaccard_fp").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  /**
    * Local clustering coefficients for the `topN` highest-degree nodes
    * (ties to the lower id): (node, deg, n_tri, lcc_fp) with
    * lcc = 2*tri / (deg*(deg-1)) in 1e4 fixed point — which hub

@@ -405,4 +405,8 @@ object GraftPythonApi {
   def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
       topN: Int): DataFrame =
     graft.operators.Graph.localClustering(edges, srcCol, dstCol, topN)
+
+  def commonNeighborPairs(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int, maxMiddleDeg: Long): DataFrame =
+    graft.operators.Graph.commonNeighborPairs(edges, srcCol, dstCol, topN, maxMiddleDeg)
 }

@@ -353,6 +353,20 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(r.getLong(3) === 8000L)
   }
 
+  test("commonNeighborPairs: non-adjacent square corners top the list") {
+    import spark.implicits._
+    // square 0-1-2-3-0: diagonals (0,2) and (1,3) share 2 neighbors
+    // and are non-adjacent; hub guard drops middles above maxMiddleDeg
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("s", "t")
+    val top = graft.operators.Graph.commonNeighborPairs(edges, "s", "t", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.toSeq === Seq((0L, 2L, 2L, 10000L), (1L, 3L, 2L, 10000L)))
+    // with every middle excluded there are no wedges at all
+    val none = graft.operators.Graph.commonNeighborPairs(
+      edges, "s", "t", 10, maxMiddleDeg = 1L)
+    assert(none.count() === 0L)
+  }
+
   test("localClustering: hub of a star has lcc 0, K3 members lcc 1") {
     import spark.implicits._
     // star center 0 with leaves 1..4, plus triangle 5-6-7
