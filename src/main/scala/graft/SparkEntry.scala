@@ -5522,6 +5522,77 @@ object SparkEntry {
         qy.processAllAvailable()
       } finally qy.stop()
       s.table(sink).orderBy("id")
+    },
+
+    // MRR@5 of the ADC ranking: at what reciprocal rank does the TRUE
+    // nearest neighbor (exact lattice L2) surface in the compressed-
+    // domain top-5 — sharper than recall when only the first hit is
+    // ever read.
+    q("q180_retrieval_mrr",
+      s"""$pqOracleCtes,
+         |qs AS (SELECT vec_id qid, q FROM v WHERE vec_id < 3),
+         |${(0 until 4).map(pqAdcTableCte).mkString(",\n")},
+         |adc AS (
+         |  SELECT t0.qid, cd.vec_id, t0.d + t1.d + t2.d + t3.d adc
+         |  FROM codes cd
+         |  JOIN t0 ON t0.j = cd.c0
+         |  JOIN t1 ON t1.qid = t0.qid AND t1.j = cd.c1
+         |  JOIN t2 ON t2.qid = t0.qid AND t2.j = cd.c2
+         |  JOIN t3 ON t3.qid = t0.qid AND t3.j = cd.c3),
+         |ap AS (
+         |  SELECT qid, vec_id, rk FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |                                           ORDER BY adc, vec_id) rk
+         |    FROM adc WHERE vec_id <> qid) WHERE rk <= 5),
+         |gold AS (
+         |  SELECT qid, vec_id gold_id FROM (
+         |    SELECT qs.qid, v.vec_id,
+         |           row_number() OVER (PARTITION BY qs.qid ORDER BY
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (qs.q[i] - v.q[i]) * (qs.q[i] - v.q[i]))),
+         |             v.vec_id) rk
+         |    FROM qs CROSS JOIN v WHERE v.vec_id <> qs.qid) WHERE rk = 1)
+         |SELECT g.qid AS query_id, g.gold_id,
+         |       CAST(coalesce(ap.rk, 0) AS BIGINT) AS gold_rank,
+         |       CAST(CASE WHEN ap.rk IS NOT NULL THEN 10000 // ap.rk
+         |            ELSE 0 END AS BIGINT) AS mrr_fp
+         |FROM gold g LEFT JOIN ap ON ap.qid = g.qid AND ap.vec_id = g.gold_id
+         |ORDER BY query_id""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Pq.adcMrr(s.table("embeddings"), "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 1, nq = 3, topK = 5)
+        .orderBy("query_id")
+    },
+
+    // Right-to-erasure propagation: export shards + manifest, delete
+    // every 17th doc, rewrite ONLY the touched shard partitions under
+    // dynamic overwrite, and attest the result per shard. The oracle
+    // recomputes the post-delete manifest from scratch.
+    q("q181_delete_propagation",
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |           % 8 AS shard,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS fp,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+        |  FROM documents),
+        |delc AS (SELECT shard, CAST(count(*) AS BIGINT) nd FROM v
+        |         WHERE doc_id % 17 = 0 GROUP BY 1)
+        |SELECT CAST(g.shard AS INT) AS shard, g.n_rows, g.n_tokens, g.xor_fp,
+        |       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_deleted
+        |FROM (SELECT shard, CAST(count(*) AS BIGINT) n_rows,
+        |             CAST(sum(nt) AS BIGINT) n_tokens,
+        |             CAST(bit_xor(fp) AS BIGINT) xor_fp
+        |      FROM v WHERE doc_id % 17 <> 0 GROUP BY shard) g
+        |LEFT JOIN delc d USING (shard) ORDER BY shard""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_q181_").toString
+      operators.Sinks.writeShardsWithManifest(
+        s.table("documents"), "doc_id", "text", out, numShards = 8)
+      val deletes = s.table("documents")
+        .where(col("doc_id") % 17 === 0).select("doc_id")
+      operators.Sinks.applyDeletes(s, out, "doc_id", "text", deletes)
+        .orderBy("shard")
     }
   )
 

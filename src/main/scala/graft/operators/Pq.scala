@@ -302,4 +302,52 @@ object Pq {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) * 10000 / topK).cast("long").as("recall_fp"))
   }
+
+  /**
+   * MRR@topK of the ADC ranking: per query, the reciprocal rank (1e4
+   * fixed point, 0 on a miss) at which the TRUE nearest neighbor (exact
+   * lattice L2, self excluded) appears in the ADC top-k. Sharper than
+   * recall when the deployment only ever reads the first hit.
+   * Returns (query_id, gold_id, gold_rank, mrr_fp).
+   */
+  def adcMrr(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      nq: Int,
+      topK: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val approx = adcSearch(df, idCol, vecCol, dim, m, k, iters, nq, topK, quantScale)
+      .select(col("query_id"), col("vec_id"), col("rk"))
+
+    val q = Clustering.quantized(df, idCol, vecCol, quantScale)
+    val queries = q.orderBy("id").limit(nq).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def exactExpr(qv: Array[Double]): Column =
+      aggregate(
+        zip_with(col("v"), typedlit(qv.toSeq), (a, x) => (a - x) * (a - x)),
+        lit(0.0d), (acc, x) => acc + x)
+    val gold = q.select(
+      col("id").as("gold_id"),
+      inline(array(queries.map { case (qid, qv) =>
+        struct(lit(qid).as("query_id"), exactExpr(qv).as("dist"))
+      }: _*)))
+      .where(col("gold_id") =!= col("query_id"))
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("gold_id"))))
+      .where(col("rk1") === 1)
+      .select(col("query_id"), col("gold_id"))
+
+    gold.join(approx,
+        gold("query_id") === approx("query_id") && col("gold_id") === col("vec_id"),
+        "left")
+      .select(
+        gold("query_id"), col("gold_id"),
+        coalesce(col("rk"), lit(0)).cast("long").as("gold_rank"),
+        when(col("rk").isNotNull, expr("10000L DIV rk")).otherwise(0L).as("mrr_fp"))
+  }
 }

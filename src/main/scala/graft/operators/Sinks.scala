@@ -116,4 +116,95 @@ object Sinks {
       .write.mode("overwrite").parquet(s"$path/manifest")
     spark.read.parquet(s"$path/manifest")
   }
+
+  /** The manifest aggregation shared by export and delete-propagation:
+   *  per shard, row count, token mass, and the id-fingerprint XOR that
+   *  attests shard membership order-independently. */
+  private def manifestAgg(data: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    data.withColumn("__graft_fp", fp)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        expr("bit_xor(__graft_fp)").as("xor_fp"))
+  }
+
+  /**
+   * Right-to-erasure propagation into a [[writeShardsWithManifest]]
+   * export: rewrite ONLY the shard partitions that contain deleted ids
+   * and recompute ONLY their manifest rows; untouched shards keep their
+   * bytes and manifest entries verbatim. Returns the updated manifest
+   * (shard, n_rows, n_tokens, xor_fp, n_deleted), written back to
+   * `path/manifest`; shards left empty by the deletion disappear from
+   * both the data layout and the manifest.
+   *
+   * Scale design: the delete list broadcasts (it is always tiny next to
+   * the export), the touched-shard set is at most `numShards` scalars
+   * on the driver, the rewrite runs under DYNAMIC partition overwrite
+   * so Spark replaces only the `shard=` directories the anti-join
+   * touched, and the xor fingerprint gives an O(1) before/after
+   * attestation per shard (old xor ⊕ new xor = xor of deleted ids).
+   */
+  def applyDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      textCol: String,
+      deletes: DataFrame): DataFrame = {
+    val del = deletes.select(col(idCol)).distinct()
+    val data = spark.read.parquet(s"$path/data")
+    // idempotent re-application: a manifest that already carries
+    // n_deleted from a previous round normalizes back to the base shape
+    val oldManifest = spark.read.parquet(s"$path/manifest")
+      .select(col("shard"), col("n_rows"), col("n_tokens"), col("xor_fp"))
+
+    val hits = data.join(broadcast(del), Seq(idCol))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_deleted")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = hits.keys.toSeq.sorted
+    if (touched.isEmpty) {
+      return oldManifest.withColumn("n_deleted", lit(0L)).orderBy("shard")
+    }
+
+    // survivors of the touched shards, lineage CUT from the files about
+    // to be overwritten (Spark refuses an overwrite that reads its own
+    // output path). localCheckpoint is bounded by the touched fraction;
+    // a production deployment on a copy-on-write table format would
+    // version the shard files instead of checkpointing.
+    val survivors = data.where(col("shard").isin(touched: _*))
+      .join(broadcast(del), Seq(idCol), "left_anti")
+      .withColumn("shard", col("shard").cast("int"))
+      .localCheckpoint(true)
+    val keptShards = survivors.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      survivors.repartition(touched.size, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data — a fully-deleted shard's stale directory must go explicitly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    (touched.toSet -- keptShards).foreach { sh =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/shard=$sh"), true)
+    }
+
+    val newTouched = manifestAgg(survivors, idCol, textCol)
+    val nd = typedlit(hits)
+    val merged = oldManifest.where(!col("shard").isin(touched: _*))
+      .unionByName(newTouched)
+      .withColumn("n_deleted",
+        coalesce(element_at(nd, col("shard")), lit(0L)))
+      // manifest rows are O(numShards) — cut lineage so the overwrite
+      // below doesn't read its own output path
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest").orderBy("shard")
+  }
 }

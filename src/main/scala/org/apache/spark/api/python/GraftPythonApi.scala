@@ -409,4 +409,12 @@ object GraftPythonApi {
   def commonNeighborPairs(edges: DataFrame, srcCol: String, dstCol: String,
       topN: Int, maxMiddleDeg: Long): DataFrame =
     graft.operators.Graph.commonNeighborPairs(edges, srcCol, dstCol, topN, maxMiddleDeg)
+
+  def pqAdcMrr(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, nq: Int, topK: Int): DataFrame =
+    graft.operators.Pq.adcMrr(df, idCol, vecCol, dim, m, k, iters, nq, topK)
+
+  def applyDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, textCol: String, deletes: DataFrame): DataFrame =
+    graft.operators.Sinks.applyDeletes(spark, path, idCol, textCol, deletes)
 }

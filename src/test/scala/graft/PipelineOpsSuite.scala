@@ -1057,6 +1057,72 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
       Seq("shard", "n_rows", "n_tokens", "xor_fp"))
   }
 
+  test("applyDeletes: touched shards rewritten, untouched bytes intact, xor attests") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = Files.createTempDirectory("graft_del").toString + "/out"
+    val before = graft.operators.Sinks
+      .writeShardsWithManifest(docs, "doc_id", "text", path, numShards = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // untouched-shard mtime probe: record a file list per shard dir
+    def files(sh: Int) = new java.io.File(s"$path/data/shard=$sh")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    val deletes = docs.where(col("doc_id") % 17 === 0).select("doc_id")
+    val delByShard = spark.read.parquet(s"$path/data")
+      .join(deletes, "doc_id").groupBy("shard").count()
+      .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    val untouched = (0 to 3).find(sh => !delByShard.contains(sh))
+    val probe = untouched.map(sh => sh -> files(sh))
+    val after = graft.operators.Sinks
+      .applyDeletes(spark, path, "doc_id", "text", deletes)
+      .collect().map(r =>
+        r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(after.values.map(_._1).sum === docs.count() - deletes.count())
+    after.foreach { case (sh, (n, xorAfter, nd)) =>
+      assert(nd === delByShard.getOrElse(sh, 0L))
+      assert(n === before(sh)._1 - nd)
+      // xor(before) ^ xor(after) == xor of the deleted ids' fingerprints
+      val delXor = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(col("doc_id") % 17 === 0)
+        .withColumn("fp", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("sh", expr(
+          "CAST(CAST(conv(substring(md5(CAST(CONCAT('0:', CAST(doc_id AS STRING))" +
+            " AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 4 AS INT)"))
+        .where(col("sh") === sh).agg(expr("bit_xor(fp)")).collect().head.getLong(0)
+      if (nd > 0) assert((before(sh)._2 ^ xorAfter) === delXor)
+      else assert(xorAfter === before(sh)._2)
+    }
+    // untouched shard's files were not rewritten
+    probe.foreach { case (sh, old) => assert(files(sh) === old) }
+    // no deleted id survives in the data
+    assert(spark.read.parquet(s"$path/data").join(deletes, "doc_id").count() === 0L)
+  }
+
+  test("applyDeletes: no-op list keeps manifest; full-shard delete drops its row") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft_del2").toString + "/out"
+    graft.operators.Sinks.writeShardsWithManifest(df, "doc_id", "text", path, 2)
+    // no-op
+    val noop = graft.operators.Sinks.applyDeletes(
+      spark, path, "doc_id", "text", df.where(lit(false)).select("doc_id"))
+    assert(noop.collect().map(_.getLong(4)).forall(_ === 0L))
+    // wipe one whole shard: its manifest row and directory must go
+    val shardOf = spark.read.parquet(s"$path/data")
+      .select(col("doc_id"), col("shard").cast("int").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val victim = shardOf.values.head
+    val ids = shardOf.collect { case (id, sh) if sh == victim => id }.toSeq
+    val after = graft.operators.Sinks.applyDeletes(
+      spark, path, "doc_id", "text", ids.toDF("doc_id"))
+    assert(!after.collect().map(_.getInt(0)).contains(victim))
+    assert(!new java.io.File(s"$path/data/shard=$victim").exists())
+    assert(spark.read.parquet(s"$path/data").count() === 4L - ids.size)
+  }
+
   test("sparse cosine pairs: near-dups found, unrelated doc excluded, case-folded dup exact") {
     val pairs = Similarity.sparseCosinePairs(docs, "doc_id", "text",
       threshold = 0.6, maxDf = 3)
