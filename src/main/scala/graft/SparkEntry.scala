@@ -5593,6 +5593,68 @@ object SparkEntry {
         .where(col("doc_id") % 17 === 0).select("doc_id")
       operators.Sinks.applyDeletes(s, out, "doc_id", "text", deletes)
         .orderBy("shard")
+    },
+
+    // Tokenizer-coverage gate: per language, what fraction of token
+    // occurrences (ppm) falls outside the corpus-global top-20
+    // vocabulary — the byte-fallback early warning per group.
+    q("q182_oov_rate",
+      """WITH tk AS (
+        |  SELECT g, term FROM (
+        |    SELECT lang g,
+        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) term
+        |    FROM documents) WHERE term <> ''),
+        |counts AS (SELECT term, count(*) n FROM tk GROUP BY 1),
+        |voc AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 20)
+        |SELECT g AS lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |            * 1000000 // count(*) AS BIGINT) AS oov_ppm,
+        |       CAST(count(DISTINCT CASE WHEN v.term IS NULL THEN tk.term END)
+        |            AS BIGINT) AS n_oov_types
+        |FROM tk LEFT JOIN voc v ON v.term = tk.term
+        |GROUP BY g ORDER BY lang""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.oovRate(s.table("documents"), "lang", "text", topN = 20)
+        .orderBy("lang")
+    },
+
+    // Volume anomaly detection: per event type, every day's count
+    // tagged with its robust deviation and a 2×MAD outlier flag — the
+    // WHICH-day-spiked shape (q175 only counts them).
+    q("q183_volume_anomaly",
+      """WITH daily AS (
+        |  SELECT event_type g, epoch_ns(ts)//86400000000000 AS day,
+        |         CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1, 2),
+        |cnt AS (SELECT g, count(*) c FROM daily GROUP BY g),
+        |r AS (SELECT g, day, n,
+        |             row_number() OVER (PARTITION BY g ORDER BY n, day) rn
+        |      FROM daily),
+        |med AS (SELECT r.g, r.n med FROM r JOIN cnt USING (g)
+        |        WHERE rn = (c + 1) // 2),
+        |d AS (SELECT daily.g, daily.day, daily.n,
+        |             abs(daily.n - med.med) dev
+        |      FROM daily JOIN med USING (g)),
+        |rd AS (SELECT g, day, dev,
+        |              row_number() OVER (PARTITION BY g ORDER BY dev, day) rn
+        |       FROM d),
+        |mad AS (SELECT rd.g, rd.dev mad FROM rd JOIN cnt USING (g)
+        |        WHERE rn = (c + 1) // 2)
+        |SELECT d.g AS event_type, CAST(d.day AS BIGINT) AS day, d.n,
+        |       CAST(d.dev AS BIGINT) AS dev_fp,
+        |       (d.dev > 2 * mad.mad) AS is_outlier
+        |FROM d JOIN mad USING (g) ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val daily = s.table("events")
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Profiler.robustFlags(daily, "event_type", "n", "day",
+          scale = 1, madK = 2)
+        .select(col("event_type"), col("day"), col("x_fp").as("n"),
+          col("dev_fp"), col("is_outlier"))
+        .orderBy("event_type", "day")
     }
   )
 

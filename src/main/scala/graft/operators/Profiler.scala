@@ -57,7 +57,46 @@ object Profiler {
       valueCol: String,
       idCol: String,
       scale: Int = 1000,
-      madK: Int = 3): DataFrame = {
+      madK: Int = 3): DataFrame =
+    robustDeviations(df, groupCol, valueCol, idCol, scale)
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        first("med_fp").as("med_fp"),
+        first("mad_fp").as("mad_fp"),
+        sum(when(col("dev") > lit(madK) * col("mad_fp"), 1L).otherwise(0L))
+          .as("n_outliers"))
+
+  /**
+   * Row-level companion of [[robustOutliers]]: every (non-null,
+   * non-NaN) row tagged with its group's lower median, MAD, absolute
+   * deviation, and the `madK`×MAD outlier flag — the anomaly-detection
+   * shape (WHICH day spiked), where the summary only says how many.
+   */
+  def robustFlags(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      scale: Int = 1000,
+      madK: Int = 3): DataFrame =
+    robustDeviations(df, groupCol, valueCol, idCol, scale)
+      .select(
+        col("g").as(groupCol), col("id").as(idCol),
+        col("x").as("x_fp"), col("med_fp"), col("mad_fp"),
+        col("dev").as("dev_fp"),
+        (col("dev") > lit(madK) * col("mad_fp")).as("is_outlier"))
+
+  /** Shared median/MAD machinery: (g, id, x, med_fp, mad_fp, dev) per
+   *  surviving row. Lower medians at rank (n+1)/2 under the total order
+   *  (value, id); two group-partitioned sorts + two broadcasts of
+   *  |groups| scalars. */
+  private def robustDeviations(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      scale: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val x = df.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .select(
@@ -80,13 +119,6 @@ object Profiler {
       .withColumn("dev", abs(col("x") - col("med_fp")))
     val mad = lowerMedian(dev.select(col("g"), col("id"), col("dev")), "dev", "mad_fp")
     dev.join(broadcast(mad), Seq("g"))
-      .groupBy(col("g").as(groupCol))
-      .agg(
-        count(lit(1)).as("n"),
-        first("med_fp").as("med_fp"),
-        first("mad_fp").as("mad_fp"),
-        sum(when(col("dev") > lit(madK) * col("mad_fp"), 1L).otherwise(0L))
-          .as("n_outliers"))
   }
 
   /**

@@ -648,6 +648,44 @@ object TextOps {
   }
 
   /**
+   * Out-of-vocabulary rate per group against the corpus-global top-N
+   * vocabulary (count-desc, lexicographic ties — [[buildVocab]]'s
+   * order): per group, token count, OOV token count, OOV
+   * parts-per-million, and distinct OOV types. The tokenizer-coverage
+   * gate per language/source: a group whose oov_ppm spikes is about to
+   * shred into byte-fallback tokens.
+   *
+   * The vocabulary collects to the driver (N strings, bounded by
+   * construction) and evaluates as an `isin` literal — the group pass
+   * is ONE explode + partial-aggregable conditional sums; the corpus
+   * shuffles only (group, term)-level distinct counts.
+   */
+  def oovRate(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df
+      .select(explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+    val vocab = counts.orderBy(col("n_occ").desc, col("term")).limit(topN)
+      .collect().map(_.getString(0)).toSeq
+    val oov = !col("term").isin(vocab: _*)
+    df.select(col(groupCol).as("g"), explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(oov, 1L).otherwise(0L)).as("n_oov"),
+        count_distinct(when(oov, col("term"))).as("n_oov_types"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L DIV n_tokens"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"), col("oov_ppm"),
+        col("n_oov_types"))
+  }
+
+  /**
    * Heaps-law vocabulary growth: distinct word types and cumulative
    * token mass among documents with `idCol <= t`, for each checkpoint
    * t — the "is more data still buying new vocabulary" diagnostic that

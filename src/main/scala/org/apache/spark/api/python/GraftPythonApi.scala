@@ -417,4 +417,11 @@ object GraftPythonApi {
   def applyDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, textCol: String, deletes: DataFrame): DataFrame =
     graft.operators.Sinks.applyDeletes(spark, path, idCol, textCol, deletes)
+
+  def robustFlags(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, scale: Int, madK: Int): DataFrame =
+    graft.operators.Profiler.robustFlags(df, groupCol, valueCol, idCol, scale, madK)
+
+  def oovRate(df: DataFrame, groupCol: String, textCol: String, topN: Int): DataFrame =
+    graft.operators.TextOps.oovRate(df, groupCol, textCol, topN)
 }

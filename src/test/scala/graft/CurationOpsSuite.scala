@@ -1337,6 +1337,33 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out("b") === ((2L, 5000L, 0L, 0L)))
   }
 
+  test("robustFlags: tags exactly the spike row; flags agree with summary") {
+    import spark.implicits._
+    val rows = (1L to 9L).map(i => ("a", i, 10.0 + (i % 3) * 0.001)) :+
+      (("a", 10L, 1000.0))
+    val df = rows.toDF("g", "id", "v")
+    val flags = graft.operators.Profiler.robustFlags(df, "g", "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(6)).toMap
+    assert(flags.count(_._2) === 1 && flags(10L))
+    val summary = graft.operators.Profiler.robustOutliers(df, "g", "v", "id")
+      .collect().head.getLong(4)
+    assert(summary === 1L)
+  }
+
+  test("oovRate: tokens outside the top-N vocabulary counted per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the the the cat"),   // 'the' x3, cat
+      ("de", "the zzz zzz qqq")    // the, zzz x2, qqq
+    ).toDF("lang", "text")
+    // global counts: the=4, zzz=2, cat=1, qqq=1 -> top2 = {the, zzz}
+    val out = graft.operators.TextOps.oovRate(df, "lang", "text", topN = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("en") === ((4L, 1L, 250000L, 1L)))  // cat OOV
+    assert(out("de") === ((4L, 1L, 250000L, 1L)))  // qqq OOV
+  }
+
   test("robustOutliers: nulls and NaNs are excluded before ranking") {
     import spark.implicits._
     val df = Seq(
