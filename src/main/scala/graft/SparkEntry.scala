@@ -5658,13 +5658,16 @@ object SparkEntry {
     }
   )
 
-  /** Part co-occurrence edges: two parts appearing in the same order. */
+  /** Part co-occurrence edges: two parts appearing in the same order.
+   *  Pair-level duplicates are NOT dropped here — every Graph operator
+   *  canonicalizes (dedups) its edge input anyway, so a distinct here
+   *  would just add a full shuffle of the pair stream. */
   private def coPartEdges(s: SparkSession): DataFrame = {
     val lp = s.table("lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     lp.as("x").join(lp.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
   }
 
   /** DuckDB replay of the co-part graph + id-ordered triangle list. */

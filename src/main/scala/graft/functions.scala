@@ -201,6 +201,9 @@ object functions {
       keysB: Column, valsB: Column): Column =
     F.call_function("graft_sparse_dot", keysA, valsA, keysB, valsB)
 
+  def graft_sorted_intersect(a: Column, b: Column): Column =
+    F.call_function("graft_sorted_intersect", a, b)
+
   // --- matrix / spectral aggregates (Gram + Frequent Directions) -------
   def vec_gram_agg(vec: Column): Column = F.call_function("vec_gram_agg", vec)
   def fd_accumulate(vec: Column, ell: Int): Column =

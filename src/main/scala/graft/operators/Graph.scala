@@ -106,15 +106,18 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
 
-  /** Per-triangle node triples via degree-ordered orientation: orient
-   *  every edge from the endpoint with the smaller (degree, id) to the
-   *  larger, making the graph a DAG in which each triangle appears
-   *  exactly once as a path a→b→c closed by a→c. Degree orientation is
-   *  what survives skew at 100 TB: a hub of degree d contributes
-   *  O(d_out²) wedge candidates with d_out ≈ d/2 ONLY toward
-   *  higher-degree nodes, instead of the O(d²) an id-ordering pays on
-   *  every popular key. Output: one row (a, b, c) per triangle. */
-  private def triangles(canon: DataFrame): DataFrame = {
+  /** Triangles via degree-ordered orientation + adjacency intersection:
+   *  orient every edge from the endpoint with the smaller (degree, id)
+   *  to the larger (a DAG — each triangle appears exactly once as edge
+   *  (u,v) plus a common out-neighbor c), collect each node's
+   *  out-neighbors once, and intersect the two lists per edge. The
+   *  intermediate is |E| rows carrying O(d_out) arrays — NOT the
+   *  Σ C(d_out, 2) wedge blow-up a three-way edge self-join
+   *  materializes — and d_out ≈ d/2 toward higher-degree nodes only,
+   *  the bound that survives hub skew at 100 TB. The adjacency table is
+   *  |V| rows (broadcast-able on most graphs; AQE decides).
+   *  Output: one row (u, v, common) per oriented edge. */
+  private def edgeTriangles(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -126,11 +129,20 @@ object Graph {
         col("a")).otherwise(col("b")).as("u"),
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         col("b")).otherwise(col("a")).as("v"))
-    val e1 = o.select(col("u").as("a"), col("v").as("b"))
-    val e2 = o.select(col("u").as("b"), col("v").as("c"))
-    val e3 = o.select(col("u").as("a"), col("v").as("c"))
-    e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
+    // adjacency sorted ONCE per node; per-edge intersection is then an
+    // allocation-free sorted merge (graft_sorted_intersect codegen) —
+    // array_intersect would rebuild a hash set of the larger side per
+    // edge, which dominates wall-clock on million-edge graphs. The
+    // adjacency table is |V| rows / O(|E|) longs — BROADCAST it so the
+    // edge stream never shuffles with duplicated neighbor arrays
+    // attached (that duplication is Σd², the wedge blow-up in disguise).
+    val adj = o.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v").cast("long"))).as("nbrs"))
+    // a v with no out-edges closes no triangle — inner joins suffice
+    o.join(broadcast(adj.select(col("node").as("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(broadcast(adj.select(col("node").as("v"), col("nbrs").as("nv"))), Seq("v"))
+      .select(col("u"), col("v"),
+        graft.functions.graft_sorted_intersect(col("nu"), col("nv")).as("common"))
   }
 
   /**
@@ -143,15 +155,22 @@ object Graph {
    */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = canonical(edges, srcCol, dstCol).cache()
+    // materialize before fanning out: the aggregate branches otherwise
+    // race to fill the cache and each recomputes the (expensive) edge
+    // producer — the pageRankFp e.count() pattern
+    canon.count()
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tris = triangles(canon).agg(count(lit(1)).as("n_triangles"))
+    val tris = edgeTriangles(canon)
+      .agg(coalesce(sum(size(col("common"))), lit(0)).cast("long")
+        .as("n_triangles"))
+    // n_edges = Σdeg/2 — one deg pass feeds nodes, wedges, AND edges
     val degAgg = deg.agg(
       count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
       (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
-    val edgeAgg = canon.agg(count(lit(1)).as("n_edges"))
-    degAgg.crossJoin(edgeAgg).crossJoin(tris)
+    degAgg.crossJoin(tris)
       .select(
         col("n_nodes"), col("n_edges"), col("n_triangles"),
         when(col("n_wedges") > 0,
@@ -181,6 +200,7 @@ object Graph {
       topN: Int,
       maxMiddleDeg: Long = Long.MaxValue): DataFrame = {
     val canon = canonical(edges, srcCol, dstCol).cache()
+    canon.count() // materialize before branches fan out (see above)
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -213,12 +233,21 @@ object Graph {
   def localClustering(
       edges: DataFrame, srcCol: String, dstCol: String, topN: Int): DataFrame = {
     val canon = canonical(edges, srcCol, dstCol).cache()
+    canon.count() // materialize before branches fan out (see above)
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val perNode = triangles(canon)
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // each edge's common-list contributes size(common) triangles to
+    // BOTH endpoints and one apiece to every common node — only the
+    // middle attribution explodes (one row per triangle)
+    val et = edgeTriangles(canon).cache()
+    val asEnds = et
+      .select(explode(array(col("u"), col("v"))).as("node"),
+        size(col("common")).cast("long").as("w"))
+      .where(col("w") > 0)
+    val asMid = et.select(explode(col("common")).as("node"), lit(1L).as("w"))
+    val perNode = asEnds.unionAll(asMid)
+      .groupBy("node").agg(sum("w").as("n_tri"))
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-N
     // then a driver merge of topN rows) — no single-partition window
     val top = deg.orderBy(col("deg").desc, col("node")).limit(topN)

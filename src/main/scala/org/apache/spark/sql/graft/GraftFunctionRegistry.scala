@@ -1161,6 +1161,19 @@ object GraftFunctionRegistry {
       SparseDot(args(0), args(1), args(2), args(3))
     },
 
+    fd("graft_sorted_intersect",
+      "_FUNC_(a, b) - Intersection of two SORTED unique ARRAY<LONG> values by one " +
+        "allocation-free merge pass (only the result allocates) — the per-edge " +
+        "adjacency-intersection primitive of the triangle census. Behavior on " +
+        "unsorted input is undefined.",
+      Seq(2),
+      Seq("a" -> "sorted duplicate-free ARRAY<LONG>",
+        "b" -> "sorted duplicate-free ARRAY<LONG>"),
+      Seq("SELECT _FUNC_(array(1L, 3L, 5L), array(3L, 4L, 5L))" -> "[3,5]"),
+      "misc_funcs") { args =>
+      SortedIntersect(args(0), args(1))
+    },
+
     // --- matrix / spectral aggregates ---------------------------------
     fd("vec_gram_agg",
       "_FUNC_(vec) - Aggregates ARRAY<DOUBLE> vectors into the exact Gram matrix " +

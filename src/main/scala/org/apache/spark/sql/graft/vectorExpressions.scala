@@ -476,3 +476,53 @@ case class SparseDot(
       a: Expression, b: Expression, c: Expression, d: Expression): Expression =
     copy(keysA = a, valsA = b, keysB = c, valsB = d)
 }
+
+/**
+ * `graft_sorted_intersect(a, b)` — intersection of two SORTED unique
+ * long arrays by one allocation-free merge pass (only the — typically
+ * tiny — result allocates). The triangle-counting hot path: per edge,
+ * intersect the two endpoints' sorted out-neighbor lists; `array_
+ * intersect` builds a hash set of the larger side PER ROW, which
+ * dominates the census wall-clock on million-edge graphs.
+ *
+ * Inputs must be sorted ascending and duplicate-free (the `sort_array
+ * (collect_list(...))` adjacency build guarantees both); behavior on
+ * unsorted input is undefined (merge semantics, no validation).
+ */
+case class SortedIntersect(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "graft_sorted_intersect"
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(2)(
+    ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def compute(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(na, nb).min(16))
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { out += x; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedIntersect", this, classOf[SortedIntersect].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
