@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, Graph,
-  IvfIndex, JoinStats, Multimodal, Pq, Profiler, RangeJoin, Sampling, Similarity, SkewJoin,
-  Spectral, TextOps, UrlOps}
+  IvfIndex, JoinStats, Multimodal, Pq, Privacy, Profiler, RangeJoin, Sampling, Similarity,
+  SkewJoin, Spectral, Sq8, TextOps, UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -5655,8 +5655,268 @@ object SparkEntry {
         .select(col("event_type"), col("day"), col("x_fp").as("n"),
           col("dev_fp"), col("is_outlier"))
         .orderBy("event_type", "day")
+    },
+
+    // 80-core of the co-part graph: synchronous peeling to a fixpoint
+    // (Spark loops until no node is dropped; the oracle replays 8 peel
+    // rounds — idempotent past the fixpoint, which this graph reaches
+    // in 5). Dense template-farm structure survives; organic chains and
+    // stars peel away.
+    q("q184_kcore", kCoreOracleSql(k = 80, rounds = 8)) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.kCore(coPartEdges(s), "src", "dst", k = 80).orderBy("node")
+    },
+
+    // Neyman-style allocation of a 10k-row sampling budget across event
+    // types: budget ∝ N_h * (IQR + 1) over fixed-point values, with
+    // DISCRETE rank-statistic quartiles — all-integer, so the division
+    // and ordering replay exactly.
+    q("q185_neyman_allocation",
+      """WITH v AS (
+        |  SELECT event_type g, event_id,
+        |         CAST(round(value * 1000) AS BIGINT) v
+        |  FROM events),
+        |r AS (
+        |  SELECT g, v,
+        |         row_number() OVER (PARTITION BY g ORDER BY v, event_id) rn,
+        |         count(*) OVER (PARTITION BY g) n
+        |  FROM v),
+        |qt AS (
+        |  SELECT g, max(n) n_h,
+        |         max(CASE WHEN rn = (n + 3) // 4 THEN v END) q25,
+        |         max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) q75
+        |  FROM r GROUP BY g),
+        |wt AS (SELECT g, n_h, q75 - q25 spread, n_h * (q75 - q25 + 1) w FROM qt),
+        |tot AS (SELECT sum(w) wt FROM wt)
+        |SELECT g AS event_type, CAST(n_h AS BIGINT) AS n_h,
+        |       CAST(spread AS BIGINT) AS spread,
+        |       CAST((10000 * w) // wt AS BIGINT) AS alloc
+        |FROM wt CROSS JOIN tot ORDER BY event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      Sampling.neymanAllocation(s.table("events"), "event_id", "event_type",
+          "value", budget = 10000L)
+        .select(col("g").as("event_type"), col("n_h"), col("spread"), col("alloc"))
+        .orderBy("event_type")
+    },
+
+    // Top-3 distinctive terms per source by corpus lift — the
+    // group-level drift alarm that names actual words. All-integer
+    // scoring (see TextOps.groupLiftTerms).
+    q("q186_lift_terms",
+      """WITH toks AS (
+        |  SELECT source g,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) term
+        |  FROM documents),
+        |gc AS (SELECT g, term, count(*) c_gw FROM toks GROUP BY 1, 2),
+        |gt AS (SELECT g, sum(c_gw) t_g FROM gc GROUP BY 1),
+        |tt AS (SELECT term, sum(c_gw) c_w FROM gc GROUP BY 1),
+        |tot AS (SELECT sum(c_gw) t FROM gc),
+        |scored AS (
+        |  SELECT gc.g, gc.term, gc.c_gw,
+        |         (gc.c_gw * tot.t * 10000) // (gt.t_g * tt.c_w) lift_fp
+        |  FROM gc JOIN gt USING (g) JOIN tt USING (term) CROSS JOIN tot
+        |  WHERE gc.c_gw >= 5),
+        |rnk AS (
+        |  SELECT g, term, c_gw, lift_fp,
+        |         row_number() OVER (PARTITION BY g ORDER BY lift_fp DESC, term) rk
+        |  FROM scored)
+        |SELECT g AS source, CAST(rk AS INT) AS rk, term,
+        |       CAST(c_gw AS BIGINT) AS c_gw, CAST(lift_fp AS BIGINT) AS lift_fp
+        |FROM rnk WHERE rk <= 3 ORDER BY source, rk""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.groupLiftTerms(s.table("documents"), "source", "text",
+          minCount = 5L, k = 3)
+        .select(col("g").as("source"), col("rk"), col("term"),
+          col("c_gw"), col("lift_fp"))
+        .orderBy("source", "rk")
+    },
+
+    // SQ8 int8-quantized top-5: per-vector max-abs scale, codes
+    // floor(x/scale*127 + 0.5), dequantized-dot ranking. The whole
+    // quantized pipeline replays bit-for-bit in the oracle — integer
+    // dots, one fixed float association for the score.
+    q("q188_sq8_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |              list_max(list_transform(v, x -> abs(x))) scale
+        |       FROM e),
+        |enc AS (SELECT vec_id, scale,
+        |               list_transform(v, x -> floor(x / scale * 127 + 0.5)) codes
+        |        FROM sc WHERE scale > 0),
+        |scored AS (
+        |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+        |         list_dot_product(q.codes, c.codes) * q.scale * c.scale / 16129.0 score
+        |  FROM (SELECT * FROM enc WHERE vec_id < 20) q
+        |  JOIN enc c ON q.vec_id != c.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |       round(score, 9) AS score
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Sq8.topK(e, e.where(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy("query_id", "rk")
+    },
+
+    // Matryoshka truncation QC: recall@10 of prefix-dim cosine top-k
+    // against the full 64-dim ranking, for 8/16/32-dim prefixes —
+    // "how many dims can retrieval drop". Integer hit counts, fixed-
+    // point recall.
+    q("q189_matryoshka_recall", matryoshkaOracleSql(Seq(8, 16, 32), k = 10)) {
+      (s, d) =>
+        view(s, d, "embeddings")
+        val e = s.table("embeddings")
+        val queries = e.where(col("vec_id") < 20)
+        val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", 10)
+          .cache()
+        exact.count() // one exact pass shared by all three prefix joins
+        val per = Seq(8, 16, 32).map { dims =>
+          def trunc(df: org.apache.spark.sql.DataFrame) =
+            df.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+          val approx = Similarity.bruteForceKnn(trunc(e), trunc(queries),
+            "vec_id", "embedding", 10)
+          exact.as("e").join(approx.as("a"),
+              col("e.query_id") === col("a.query_id") &&
+                col("e.neighbor_id") === col("a.neighbor_id"), "left")
+            .agg(count(col("a.neighbor_id")).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(dims).as("dims"), col("hits"), col("total"),
+              expr("(hits * 10000L) DIV total").as("recall_fp"))
+        }
+        per.reduce(_ unionAll _).orderBy("dims")
+    },
+
+    // Distinct l-diversity over (event_type, day) with user_id as the
+    // sensitive attribute: group size (k-anonymity) plus how many
+    // DISTINCT users hide in each group.
+    q("q190_l_diversity",
+      """WITH g AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         count(*) n, count(DISTINCT user_id) diversity
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |       CAST(diversity AS BIGINT) AS diversity,
+        |       diversity >= 3 AS diverse
+        |FROM g ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events")
+        .withColumn("day", expr("ts DIV 86400000000000"))
+      Privacy.lDiversityProfile(ev, Seq("event_type", "day"), "user_id", l = 3)
+        .select(col("event_type"), col("day"), col("n"),
+          col("diversity"), col("diverse"))
+        .orderBy("event_type", "day")
+    },
+
+    // Exponentially decayed event counts (1-day buckets, 7-day half
+    // life): dyadic 2^-age weights summed as exact BIGINTs in units of
+    // 2^-40 — the freshness signal next to the raw count.
+    q("q191_decayed_counts",
+      """WITH b AS (
+        |  SELECT event_type g, epoch_ns(ts) // 86400000000000 bk FROM events),
+        |mx AS (SELECT max(bk) m FROM b),
+        |w AS (
+        |  SELECT g,
+        |         CASE WHEN (m - bk) // 7 <= 40
+        |              THEN (1::BIGINT << 40) >> ((m - bk) // 7)
+        |              ELSE 0 END w
+        |  FROM b CROSS JOIN mx)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(w) AS BIGINT) AS decayed_fp
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      EventOps.decayedCounts(s.table("events"), "event_type", "ts",
+          bucket = 86400000000000L, halfLifeBuckets = 7L)
+        .select(col("g").as("event_type"), col("n"), col("decayed_fp"))
+        .orderBy("event_type")
+    },
+
+    // Degree assortativity of the co-part graph: exact integer moment
+    // sums, one final double division — the one-number structural
+    // fingerprint for diffing corpus graphs across releases.
+    q("q192_assortativity",
+      """WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT x.p a, y.p b FROM lp x
+        |  JOIN lp y ON x.o = y.o AND x.p < y.p),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*) deg FROM
+        |    (SELECT a node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ends AS (SELECT a x, b y FROM e UNION ALL SELECT b x, a y FROM e),
+        |j AS (
+        |  SELECT dx.deg dx, dy.deg dy FROM ends
+        |  JOIN deg dx ON dx.node = ends.x
+        |  JOIN deg dy ON dy.node = ends.y),
+        |m AS (SELECT count(*) n, sum(dx) sx, sum(dx * dx) sxx,
+        |             sum(dx * dy) sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_edge_ends,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |            THEN round(CAST(n * sxy - sx * sx AS DOUBLE)
+        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+        |       END AS assortativity
+        |FROM m""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.degreeAssortativity(coPartEdges(s), "src", "dst")
     }
   )
+
+  /** DuckDB replay of [[Graph.kCore]]: `rounds` synchronous peel rounds
+   *  as a chained MATERIALIZED CTE pipeline (idempotent once the
+   *  fixpoint is reached, so rounds only needs to be >= the true peel
+   *  depth at the oracle's sf). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),\n")
+    sb.append("e0 AS MATERIALIZED (SELECT DISTINCT x.p a, y.p b FROM lp x " +
+      "JOIN lp y ON x.o = y.o AND x.p < y.p),\n")
+    for (i <- 0 until rounds) {
+      sb.append(s"d$i AS MATERIALIZED (SELECT node, count(*) deg FROM " +
+        s"(SELECT a node FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),\n")
+      sb.append(s"e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e " +
+        s"JOIN d$i da ON da.node = e.a JOIN d$i db ON db.node = e.b " +
+        s"WHERE da.deg >= $k AND db.deg >= $k),\n")
+    }
+    sb.append(s"dF AS (SELECT node, count(*) deg FROM " +
+      s"(SELECT a node FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1)\n")
+    sb.append(s"SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS core_deg " +
+      s"FROM dF WHERE deg >= $k ORDER BY node")
+    sb.toString
+  }
+
+  /** DuckDB replay of the matryoshka recall gate: full-dim exact top-k
+   *  vs prefix-dim top-k for each width in `dims`. */
+  private def matryoshkaOracleSql(dims: Seq[Int], k: Int): String = {
+    def knn(name: String, vexpr: String): String =
+      s"""$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id query_id, c.vec_id neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_dot_product(q.w, c.w)
+         |             / (sqrt(list_dot_product(q.w, q.w))
+         |                * sqrt(list_dot_product(c.w, c.w))) DESC,
+         |             c.vec_id) rk
+         |    FROM (SELECT vec_id, $vexpr w FROM e WHERE vec_id < 20) q
+         |    JOIN (SELECT vec_id, $vexpr w FROM e) c ON q.vec_id != c.vec_id)
+         |  WHERE rk <= $k)""".stripMargin
+    val blocks = dims.map { dcount =>
+      s"""SELECT $dcount dims, count(a$dcount.neighbor_id) hits, count(*) total
+         |FROM exact x LEFT JOIN a$dcount
+         |  ON a$dcount.query_id = x.query_id
+         | AND a$dcount.neighbor_id = x.neighbor_id""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |${knn("exact", "v")},
+       |${dims.map(dc => knn(s"a$dc", s"v[1:$dc]")).mkString(",\n")},
+       |per AS (
+       |${blocks.mkString("\nUNION ALL\n")})
+       |SELECT CAST(dims AS INT) AS dims, CAST(hits AS BIGINT) AS hits,
+       |       CAST(total AS BIGINT) AS total,
+       |       CAST((hits * 10000) // total AS BIGINT) AS recall_fp
+       |FROM per ORDER BY dims""".stripMargin
+  }
 
   /** Part co-occurrence edges: two parts appearing in the same order.
    *  Pair-level duplicates are NOT dropped here — every Graph operator

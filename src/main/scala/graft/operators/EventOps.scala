@@ -109,4 +109,42 @@ object EventOps {
       .groupBy(col("cohort_bucket"), (col("wk") - col("cohort_bucket")).as("bucket_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /**
+   * Exponentially decayed event counts per group: each event weighs
+   * `2^-age`, with age in integer `halfLifeBuckets` of `bucket` time
+   * units before the corpus's newest event — "how active is this
+   * source NOW", the recency signal a freshness-weighted data mixture
+   * feeds on, next to the raw count it replaces.
+   *
+   * Determinism by construction: half-life weights are DYADIC — the
+   * weight is the integer `2^40 >> age` (ages >= 41 decay to exactly
+   * zero: 2^-41 is below the grain, the documented truncation) — so
+   * the per-group sum is exact BIGINT arithmetic in any order, on any
+   * engine, at any partitioning; `decayed_fp` is in units of 2^-40.
+   * Headroom: 2^63 / 2^40 = 8.3M max-weight events per group before
+   * overflow; beyond that, shrink the unit.
+   *
+   * Scale shape: one max-ts aggregate (one-row broadcast), then one
+   * hash aggregation — the events stream once.
+   */
+  def decayedCounts(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      bucket: Long,
+      halfLifeBuckets: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    require(halfLifeBuckets > 0,
+      s"halfLifeBuckets must be positive, got $halfLifeBuckets")
+    val bucketed = events.select(col(groupCol).as("g"),
+      expr(s"`$tsCol` div $bucket").as("bk"))
+    val newest = broadcast(bucketed.agg(max(col("bk")).as("max_bk")))
+    bucketed.crossJoin(newest)
+      .withColumn("age", expr(s"(max_bk - bk) div $halfLifeBuckets"))
+      .withColumn("w", when(col("age") <= 40,
+        expr(s"shiftright(${1L << 40}L, cast(age as int))")).otherwise(0L))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("decayed_fp"))
+  }
 }

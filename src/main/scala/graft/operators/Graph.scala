@@ -225,6 +225,113 @@ object Graph {
   }
 
   /**
+   * k-core of an undirected graph by synchronous peeling: repeatedly
+   * drop ALL nodes of degree < k (degrees recomputed on the surviving
+   * subgraph each round) until a fixpoint. Returns the surviving nodes
+   * with their in-core degree — every returned node has core_deg >= k.
+   * The dedup-graph use: a near-dup cluster that survives a high-k core
+   * is a template farm (every member similar to many others), while
+   * chains and stars — organic near-dups — peel away.
+   *
+   * Scale shape: each round is one degree aggregation over the current
+   * edge list plus two anti-joins against the (small, shrinking) set of
+   * peeled nodes — AQE broadcasts the weak side; the edge list only
+   * ever shrinks. The driver holds ONE scalar per round (the peeled
+   * count); the surviving edge set is re-cached and the parent
+   * unpersisted, so lineage stays O(1) across rounds. Synchronous
+   * peeling converges in O(peel-depth) rounds — single digits on
+   * real corpus graphs — not O(|V|).
+   */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIters: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    // each round is CHECKPOINTED, not just cached: a cached round's plan
+    // embeds the previous round's plan THREE times (both anti-join sides
+    // carry the degree pass), so plan TEXT grows ~3^rounds and the
+    // explain string Spark builds per executed query OOMs the driver by
+    // round 5 (measured; the data itself is tiny). localCheckpoint
+    // materializes the shrinking edge set AND truncates the plan to a
+    // leaf — the standard iterative-algorithm hygiene (on a cluster with
+    // lossy executors, a reliable checkpoint dir hardens this further).
+    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val weak = deg.where(col("deg") < k).select("node").cache()
+      if (weak.count() == 0L) {
+        converged = true
+        weak.unpersist(blocking = false)
+      } else {
+        val next = cur
+          .join(weak.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(weak.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint(true) // eager: materialized before parents drop
+        cur.unpersist(blocking = false)
+        weak.unpersist(blocking = false)
+        cur = next
+        it += 1
+      }
+    }
+    require(converged || it < maxIters,
+      s"kCore did not converge within $maxIters rounds")
+    cur.select(col("a").as("node"))
+      .unionAll(cur.select(col("b").as("node")))
+      .groupBy(col("node").cast("long").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
+  /**
+   * Degree assortativity: Pearson correlation of endpoint degrees over
+   * all directed edge-ends (each undirected edge contributes both
+   * orientations — the standard Newman 2002 convention). Positive on
+   * social-style graphs (hubs link hubs), negative on template/spam
+   * farms (hubs link leaves) — a one-number structural fingerprint for
+   * diffing a dedup graph across pipeline releases.
+   *
+   * All moment sums (Σx, Σx², Σxy) are EXACT integers — one aggregate
+   * over the degree-joined edge list, no sampling — and only the final
+   * correlation touches doubles (a fixed expression over those
+   * integers, reproducible bit-for-bit). Output one row:
+   * (n_edge_ends, assortativity) with the correlation rounded 9 dp, or
+   * NULL when the degree distribution is degenerate (zero variance).
+   */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol).cache()
+    canon.count()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ends = canon.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(canon.select(col("b").as("x"), col("a").as("y")))
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    // symmetric by construction: Σdx = Σdy and Σdx² = Σdy², so one
+    // moment set suffices; n*Σxy - (Σx)² and n*Σx² - (Σx)² are the
+    // exact covariance/variance numerators (shared denominator n²
+    // cancels in the ratio)
+    ends.agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(
+        col("n").cast("long").as("n_edge_ends"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9))
+          .as("assortativity"))
+  }
+
+  /**
    * Local clustering coefficients for the `topN` highest-degree nodes
    * (ties to the lower id): (node, deg, n_tri, lcc_fp) with
    * lcc = 2*tri / (deg*(deg-1)) in 1e4 fixed point — which hub

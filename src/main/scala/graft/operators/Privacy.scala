@@ -47,4 +47,27 @@ object Privacy {
       .reduce(_ && _)
     df.join(keep, cond, "left_semi")
   }
+
+  /** Distinct l-diversity: k-anonymity's blind spot is a group of k
+    * rows that all share ONE sensitive value — group size hides nothing
+    * when the attribute itself is unanimous. Per quasi-identifier
+    * combination this reports the number of DISTINCT sensitive values
+    * (`diversity`) and whether it clears `l`. Output: one row per
+    * combination (quasi..., n, diversity, diverse).
+    *
+    * Scale shape: one hash aggregation on the quasi key; the exact
+    * `count(distinct)` rewrites to a two-phase expand-aggregate
+    * (partial per-value dedup map-side), never a per-group buffer. */
+  def lDiversityProfile(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("diversity"))
+      .withColumn("diverse", col("diversity") >= l)
+  }
 }

@@ -545,6 +545,57 @@ object Sampling {
   }
 
   /**
+   * Neyman-style stratified sample-size allocation: split a row budget
+   * across strata proportionally to `N_h * spread_h`, where spread is
+   * the interquartile range of `valueCol` — strata that are both large
+   * AND internally varied get more of the budget, uniform strata get
+   * probed lightly. The sampling-design complement to
+   * [[stratifiedSample]] (which takes a per-stratum k as given).
+   *
+   * Everything is integer-exact and engine-portable: values are scaled
+   * to fixed point (`round(value * scale)`), quartiles are DISCRETE
+   * rank statistics (the ceil(n/4)-th and ceil(3n/4)-th smallest, id
+   * tiebreak — no interpolation, no float percentile), the weight is
+   * `N_h * (IQR + 1)` (the +1 keeps zero-spread strata allocatable),
+   * and the allocation is `(budget * w_h) DIV Σw` — floor division, so
+   * Σalloc <= budget with the remainder unallocated (deterministic;
+   * no largest-remainder tie ambiguity across engines).
+   *
+   * Scale shape: one window per stratum partition for the two rank
+   * statistics (WindowGroupLimit-style per-group work, no global
+   * sort), one group aggregate, one broadcast one-row total join.
+   */
+  def neymanAllocation(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      budget: Long,
+      scale: Long = 1000L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val v = round(col(valueCol) * lit(scale)).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"), col(idCol))
+    val ranked = df.select(col(groupCol), col(idCol), v.as("v"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+    val quart = ranked
+      .groupBy(col(groupCol).as("g"))
+      .agg(
+        max(col("n")).as("n_h"),
+        max(when(col("rn") === expr("(n + 3L) DIV 4L"), col("v"))).as("q25"),
+        max(when(col("rn") === expr("(3L * n + 3L) DIV 4L"), col("v"))).as("q75"))
+      .withColumn("spread", col("q75") - col("q25"))
+      .withColumn("w_h", col("n_h") * (col("spread") + 1L))
+    val tot = broadcast(quart.agg(sum(col("w_h")).as("w_tot")))
+    quart.crossJoin(tot)
+      .select(
+        col("g"), col("n_h"), col("spread"),
+        expr(s"(${budget}L * w_h) DIV w_tot").as("alloc"))
+  }
+
+  /**
    * Deterministic curriculum interleave: assign each row a fixed-width
    * difficulty bucket (`floor(difficulty / binWidth)`), position rows
    * within their bucket (ascending difficulty, id tiebreak), and emit

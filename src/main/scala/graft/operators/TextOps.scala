@@ -326,6 +326,52 @@ object TextOps {
   }
 
   /**
+   * Top-`k` DISTINCTIVE terms per group (source/language/domain) by
+   * corpus lift: `lift = P(term | group) / P(term | corpus)`, in 1e4
+   * fixed point — the group-level complement to the per-document
+   * [[tfIdfTopTerms]]. High-lift terms are what a source contributes
+   * that the rest of the corpus doesn't (jargon, boilerplate, spam
+   * vocabulary); a source whose lift profile suddenly shifts between
+   * crawls is the cheapest drift alarm that names actual words.
+   *
+   * All-integer scoring: `lift_fp = (c_gw * T * 10000) DIV (T_g * c_w)`
+   * over exact token counts (c_gw = term count in group, T_g = group
+   * tokens, c_w = corpus term count, T = corpus tokens) — no floats, so
+   * ties and ordering replay bit-for-bit in any engine. `minCount`
+   * suppresses the rare-term noise floor (a term seen twice in a small
+   * group otherwise tops every lift ranking).
+   *
+   * Scale shape: one tokenize+explode pass feeds (group, term) counts
+   * with map-side combine; corpus-level term counts re-aggregate from
+   * the GROUP counts (vocabulary-sized, not corpus-sized) and broadcast
+   * back, as do the one-row totals; the final per-group top-k window is
+   * WindowGroupLimit-pruned map-side.
+   */
+  def groupLiftTerms(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("g"), explode(words(col(textCol))).as("term"))
+    val gc = toks.groupBy("g", "term").agg(count(lit(1)).as("c_gw")).cache()
+    val groupTot = gc.groupBy("g").agg(sum(col("c_gw")).as("t_g"))
+    val termTot = gc.groupBy("term").agg(sum(col("c_gw")).as("c_w"))
+    val corpusTot = gc.agg(sum(col("c_gw")).as("t"))
+    val scored = gc
+      .join(broadcast(termTot), Seq("term"))
+      .join(broadcast(groupTot), Seq("g"))
+      .crossJoin(broadcast(corpusTot))
+      .where(col("c_gw") >= minCount)
+      .withColumn("lift_fp", expr("(c_gw * t * 10000L) DIV (t_g * c_w)"))
+    val w = Window.partitionBy("g").orderBy(col("lift_fp").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select(col("g"), col("rk"), col("term"), col("c_gw"), col("lift_fp"))
+  }
+
+  /**
    * Token-budget sequence packing — assign each document a training
    * sequence id and a token offset inside it, the layout step that turns
    * a curated corpus into fixed-length training sequences. Documents are

@@ -1376,4 +1376,72 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
 
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("neymanAllocation: spread-weighted budget split, floor division") {
+    import spark.implicits._
+    // g1: ten identical values (zero spread, weight n*1 = 10);
+    // g2: values 1..10 -> v 1000..10000, q25 at rn (10+3)/4 = 3 (3000),
+    // q75 at rn (30+3)/4 = 8 (8000), spread 5000, weight 10*5001 = 50010
+    val rows = (1 to 10).map(i => (s"a$i", "g1", 5.0)) ++
+      (1 to 10).map(i => (s"b$i", "g2", i.toDouble))
+    val out = graft.operators.Sampling
+      .neymanAllocation(rows.toDF("id", "g", "v"), "id", "g", "v", budget = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("g1") === ((10L, 0L, (1000L * 10L) / 50020L)))
+    assert(out("g2") === ((10L, 5000L, (1000L * 50010L) / 50020L)))
+  }
+
+  test("groupLiftTerms: lift singles out what a group over-uses") {
+    import spark.implicits._
+    val docs = Seq(("g1", "apple apple banana"), ("g2", "banana banana banana"))
+      .toDF("src", "text")
+    val out = graft.operators.TextOps
+      .groupLiftTerms(docs, "src", "text", minCount = 1L, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(4)).toMap
+    // T=6; apple: c_gw=2, t_g=3, c_w=2 -> (2*6*1e4)/(3*2) = 20000
+    assert(out(("g1", "apple")) === 20000L)
+    // banana in g2: c_gw=3, t_g=3, c_w=4 -> (3*6*1e4)/(3*4) = 15000
+    assert(out(("g2", "banana")) === 15000L)
+    // banana in g1: c_gw=1, t_g=3, c_w=4 -> (1*6*1e4)/(3*4) = 5000
+    assert(out(("g1", "banana")) === 5000L)
+  }
+
+  test("sq8: max-abs scale codes, dequantized ranking, zero vectors out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(2.0f, -1.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val enc = graft.operators.Sq8.encode(df, "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(enc(1L)._1 === 2.0)
+    // floor(x/2*127 + 0.5): 127, floor(-63.0) = -63, floor(32.25) = 32
+    assert(enc(1L)._2 === Seq(127, -63, 32))
+    assert(enc(2L)._1 === 0.0 && enc(2L)._2 === Seq(0, 0, 0))
+    // parallel beats orthogonal; zero vector never appears
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(2.0f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(0.0f, 0.0f)))
+      .toDF("id", "v")
+    val top = graft.operators.Sq8
+      .topK(corpus, corpus.where(col("id") === 10L), "id", "v", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1, 11L), (2, 12L)) ||
+      top.map(_._2).toSeq === Seq(11L, 12L))
+  }
+
+  test("decayedCounts: dyadic half-life weights, deep past decays to zero") {
+    import spark.implicits._
+    // bucket=1, halfLife=7: ages (14-bk) div 7 -> 0, 1, 2; plus one
+    // event 350 buckets back (age 50 > 40 -> weight exactly 0)
+    val ev = Seq(("a", 14L), ("a", 7L), ("a", 0L), ("b", 14L), ("b", -336L))
+      .toDF("g", "ts")
+    val out = graft.operators.EventOps
+      .decayedCounts(ev, "g", "ts", bucket = 1L, halfLifeBuckets = 7L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") === ((3L, (1L << 40) + (1L << 39) + (1L << 38))))
+    assert(out("b") === ((2L, 1L << 40)))
+  }
 }

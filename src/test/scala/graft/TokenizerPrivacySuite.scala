@@ -367,6 +367,46 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(none.count() === 0L)
   }
 
+  test("kCore: cascade peeling keeps the dense core only") {
+    import spark.implicits._
+    // K4 on 0..3 plus a tail 3-4-5: 3-core must peel the whole tail
+    // (5 goes first, then 4 cascades) and keep exactly K4
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("s", "t")
+    val core = graft.operators.Graph.kCore(edges, "s", "t", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k=2 on a pure path unravels to nothing
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "t")
+    assert(graft.operators.Graph.kCore(path, "s", "t", k = 2).count() === 0L)
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "t")
+    val r = graft.operators.Graph.degreeAssortativity(star, "s", "t")
+      .collect().head
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === -1.0)
+    // regular graph (square): zero degree variance -> NULL correlation
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("s", "t")
+    assert(graft.operators.Graph.degreeAssortativity(square, "s", "t")
+      .collect().head.isNullAt(1))
+  }
+
+  test("lDiversityProfile: unanimous sensitive value fails the gate") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "a", 1L), ("en", "a", 1L), ("en", "a", 1L), // 3 rows, 1 user
+      ("fr", "b", 1L), ("fr", "b", 2L), ("fr", "b", 3L)) // 3 rows, 3 users
+      .toDF("lang", "src", "user")
+    val out = Privacy.lDiversityProfile(df, Seq("lang", "src"), "user", l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("en") === ((3L, 1L, false)))
+    assert(out("fr") === ((3L, 3L, true)))
+  }
+
   test("localClustering: hub of a star has lcc 0, K3 members lcc 1") {
     import spark.implicits._
     // star center 0 with leaves 1..4, plus triangle 5-6-7
