@@ -5860,8 +5860,142 @@ object SparkEntry {
         |FROM m""".stripMargin) { (s, d) =>
       view(s, d, "lineitem")
       Graph.degreeAssortativity(coPartEdges(s), "src", "dst")
+    },
+
+    // 3-truss of the REPEAT co-part graph (pairs bought together in >= 2
+    // orders): every surviving edge sits in at least one triangle of
+    // repeat co-purchases — edge-level cohesion, one notch stricter
+    // than q184's node-degree core.
+    q("q193_ktruss", kTrussOracleSql(k = 3, rounds = 5)) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.kTruss(repeatCoPartEdges(s), "src", "dst", k = 3)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("support"))
+        .orderBy("a", "b")
+    },
+
+    // Personalized PageRank from the ~1% seed parts (p % 97 = 0):
+    // proximity-to-seeds in pure integer fixed point, the "find more
+    // like these" primitive. Oracle replays all 3 iterations.
+    q("q194_ppr", pprOracleSql(iters = 3)) { (s, d) =>
+      view(s, d, "lineitem")
+      val pairs = coPartEdges(s).distinct()
+      val sym = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = s.table("lineitem").select(col("l_partkey").as("id")).distinct()
+      Graph.personalizedPageRankFp(nodes, sym, "id",
+          nodes.where(col("id") % 97 === 0), iters = 3)
+        .select(col("id").cast("long").as("id"), col("rank_fp"))
+        .orderBy("id")
+    },
+
+    // Multi-source BFS blast radius: hop-distance histogram within 3
+    // hops of the seed parts — how much of the graph a poisoned seed
+    // set touches before a release gate cuts it.
+    q("q195_bfs_reach",
+      """WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT x.p a, y.p b FROM lp x
+        |  JOIN lp y ON x.o = y.o AND x.p < y.p),
+        |adj AS MATERIALIZED (SELECT a m, b x FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT p node FROM lp WHERE p % 97 = 0),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT adj.x node FROM adj JOIN l0 ON adj.m = l0.node
+        |  WHERE adj.x NOT IN (SELECT node FROM l0)),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT adj.x node FROM adj JOIN f1 ON adj.m = f1.node
+        |  WHERE adj.x NOT IN (SELECT node FROM l0)
+        |    AND adj.x NOT IN (SELECT node FROM f1)),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT adj.x node FROM adj JOIN f2 ON adj.m = f2.node
+        |  WHERE adj.x NOT IN (SELECT node FROM l0)
+        |    AND adj.x NOT IN (SELECT node FROM f1)
+        |    AND adj.x NOT IN (SELECT node FROM f2))
+        |SELECT * FROM (
+        |  SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_nodes FROM l0
+        |  UNION ALL SELECT 1, count(*) FROM f1
+        |  UNION ALL SELECT 2, count(*) FROM f2
+        |  UNION ALL SELECT 3, count(*) FROM f3)
+        |WHERE n_nodes > 0 ORDER BY dist""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      val nodes = s.table("lineitem").select(col("l_partkey").as("id")).distinct()
+      Graph.bfsDistances(coPartEdges(s), "src", "dst",
+          nodes.where(col("id") % 97 === 0), "id", maxDepth = 3)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
     }
   )
+
+  /** Repeat co-purchase edges: part pairs sharing >= 2 distinct orders. */
+  private def repeatCoPartEdges(s: SparkSession): DataFrame = {
+    val lp = s.table("lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      .select("src", "dst")
+  }
+
+  /** DuckDB replay of [[Graph.kTruss]] on the repeat co-part graph:
+   *  `rounds` synchronous support-peel rounds (idempotent past the
+   *  fixpoint), then one final support pass over the fixpoint edges. */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),\n")
+    sb.append("e0 AS MATERIALIZED (SELECT x.p a, y.p b FROM lp x " +
+      "JOIN lp y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2 HAVING count(*) >= 2),\n")
+    def tri(i: Int) =
+      s"t$i AS MATERIALIZED (SELECT e1.a x, e1.b y, e2.b z FROM e$i e1 " +
+        s"JOIN e$i e2 ON e2.a = e1.a AND e1.b < e2.b " +
+        s"JOIN e$i e3 ON e3.a = e1.b AND e3.b = e2.b),\n" +
+        s"s$i AS MATERIALIZED (SELECT a, b, count(*) sup FROM " +
+        s"(SELECT x a, y b FROM t$i UNION ALL SELECT x, z FROM t$i " +
+        s"UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2),\n"
+    for (i <- 0 until rounds) {
+      sb.append(tri(i))
+      sb.append(s"e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e " +
+        s"JOIN s$i s ON s.a = e.a AND s.b = e.b WHERE s.sup >= ${k - 2}),\n")
+    }
+    sb.append(tri(rounds))
+    sb.append(s"fin AS (SELECT 1)\n")
+    sb.append(s"SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, " +
+      s"CAST(sup AS BIGINT) AS support FROM s$rounds " +
+      s"WHERE sup >= ${k - 2} ORDER BY a, b")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[Graph.personalizedPageRankFp]] on the co-part
+   *  graph with seeds p % 97 = 0, all `iters` iterations in integer
+   *  fixed point. */
+  private def pprOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""i$i AS MATERIALIZED (
+         |  SELECT b.id, CAST((15 * b.base + 85 * coalesce(q.s, 0)) // 100 AS BIGINT) r
+         |  FROM b LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(i${i - 1}.r // deg.deg) AS BIGINT) s
+         |    FROM edges e JOIN i${i - 1} ON e.src = i${i - 1}.id
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) q ON q.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT x.p a, y.p b FROM lp x
+       |  JOIN lp y ON x.o = y.o AND x.p < y.p),
+       |edges AS MATERIALIZED (
+       |  SELECT a src, b dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) deg FROM edges GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT DISTINCT p id FROM lp),
+       |sc AS (SELECT count(*) c FROM nn WHERE id % 97 = 0),
+       |b AS MATERIALIZED (
+       |  SELECT nn.id,
+       |         CASE WHEN nn.id % 97 = 0 THEN 1000000000000 // sc.c ELSE 0 END base
+       |  FROM nn CROSS JOIN sc),
+       |i0 AS MATERIALIZED (SELECT id, base r FROM b),
+       |$iterCtes
+       |SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_fp
+       |FROM i$iters ORDER BY id""".stripMargin
+  }
 
   /** DuckDB replay of [[Graph.kCore]]: `rounds` synchronous peel rounds
    *  as a chained MATERIALIZED CTE pipeline (idempotent once the

@@ -97,6 +97,173 @@ object Graph {
     ranks
   }
 
+  /**
+   * Personalized PageRank (integer fixed point): teleport mass restarts
+   * at the `seeds` set instead of uniformly — ranks measure proximity
+   * to the seeds, the "find more like these" primitive (seed = known-
+   * good documents, rank = curation priority; seed = known spam, rank =
+   * contamination risk). Same integer update rule, cache discipline,
+   * and scale shape as [[pageRankFp]]; non-seed nodes get zero restart
+   * mass, so their rank is purely inherited.
+   *
+   * `seeds` is one column `idCol`; seeds not present in `nodes` are
+   * ignored. Returns (id, rank_fp) with total restart mass `RankScale
+   * DIV |seeds|` per seed.
+   */
+  def personalizedPageRankFp(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      seeds: DataFrame,
+      iters: Int,
+      dampNum: Int = 85,
+      dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .join(seeds.select(col(idCol).as("id")).distinct()
+        .withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .cache()
+    val nSeeds = ids.where(col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRankFp: no seed overlaps the node set")
+    val base = RankScale / nSeeds
+    val withBase = ids.select(col("id"),
+      when(col("is_seed"), base).otherwise(0L).as("base_fp")).cache()
+    withBase.count()
+    ids.unpersist(blocking = false)
+    val rawEdges = edges.cache()
+    val e = rawEdges
+      .join(rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .cache()
+    e.count()
+    rawEdges.unpersist(blocking = false)
+    var ranks = withBase.withColumn("rank_fp", col("base_fp")).cache()
+    for (_ <- 1 to iters) {
+      val inbound = ranks
+        .join(e, ranks("id") === e("src"))
+        .select(col("dst"), expr("rank_fp DIV deg").as("share"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum("share").as("s"))
+      val next = withBase.join(inbound, Seq("id"), "left")
+        .select(col("id"), col("base_fp"),
+          expr(s"(${(dampDen - dampNum).toLong}L * base_fp + " +
+            s"${dampNum.toLong}L * coalesce(s, 0L)) DIV ${dampDen.toLong}L")
+            .as("rank_fp"))
+        .cache()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist(blocking = false)
+    // withBase stays pinned: it feeds the returned (cached) rank frame's
+    // lineage only until that cache fills, which already happened
+    withBase.unpersist(blocking = false)
+    ranks.select(col("id"), col("rank_fp"))
+  }
+
+  /**
+   * k-truss: the maximal subgraph where every edge sits in at least
+   * k-2 triangles — EDGE-level cohesion, one notch stricter than
+   * [[kCore]]'s node degrees (a hub with many leaf neighbors has high
+   * degree but zero-support edges). Synchronous peel: each round
+   * recomputes per-edge triangle support on the surviving subgraph and
+   * drops every edge below k-2, to a fixpoint. Returns the surviving
+   * canonical edges with their in-truss support (a, b, support).
+   *
+   * Scale shape: support comes from the degree-oriented adjacency
+   * intersection of [[edgeTriangles]] (never the wedge blow-up), each
+   * round's edge set is localCheckpoint-materialized (the [[kCore]]
+   * plan-explosion discipline), and the driver holds one scalar per
+   * round. Peel depth, not |E|, bounds the rounds.
+   */
+  def kTruss(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIters: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for a triangle-based truss, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    var it = 0
+    var result: DataFrame = null
+    while (result == null && it < maxIters) {
+      val sup = edgeSupport(cur).localCheckpoint(true)
+      val strong = sup.where(col("support") >= k - 2)
+      // edges in no triangle never reach `sup` (inner joins inside the
+      // census): semi-joining cur against the strong support rows drops
+      // them too, exactly as support 0 < k-2 requires
+      val next = cur.join(strong, Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      if (next.count() == cur.count()) result = strong // fixpoint
+      else { cur = next; it += 1 }
+    }
+    require(result != null, s"kTruss did not converge within $maxIters rounds")
+    result
+  }
+
+  /** Per-canonical-edge triangle support: (a, b, support > 0) — each
+   *  triangle (u, v, c) from the oriented census credits its three
+   *  canonical edges. Edges in no triangle are absent. */
+  private def edgeSupport(canon: DataFrame): DataFrame = {
+    val et = edgeTriangles(canon)
+    val tri = et.select(col("u"), col("v"), explode(col("common")).as("c"))
+    tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("c")).as("a"), greatest(col("u"), col("c")).as("b")),
+        struct(least(col("v"), col("c")).as("a"), greatest(col("v"), col("c")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /**
+   * Multi-source BFS to `maxDepth` hops: every node reachable from any
+   * seed within the bound gets its exact hop distance — the blast-
+   * radius primitive (how far does a poisoned document's influence
+   * propagate through the near-dup graph before release gates cut it).
+   * Returns (node, dist), dist in [0, maxDepth]; unreached nodes are
+   * absent.
+   *
+   * Scale shape: classic frontier expansion — each round joins the
+   * CURRENT frontier (not the whole label set) against the symmetric
+   * adjacency, anti-joins the labels accumulated so far, and
+   * checkpoints both accumulators ([[kCore]] discipline). Rounds =
+   * maxDepth, each one edge-list join whose probe side only ever
+   * shrinks on expander-like graphs.
+   */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val canon = canonical(edges, srcCol, dstCol)
+    val adj = canon.select(col("a").as("m"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
+      .localCheckpoint(true)
+    var lab = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = lab
+    var d = 1
+    while (d <= maxDepth && frontier.count() > 0) {
+      val nbrs = frontier.join(adj, frontier("node") === adj("m"))
+        .select(col("x").as("node")).distinct()
+      val fresh = nbrs.join(lab, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      lab = lab.unionAll(fresh).localCheckpoint(true)
+      frontier = fresh
+      d += 1
+    }
+    lab
+  }
+
   /** Canonical undirected edge list: self-loops dropped, endpoints
    *  ordered (a < b), duplicates collapsed. */
   private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =

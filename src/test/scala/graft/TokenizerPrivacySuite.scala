@@ -381,6 +381,48 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(graft.operators.Graph.kCore(path, "s", "t", k = 2).count() === 0L)
   }
 
+  test("kTruss: bowtie collapses, K4 survives with exact supports") {
+    import spark.implicits._
+    // two triangles sharing node 2 (bowtie): every edge has support 1,
+    // so a 4-truss (support >= 2) must cascade to nothing
+    val bowtie = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+      .toDF("s", "t")
+    assert(graft.operators.Graph.kTruss(bowtie, "s", "t", k = 4).count() === 0L)
+    // K4 + pendant triangle: K4 edges all have support 2; the pendant
+    // triangle's support-1 edges peel, then nothing else moves
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val g = (k4 ++ Seq((3L, 4L), (3L, 5L), (4L, 5L))).toDF("s", "t")
+    val out = graft.operators.Graph.kTruss(g, "s", "t", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === k4.toSet)
+    assert(out.values.forall(_ === 2L))
+  }
+
+  test("personalizedPageRankFp: restart mass stays near the seed") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val r = graft.operators.Graph
+      .personalizedPageRankFp(nodes, e, "id", Seq(0L).toDF("id"), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0 = (1e12, 0, 0); i1: seed keeps 15% restart, each leaf inherits
+    // 85% of half the seed's mass
+    assert(r === Map(0L -> 150000000000L, 1L -> 425000000000L, 2L -> 425000000000L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.personalizedPageRankFp(
+        nodes, e, "id", Seq(9L).toDF("id"), iters = 1)
+    }
+  }
+
+  test("bfsDistances: exact hop labels, depth bound respected") {
+    import spark.implicits._
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val out = graft.operators.Graph
+      .bfsDistances(path, "s", "t", Seq(0L).toDF("id"), "id", maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
   test("degreeAssortativity: star is perfectly disassortative") {
     import spark.implicits._
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "t")
