@@ -5923,6 +5923,105 @@ object SparkEntry {
           nodes.where(col("id") % 97 === 0), "id", maxDepth = 3)
         .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
+    },
+
+    // Bit-packed hyperplane-LSH top-10: 63 md5-seeded sign bits per
+    // vector in ONE BIGINT, ranked by XOR+popcount. The oracle rebuilds
+    // the identical matrix (q44's md5 convention), codes, and ranking —
+    // row-exact, not a recall bar.
+    q("q196_hamming_topk",
+      """WITH pm AS (
+        |  SELECT j, list(CASE WHEN strpos('01234567',
+        |                        substr(md5('42:' || j || ':' || i), 1, 1)) > 0
+        |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS row
+        |  FROM range(63) t1(j), range(64) t2(i) GROUP BY j),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |         CAST(sum(CASE WHEN list_dot_product(e.v, pm.row) >= 0
+        |                       THEN (1::BIGINT << pm.j) ELSE 0 END) AS BIGINT) code
+        |  FROM e, pm GROUP BY e.vec_id),
+        |scored AS (
+        |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+        |         bit_count(xor(q.code, c.code)) h
+        |  FROM (SELECT * FROM codes WHERE vec_id < 20) q
+        |  JOIN codes c ON q.vec_id != c.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, h,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY h, neighbor_id) rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+        |       CAST(h AS INT) AS hamming
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Embeddings.hammingKnn(e, e.where(col("vec_id") < 20), "vec_id",
+          "embedding", k = 10, inDim = 64, bits = 63)
+        .orderBy("query_id", "rk")
+    },
+
+    // Association rules over order baskets (2-itemset Apriori core):
+    // support/confidence/lift in integer fixed point, top-20 by
+    // confidence — the co-occurrence miner behind "documents citing X
+    // also cite Y" and template detection.
+    q("q197_assoc_rules",
+      """WITH bi AS (SELECT DISTINCT l_orderkey b, l_partkey i FROM lineitem),
+        |nb AS (SELECT count(DISTINCT b) n FROM bi),
+        |ic AS (SELECT i, count(*) n_i FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT x.i a, y.i c, count(*) w FROM bi x
+        |  JOIN bi y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (SELECT a ant, c cons, w FROM p
+        |          UNION ALL SELECT c, a, w FROM p),
+        |scored AS (
+        |  SELECT ant, cons, w,
+        |         (w * 10000) // nb.n support_fp,
+        |         (w * 10000) // ia.n_i confidence_fp,
+        |         (w * nb.n * 10000) // (ia.n_i * ico.n_i) lift_fp
+        |  FROM rules
+        |  JOIN ic ia ON ia.i = rules.ant
+        |  JOIN ic ico ON ico.i = rules.cons
+        |  CROSS JOIN nb)
+        |SELECT CAST(ant AS BIGINT) AS ant, CAST(cons AS BIGINT) AS cons,
+        |       CAST(w AS BIGINT) AS w, CAST(support_fp AS BIGINT) AS support_fp,
+        |       CAST(confidence_fp AS BIGINT) AS confidence_fp,
+        |       CAST(lift_fp AS BIGINT) AS lift_fp
+        |FROM scored
+        |ORDER BY confidence_fp DESC, lift_fp DESC, ant, cons
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem")
+      graft.operators.Association.associationRules(
+          s.table("lineitem"), "l_orderkey", "l_partkey",
+          minPairCount = 2L, topN = 20)
+        .select(col("ant").cast("long").as("ant"),
+          col("cons").cast("long").as("cons"), col("w"),
+          col("support_fp"), col("confidence_fp"), col("lift_fp"))
+    },
+
+    // Per-term burstiness (variance-to-mean of per-doc counts): clumpy
+    // terms are topical-or-spam, VMR ~ 1 is Poisson scatter. Exact
+    // integer moments, one floor division.
+    q("q198_burstiness",
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, count(*) c FROM tf GROUP BY 1, 2),
+        |nd AS (SELECT count(*) n FROM documents),
+        |m AS (
+        |  SELECT term, count(*) n_docs_with, sum(c) s, sum(c * c) q
+        |  FROM c GROUP BY term)
+        |SELECT term, CAST(n_docs_with AS BIGINT) AS n_docs_with,
+        |       CAST(s AS BIGINT) AS total,
+        |       CAST(CASE WHEN nd.n > 1
+        |                 THEN (10000 * (nd.n * q - s * s)) // ((nd.n - 1) * s)
+        |            ELSE 0 END AS BIGINT) AS vmr_fp
+        |FROM m CROSS JOIN nd ORDER BY term""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      TextOps.termBurstiness(s.table("documents"), "doc_id", "text")
+        .orderBy("term")
     }
   )
 

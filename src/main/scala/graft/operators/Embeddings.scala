@@ -55,6 +55,73 @@ object Embeddings {
   }
 
   /**
+   * Append `outCol` = a `bits`-bit sign signature of the md5-seeded ±1
+   * random projection ([[projectionMatrix]]), packed into ONE BIGINT —
+   * the bit-packed hyperplane-LSH code a production vector store keeps
+   * resident (8 bytes per vector; 32x smaller than the float32 vector,
+   * 4x smaller than [[Sq8]] codes). Cosine similarity maps to Hamming
+   * distance between codes (Charikar 2002); search is XOR + popcount.
+   *
+   * Determinism: each projection is the sequential double dot the
+   * oracle replays bit-for-bit (q44's contract), and the sign test +
+   * bit packing are exact integer ops, so the code — and any ranking
+   * over it — reproduces across engines and partitionings. `bits`
+   * must be <= 63 (bit 63 would need unsigned semantics).
+   */
+  def hammingCode(
+      df: DataFrame,
+      vecCol: String,
+      outCol: String,
+      inDim: Int,
+      bits: Int,
+      seed: Long = 42L): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    randomProjection(df, vecCol, "__hc_proj", inDim, bits, seed)
+      .withColumn(outCol,
+        aggregate(
+          graft.operators.boundOnce(col("__hc_proj")) { p =>
+            transform(sequence(lit(0), lit(bits - 1)),
+              j => when(element_at(p, j + 1) >= 0.0,
+                call_function("shiftleft", lit(1L), j))
+                .otherwise(lit(0L)))
+          },
+          lit(0L), (acc, x) => acc + x))
+      .drop("__hc_proj")
+  }
+
+  /**
+   * Hamming top-k over [[hammingCode]] signatures: for each query row
+   * the `k` corpus rows with the smallest code distance (self excluded,
+   * ties to the lower neighbor id). The scan reads 8-byte codes — the
+   * XOR+popcount per pair is ~2 cycles inside codegen; at 100 TB this
+   * is the candidate generator in front of an exact rerank
+   * ([[Similarity.projectedKnn]]'s second stage), not the final answer.
+   * Output: (query_id, rk, neighbor_id, hamming).
+   */
+  def hammingKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      inDim: Int,
+      bits: Int = 63,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = hammingCode(corpus, vecCol, "code", inDim, bits, seed)
+      .select(col(idCol).as("neighbor_id"), col("code").as("cc"))
+    val q = hammingCode(queries, vecCol, "code", inDim, bits, seed)
+      .select(col(idCol).as("query_id"), col("code").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr("bit_count(qc ^ cc)"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  /**
    * Append `outCol` = `vecCol` scaled to unit L2 norm (null-norm rows
    * keep a null output: no direction exists). The norm is materialized
    * as its own column first — dividing inside the transform lambda

@@ -372,6 +372,39 @@ object TextOps {
   }
 
   /**
+   * Per-term burstiness: the variance-to-mean ratio of a term's per-
+   * document counts, in 1e4 fixed point. VMR ≈ 1 is Poisson scatter
+   * (function words); VMR >> 1 means the term CLUMPS — most documents
+   * never use it, a few repeat it heavily — the signature of topical
+   * terms, and at the extreme, of spam/keyword-stuffed documents.
+   * Church & Gale 1995's burstiness, as a corpus-health profile.
+   *
+   * All-integer: with N = corpus doc count, S = Σc, Q = Σc² over the
+   * term's per-doc counts (absent docs contribute c = 0, changing
+   * neither sum), sample variance s² = (N·Q − S²)/(N(N−1)) and
+   * `vmr_fp = (10000 · (N·Q − S²)) DIV ((N−1) · S)` — exact sums, one
+   * floor division, engine-portable ordering.
+   *
+   * Scale shape: one tokenize+explode to per-(doc, term) counts with
+   * map-side combine, one vocabulary-sized re-aggregate, one-row doc
+   * count broadcast. Output: (term, n_docs_with, total, vmr_fp).
+   */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("c"))
+    val nDocs = broadcast(df.agg(count(lit(1)).as("n")))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("n_docs_with"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .crossJoin(nDocs)
+      .select(col("term"), col("n_docs_with"), col("s").as("total"),
+        when(col("n") > 1,
+          expr("(10000L * (n * q - s * s)) DIV ((n - 1L) * s)"))
+          .otherwise(0L).as("vmr_fp"))
+  }
+
+  /**
    * Token-budget sequence packing — assign each document a training
    * sequence id and a token offset inside it, the layout step that turns
    * a curated corpus into fixed-length training sequences. Documents are

@@ -1432,6 +1432,53 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       top.map(_._2).toSeq === Seq(11L, 12L))
   }
 
+  test("hammingKnn: identical vectors collide at distance 0, rank first") {
+    import spark.implicits._
+    val base = (1 to 8).map(_.toFloat)
+    val corpus = Seq(
+      (1L, base), (2L, base),                     // exact duplicate of 1
+      (3L, base.map(-_)),                         // antipode: all bits flip
+      (4L, (1 to 8).map(i => (i % 3).toFloat)))
+      .toDF("id", "v")
+    val out = graft.operators.Embeddings
+      .hammingKnn(corpus, corpus.where(col("id") === 1L), "id", "v",
+        k = 3, inDim = 8, bits = 16)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.head === ((1, 2L, 0)))             // duplicate: distance 0
+    assert(out.map(_._2).contains(3L))
+    val anti = out.find(_._2 == 3L).get
+    // antipode flips every bit whose projection is nonzero; with this
+    // seed two of the 16 hyperplanes land exactly on 0 (>= 0 both sides)
+    assert(anti._3 === 14)
+  }
+
+  test("associationRules: exact support/confidence/lift fixed points") {
+    import spark.implicits._
+    val bi = Seq(("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"),
+      ("b3", "x"), ("b3", "z"))
+      .toDF("b", "i")
+    val rules = graft.operators.Association
+      .associationRules(bi, "b", "i", minPairCount = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (x,y) w=2 of 3 baskets; n_x=3, n_y=2
+    assert(rules(("x", "y")) === ((2L, 6666L, 6666L, 10000L)))
+    assert(rules(("y", "x")) === ((2L, 6666L, 10000L, 10000L)))
+    assert(rules.size === 2) // (x,z) w=1 pruned
+  }
+
+  test("termBurstiness: clumped term scores high, scattered term low") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "b"), (3L, "b")).toDF("id", "text")
+    val out = graft.operators.TextOps.termBurstiness(docs, "id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: N=3, S=4, Q=16 -> 1e4*(48-16)/(2*4) = 40000 (clumped)
+    assert(out("a") === ((1L, 4L, 40000L)))
+    // b: S=2, Q=2 -> 1e4*(6-4)/(2*2) = 5000 (scattered)
+    assert(out("b") === ((2L, 2L, 5000L)))
+  }
+
   test("decayedCounts: dyadic half-life weights, deep past decays to zero") {
     import spark.implicits._
     // bucket=1, halfLife=7: ages (14-bk) div 7 -> 0, 1, 2; plus one
