@@ -6022,6 +6022,53 @@ object SparkEntry {
       view(s, d, "documents")
       TextOps.termBurstiness(s.table("documents"), "doc_id", "text")
         .orderBy("term")
+    },
+
+    // Streaming sessionization must agree with the batch operator: the
+    // event slice replays through StreamingOps.sessionize (append mode,
+    // session_window state) in two micro-batches plus one far-future
+    // sentinel that flushes every real session; per-user session/event
+    // counts then face q27's batch oracle.
+    q("q199_streaming_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 t,
+        |         lag(epoch_ns(ts)//1000) OVER (PARTITION BY user_id ORDER BY ts) p
+        |  FROM events WHERE user_id < 40)
+        |SELECT user_id,
+        |       CAST(1 + sum(CASE WHEN p IS NOT NULL AND t - p > 43200000000
+        |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("events").where(col("user_id") < 40)
+        .select(expr("timestamp_micros(ts DIV 1000)").as("t"), col("user_id"))
+        .orderBy("t").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      val maxT = rows.map(_._1.getTime).max
+      val input = MemoryStream[(java.sql.Timestamp, Long)](s)
+      val sess = graft.streaming.StreamingOps.sessionize(
+        input.toDF().toDF("t", "user_id"), "user_id", "t",
+        gap = "12 hours", watermarkDelay = "0 seconds")
+      val sink = "graft_q199_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val qy = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        input.addData(b1.toSeq)
+        qy.processAllAvailable()
+        input.addData(b2.toSeq)
+        qy.processAllAvailable()
+        // sentinel user -1 far past every real session: watermark jumps,
+        // all real sessions close and emit
+        input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L), -1L)))
+        qy.processAllAvailable()
+      } finally qy.stop()
+      s.table(sink).where(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id")
     }
   )
 
