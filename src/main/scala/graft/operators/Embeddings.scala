@@ -108,9 +108,14 @@ object Embeddings {
       bits: Int = 63,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null/malformed vectors yield a null code — excluded on both sides
+    // (no signature, and a null distance would sort ABOVE real matches
+    // in the ascending rank)
     val c = hammingCode(corpus, vecCol, "code", inDim, bits, seed)
+      .where(col("code").isNotNull)
       .select(col(idCol).as("neighbor_id"), col("code").as("cc"))
     val q = hammingCode(queries, vecCol, "code", inDim, bits, seed)
+      .where(col("code").isNotNull)
       .select(col(idCol).as("query_id"), col("code").as("qc"))
     val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))

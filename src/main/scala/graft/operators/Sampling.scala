@@ -575,8 +575,12 @@ object Sampling {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val v = round(col(valueCol) * lit(scale)).cast("long")
+    // null values are EXCLUDED up front: they carry no spread signal,
+    // and engines disagree on null sort position (Spark first, DuckDB
+    // last), which would silently shift the rank statistics
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"), col(idCol))
-    val ranked = df.select(col(groupCol), col(idCol), v.as("v"))
+    val ranked = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), v.as("v"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
