@@ -6069,6 +6069,90 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
+    },
+
+    // CDC merge: planted change batch (updates on %10, deletes on %17,
+    // inserts at +3M on %23) applied to the documents snapshot; the
+    // oracle replays merge semantics set-algebraically and checks
+    // per-source row counts + a content checksum — order-free exact
+    // integers, so a row lost or doubled by the merge cannot hide.
+    q("q200_merge_upsert",
+      """WITH ch AS (
+        |  SELECT doc_id, 'U' op, 'updated ' || text AS text, lang, source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'D', text, lang, source
+        |  FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'I', 'inserted doc ' || CAST(doc_id AS VARCHAR),
+        |         lang, source
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |merged AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM ch)
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM ch WHERE op IN ('I', 'U'))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000)
+        |            AS BIGINT) AS checksum_fp
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val changes = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("U").as("op"),
+          concat(lit("updated "), col("text")).as("text"), col("lang"), col("source"))
+        .unionAll(docs.where(col("doc_id") % 17 === 0 && col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), lit("D").as("op"), col("text"), col("lang"),
+            col("source")))
+        .unionAll(docs.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), lit("I").as("op"),
+            concat(lit("inserted doc "), col("doc_id").cast("string")).as("text"),
+            col("lang"), col("source")))
+      graft.operators.Cdc.mergeChanges(
+          docs, changes, "doc_id", "op", requireUniqueKeys = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 1000000L).as("checksum_fp"))
+        .orderBy("source")
+    },
+
+    // Referential-integrity audit with PLANTED violations (dangling
+    // orderkeys at +50M on every 1000th lineitem): exact dangling-row
+    // counts per FK edge of the star schema — the pre-release gate that
+    // catches a partial load before a join silently drops rows.
+    q("q201_ref_integrity",
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 50000000, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 1000 = 0)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li
+        |   LEFT JOIN orders ON li.l_orderkey = orders.o_orderkey
+        |   WHERE orders.o_orderkey IS NULL) AS dangling_li_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li
+        |   LEFT JOIN part ON li.l_partkey = part.p_partkey
+        |   WHERE part.p_partkey IS NULL) AS dangling_li_part,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   LEFT JOIN customer ON orders.o_custkey = customer.c_custkey
+        |   WHERE customer.c_custkey IS NULL) AS dangling_orders_cust""".stripMargin) {
+      (s, d) =>
+        view(s, d, "lineitem", "orders", "part", "customer")
+        val li = s.table("lineitem").select(col("l_orderkey"), col("l_partkey"))
+          .unionAll(s.table("lineitem").where(col("l_orderkey") % 1000 === 0)
+            .select((col("l_orderkey") + 50000000L).as("l_orderkey"), col("l_partkey")))
+        val a = li.join(s.table("orders"),
+            li("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("dangling_li_orders"))
+        val b = li.join(s.table("part"),
+            li("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("dangling_li_part"))
+        val c = s.table("orders").join(s.table("customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("dangling_orders_cust"))
+        a.crossJoin(b).crossJoin(c)
     }
   )
 

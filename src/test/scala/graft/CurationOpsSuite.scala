@@ -1479,6 +1479,27 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out("b") === ((2L, 2L, 5000L)))
   }
 
+  test("mergeChanges: upsert semantics, idempotent replay, dup-key guard") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val ch = Seq((2L, "U", "b2"), (3L, "D", ""), (4L, "I", "d"), (5L, "U", "e"))
+      .toDF("id", "op", "v").select(col("id"), col("op"), col("v"))
+    def run(s: org.apache.spark.sql.DataFrame) =
+      graft.operators.Cdc.mergeChanges(s, ch, "id", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val once = run(snap)
+    // U replaces, D drops, I inserts, U-on-absent inserts (upsert)
+    assert(once === Map(1L -> "a", 2L -> "b2", 4L -> "d", 5L -> "e"))
+    // replaying the same batch over the merged state changes nothing
+    val again = run(once.toSeq.map { case (k, v) => (k, v) }.toDF("id", "v"))
+    assert(again === once)
+    intercept[IllegalArgumentException] {
+      graft.operators.Cdc.mergeChanges(snap,
+        ch.unionAll(Seq((2L, "D", "x")).toDF("id", "op", "v")),
+        "id", "op", requireUniqueKeys = true).collect()
+    }
+  }
+
   test("decayedCounts: dyadic half-life weights, deep past decays to zero") {
     import spark.implicits._
     // bucket=1, halfLife=7: ages (14-bk) div 7 -> 0, 1, 2; plus one
