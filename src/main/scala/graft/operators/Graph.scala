@@ -379,12 +379,15 @@ object Graph {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // symmetric adjacency, hub middles dropped before the wedge join
+    // symmetric adjacency, hub middles dropped before the wedge join;
+    // CACHED: the wedge self-join references it on both sides, and each
+    // side would otherwise recompute the union+degree join
     val adj = canon.select(col("a").as("m"), col("b").as("x"))
       .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
       .join(deg.withColumnRenamed("node", "m"), Seq("m"))
       .where(col("deg") <= maxMiddleDeg)
       .select(col("m"), col("x"))
+      .cache()
     val cn = adj.as("l").join(adj.as("r"),
         col("l.m") === col("r.m") && col("l.x") < col("r.x"))
       .select(col("l.x").as("a"), col("r.x").as("b"))
