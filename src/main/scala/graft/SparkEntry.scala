@@ -6153,6 +6153,39 @@ object SparkEntry {
             col("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("dangling_orders_cust"))
         a.crossJoin(b).crossJoin(c)
+    },
+
+    // Benford leading-digit profile of event values: fabricated-data
+    // smell test. Leading digit via the INTEGER decimal rendering (no
+    // log10 boundary jitter), chi-square contributions in pure floor
+    // division — bit-exact in any engine.
+    q("q202_benford",
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) v FROM events
+        |  WHERE value IS NOT NULL AND value > 0),
+        |o AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) digit,
+        |         count(*) n_obs
+        |  FROM v WHERE v > 0 GROUP BY 1),
+        |e AS (
+        |  SELECT unnest([1,2,3,4,5,6,7,8,9]) digit,
+        |         unnest([301030,176091,124939,96910,79181,66947,57992,51153,45757])
+        |           expected_ppm),
+        |n AS (SELECT sum(n_obs) n FROM o)
+        |SELECT e.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+        |       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |       CAST(CASE WHEN (n.n * e.expected_ppm) // 1000 > 0
+        |                 THEN ((1000 * coalesce(o.n_obs, 0)
+        |                        - (n.n * e.expected_ppm) // 1000)
+        |                       * (1000 * coalesce(o.n_obs, 0)
+        |                          - (n.n * e.expected_ppm) // 1000))
+        |                      // ((n.n * e.expected_ppm) // 1000)
+        |            ELSE 0 END AS BIGINT) AS chi2_fp
+        |FROM e LEFT JOIN o USING (digit) CROSS JOIN n
+        |ORDER BY digit""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      Profiler.benfordProfile(s.table("events"), "value", scale = 100L)
+        .orderBy("digit")
     }
   )
 

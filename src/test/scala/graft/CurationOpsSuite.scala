@@ -1479,6 +1479,22 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out("b") === ((2L, 2L, 5000L)))
   }
 
+  test("benfordProfile: exact digits, non-positives excluded, chi2 formula") {
+    import spark.implicits._
+    // values 1.0 (digit 1), 0.25 (v=25, digit 2), 9.0 (digit 9),
+    // plus excluded: 0, -3, null
+    val df = Seq(Some(1.0), Some(0.25), Some(9.0), Some(0.0), Some(-3.0), None)
+      .toDF("value")
+    val out = graft.operators.Profiler.benfordProfile(df, "value")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out.size === 9)
+    assert(out(1)._1 === 1L && out(2)._1 === 1L && out(9)._1 === 1L)
+    assert(out(3)._1 === 0L)
+    // chi2 contribution for digit 1: n=3, e=301030 ->
+    // np3 = (3*301030) div 1000 = 903; (1000*1 - 903)^2 div 903 = 10
+    assert(out(1)._2 === ((1000L - 903L) * (1000L - 903L)) / 903L)
+  }
+
   test("mergeChanges: upsert semantics, idempotent replay, dup-key guard") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
