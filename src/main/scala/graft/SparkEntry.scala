@@ -6186,6 +6186,31 @@ object SparkEntry {
       view(s, d, "events")
       Profiler.benfordProfile(s.table("events"), "value", scale = 100L)
         .orderBy("digit")
+    },
+
+    // Simplified silhouette over the q122 clustering: per-cluster mean
+    // (b-a)/max(a,b) in 1e4 fixed point on exact lattice distances —
+    // the cluster-quality gate before any per-cluster curation
+    // decision. The oracle extends the full 2-round Lloyd replay.
+    q("q203_silhouette",
+      s"""$kmeansOracleCtes,
+         |sil AS (
+         |  SELECT s2.vec_id, a2.cl,
+         |         CAST(max(CASE WHEN s2.j = a2.cl THEN s2.dist END) AS BIGINT) a,
+         |         CAST(min(CASE WHEN s2.j != a2.cl THEN s2.dist END) AS BIGINT) b
+         |  FROM s2 JOIN a2 USING (vec_id) GROUP BY 1, 2),
+         |sfp AS (
+         |  SELECT cl, CASE WHEN greatest(a, b) > 0
+         |                  THEN ((b - a) * 10000) // greatest(a, b)
+         |             ELSE 0 END s
+         |  FROM sil)
+         |SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_fp
+         |FROM sfp GROUP BY cl ORDER BY cluster""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      Clustering.silhouetteProfile(s.table("embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy("cluster")
     }
   )
 

@@ -110,6 +110,52 @@ object Clustering {
   }
 
   /**
+   * Simplified (centroid-based) silhouette per cluster: for each row,
+   * `a` = squared lattice distance to its own centroid, `b` = the
+   * nearest OTHER centroid, `s = (b - a)/max(a, b)` in 1e4 fixed point
+   * (non-negative by construction — `a` is the argmin). High mean
+   * silhouette = tight, well-separated cluster; near zero = the cluster
+   * boundary cuts through a blob and per-cluster curation decisions
+   * (SemDeDup radii, per-cluster sampling quotas) are noise. The
+   * O(n·k) centroid form of the O(n²) full silhouette — the only one
+   * that exists at 100 TB.
+   *
+   * Determinism: distances are exact integer-valued doubles on the
+   * quantized lattice, so `s_fp` is one integer floor division; the
+   * per-cluster mean is floor(Σs/n). Scale shape: one stateless
+   * projection against broadcast centroid literals + one k-group
+   * aggregate. Output: (cluster, n, mean_sil_fp).
+   */
+  def silhouetteProfile(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val q = quantized(df, idCol, vecCol, quantScale)
+    val cents = trainCentroids(q, k, iters)
+    val dists = array(cents.map { case (_, c) => sqDist(col("v"), c) }: _*)
+    val labels = typedlit(cents.map(_._1))
+    q.withColumn("dists", dists)
+      .withColumn("pos",
+        array_position(col("dists"), array_min(col("dists"))).cast("int"))
+      .withColumn("cluster", element_at(labels, col("pos")))
+      .withColumn("a", element_at(col("dists"), col("pos")))
+      // b = nearest OTHER centroid (filter by index); null when k = 1
+      .withColumn("b",
+        array_min(filter(col("dists"), (_, i) => i =!= col("pos") - 1)))
+      .withColumn("s_fp",
+        when(col("b").isNotNull && greatest(col("a"), col("b")) > 0,
+          expr("(CAST(b - a AS BIGINT) * 10000L) DIV CAST(greatest(a, b) AS BIGINT)"))
+          .otherwise(0L))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("s_fp")).as("ssum"))
+      .select(col("cluster"), col("n"),
+        expr("ssum DIV n").as("mean_sil_fp"))
+  }
+
+  /**
    * Per-cluster sizes and within-cluster mean squared distance — the
    * SSE/k diagnostic for choosing k. Same determinism contract.
    */

@@ -35,6 +35,27 @@ class ClusteringSuite extends AnyFunSuite with GraftSparkSession {
     assert(byTruth.values.flatten.toSet.size === k)
   }
 
+  test("silhouetteProfile: separated clusters score near 1, blob near 0") {
+    import spark.implicits._
+    val k = 3
+    val data = clusteredVecs(150, 6, k, 9L)
+    val df = data.map { case (id, _, v) => (id, v) }.toDF("id", "vec")
+    val out = Clustering.silhouetteProfile(df, "id", "vec", k, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === k)
+    assert(out.map(_._2).sum === 150L)
+    // well-separated synthetic clusters: every mean silhouette high
+    out.foreach { case (_, _, s) => assert(s > 7000L, s"low silhouette $s") }
+    // one undifferentiated blob split into 3: silhouettes collapse
+    val rnd = new scala.util.Random(13)
+    val blob = (0 until 90).map(i => (i.toLong,
+      Seq.fill(6)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "vec")
+    val blobOut = Clustering.silhouetteProfile(blob, "id", "vec", 3, iters = 2)
+      .collect().map(_.getLong(2))
+    assert(blobOut.forall(_ < 7000L))
+  }
+
   test("kmeansAssign is bit-identical across parallelism") {
     import spark.implicits._
     val data = clusteredVecs(120, 6, 3, 8L)
