@@ -6211,6 +6211,29 @@ object SparkEntry {
       Clustering.silhouetteProfile(s.table("embeddings"), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy("cluster")
+    },
+
+    // WebDataset-style tar shard ROUNDTRIP: documents write as 4 ustar
+    // shard files (byte-identical across runs — pinned mtime, id-
+    // ordered entries, md5 shard hashing) and the result comes from
+    // READING the tars back — the oracle recomputes the expected
+    // manifest straight from the table, so a byte lost anywhere in the
+    // write→parse cycle breaks the match.
+    q("q204_tar_roundtrip",
+      """SELECT CAST(CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |            AS BIGINT) % 4 AS INT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_entries,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_q204_").toString
+      graft.sources.TarShards.write(s.table("documents"), "doc_id", "text",
+        out, numShards = 4)
+      graft.sources.TarShards.read(s, out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(length(col("content"))).as("n_bytes"))
+        .orderBy("shard")
     }
   )
 

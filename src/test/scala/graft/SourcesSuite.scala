@@ -91,4 +91,38 @@ class SourcesSuite extends AnyFunSuite with GraftSparkSession {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(items("alpha beta gamma") === 2L)
   }
+
+  test("tar shards: roundtrip, byte-identical rewrites, external tar reads them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 20L).map(i => (i, s"payload for doc $i " + ("x" * i.toInt)))
+      .toDF("id", "text")
+    val dir = Files.createTempDirectory("graft_tar").toString
+    val manifest = graft.sources.TarShards.write(df, "id", "text", dir, numShards = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._2).sum === 20L)
+    // roundtrip: every entry comes back with identical bytes
+    val back = graft.sources.TarShards.read(spark, dir)
+      .select(col("name"), col("content").cast("string").as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back.size === 20)
+    (0L until 20L).foreach { i =>
+      assert(back(s"$i.txt") === s"payload for doc $i " + ("x" * i.toInt))
+    }
+    // determinism: a second write produces byte-identical shard files
+    val dir2 = Files.createTempDirectory("graft_tar2").toString
+    graft.sources.TarShards.write(df.repartition(7), "id", "text", dir2, numShards = 3)
+    (0 until 3).foreach { s =>
+      val a = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/shard-$s.tar"))
+      val b = Files.readAllBytes(java.nio.file.Paths.get(s"$dir2/shard-$s.tar"))
+      assert(java.util.Arrays.equals(a, b), s"shard $s differs between runs")
+    }
+    // the files are REAL ustar: system tar must list every entry
+    val listed = scala.sys.process.Process(
+      Seq("tar", "tf", s"$dir/shard-0.tar")).!!.trim.split("\n").toSet
+    val expected = graft.sources.TarShards.read(spark, dir)
+      .where(col("shard") === 0).select("name")
+      .collect().map(_.getString(0)).toSet
+    assert(listed === expected)
+  }
 }
