@@ -6234,8 +6234,68 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_entries"),
           sum(length(col("content"))).as("n_bytes"))
         .orderBy("shard")
+    },
+
+    // Z-order layout report: Morton-interleave (partkey, suppkey) and
+    // measure, per z-bucket, how tightly BOTH dimensions are bounded —
+    // the Delta/Iceberg ZORDER-BY skipping argument as a measurable
+    // query. Pure bit arithmetic, bit-exact in any engine.
+    q("q205_zorder_layout", zOrderOracleSql(bits = 16, bucketBits = 6)) { (s, d) =>
+      view(s, d, "lineitem")
+      graft.operators.Layout.zOrderReport(s.table("lineitem"),
+          "l_partkey", "l_suppkey", bits = 16, bucketBits = 6)
+        .orderBy("bucket")
+    },
+
+    // Keyed pseudonymization: user_id replaced by the 60-bit salted-md5
+    // surrogate; per-type event counts, distinct-user counts, and a
+    // distinct-surrogate checksum must all survive the mapping — the
+    // referential-consistency contract that makes pseudonymized data
+    // still joinable.
+    q("q206_pseudonymize",
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(('0x' || substr(md5('r8:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) surrogate
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT surrogate) AS BIGINT) AS n_users,
+        |       CAST(sum(DISTINCT surrogate % 1000000) AS BIGINT) AS surrogate_sum
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      Privacy.pseudonymize(s.table("events"), Seq("user_id"), salt = "r8")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum_distinct(col("user_id") % 1000000L).as("surrogate_sum"))
+        .orderBy("event_type")
     }
   )
+
+  /** DuckDB replay of [[graft.operators.Layout.zOrderReport]]: the same
+   *  Morton interleave as generated bit expressions. */
+  private def zOrderOracleSql(bits: Int, bucketBits: Int): String = {
+    val terms = (0 until bits).flatMap { b =>
+      Seq(s"(((xs >> $b) & 1) << ${2 * b})", s"(((ys >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" | ")
+    s"""WITH raw AS (
+       |  SELECT CAST(l_partkey AS BIGINT) x, CAST(l_suppkey AS BIGINT) y
+       |  FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+       |    AND l_partkey >= 0 AND l_suppkey >= 0),
+       |mx AS (SELECT max(x) xmax, max(y) ymax FROM raw),
+       |m AS (
+       |  SELECT x, y,
+       |         (x * ${1L << bits}) // (xmax + 1) xs,
+       |         (y * ${1L << bits}) // (ymax + 1) ys
+       |  FROM raw CROSS JOIN mx),
+       |z AS (SELECT x, y, ($terms) z FROM m)
+       |SELECT CAST(z >> ${2 * bits - bucketBits} AS INT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(max(x) - min(x) AS BIGINT) AS x_span,
+       |       CAST(max(y) - min(y) AS BIGINT) AS y_span
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 
   /** Repeat co-purchase edges: part pairs sharing >= 2 distinct orders. */
   private def repeatCoPartEdges(s: SparkSession): DataFrame = {

@@ -70,4 +70,22 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("diversity"))
       .withColumn("diverse", col("diversity") >= l)
   }
+
+  /** Deterministic keyed pseudonymization: replace each listed column's
+    * value with the engine's 60-bit md5-hash-space surrogate of
+    * `salt:value` — referential consistency survives (equal values map
+    * to equal surrogates across every table sharing the salt, so joins
+    * and distinct counts still work), while the raw identifier never
+    * leaves the cluster. Rotating the salt unlinks releases from each
+    * other. Nulls stay null; the mapping is one-way (recovery only by
+    * re-hashing a known identifier, not by inversion). A pure
+    * projection — no shuffle, no state. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        conv(substring(md5(concat(lit(s"$salt:"), col(c).cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long"))
+    }
+  }
 }

@@ -1479,6 +1479,42 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out("b") === ((2L, 2L, 5000L)))
   }
 
+  test("zValue interleaves bits; zOrderReport bounds both dims per bucket") {
+    import spark.implicits._
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.operators.Layout.zValue(col("x"), col("y"), 4).as("z"))
+      .collect().head.getLong(0)
+    // x=0011, y=0101 -> z bits (y3 x3 y2 x2 y1 x1 y0 x0) = 10 01 11 01... wait:
+    // pairwise: (x0=1,y0=1)->11, (x1=1,y1=0)->01, (x2=0,y2=1)->10, (x3=0,y3=0)
+    // z = 1*1 + 1*2 + 1*4 + 0*8 + 0*16 + 1*32 = 39
+    assert(z === 39L)
+    // a grid: every z bucket must bound both dimensions more tightly
+    // than the global range
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong))
+      .toDF("px", "py")
+    val rep = graft.operators.Layout.zOrderReport(grid, "px", "py", bits = 5, bucketBits = 2)
+      .collect()
+    assert(rep.length === 4)
+    rep.foreach { r =>
+      assert(r.getLong(1) === 256L)         // even split
+      assert(r.getLong(2) <= 31L && r.getLong(3) <= 15L) // y is the top bit
+    }
+  }
+
+  test("pseudonymize: stable surrogates, nulls stay null, distincts preserved") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), Some(1L), None).toDF("uid")
+    val out = graft.operators.Privacy.pseudonymize(df, Seq("uid"), "s1")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0) === out(2))
+    assert(out(0) !== out(1))
+    assert(out(3).isEmpty)
+    // different salt unlinks
+    val out2 = graft.operators.Privacy.pseudonymize(df, Seq("uid"), "s2")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out2(0) !== out(0))
+  }
+
   test("benfordProfile: exact digits, non-positives excluded, chi2 formula") {
     import spark.implicits._
     // values 1.0 (digit 1), 0.25 (v=25, digit 2), 9.0 (digit 9),
