@@ -1479,6 +1479,27 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out("b") === ((2L, 2L, 5000L)))
   }
 
+  test("plan shapes: sq8/hamming scans broadcast queries; encode is map-only") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map(i => (i, (1 to 8).map(d => (i + d).toFloat)))
+      .toDF("id", "v")
+    // encoding: stateless projection, no Exchange
+    val encPlan = graft.operators.Sq8.encode(vecs, "id", "v")
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan)
+    // search: the query side broadcasts (corpus never shuffles against
+    // it); the only exchange is the top-k window's
+    val sq8Plan = graft.operators.Sq8
+      .topK(vecs, vecs.where(col("id") < 3), "id", "v", 2)
+      .queryExecution.executedPlan.toString
+    assert(sq8Plan.contains("BroadcastExchange"), sq8Plan)
+    val hamPlan = graft.operators.Embeddings
+      .hammingKnn(vecs, vecs.where(col("id") < 3), "id", "v", 2, inDim = 8, bits = 16)
+      .queryExecution.executedPlan.toString
+    assert(hamPlan.contains("BroadcastExchange"), hamPlan)
+    assert(hamPlan.contains("BroadcastNestedLoopJoin"), hamPlan)
+  }
+
   test("zValue interleaves bits; zOrderReport bounds both dims per bucket") {
     import spark.implicits._
     val z = Seq((3L, 5L)).toDF("x", "y")
