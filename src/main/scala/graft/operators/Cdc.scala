@@ -29,6 +29,14 @@ object Cdc {
       idCol: String,
       opCol: String,
       requireUniqueKeys: Boolean = false): DataFrame = {
+    // an unrecognized op would silently act as a DELETE (its key anti-
+    // joins the snapshot row away but the change row never lands) —
+    // fail loudly instead; the scan is change-batch-sized and lazy
+    val bad = changes
+      .where(!coalesce(col(opCol).isin("I", "U", "D"), lit(false)))
+      .limit(1).count()
+    require(bad == 0L,
+      s"mergeChanges: $opCol values must be I, U or D")
     if (requireUniqueKeys) {
       val dups = changes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
         .where(col("__n") > 1).limit(1).count()

@@ -1571,6 +1571,11 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
         ch.unionAll(Seq((2L, "D", "x")).toDF("id", "op", "v")),
         "id", "op", requireUniqueKeys = true).collect()
     }
+    // unknown (or null) ops would silently act as deletes — rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Cdc.mergeChanges(snap,
+        Seq((9L, "X", "x")).toDF("id", "op", "v"), "id", "op")
+    }
   }
 
   test("decayedCounts: dyadic half-life weights, deep past decays to zero") {

@@ -124,5 +124,8 @@ class SourcesSuite extends AnyFunSuite with GraftSparkSession {
       .where(col("shard") === 0).select("name")
       .collect().map(_.getString(0)).toSet
     assert(listed === expected)
+    // an export with no shard files reads back empty, not PATH_NOT_FOUND
+    val empty = Files.createTempDirectory("graft_tar_empty").toString
+    assert(graft.sources.TarShards.read(spark, empty).count() === 0L)
   }
 }
