@@ -6047,28 +6047,35 @@ object SparkEntry {
         .orderBy("t").collect()
         .map(r => (r.getTimestamp(0), r.getLong(1)))
       val maxT = rows.map(_._1.getTime).max
-      val input = MemoryStream[(java.sql.Timestamp, Long)](s)
-      val sess = graft.streaming.StreamingOps.sessionize(
-        input.toDF().toDF("t", "user_id"), "user_id", "t",
-        gap = "12 hours", watermarkDelay = "0 seconds")
-      val sink = "graft_q199_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val qy = sess.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // 4 state-store partitions for the bounded replay (q134's
+      // pattern): 32 would mean 32 per-batch state commits for a
+      // 40-user slice
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val (b1, b2) = rows.splitAt(rows.length / 2)
-        input.addData(b1.toSeq)
-        qy.processAllAvailable()
-        input.addData(b2.toSeq)
-        qy.processAllAvailable()
-        // sentinel user -1 far past every real session: watermark jumps,
-        // all real sessions close and emit
-        input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L), -1L)))
-        qy.processAllAvailable()
-      } finally qy.stop()
-      s.table(sink).where(col("user_id") >= 0)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
-        .orderBy("user_id")
+        val input = MemoryStream[(java.sql.Timestamp, Long)](s)
+        val sess = graft.streaming.StreamingOps.sessionize(
+          input.toDF().toDF("t", "user_id"), "user_id", "t",
+          gap = "12 hours", watermarkDelay = "0 seconds")
+        val sink = "graft_q199_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = sess.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          input.addData(b1.toSeq)
+          qy.processAllAvailable()
+          input.addData(b2.toSeq)
+          qy.processAllAvailable()
+          // sentinel user -1 far past every real session: watermark
+          // jumps, all real sessions close and emit
+          input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L), -1L)))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        s.table(sink).where(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
 
     // CDC merge: planted change batch (updates on %10, deletes on %17,
