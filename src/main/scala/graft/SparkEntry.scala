@@ -6276,6 +6276,48 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           sum_distinct(col("user_id") % 1000000L).as("surrogate_sum"))
         .orderBy("event_type")
+    },
+
+    // Streaming content dedup parity: originals stream in batch 1,
+    // planted exact copies in batch 2 — the copies must ALL die against
+    // the first batch's state (and batch 1's organic duplicates must
+    // collapse). Exactly one survivor per content hash, none lost:
+    // the distinct-hash set equals the batch dedup's.
+    q("q207_streaming_dedup",
+      """WITH inp AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0)
+        |SELECT DISTINCT md5(text) AS content_hash, CAST(1 AS BIGINT) AS n_kept
+        |FROM inp ORDER BY content_hash""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      val dups = docs.filter(_._1 % 4 == 0).map { case (i, t) => (i + 1000000L, t) }
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val input = MemoryStream[(Long, String)](s)
+        val deduped = graft.streaming.StreamingOps.dedupByContent(
+          input.toDF().toDF("doc_id", "text")
+            .withColumn("t", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
+          "text", "t", watermarkDelay = "0 seconds")
+        val sink = "graft_q207_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(docs.toSeq)
+          qy.processAllAvailable()
+          input.addData(dups.toSeq)
+          qy.processAllAvailable()
+        } finally qy.stop()
+        s.table(sink)
+          .select(md5(col("text").cast("binary")).as("content_hash"))
+          .groupBy("content_hash").agg(count(lit(1)).as("n_kept"))
+          .orderBy("content_hash")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   )
 
