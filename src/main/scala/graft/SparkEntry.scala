@@ -6318,8 +6318,103 @@ object SparkEntry {
           .groupBy("content_hash").agg(count(lit(1)).as("n_kept"))
           .orderBy("content_hash")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
+    // Weighted PageRank over the co-part graph: rank mass flows
+    // proportionally to co-occurrence counts (a pair bought together 5
+    // times endorses 5x). Pure integer shares; the oracle replays all 3
+    // iterations with the same weighted DIV update.
+    q("q208_weighted_pagerank", weightedPrOracleSql(iters = 3)) { (s, d) =>
+      view(s, d, "lineitem")
+      val lp = s.table("lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val nodes = s.table("lineitem").select(col("l_partkey").as("id")).distinct()
+      Graph.weightedPageRankFp(nodes, sym, "id", "w", iters = 3)
+        .select(col("id").cast("long").as("id"), col("rank_fp"))
+        .orderBy("id")
+    },
+
+    // Streaming windowed distinct users per day through the sketch
+    // lifecycle: daily approx_count_distinct_accumulate state in append
+    // mode, flushed by one far-future sentinel, estimated after the
+    // fact — sub-capacity sketches are exact, so the oracle is plain
+    // count(DISTINCT).
+    q("q209_streaming_daily_users",
+      """SELECT CAST(epoch_ns(ts)//86400000000000 AS BIGINT) AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE user_id < 64
+        |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("events").where(col("user_id") < 64)
+        .select(expr("timestamp_micros(ts DIV 1000)").as("t"), col("user_id"))
+        .orderBy("t").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      val maxT = rows.map(_._1.getTime).max
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val input = MemoryStream[(java.sql.Timestamp, Long)](s)
+        val agg = input.toDF().toDF("t", "user_id")
+          .withWatermark("t", "0 seconds")
+          .groupBy(window(col("t"), "1 day"))
+          .agg(expr("approx_count_distinct_accumulate(cast(user_id as string))")
+            .as("sk"))
+        val sink = "graft_q209_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          input.addData(b1.toSeq)
+          qy.processAllAvailable()
+          input.addData(b2.toSeq)
+          qy.processAllAvailable()
+          input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L), -1L)))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        val maxRealDay = maxT / 86400000L
+        s.table(sink)
+          .select(expr("unix_micros(window.start) DIV 86400000000").as("day"),
+            expr("approx_count_distinct_estimate(sk)").as("n_users"))
+          .where(col("day") <= maxRealDay)
+          .orderBy("day")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   )
+
+  /** DuckDB replay of [[Graph.weightedPageRankFp]] on the weighted
+   *  co-part graph. */
+  private def weightedPrOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""i$i AS MATERIALIZED (
+         |  SELECT nn.id, CAST((15 * c.base + 85 * coalesce(q.s, 0)) // 100 AS BIGINT) r
+         |  FROM nn CROSS JOIN c LEFT JOIN (
+         |    SELECT e.dst, CAST(sum((i${i - 1}.r * e.w) // ws.wsum) AS BIGINT) s
+         |    FROM edges e JOIN i${i - 1} ON e.src = i${i - 1}.id
+         |    JOIN ws ON ws.src = e.src
+         |    GROUP BY e.dst) q ON q.dst = nn.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT x.p a, y.p b, count(*) w FROM lp x
+       |  JOIN lp y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT a src, b dst, w FROM pairs UNION ALL SELECT b, a, w FROM pairs),
+       |ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) wsum FROM edges GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT DISTINCT p id FROM lp),
+       |c AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) base FROM nn),
+       |i0 AS MATERIALIZED (SELECT id, c.base r FROM nn CROSS JOIN c),
+       |$iterCtes
+       |SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_fp
+       |FROM i$iters ORDER BY id""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Layout.zOrderReport]]: the same
    *  Morton interleave as generated bit expressions. */

@@ -403,6 +403,62 @@ object Graph {
   }
 
   /**
+   * Weighted PageRank (integer fixed point): rank mass flows along
+   * edges proportionally to their weights — on a co-occurrence graph,
+   * a pair seen together in 5 baskets carries 5x the endorsement of a
+   * one-off. Update per edge: `share = (rank * w) DIV wsum(src)`, so
+   * `rank_fp * w` must stay under 2^63 (w <= ~9e6 at the 1e12 rank
+   * scale; rescale weights upstream beyond that). Same iteration
+   * shape, cache discipline, and determinism contract as
+   * [[pageRankFp]]; `edges` carries (src, dst, `weightCol`), weights
+   * must be positive integers.
+   */
+  def weightedPageRankFp(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      weightCol: String,
+      iters: Int,
+      dampNum: Int = 85,
+      dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    val ids = nodes.select(col(idCol).as("id")).distinct().cache()
+    val n = ids.count()
+    require(n > 0, "weightedPageRankFp: empty node set")
+    val base = RankScale / n
+    val rawEdges = edges.select(col("src"), col("dst"),
+      col(weightCol).cast("long").as("w")).cache()
+    val e = rawEdges
+      .join(rawEdges.groupBy(col("src")).agg(sum(col("w")).as("wsum")), Seq("src"))
+      .select(col("src"), col("dst"), col("w"), col("wsum"))
+      .cache()
+    e.count()
+    rawEdges.unpersist(blocking = false)
+    var ranks = ids.withColumn("rank_fp", lit(base)).cache()
+    for (_ <- 1 to iters) {
+      val inbound = ranks
+        .join(e, ranks("id") === e("src"))
+        .select(col("dst"), expr("(rank_fp * w) DIV wsum").as("share"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum("share").as("s"))
+      val next = ids.join(inbound, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(${(dampDen - dampNum).toLong}L * ${base}L + " +
+            s"${dampNum.toLong}L * coalesce(s, 0L)) DIV ${dampDen.toLong}L")
+            .as("rank_fp"))
+        .cache()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist(blocking = false)
+    ids.unpersist(blocking = false)
+    ranks
+  }
+
+  /**
    * k-core of an undirected graph by synchronous peeling: repeatedly
    * drop ALL nodes of degree < k (degrees recomputed on the surviving
    * subgraph each round) until a fixpoint. Returns the surviving nodes

@@ -381,6 +381,21 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(graft.operators.Graph.kCore(path, "s", "t", k = 2).count() === 0L)
   }
 
+  test("weightedPageRankFp: shares split by weight, exact integer update") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    // 0 endorses 1 three times as strongly as 2; both endorse 0 back
+    val e = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 3L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val r = graft.operators.Graph
+      .weightedPageRankFp(nodes, e, "id", "w", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // base = 1e12/3; shares from 0: 3/4 and 1/4 of base (floor);
+    // r'(v) = (15*base + 85*inbound) div 100, all exact longs
+    assert(r === Map(
+      0L -> 616666666666L, 1L -> 262499999999L, 2L -> 120833333333L))
+  }
+
   test("kTruss: bowtie collapses, K4 survives with exact supports") {
     import spark.implicits._
     // two triangles sharing node 2 (bowtie): every edge has support 1,
