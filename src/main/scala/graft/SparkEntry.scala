@@ -6386,6 +6386,41 @@ object SparkEntry {
           .where(col("day") <= maxRealDay)
           .orderBy("day")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
+    // Pixel-level multimodal features: decode the REAL planted PNGs,
+    // sum all three channels, and resize to an 8x8 nearest-neighbor
+    // thumbnail. The oracle recomputes every pixel arithmetically from
+    // the planting formula — a hash match proves the codec decoded
+    // actual pixel data and the integer resize sampled the exact
+    // source pixels.
+    q("q210_image_features",
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 16 AS INT) w,
+        |         CAST(1 + (doc_id * 7) % 16 AS INT) h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, ((doc_id * 31 + x.i * 7 + y.j) & 16777215) v
+        |  FROM d, range(16) x(i), range(16) y(j)
+        |  WHERE x.i < w AND y.j < h),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum((v >> 16) & 255) AS BIGINT) sum_r,
+        |         CAST(sum((v >> 8) & 255) AS BIGINT) sum_g,
+        |         CAST(sum(v & 255) AS BIGINT) sum_b
+        |  FROM px GROUP BY 1),
+        |th AS (
+        |  SELECT d.doc_id,
+        |         CAST(sum((d.doc_id * 31 + ((tx.i * d.w) // 8) * 7
+        |                   + ((ty.j * d.h) // 8)) & 16777215) AS BIGINT) thumb_sum
+        |  FROM d, range(8) tx(i), range(8) ty(j) GROUP BY 1)
+        |SELECT d.doc_id, d.w AS width, d.h AS height,
+        |       sums.sum_r, sums.sum_g, sums.sum_b, th.thumb_sum
+        |FROM d JOIN sums USING (doc_id) JOIN th USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.synthesizeImageContent(s.table("documents"), "doc_id")
+      Multimodal.imageFeatures(media, "doc_id", "content", thumb = 8)
+        .orderBy("doc_id")
     }
   )
 

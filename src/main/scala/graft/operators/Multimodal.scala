@@ -613,4 +613,74 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /**
+   * Pixel-level feature extraction from REAL image payloads: decode
+   * each image, sum the three channels over every pixel, and build an
+   * 8x8 (configurable) NEAREST-NEIGHBOR thumbnail whose pixel sum is
+   * the resize fingerprint. Nearest-neighbor (source pixel at
+   * `(tx*w DIV t, ty*h DIV t)`) is chosen deliberately over
+   * interpolating scalers: it is pure integer sampling, so the resize
+   * is bit-reproducible across JVMs and replayable arithmetically by
+   * the oracle — an interpolated resize depends on the scaler's float
+   * kernel and is not. Undecodable payloads yield null features (the
+   * decode-stats contract). One mapPartitions pass; payloads never
+   * shuffle.
+   *
+   * Output: (doc_id, width, height, sum_r, sum_g, sum_b, thumb_sum).
+   */
+  def imageFeatures(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      thumb: Int = 8): DataFrame = {
+    require(thumb >= 1, s"thumb must be >= 1, got $thumb")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("thumb_sum", LongType)))
+    df.select(col(idCol).cast("long"), col(contentCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) Row(id, null, null, null, null, null, null)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y) & 0xffffff
+                sr += (v >> 16) & 255; sg += (v >> 8) & 255; sb += v & 255
+                x += 1
+              }
+              y += 1
+            }
+            var ts = 0L
+            var ty = 0
+            while (ty < thumb) {
+              var tx = 0
+              while (tx < thumb) {
+                ts += img.getRGB(tx * w / thumb, ty * h / thumb) & 0xffffff
+                tx += 1
+              }
+              ty += 1
+            }
+            Row(id, w, h, sr, sg, sb, ts)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }
