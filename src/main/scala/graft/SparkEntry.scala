@@ -6421,6 +6421,40 @@ object SparkEntry {
       val media = Multimodal.synthesizeImageContent(s.table("documents"), "doc_id")
       Multimodal.imageFeatures(media, "doc_id", "content", thumb = 8)
         .orderBy("doc_id")
+    },
+
+    // Video frame sampling: decode the first and middle frame of each
+    // real animated GIF and fingerprint their pixels. The oracle
+    // replays the planted per-frame pixel formula THROUGH the 3-3-2
+    // GIF palette arithmetic — a hash match proves the sampler decoded
+    // the exact frames it claims.
+    q("q211_video_frame_sample",
+      """WITH d AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 8 AS INT) w,
+        |         CAST(1 + (doc_id * 3) % 8 AS INT) h,
+        |         CAST(2 + doc_id % 6 AS INT) frames
+        |  FROM documents),
+        |fi AS (
+        |  SELECT doc_id, w, h, (k.i * frames) // 2 f
+        |  FROM d, range(2) k(i)),
+        |px AS (
+        |  SELECT doc_id, f,
+        |         ((doc_id * 31 + f * 131 + x.i * 7 + y.j) & 255) s
+        |  FROM fi, range(8) x(i), range(8) y(j)
+        |  WHERE x.i < w AND y.j < h),
+        |rgb AS (
+        |  SELECT doc_id, f,
+        |         (((((s >> 5) & 7) * 255) // 7) << 16)
+        |         | (((((s >> 2) & 7) * 255) // 7) << 8)
+        |         | (((s & 3) * 255) // 3) v
+        |  FROM px)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(sum(v) AS BIGINT) AS pix_sum
+        |FROM rgb GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val media = Multimodal.synthesizeVideoContent(s.table("documents"), "doc_id")
+      Multimodal.sampleVideoFrames(media, "doc_id", "content", k = 2)
+        .orderBy("doc_id", "frame_idx")
     }
   )
 

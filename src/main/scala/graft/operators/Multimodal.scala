@@ -135,6 +135,12 @@ object Multimodal {
       }
       val cm = new java.awt.image.IndexColorModel(8, 256, palette, 0, false, -1,
         java.awt.image.DataBuffer.TYPE_BYTE)
+      // non-interlaced frames, explicitly: the JDK GIF writer defaults
+      // to interlacing, and the JDK GIF READER reassembles interlaced
+      // frames wrong (rows land scrambled) — pixel-level consumers
+      // (sampleVideoFrames) would read garbage
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h, frames) = syntheticVideo(id)
@@ -158,13 +164,69 @@ object Multimodal {
               }
               y += 1
             }
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
             f += 1
           }
           writer.endWriteSequence()
         } finally ios.close()
         val bytes = buf.toByteArray
         Row(id, bytes, Row("image/gif", bytes.length.toLong))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Evenly-spaced FRAME SAMPLING from real frame-sequence containers
+   * (the training-data step that turns a video into k keyframes):
+   * frame indexes `(i * n_frames) DIV k` for i < k (integer spacing —
+   * replayable exactly; duplicates collapse when k > n_frames), each
+   * sampled frame decoded for real and fingerprinted by its pixel sum.
+   * One row per (doc, sampled frame): (doc_id, frame_idx, pix_sum);
+   * undecodable payloads contribute nothing. One mapPartitions pass
+   * with a per-partition cached GIF reader; payloads never shuffle. A
+   * production mp4 path swaps the codec inside the same boundary.
+   */
+  def sampleVideoFrames(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("pix_sum", LongType)))
+    df.select(col(idCol).cast("long"), col(contentCol)).mapPartitions { rows =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false, true)
+          val frames = reader.getNumImages(true)
+          val idxs = (0 until k).map(i => (i.toLong * frames / k).toInt).distinct
+          idxs.map { f =>
+            val img = reader.read(f)
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += img.getRGB(x, y) & 0xffffff
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, f, s)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[Row]
+        } finally {
+          reader.setInput(null)
+          iis.close()
+        }
       }
     }(Encoders.row(outSchema))
   }
