@@ -1479,6 +1479,36 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out("b") === ((2L, 2L, 5000L)))
   }
 
+  test("round-8 operator guardrails reject bad parameters loudly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.kCore(edges, "s", "t", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.kTruss(edges, "s", "t", k = 2) // needs >= 3
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.zValue(col("s"), col("t"), bits = 32) // > 31
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Embeddings.hammingCode(
+        Seq((1L, Seq(1f))).toDF("id", "v"), "v", "c", 1, bits = 64) // > 63
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.neymanAllocation(
+        Seq(("a", 1L, 1.0)).toDF("g", "id", "v"), "id", "g", "v", budget = 0L)
+    }
+    // tar entry names over the ustar 100-byte limit fail the WRITE JOB,
+    // not silently truncate
+    val longId = "x" * 120
+    val bad = Seq((longId, "payload")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_bad").toString
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.TarShards.write(bad, "id", "text", dir, numShards = 1)
+    }
+  }
+
   test("plan shapes: sq8/hamming scans broadcast queries; encode is map-only") {
     import spark.implicits._
     val vecs = (0L until 40L).map(i => (i, (1 to 8).map(d => (i + d).toFloat)))
