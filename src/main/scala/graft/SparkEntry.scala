@@ -6978,4 +6978,27 @@ object SparkEntry {
   /** DuckDB-equivalent SQL for each query (omitted => rows-only check). */
   def oracleSql: Map[String, String] =
     inventory.collect { case Q(n, _, Some(o)) => n -> o }.toMap
+
+  /** Query ids intentionally absent from the suite — every hole must be
+   *  declared here or the contiguity gate below fails. (q187 was never
+   *  assigned; documenting beats silently renumbering 24 queries.) */
+  val tombstoneIds: Set[Int] = Set(187)
+
+  /** Fail fast if the declared query ids skip a number: a query
+   *  accidentally dropped from [[inventory]] would otherwise vanish from
+   *  the correctness gate with no signal. [[Verify]] calls this at
+   *  startup and a unit test pins it; returns the query count so doc
+   *  counts are generated, not hand-maintained. */
+  def assertContiguousQueryIds(): Int = {
+    val idRe = "^q(\\d+)_.*$".r
+    val ids = queries.keys.map {
+      case idRe(n) => n.toInt
+      case other => sys.error(s"query name without a qNN_ id prefix: $other")
+    }.toSet
+    val missing = ((1 to ids.max).toSet -- SparkEntry.tombstoneIds -- ids).toSeq.sorted
+    val zombie = (ids & tombstoneIds).toSeq.sorted
+    require(missing.isEmpty && zombie.isEmpty,
+      s"query id gaps — missing: $missing, tombstoned-but-present: $zombie")
+    ids.size
+  }
 }

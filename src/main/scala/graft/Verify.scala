@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a query silently dropped from the inventory must kill the run, not
+    // shrink the correctness gate by one
+    SparkEntry.assertContiguousQueryIds()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q96_bm25_topk,q01_... scopes the dump for local
     // iteration; the driver never sets it, so its runs stay exhaustive

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -173,12 +173,109 @@ object Graph {
    * canonical edges with their in-truss support (a, b, support).
    *
    * Scale shape: support comes from the degree-oriented adjacency
-   * intersection of [[edgeTriangles]] (never the wedge blow-up), each
-   * round's edge set is localCheckpoint-materialized (the [[kCore]]
-   * plan-explosion discipline), and the driver holds one scalar per
-   * round. Peel depth, not |E|, bounds the rounds.
+   * intersection of [[edgeTriangles]] (never the wedge blow-up) computed
+   * ONCE; later rounds maintain it INCREMENTALLY — only triangles that
+   * contained a dropped edge are re-derived (common neighbors of each
+   * dropped edge's endpoints), so per-round cost is proportional to the
+   * peel frontier, not |E|. A full census per round made rounds × census
+   * the dominant term on large graphs; below `deltaMinEdges` surviving
+   * edges (or when a round sheds over a third of the graph) a round
+   * censuses the shrunk graph instead, which is cheaper there. Each
+   * round's frames are
+   * materialized (the [[kCore]] plan-explosion discipline; reliable
+   * checkpoints when `checkpointDir` is set), and the driver holds one
+   * scalar per round. Peel depth, not |E|, bounds the rounds. Node ids
+   * must be long-castable (non-numeric ids raise).
    */
   def kTruss(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None,
+      deltaMinEdges: Long = 200000L): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for a triangle-based truss, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val mat = materializer(edges, checkpointDir)
+    var cur = mat(canonical(edges, srcCol, dstCol))
+    var curCount = cur.count()
+    // full triangle census exactly once up front (the expensive step)
+    var sup = mat(edgeSupport(cur))
+    var it = 0
+    var result: DataFrame = null
+    while (result == null && it < maxIters) {
+      val strong = sup.where(col("support") >= k - 2)
+      // edges in no triangle never reach `sup` (inner joins inside the
+      // census): the semi-join drops them too, exactly as support
+      // 0 < k-2 requires
+      val next = mat(cur.join(strong, Seq("a", "b"), "left_semi"))
+      val nextCount = next.count()
+      val nDropped = curCount - nextCount
+      if (nDropped == 0L) result = strong // fixpoint
+      else {
+        // incremental maintenance pays off only when a census would be
+        // expensive: early rounds can shed most of the graph at once
+        // (every edge outside a triangle dies in round 1) — there a
+        // fresh census of the SHRUNK graph beats decrementing a huge
+        // frontier (the classic 1/3 peel heuristic) — and on a small
+        // surviving graph (< `deltaMinEdges`) one census is a few
+        // fixed-latency stages while the delta machinery is five, so
+        // census wins there too. Both comparisons are driver-local
+        // longs, no extra job; the delta path engages exactly where it
+        // matters, on big graphs peeling small frontiers.
+        sup = if (nDropped * 3L > curCount || nextCount < deltaMinEdges) {
+          mat(edgeSupport(next))
+        } else {
+          // triangles destroyed this round: each dropped edge (a,b)
+          // killed the triangles {a,b,c} for c in commonNbrs(a,b) of the
+          // PRE-drop graph. Adjacency lists are built ONLY for nodes
+          // touching a dropped edge (left_semi against the frontier's
+          // endpoints — AQE broadcasts it), so this stage is
+          // frontier-sized, not O(|E|). DISTINCT canonical node-triples
+          // before decrementing: a triangle losing two edges in the same
+          // round dies once, so its surviving edge loses exactly one
+          // triangle, not two. `dropped` stays lazy: both its consumers
+          // are frontier-sized jobs over two already-materialized leaves.
+          val dropped = cur.join(strong, Seq("a", "b"), "left_anti")
+          val ends = dropped.select(col("a").as("m"))
+            .unionAll(dropped.select(col("b").as("m"))).distinct()
+          val adjacency = cur.select(col("a").as("m"), col("b").as("x"))
+            .unionAll(cur.select(col("b").as("m"), col("a").as("x")))
+            .join(ends, Seq("m"), "left_semi")
+            .groupBy("m")
+            .agg(sort_array(collect_list(longId(col("x")))).as("nbrs"))
+          val destroyed = dropped
+            .join(adjacency.select(col("m").as("a"), col("nbrs").as("na")), Seq("a"))
+            .join(adjacency.select(col("m").as("b"), col("nbrs").as("nb")), Seq("b"))
+            .select(longId(col("a")).as("ta"), longId(col("b")).as("tb"),
+              explode(graft.functions.graft_sorted_intersect(col("na"), col("nb"))).as("tc"))
+            .select(array_sort(array(col("ta"), col("tb"), col("tc"))).as("t"))
+            .distinct()
+          val lost = destroyed.select(explode(array(
+              struct(col("t")(0).as("a"), col("t")(1).as("b")),
+              struct(col("t")(0).as("a"), col("t")(2).as("b")),
+              struct(col("t")(1).as("a"), col("t")(2).as("b")))).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("lost"))
+          mat(strong.join(lost, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("lost"), lit(0L))).as("support"))
+            .where(col("support") > 0))
+        }
+        cur = next
+        curCount = nextCount
+        it += 1
+      }
+    }
+    require(result != null, s"kTruss did not converge within $maxIters rounds")
+    result
+  }
+
+  /** Reference implementation of [[kTruss]] that re-runs the full
+   *  triangle census every peel round — kept (test-visible) as the
+   *  equivalence oracle for the incremental support maintenance. */
+  private[graft] def kTrussFullRecompute(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
@@ -192,9 +289,6 @@ object Graph {
     while (result == null && it < maxIters) {
       val sup = edgeSupport(cur).localCheckpoint(true)
       val strong = sup.where(col("support") >= k - 2)
-      // edges in no triangle never reach `sup` (inner joins inside the
-      // census): semi-joining cur against the strong support rows drops
-      // them too, exactly as support 0 < k-2 requires
       val next = cur.join(strong, Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
       if (next.count() == cur.count()) result = strong // fixpoint
@@ -240,28 +334,61 @@ object Graph {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val mat = materializer(edges, checkpointDir)
     val canon = canonical(edges, srcCol, dstCol)
-    val adj = canon.select(col("a").as("m"), col("b").as("x"))
-      .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
-      .localCheckpoint(true)
-    var lab = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0))
-      .localCheckpoint(true)
+    val adj = mat(canon.select(col("a").as("m"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("m"), col("a").as("x"))))
+    var lab = mat(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0)))
     var frontier = lab
     var d = 1
     while (d <= maxDepth && frontier.count() > 0) {
       val nbrs = frontier.join(adj, frontier("node") === adj("m"))
         .select(col("x").as("node")).distinct()
-      val fresh = nbrs.join(lab, Seq("node"), "left_anti")
-        .withColumn("dist", lit(d))
-        .localCheckpoint(true)
-      lab = lab.unionAll(fresh).localCheckpoint(true)
+      val fresh = mat(nbrs.join(lab, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d)))
+      lab = mat(lab.unionAll(fresh))
       frontier = fresh
       d += 1
     }
     lab
+  }
+
+  /** Per-round materialization for the iterative ops (kCore/kTruss/BFS):
+   *  `localCheckpoint` by default — correct and cheap in a single-app
+   *  run, but its blocks live on executors, so a lost executor on a real
+   *  cluster kills the lineage-truncated frame mid-peel. When the caller
+   *  supplies `checkpointDir` (HDFS/S3-backed on a cluster), rounds use
+   *  RELIABLE `checkpoint()` instead and survive executor loss. Both
+   *  forms are eager AND truncate the plan to a leaf — the thing that
+   *  matters here, since a cached-only loop grows plan text ~3^rounds
+   *  (see [[kCore]]). */
+  private def materializer(
+      anyDf: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        anyDf.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(true)
+    }
+
+  /** Node id cast to long that FAILS FAST on non-numeric ids: a string
+   *  id casts to null, and `collect_list` would silently drop it —
+   *  triangle counts, truss supports, and core degrees would all be
+   *  wrong with no error. The triangle/truss/core family requires
+   *  long-castable node ids; anything else raises here. */
+  private def longId(c: Column): Column = {
+    // try_cast: null on failure in ANSI mode too, so the raise below
+    // owns the error message in every SQL mode
+    val l = c.try_cast("long")
+    when(c.isNotNull && l.isNull,
+      raise_error(concat(
+        lit("graft graph ops require long-castable node ids, got: "),
+        c.cast("string")))).otherwise(l)
   }
 
   /** Canonical undirected edge list: self-loops dropped, endpoints
@@ -310,7 +437,7 @@ object Graph {
     // edge stream never shuffles with duplicated neighbor arrays
     // attached (that duplication is Σd², the wedge blow-up in disguise).
     val adj = o.groupBy(col("u").as("node"))
-      .agg(sort_array(collect_list(col("v").cast("long"))).as("nbrs"))
+      .agg(sort_array(collect_list(longId(col("v")))).as("nbrs"))
       .cache()
     adj.count()
     // a v with no out-edges closes no triangle — inner joins suffice
@@ -327,6 +454,8 @@ object Graph {
    * graph has no wedges). The quality signal for corpus-derived
    * similarity graphs: a near-dup graph whose gcc collapses after a
    * pipeline change usually means the candidate generator broke.
+   * Node ids must be long-castable (non-numeric ids raise, they are
+   * never silently dropped — see [[longId]]).
    */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = canonical(edges, srcCol, dstCol).cache()
@@ -388,12 +517,32 @@ object Graph {
       .where(col("deg") <= maxMiddleDeg)
       .select(col("m"), col("x"))
       .cache()
+    // materialize BEFORE the self-join references it on both sides:
+    // without this the two join children race to fill the cache and each
+    // recomputes the union+degree join (the canon.count() discipline
+    // above; was the suite's slowest query until fixed)
+    adj.count()
     val cn = adj.as("l").join(adj.as("r"),
         col("l.m") === col("r.m") && col("l.x") < col("r.x"))
       .select(col("l.x").as("a"), col("r.x").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
     val nonAdj = cn.join(canon, Seq("a", "b"), "left_anti")
-    nonAdj
+    // per-`a` partial top-N ahead of the global TakeOrdered: a row beaten
+    // by topN strictly-higher cn values WITHIN its own `a` partition is
+    // beaten by them globally too, so rank() <= topN (rank, not
+    // row_number — cn ties must all survive for the jaccard tie-break)
+    // is a lossless prune. Spark plans it as a WindowGroupLimit, i.e. a
+    // map-side top-N BEFORE the shuffle — the degree joins and final
+    // sort then see O(nodes × topN) rows, not every wedge pair. Must sit
+    // AFTER the anti-join: adjacent pairs would otherwise inflate ranks
+    // and prune rows that win once those pairs are removed.
+    val pruned = nonAdj
+      .withColumn("rk", rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("cn").desc)))
+      .where(col("rk") <= topN)
+      .drop("rk")
+    pruned
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
       .select(col("a"), col("b"), col("cn"),
@@ -465,7 +614,8 @@ object Graph {
    * with their in-core degree — every returned node has core_deg >= k.
    * The dedup-graph use: a near-dup cluster that survives a high-k core
    * is a template farm (every member similar to many others), while
-   * chains and stars — organic near-dups — peel away.
+   * chains and stars — organic near-dups — peel away. Node ids must be
+   * long-castable (non-numeric ids raise, never silently dropped).
    *
    * Scale shape: each round is one degree aggregation over the current
    * edge list plus two anti-joins against the (small, shrinking) set of
@@ -481,18 +631,20 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxIters: Int = 100): DataFrame = {
+      maxIters: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     // each round is CHECKPOINTED, not just cached: a cached round's plan
     // embeds the previous round's plan THREE times (both anti-join sides
     // carry the degree pass), so plan TEXT grows ~3^rounds and the
     // explain string Spark builds per executed query OOMs the driver by
-    // round 5 (measured; the data itself is tiny). localCheckpoint
-    // materializes the shrinking edge set AND truncates the plan to a
-    // leaf — the standard iterative-algorithm hygiene (on a cluster with
-    // lossy executors, a reliable checkpoint dir hardens this further).
-    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    // round 5 (measured; the data itself is tiny). Materialization
+    // (local by default, reliable when `checkpointDir` is set — see
+    // [[materializer]]) persists the shrinking edge set AND truncates
+    // the plan to a leaf — the standard iterative-algorithm hygiene.
+    val mat = materializer(edges, checkpointDir)
+    var cur = mat(canonical(edges, srcCol, dstCol))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -504,10 +656,10 @@ object Graph {
         converged = true
         weak.unpersist(blocking = false)
       } else {
-        val next = cur
+        val next = mat(cur
           .join(weak.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
-          .join(weak.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-          .localCheckpoint(true) // eager: materialized before parents drop
+          .join(weak.withColumnRenamed("node", "b"), Seq("b"), "left_anti"))
+        // eager: materialized before parents drop
         cur.unpersist(blocking = false)
         weak.unpersist(blocking = false)
         cur = next
@@ -518,7 +670,7 @@ object Graph {
       s"kCore did not converge within $maxIters rounds")
     cur.select(col("a").as("node"))
       .unionAll(cur.select(col("b").as("node")))
-      .groupBy(col("node").cast("long").as("node"))
+      .groupBy(longId(col("node")).as("node"))
       .agg(count(lit(1)).cast("long").as("core_deg"))
   }
 
@@ -570,6 +722,7 @@ object Graph {
    * (ties to the lower id): (node, deg, n_tri, lcc_fp) with
    * lcc = 2*tri / (deg*(deg-1)) in 1e4 fixed point — which hub
    * neighborhoods are tight communities vs star-shaped spam.
+   * Node ids must be long-castable (non-numeric ids raise).
    */
   def localClustering(
       edges: DataFrame, srcCol: String, dstCol: String, topN: Int): DataFrame = {

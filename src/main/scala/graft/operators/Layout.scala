@@ -49,15 +49,25 @@ object Layout {
     // NORMALIZE each dimension to the full `bits` range first
     // (x' = x * 2^bits DIV (max+1)): raw keys usually occupy only the
     // low bits, which would leave the z high bits constant and every
-    // row in bucket 0. One one-row max aggregate broadcasts.
+    // row in bucket 0. One one-row max aggregate (collected: the maxes
+    // gate the overflow check below and then fold into the plan as
+    // literals — no join at all).
     val raw = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull &&
         col("x") >= 0 && col("y") >= 0)
-    val mx = broadcast(raw.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax")))
-    raw.crossJoin(mx)
-      .withColumn("xs", expr(s"(x * ${1L << bits}L) DIV (xmax + 1L)"))
-      .withColumn("ys", expr(s"(y * ${1L << bits}L) DIV (ymax + 1L)"))
+    val mxRow = raw.agg(max(col("x")).as("xmax"), max(col("y")).as("ymax")).head()
+    val xmax = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val ymax = if (mxRow.isNullAt(1)) 0L else mxRow.getLong(1)
+    // x * 2^bits must stay under 2^63 or the normalization silently goes
+    // negative and every bucket is garbage — fail loudly instead
+    val lim = Long.MaxValue >> bits
+    require(xmax <= lim && ymax <= lim,
+      s"zOrderReport: keys too large for bits=$bits — max key must be <= " +
+        s"$lim (got xmax=$xmax, ymax=$ymax); rescale keys or lower bits")
+    raw
+      .withColumn("xs", expr(s"(x * ${1L << bits}L) DIV ${xmax + 1L}L"))
+      .withColumn("ys", expr(s"(y * ${1L << bits}L) DIV ${ymax + 1L}L"))
       .withColumn("z", zValue(col("xs"), col("ys"), bits))
       .withColumn("bucket",
         shiftrightunsigned(col("z"), 2 * bits - bucketBits).cast("int"))

@@ -107,6 +107,10 @@ object Pq {
       books: Seq[Codebook],
       quantScale: Int = 1000): DataFrame = {
     val m = books.size
+    // public entry (the streaming path calls it directly): an m that
+    // doesn't divide dim would silently mis-slice every block
+    require(m >= 1 && dim % m == 0,
+      s"dim ($dim) must be divisible by the codebook count ($m)")
     val sub = dim / m
     val q = Clustering.quantized(df, idCol, vecCol, quantScale)
     books.zipWithIndex.foldLeft(q) { case (acc, (cents, b)) =>

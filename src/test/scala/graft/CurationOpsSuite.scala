@@ -1509,6 +1509,47 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("round-9 guardrails: pq block slicing, z-order overflow, tar corruption") {
+    import spark.implicits._
+    // encodeWith is public (the streaming path calls it directly): an m
+    // that doesn't divide dim must fail, not silently mis-slice blocks
+    val vecs = (0L until 8L).map(i => (i, (1 to 6).map(d => (i + d).toFloat)))
+      .toDF("id", "v")
+    val books = graft.operators.Pq.trainCodebooks(vecs, "id", "v",
+      dim = 6, m = 2, k = 2, iters = 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pq.encodeWith(vecs, "id", "v", dim = 9, books)
+    }
+    assert(e.getMessage.contains("divisible"))
+    // z-order: keys whose normalization would overflow x * 2^bits must
+    // raise, not return negative z values and garbage buckets
+    val huge = Seq((Long.MaxValue / 2, 1L)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Layout.zOrderReport(huge, "x", "y", bits = 20, bucketBits = 4)
+    }
+    assert(e2.getMessage.contains("rescale"))
+    // a flipped payload-size byte breaks the header checksum: read()
+    // must reject the shard loudly, not decode garbage entries
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_chk").toString
+    graft.sources.TarShards.write(
+      Seq((1L, "hello world")).toDF("id", "text"), "id", "text", dir, numShards = 1)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head.toPath
+    val bytes = java.nio.file.Files.readAllBytes(shard)
+    bytes(130) = '7' // inside the size field, header checksum now stale
+    // fresh dir via plain nio: rewriting in place would trip Hadoop's
+    // .crc sidecar first and shadow the ustar-level validation under test
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tar_chk2")
+    java.nio.file.Files.write(dir2.resolve("shard-0.tar"), bytes)
+    val e3 = intercept[Exception] {
+      graft.sources.TarShards.read(spark, dir2.toString).collect()
+    }
+    val chainDesc = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => x.getClass.getName + ": " + x.getMessage).mkString(" ||| ")
+    assert(chainDesc.contains("checksum"), chainDesc)
+  }
+
   test("plan shapes: sq8/hamming scans broadcast queries; encode is map-only") {
     import spark.implicits._
     val vecs = (0L until 40L).map(i => (i, (1 to 8).map(d => (i + d).toFloat)))

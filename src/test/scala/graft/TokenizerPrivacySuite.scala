@@ -476,4 +476,70 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(out(5L) === ((2L, 1L, 10000L)))   // K3 member: lcc 1.0
     assert(out(1L) === ((1L, 0L, 0L)))       // leaf: deg 1 -> lcc 0
   }
+
+  test("kTruss: incremental support maintenance == full recompute on random graphs") {
+    import spark.implicits._
+    // the incremental path only re-derives triangles destroyed by each
+    // round's dropped edges; pin its equivalence with the full-census
+    // reference across random graphs and several k
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.22
+      } yield (a, b)).toDF("s", "t")
+      for (k <- Seq(3, 4, 5)) {
+        // deltaMinEdges = 0 forces the incremental path even on a toy
+        // graph (production defaults would census it instead)
+        val fast = graft.operators.Graph.kTruss(edges, "s", "t", k,
+            deltaMinEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val full = graft.operators.Graph.kTrussFullRecompute(edges, "s", "t", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(fast === full, s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("iterative graph ops accept a reliable checkpoint dir (cluster hardening)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val g = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("s", "t")
+    val core = graft.operators.Graph.kCore(g, "s", "t", k = 3,
+      checkpointDir = Some(dir))
+    assert(core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val truss = graft.operators.Graph.kTruss(g, "s", "t", k = 4,
+      checkpointDir = Some(dir))
+    assert(truss.count() === k4.size.toLong)
+    val bfs = graft.operators.Graph.bfsDistances(g, "s", "t",
+      Seq(0L).toDF("seed"), "seed", maxDepth = 2, checkpointDir = Some(dir))
+    assert(bfs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      === Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2))
+    // the reliable checkpoints actually landed on disk
+    assert(new java.io.File(dir).listFiles() != null &&
+      new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("triangle/truss/core family raises on non-numeric node ids, never drops them") {
+    import spark.implicits._
+    val strEdges = Seq(("docA", "docB"), ("docB", "docC"), ("docA", "docC"))
+      .toDF("s", "t")
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(x => Option(x.getMessage).exists(_.contains(s)))
+    val e1 = intercept[Exception] {
+      graft.operators.Graph.triangleStats(strEdges, "s", "t").collect()
+    }
+    assert(chainHas(e1, "long-castable"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      graft.operators.Graph.kCore(strEdges, "s", "t", k = 1).collect()
+    }
+    assert(chainHas(e2, "long-castable"), e2.getMessage)
+    // numeric-typed ids keep working end to end
+    val intEdges = Seq((1, 2), (2, 3), (1, 3)).toDF("s", "t")
+    assert(graft.operators.Graph.triangleStats(intEdges, "s", "t")
+      .collect().head.getLong(2) === 1L)
+  }
 }
