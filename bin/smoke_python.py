@@ -19,7 +19,62 @@ spark = (SparkSession.builder
 # Py4J hook (idempotent even when the extension already registered everything)
 spark._jvm.org.apache.spark.api.python.GraftPythonApi.install(spark._jsparkSession)
 
-df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+from pyspark.sql import functions as F
+
+import os
+import sys
+
+# Real testdata when present (local runs); schema-compatible synthetic
+# tables otherwise (CI runners have no testdata tree). Pass an alternate
+# data dir as argv[1].
+DATA = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+_WORDS = ("the quick brown fox jumps over lazy dog "
+          "hash join slow scan click here")
+
+
+def tbl(name):
+    path = os.path.join(DATA, name + ".parquet")
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    r = spark.range
+    if name == "lineitem":
+        return r(600).selectExpr(
+            "id % 150 AS l_orderkey",
+            "CAST(1 + id % 37 AS DOUBLE) AS l_quantity",
+            "CASE WHEN id % 3 = 0 THEN 'A' WHEN id % 3 = 1 THEN 'N' "
+            "ELSE 'R' END AS l_returnflag")
+    if name == "supplier":
+        return r(50).selectExpr("id AS s_suppkey",
+                                "concat('sup#', id) AS s_name")
+    if name == "orders":
+        return r(300).selectExpr("id AS o_orderkey", "id % 80 AS o_custkey")
+    if name == "customer":
+        return r(100).selectExpr("id AS c_custkey", "concat('c', id) AS c_name")
+    if name == "documents":
+        # 14-word vocabulary stepped by 3 per position: ~14 distinct texts
+        # over 200 docs (dedup has work), "hash join"/"slow scan" terms
+        # present for BM25, never the adjacent bigram "click here"
+        return (r(200).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(0, 20 + CAST(id % 7 AS INT)), "
+            "i -> element_at(split('" + _WORDS + "', ' '), "
+            "1 + CAST((id * 7 + i * 3) % 14 AS INT)))) AS text",
+            "CASE WHEN id % 4 = 0 THEN 'fr' ELSE 'en' END AS lang")
+            .withColumn("n_chars", F.length("text")))
+    if name == "events":
+        return r(500).selectExpr(
+            "id AS event_id", "id % 25 AS user_id",
+            "timestamp_micros(1700000000000000 + id * 1000000) AS ts")
+    if name == "embeddings":
+        return r(300).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 63), "
+            "i -> CAST(sin(id * 0.37 + i) AS FLOAT)) AS embedding")
+    raise ValueError("no synthetic fallback for table: " + name)
+
+
+df = tbl("lineitem")
 agg = (df.selectExpr(
     "approx_percentile_ex(l_quantity, 0.5) AS p50",
     "approx_count_distinct_ex(l_orderkey) AS nd")
@@ -34,22 +89,21 @@ assert scalar.mh == 16, scalar
 from pyspark.sql import DataFrame
 
 api = spark._jvm.org.apache.spark.api.python.GraftPythonApi
-sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+sup = tbl("supplier")
 prof = DataFrame(api.profile(sup._jdf), spark)
 rows = {r.col_name: r for r in prof.collect()}
 assert rows["s_suppkey"].n_nulls == 0 and rows["s_suppkey"].n_distinct == sup.count(), rows
 
-orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+orders = tbl("orders")
+cust = tbl("customer")
 js = DataFrame(api.keyOverlap(orders._jdf, "o_custkey", cust._jdf, "c_custkey"), spark).collect()[0]
 assert js.n_overlap > 0 and js.est_join_rows > 0, js
 
-docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+docs = tbl("documents")
 dd = DataFrame(api.exactDedup(docs._jdf, "doc_id", "text"), spark)
 assert dd.count() > 0
 
 # classifier training counts + byte-balanced sharding + token budget
-from pyspark.sql import functions as F
 labeled = docs.withColumn("is_en", F.col("lang") == "en")
 trained = DataFrame(api.trainHashedBow(labeled._jdf, "is_en", "text", 32, 1.0), spark)
 assert trained.count() > 0 and trained.agg(F.sum("n_pos")).collect()[0][0] > 0
@@ -90,7 +144,7 @@ ih = DataFrame(api.textIndexQuery(spark._jsparkSession, tidx,
 assert ih.count() == 5
 # events.ts is parquet timestamp[us] (TIMESTAMP_NTZ) since r6 — micros as
 # the asof key; NTZ->LTZ cast is exact under the UTC session timezone
-ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+ev = tbl("events") \
     .selectExpr("event_id", "user_id",
                 "unix_micros(CAST(ts AS TIMESTAMP)) AS t")
 fwd = DataFrame(api.asofForward(ev.limit(200)._jdf, ev._jdf, "user_id", "t"), spark)
@@ -108,7 +162,7 @@ rep = DataFrame(api.textProfile(docs._jdf, "doc_id", "text"), spark)
 assert rep.count() == 1 and rep.collect()[0]["n_docs"] == docs.count()
 
 # matrix sketches + deterministic k-means over embeddings
-emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+emb = tbl("embeddings")
 fdrow = emb.selectExpr("CAST(embedding AS ARRAY<DOUBLE>) v") \
     .selectExpr("vec_gram_agg(v) g", "fd_accumulate(v, 8) s") \
     .selectExpr("size(g) d2", "fd_error_bound(s) eps",

@@ -6455,6 +6455,20 @@ object SparkEntry {
       val media = Multimodal.synthesizeVideoContent(s.table("documents"), "doc_id")
       Multimodal.sampleVideoFrames(media, "doc_id", "content", k = 2)
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // Same truss, same oracle as q193 — but with deltaMinEdges=0 so the
+    // INCREMENTAL support-maintenance path (frontier-sized triangle
+    // re-derivation instead of a census per peel round) is what runs and
+    // gets hash-checked against DuckDB on real data. q193 keeps the
+    // production default, which censuses graphs this small.
+    q("q212_ktruss_incremental", kTrussOracleSql(k = 3, rounds = 5)) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.kTruss(repeatCoPartEdges(s), "src", "dst", k = 3,
+          deltaMinEdges = 0L)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("support"))
+        .orderBy("a", "b")
     }
   )
 
