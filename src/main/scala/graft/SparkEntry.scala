@@ -6998,6 +6998,12 @@ object SparkEntry {
    *  assigned; documenting beats silently renumbering 24 queries.) */
   val tombstoneIds: Set[Int] = Set(187)
 
+  /** Highest assigned query id. Declared (not derived) so the contiguity
+   *  gate also catches a silently dropped HIGHEST query — with only
+   *  `ids.max` the range would shrink with the loss and still pass.
+   *  Bump when adding a query; the gate fails loudly if forgotten. */
+  val maxQueryId: Int = 212
+
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from
    *  the correctness gate with no signal. [[Verify]] calls this at
@@ -7009,10 +7015,12 @@ object SparkEntry {
       case idRe(n) => n.toInt
       case other => sys.error(s"query name without a qNN_ id prefix: $other")
     }.toSet
-    val missing = ((1 to ids.max).toSet -- SparkEntry.tombstoneIds -- ids).toSeq.sorted
+    val missing = ((1 to maxQueryId).toSet -- tombstoneIds -- ids).toSeq.sorted
     val zombie = (ids & tombstoneIds).toSeq.sorted
-    require(missing.isEmpty && zombie.isEmpty,
-      s"query id gaps — missing: $missing, tombstoned-but-present: $zombie")
+    val beyond = ids.filter(_ > maxQueryId).toSeq.sorted
+    require(missing.isEmpty && zombie.isEmpty && beyond.isEmpty,
+      s"query id gaps — missing: $missing, tombstoned-but-present: $zombie, " +
+        s"over maxQueryId($maxQueryId): $beyond (bump the declared max)")
     ids.size
   }
 }

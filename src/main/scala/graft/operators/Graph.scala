@@ -198,7 +198,13 @@ object Graph {
     require(k >= 3, s"k must be >= 3 for a triangle-based truss, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val mat = materializer(edges, checkpointDir)
-    var cur = mat(canonical(edges, srcCol, dstCol))
+    // normalize ids to LONG at the boundary: downstream the census mixes
+    // original-typed endpoints with exploded BIGINT common-neighbors
+    // (least/struct would fail analysis on string ids with a cryptic
+    // DATATYPE_MISMATCH); normalizing here makes numeric-string ids work
+    // and non-numeric ids raise longId's message, as documented
+    var cur = mat(canonical(edges, srcCol, dstCol)
+      .select(longId(col("a")).as("a"), longId(col("b")).as("b")))
     var curCount = cur.count()
     // full triangle census exactly once up front (the expensive step)
     var sup = mat(edgeSupport(cur))
@@ -240,8 +246,7 @@ object Graph {
           val dropped = cur.join(strong, Seq("a", "b"), "left_anti")
           val ends = dropped.select(col("a").as("m"))
             .unionAll(dropped.select(col("b").as("m"))).distinct()
-          val adjacency = cur.select(col("a").as("m"), col("b").as("x"))
-            .unionAll(cur.select(col("b").as("m"), col("a").as("x")))
+          val adjacency = symmetric(cur)
             .join(ends, Seq("m"), "left_semi")
             .groupBy("m")
             .agg(sort_array(collect_list(longId(col("x")))).as("nbrs"))
@@ -283,7 +288,9 @@ object Graph {
       maxIters: Int = 50): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a triangle-based truss, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    var cur = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    var cur = canonical(edges, srcCol, dstCol)
+      .select(longId(col("a")).as("a"), longId(col("b")).as("b"))
+      .localCheckpoint(true)
     var it = 0
     var result: DataFrame = null
     while (result == null && it < maxIters) {
@@ -339,8 +346,7 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val mat = materializer(edges, checkpointDir)
     val canon = canonical(edges, srcCol, dstCol)
-    val adj = mat(canon.select(col("a").as("m"), col("b").as("x"))
-      .unionAll(canon.select(col("b").as("m"), col("a").as("x"))))
+    val adj = mat(symmetric(canon))
     var lab = mat(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0)))
     var frontier = lab
@@ -370,11 +376,33 @@ object Graph {
       anyDf: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
       case Some(dir) =>
+        // NOTE: setCheckpointDir is SparkContext-global (any concurrent
+        // checkpoint user is redirected too), and Spark only deletes
+        // checkpoint files at app exit unless
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true — both
+        // standard Spark checkpoint semantics, called out here because a
+        // 50-round peel writes 50 edge-set snapshots under `dir`.
         anyDf.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
+        df => {
+          // persist first: RDD checkpointing recomputes the lineage a
+          // second time to write the files; the cache turns that second
+          // pass into a read. Unpersist after — the checkpoint files are
+          // the durable copy.
+          df.persist()
+          val out = df.checkpoint(eager = true)
+          df.unpersist(blocking = false)
+          out
+        }
       case None =>
         df => df.localCheckpoint(true)
     }
+
+  /** Symmetric (both-directions) edge list (m, x) of a canonical
+   *  undirected edge set — the shared first step of BFS, the wedge
+   *  join, and the truss delta path. */
+  private def symmetric(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("m"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
 
   /** Node id cast to long that FAILS FAST on non-numeric ids: a string
    *  id casts to null, and `collect_list` would silently drop it —
@@ -511,8 +539,7 @@ object Graph {
     // symmetric adjacency, hub middles dropped before the wedge join;
     // CACHED: the wedge self-join references it on both sides, and each
     // side would otherwise recompute the union+degree join
-    val adj = canon.select(col("a").as("m"), col("b").as("x"))
-      .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
+    val adj = symmetric(canon)
       .join(deg.withColumnRenamed("node", "m"), Seq("m"))
       .where(col("deg") <= maxMiddleDeg)
       .select(col("m"), col("x"))

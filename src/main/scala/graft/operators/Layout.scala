@@ -37,6 +37,11 @@ object Layout {
    * that decide how much a scan with a predicate on either column can
    * skip. Compare against a single-column sort's report to justify
    * the layout. One projection + one hash aggregate.
+   *
+   * NOTE: runs the one-row max aggregate EAGERLY at call time — the
+   * maxes gate the overflow check and then fold into the plan as
+   * literals, so the returned frame snapshots the key range as of the
+   * call (re-derive it if the source table changes underneath).
    */
   def zOrderReport(
       df: DataFrame,

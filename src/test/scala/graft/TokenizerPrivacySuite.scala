@@ -537,9 +537,18 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
       graft.operators.Graph.kCore(strEdges, "s", "t", k = 1).collect()
     }
     assert(chainHas(e2, "long-castable"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      graft.operators.Graph.kTruss(strEdges, "s", "t", k = 3).collect()
+    }
+    assert(chainHas(e3, "long-castable"), e3.getMessage)
     // numeric-typed ids keep working end to end
     val intEdges = Seq((1, 2), (2, 3), (1, 3)).toDF("s", "t")
     assert(graft.operators.Graph.triangleStats(intEdges, "s", "t")
       .collect().head.getLong(2) === 1L)
+    // ...and so do NUMERIC STRINGS (ids normalized to long at the
+    // boundary, per the documented long-castable contract)
+    val numStr = Seq(("1", "2"), ("2", "3"), ("1", "3")).toDF("s", "t")
+    assert(graft.operators.Graph.kTruss(numStr, "s", "t", k = 3)
+      .collect().map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L))
   }
 }
