@@ -477,6 +477,19 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(out(1L) === ((1L, 0L, 0L)))       // leaf: deg 1 -> lcc 0
   }
 
+  test("commonNeighborPairs plans a map-side WindowGroupLimit before the degree joins") {
+    import spark.implicits._
+    // the per-`a` rank() <= topN prune must compile to WindowGroupLimit
+    // (partial top-N BEFORE the shuffle) and the final sort to a
+    // TakeOrdered, or the wedge pairs all flow into the degree joins
+    val edges = (0L until 40L).flatMap(i => Seq((i, (i + 1) % 40), (i, (i + 7) % 40)))
+      .toDF("s", "t")
+    val plan = graft.operators.Graph.commonNeighborPairs(edges, "s", "t", 5, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("TakeOrdered"), plan)
+  }
+
   test("kTruss: incremental support maintenance == full recompute on random graphs") {
     import spark.implicits._
     // the incremental path only re-derives triangles destroyed by each
