@@ -6469,6 +6469,67 @@ object SparkEntry {
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           col("support"))
         .orderBy("a", "b")
+    },
+
+    // Inter-annotator agreement: rater A = event_type, rater B = the
+    // same label except every 7th event flips to its reversed string —
+    // a deterministic ~14% disagreement whose kappa the oracle replays
+    // with the same all-integer (agree*n - S) / (n^2 - S) formula,
+    // sign-safe truncated division on both engines.
+    q("q213_label_agreement",
+      """WITH lab AS (
+        |  SELECT event_type a,
+        |         CASE WHEN event_id % 7 = 0 THEN reverse(event_type)
+        |              ELSE event_type END b
+        |  FROM events),
+        |ma AS (SELECT a, CAST(count(*) AS BIGINT) na FROM lab GROUP BY 1),
+        |mb AS (SELECT b, CAST(count(*) AS BIGINT) nb FROM lab GROUP BY 1),
+        |ch AS (SELECT coalesce(CAST(sum(na * nb) AS BIGINT), 0) s
+        |       FROM ma JOIN mb ON ma.a = mb.b),
+        |base AS (SELECT CAST(count(*) AS BIGINT) n,
+        |                CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) agree
+        |         FROM lab)
+        |SELECT n AS n_items, agree AS n_agree,
+        |       CAST(CASE WHEN n * n = s THEN NULL
+        |            WHEN agree * n - s < 0
+        |              THEN -(((s - agree * n) * 10000) // (n * n - s))
+        |            ELSE ((agree * n - s) * 10000) // (n * n - s) END
+        |         AS BIGINT) AS kappa_fp
+        |FROM base, ch""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val lab = s.table("events").select(
+        col("event_type").as("rater_a"),
+        when(col("event_id") % 7 === 0, reverse(col("event_type")))
+          .otherwise(col("event_type")).as("rater_b"))
+      Profiler.labelAgreement(lab, "rater_a", "rater_b")
+    },
+
+    // Directional shingle containment at 4/5: the boilerplate-wrapper
+    // near-dup signal (short doc embedded in a long one) that symmetric
+    // Jaccard (q21) misses. Oracle brute-forces every ordered pair with
+    // the same 5-gram shingle sets.
+    q("q214_containment_pairs",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                     i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |         len(list_intersect(a.sh, b.sh)) inter,
+        |         len(a.sh) sz_a, len(b.sh) sz_b
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b
+        |FROM pairs WHERE inter * 5 >= sz_a * 4 ORDER BY id_a, id_b""".stripMargin) {
+      (s, d) =>
+      view(s, d, "documents")
+      Dedup.containmentPairs(s.table("documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -7002,7 +7063,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 212
+  val maxQueryId: Int = 214
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -304,6 +304,56 @@ object Dedup {
   }
 
   /** Exact-verify candidate pairs against full shingle sets (integer threshold). */
+  /**
+   * Exact DIRECTIONAL shingle-containment pairs: (id_a, id_b) where
+   * |A ∩ B| / |A| >= num/den — the boilerplate-wrapper signal symmetric
+   * Jaccard misses: a short document fully embedded in a long one has
+   * containment ~1 but Jaccard ~|A|/|B|, far below any near-dup
+   * threshold. Emits (id_a, id_b, inter, sz_a, sz_b), both directions
+   * when both qualify, integer-exact comparison.
+   *
+   * Candidate generation is prefix-filtered on the CONTAINED side only:
+   * if B misses all of A's (|A| − ⌈t·|A|⌉ + 1) globally-rarest shingles,
+   * then |A ∩ B| ≤ ⌈t·|A|⌉ − 1 < t·|A| — so joining A-prefixes against
+   * the full posting list loses no qualifying pair (the containing side
+   * cannot be pruned: nothing about |B| bounds |A ∩ B|/|A|). Prefixes
+   * hold each document's RAREST shingles, so the join keys avoid the
+   * boilerplate hubs; exact verification then discards hash-collision
+   * extras, as in [[ngramJaccardPairs]].
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      num: Int = 4,
+      den: Int = 5): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val posting = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("h"))
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .withColumn("plen",
+        col("sz") - ((col("sz") * num + den - 1).divide(den).cast("int")) + 1)
+      .where(col("rnk") <= col("plen"))
+      .select(col("id").as("id_a"), col("h"))
+    val candidates = prefix
+      .join(posting.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .where(col("inter") * den >= size(col("sh_a")) * num)
+      .select(col("id_a"), col("id_b"),
+        col("inter").cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+  }
+
   private def verifyJaccard(
       candidates: DataFrame, sets: DataFrame, num: Int, den: Int): DataFrame = {
     candidates

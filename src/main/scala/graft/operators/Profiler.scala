@@ -207,6 +207,47 @@ object Profiler {
   }
 
   /**
+   * Inter-annotator agreement (Cohen's kappa) between two label columns
+   * — the standard QC gate for labeled training data: raw percent
+   * agreement flatters raters who both spam the majority class, kappa
+   * discounts the agreement their marginals would produce by chance.
+   * Rows with a null on either side are excluded (an abstention is not
+   * a label). One row: (n_items, n_agree, kappa_fp) with kappa in 1e4
+   * fixed point, truncated toward zero (sign-safe on both engines), or
+   * NULL when chance agreement is 1 (degenerate single-class marginals
+   * — kappa is undefined there).
+   *
+   * All-integer arithmetic: with S = Σ_k rowMarginal(k)·colMarginal(k),
+   *   kappa = (agree·n − S) / (n² − S)
+   * — exact longs end to end (n² fits: 3e9 rows is the practical bound,
+   * beyond that pre-aggregate per shard). Scale shape: two grouped
+   * counts over one scan each, a |labels|×|labels| equi-join on label
+   * value (tiny), and one-row cross joins.
+   */
+  def labelAgreement(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val lab = df
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .cache()
+    val margA = lab.groupBy("a").agg(count(lit(1)).as("na"))
+    val margB = lab.groupBy("b").agg(count(lit(1)).as("nb"))
+    val chance = margA.join(margB, col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("s"))
+    val base = lab.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), 1L).otherwise(0L)), lit(0L))
+        .as("agree"))
+    base.crossJoin(chance).select(
+      col("n").as("n_items"),
+      col("agree").as("n_agree"),
+      expr("""CASE WHEN n * n = s THEN NULL
+              WHEN agree * n - s < 0
+                THEN -(((s - agree * n) * 10000L) DIV (n * n - s))
+              ELSE ((agree * n - s) * 10000L) DIV (n * n - s) END""")
+        .cast("long").as("kappa_fp"))
+  }
+
+  /**
    * [[profile]] per group — the per-source / per-language quality
    * dashboard shape. Identical single-pass design: one grouped
    * aggregate carries every profiled column's sketches, then the

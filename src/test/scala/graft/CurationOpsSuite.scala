@@ -1550,6 +1550,43 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(chainDesc.contains("checksum"), chainDesc)
   }
 
+  test("labelAgreement: hand-computed kappa, sign-safe negatives, degenerate NULL") {
+    import spark.implicits._
+    // a=[x,x,y,y] b=[x,x,y,x]: agree=3, S = 2*3 + 2*1 = 8,
+    // kappa = (12-8)/(16-8) = 0.5 -> 5000 fp; the null row is excluded
+    val df = Seq(("x", Some("x")), ("x", Some("x")), ("y", Some("y")),
+      ("y", Some("x")), ("x", None)).toDF("ra", "rb")
+    val r = graft.operators.Profiler.labelAgreement(df, "ra", "rb").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 5000L)))
+    // total inversion on two classes: kappa = -1 (sign-safe division)
+    val inv = Seq(("x", "y"), ("y", "x")).toDF("ra", "rb")
+    val ri = graft.operators.Profiler.labelAgreement(inv, "ra", "rb").collect().head
+    assert(ri.getLong(2) === -10000L)
+    // single shared class: chance agreement 1, kappa undefined -> NULL
+    val deg = Seq(("x", "x"), ("x", "x")).toDF("ra", "rb")
+    assert(graft.operators.Profiler.labelAgreement(deg, "ra", "rb")
+      .collect().head.isNullAt(2))
+  }
+
+  test("containmentPairs: directional (wrapper found, reverse not), exact threshold") {
+    import spark.implicits._
+    // doc 1's two 5-gram shingles are both inside doc 2's four:
+    // containment 1->2 = 2/2 = 1 >= 4/5, but 2->1 = 2/4 < 4/5
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+    // exact duplicates qualify in BOTH directions (incl. the <5-word
+    // whole-text fallback shingle)
+    val dups = Seq((1L, "a b c"), (2L, "a b c"), (3L, "q r s")).toDF("doc_id", "text")
+    val both = graft.operators.Dedup.containmentPairs(dups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("plan shapes: sq8/hamming scans broadcast queries; encode is map-only") {
     import spark.implicits._
     val vecs = (0L until 40L).map(i => (i, (1 to 8).map(d => (i + d).toFloat)))
