@@ -6530,8 +6530,86 @@ object SparkEntry {
       view(s, d, "documents")
       Dedup.containmentPairs(s.table("documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
+    },
+
+    // Fleiss' kappa over a synthetic 3-rater panel: events bucket into
+    // 997 items, each item's first three events (by event_id) are its
+    // ratings, and every 11k-th-ish rating flips to the reversed label —
+    // the oracle replays the all-integer ((T-Nm)Nm - Q(m-1)) /
+    // ((m-1)((Nm)^2 - Q)) formula with sign-safe division.
+    q("q215_fleiss_kappa",
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |         row_number() OVER (PARTITION BY event_id % 997
+        |                            ORDER BY event_id) rn
+        |  FROM events),
+        |lab AS (
+        |  SELECT event_id % 997 item,
+        |         CASE WHEN (event_id * 7) % 11 < 2 THEN reverse(event_type)
+        |              ELSE event_type END lab
+        |  FROM r WHERE rn <= 3),
+        |cell AS (SELECT item, lab, CAST(count(*) AS BIGINT) nik
+        |         FROM lab GROUP BY 1, 2),
+        |tt AS (SELECT CAST(sum(nik * nik) AS BIGINT) t2,
+        |              CAST(count(DISTINCT item) AS BIGINT) n FROM cell),
+        |qq AS (SELECT CAST(sum(sk * sk) AS BIGINT) q FROM
+        |         (SELECT CAST(sum(nik) AS BIGINT) sk FROM cell GROUP BY lab))
+        |SELECT n AS n_items, n * 3 AS n_ratings,
+        |       CAST(CASE WHEN (n * 3) * (n * 3) = q THEN NULL
+        |            WHEN (t2 - n * 3) * (n * 3) - q * 2 < 0
+        |              THEN -(((q * 2 - (t2 - n * 3) * (n * 3)) * 10000)
+        |                     // (2 * ((n * 3) * (n * 3) - q)))
+        |            ELSE (((t2 - n * 3) * (n * 3) - q * 2) * 10000)
+        |                 // (2 * ((n * 3) * (n * 3) - q)) END AS BIGINT) AS kappa_fp
+        |FROM tt, qq""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      Profiler.fleissKappa(raterPanel(s), "item", "lab", m = 3)
+    },
+
+    // Majority-vote consensus labels over the same 3-rater panel:
+    // winning label per item, vote share in 1e4 fixed point, ties to
+    // the lexicographically smallest label (deterministic across
+    // engines and retries).
+    q("q216_consensus_labels",
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |         row_number() OVER (PARTITION BY event_id % 997
+        |                            ORDER BY event_id) rn
+        |  FROM events),
+        |lab AS (
+        |  SELECT event_id % 997 item,
+        |         CASE WHEN (event_id * 7) % 11 < 2 THEN reverse(event_type)
+        |              ELSE event_type END lab
+        |  FROM r WHERE rn <= 3),
+        |cell AS (SELECT item, lab, CAST(count(*) AS BIGINT) n_votes
+        |         FROM lab GROUP BY 1, 2),
+        |w AS (SELECT item, lab, n_votes,
+        |        CAST(sum(n_votes) OVER (PARTITION BY item) AS BIGINT) n_raters,
+        |        row_number() OVER (PARTITION BY item
+        |                           ORDER BY n_votes DESC, lab) rk
+        |      FROM cell)
+        |SELECT item, lab AS label, n_votes, n_raters,
+        |       CAST((n_votes * 10000) // n_raters AS BIGINT) AS share_fp
+        |FROM w WHERE rk = 1 ORDER BY item""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      Profiler.consensusLabels(raterPanel(s), "item", "lab")
+        .orderBy("item")
     }
   )
+
+  /** Synthetic 3-rater labeling panel shared by q215/q216: events bucket
+   *  into 997 items, each item's first three events (by event_id) are
+   *  its ratings, ~18% flip to the reversed label for disagreement. */
+  private def raterPanel(s: SparkSession): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id") % 997).orderBy(col("event_id"))
+    s.table("events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select((col("event_id") % 997).as("item"),
+        when((col("event_id") * 7) % 11 < 2, reverse(col("event_type")))
+          .otherwise(col("event_type")).as("lab"))
+  }
 
   /** DuckDB replay of [[Graph.weightedPageRankFp]] on the weighted
    *  co-part graph. */
@@ -7063,7 +7141,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 214
+  val maxQueryId: Int = 216
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -248,6 +248,90 @@ object Profiler {
   }
 
   /**
+   * Fleiss' kappa: [[labelAgreement]]'s generalization to m raters per
+   * item — the QC gate for crowd-labeled corpora where every item gets
+   * a fixed-size rater panel. Input is LONG format (one row per rating:
+   * item, label); every item must carry exactly `m` ratings or the job
+   * raises naming the offending item (silently averaging variable
+   * panels is how agreement numbers lie).
+   *
+   * All-integer derivation: with N items, T = Σ_i Σ_k n_ik² and
+   * Q = Σ_k S_k² (S_k the global count of label k),
+   *   kappa = ((T − Nm)·Nm − Q·(m−1)) / ((m−1)·((Nm)² − Q))
+   * — exact longs (bound: N·m up to ~1e8 ratings keeps every product
+   * under 2^63; shard and pre-aggregate beyond). Returned in 1e4 fixed
+   * point, truncated toward zero sign-safely; NULL when chance
+   * agreement is 1 (Q = (Nm)², degenerate single-label input). One row:
+   * (n_items, n_ratings, kappa_fp).
+   *
+   * Scale shape: one (item,label) count, two small re-aggregations, and
+   * one-row cross joins — the rating table is scanned once.
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String, m: Int): DataFrame = {
+    require(m >= 2, s"fleissKappa needs at least 2 raters per item, got $m")
+    val lab = df
+      .select(col(itemCol).as("item"), col(labelCol).cast("string").as("lab"))
+      .where(col("item").isNotNull && col("lab").isNotNull)
+    val cell = lab.groupBy("item", "lab").agg(count(lit(1)).as("nik")).cache()
+    val perItem = cell.groupBy("item").agg(sum("nik").as("mi"))
+    // the panel-size contract is enforced IN the aggregate: any item off
+    // m ratings raises with its id before a kappa is ever emitted
+    val guard = perItem.agg(coalesce(sum(when(col("mi") =!= m.toLong,
+        raise_error(concat(lit("fleissKappa: item "), col("item").cast("string"),
+          lit(" has "), col("mi").cast("string"),
+          lit(s" ratings, expected $m"))).cast("long"))
+      .otherwise(0L)), lit(0L)).as("guard_zero"),
+      count(lit(1)).as("n_items"))
+    val t = cell.agg(coalesce(sum(col("nik") * col("nik")), lit(0L)).as("t2"))
+    val q = cell.groupBy("lab").agg(sum("nik").as("sk"))
+      .agg(coalesce(sum(col("sk") * col("sk")), lit(0L)).as("qq"))
+    guard.crossJoin(t).crossJoin(q).select(
+      // guard_zero is 0 by construction but MUST be referenced: an
+      // unreferenced column is pruned and the raise inside it with it
+      (col("n_items") + col("guard_zero")).as("n_items"),
+      ((col("n_items") + col("guard_zero")) * m).as("n_ratings"),
+      expr(s"""CASE WHEN (n_items * $m) * (n_items * $m) = qq THEN NULL
+               WHEN (t2 - n_items * $m) * (n_items * $m) - qq * ${m - 1} < 0
+                 THEN -(((qq * ${m - 1} - (t2 - n_items * $m) * (n_items * $m))
+                         * 10000L)
+                        DIV (${m - 1} * ((n_items * $m) * (n_items * $m) - qq)))
+               ELSE (((t2 - n_items * $m) * (n_items * $m) - qq * ${m - 1})
+                     * 10000L)
+                    DIV (${m - 1} * ((n_items * $m) * (n_items * $m) - qq))
+               END""").cast("long").as("kappa_fp"))
+  }
+
+  /**
+   * Majority-vote label resolution: one row per item with the winning
+   * label, its vote count, the panel size, and the winner's share in
+   * 1e4 fixed point (floor division — the documented contract, so both
+   * engines agree bit-for-bit). Vote ties break to the LEXICOGRAPHICALLY
+   * smallest label: deterministic across engines, partitionings, and
+   * retries — a "random" tie-break silently unbalances downstream class
+   * distributions between runs. Null labels are abstentions (excluded
+   * from votes and the panel size).
+   *
+   * Scale shape: one (item,label) count then a per-item
+   * WindowGroupLimit-style top-1 — no collect, no cross join.
+   */
+  def consensusLabels(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val counts = df
+      .select(col(itemCol).as("item"), col(labelCol).cast("string").as("lab"))
+      .where(col("item").isNotNull && col("lab").isNotNull)
+      .groupBy("item", "lab").agg(count(lit(1)).as("n_votes"))
+    counts
+      .withColumn("n_raters", sum(col("n_votes")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("item")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("item")
+          .orderBy(col("n_votes").desc, col("lab"))))
+      .where(col("rk") === 1)
+      .select(col("item"), col("lab").as("label"),
+        col("n_votes"), col("n_raters"),
+        expr("(n_votes * 10000L) DIV n_raters").as("share_fp"))
+  }
+
+  /**
    * [[profile]] per group — the per-source / per-language quality
    * dashboard shape. Identical single-pass design: one grouped
    * aggregate carries every profiled column's sketches, then the

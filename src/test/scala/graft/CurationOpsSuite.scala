@@ -1568,6 +1568,46 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
       .collect().head.isNullAt(2))
   }
 
+  test("fleissKappa: hand-computed values, panel-size violations raise with the item") {
+    import spark.implicits._
+    // N=2 items, m=2: {x,x} and {x,y} -> T=6, Q=10,
+    // kappa = (2*4 - 10) / (1*(16 - 10)) = -1/3 -> -3333 fp (sign-safe)
+    val mixed = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y")).toDF("it", "lb")
+    val r = graft.operators.Profiler.fleissKappa(mixed, "it", "lb", m = 2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 4L, -3333L)))
+    // unanimous panels on two labels: kappa = 1
+    val unan = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("it", "lb")
+    assert(graft.operators.Profiler.fleissKappa(unan, "it", "lb", m = 2)
+      .collect().head.getLong(2) === 10000L)
+    // single global label: chance agreement 1 -> NULL
+    val deg = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("it", "lb")
+    assert(graft.operators.Profiler.fleissKappa(deg, "it", "lb", m = 2)
+      .collect().head.isNullAt(2))
+    // an item with the wrong panel size fails loudly, naming the item
+    val bad = Seq((1L, "x"), (1L, "x"), (2L, "x")).toDF("it", "lb")
+    val e = intercept[Exception] {
+      graft.operators.Profiler.fleissKappa(bad, "it", "lb", m = 2).collect()
+    }
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(x => Option(x.getMessage).exists(_.contains(s)))
+    assert(chainHas(e, "expected 2"), e.getMessage)
+  }
+
+  test("consensusLabels: majority wins, lexicographic tie-break, nulls abstain") {
+    import spark.implicits._
+    val votes = Seq((1L, Some("a")), (1L, Some("a")), (1L, Some("b")),
+      (2L, Some("c")), (2L, Some("a")), (2L, Some("b")),
+      (3L, Some("z")), (3L, None)).toDF("it", "lb")
+    val out = graft.operators.Profiler.consensusLabels(votes, "it", "lb")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("a", 2L, 3L, 6666L)))  // 2/3 floor -> 6666
+    assert(out(2L) === (("a", 1L, 3L, 3333L)))  // 3-way tie -> lex smallest
+    assert(out(3L) === (("z", 1L, 1L, 10000L))) // null vote abstained
+  }
+
   test("containmentPairs: directional (wrapper found, reverse not), exact threshold") {
     import spark.implicits._
     // doc 1's two 5-gram shingles are both inside doc 2's four:
