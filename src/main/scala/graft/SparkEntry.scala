@@ -6594,6 +6594,45 @@ object SparkEntry {
       view(s, d, "events")
       Profiler.consensusLabels(raterPanel(s), "item", "lab")
         .orderBy("item")
+    },
+
+    // Per-label precision/recall/F1 of a "predictor" (event_type with
+    // every 7th event flipped to its reversed string) against gold
+    // event_type — the classifier-eval primitive. F1 replays exactly as
+    // 2tp/(2tp+fp+fn) (no nested division); labels never predicted have
+    // NULL precision, never gold NULL recall.
+    q("q217_confusion_stats",
+      """WITH lab AS (
+        |  SELECT event_type g,
+        |         CASE WHEN event_id % 7 = 0 THEN reverse(event_type)
+        |              ELSE event_type END p
+        |  FROM events),
+        |cm AS (SELECT g, p, CAST(count(*) AS BIGINT) n FROM lab GROUP BY 1, 2),
+        |tp AS (SELECT g AS label, n tp FROM cm WHERE g = p),
+        |pt AS (SELECT p AS label, CAST(sum(n) AS BIGINT) pred_n FROM cm GROUP BY 1),
+        |gt AS (SELECT g AS label, CAST(sum(n) AS BIGINT) gold_n FROM cm GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(pt.label, gt.label) AS label,
+        |         coalesce(tp.tp, 0) tp,
+        |         coalesce(pt.pred_n, 0) - coalesce(tp.tp, 0) fp,
+        |         coalesce(gt.gold_n, 0) - coalesce(tp.tp, 0) fn
+        |  FROM pt FULL OUTER JOIN gt ON pt.label = gt.label
+        |  LEFT JOIN tp ON coalesce(pt.label, gt.label) = tp.label)
+        |SELECT label, tp, fp, fn,
+        |       CAST(CASE WHEN tp + fp > 0 THEN (tp * 10000) // (tp + fp) END
+        |         AS BIGINT) AS precision_fp,
+        |       CAST(CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END
+        |         AS BIGINT) AS recall_fp,
+        |       CAST(CASE WHEN 2 * tp + fp + fn > 0
+        |            THEN (2 * tp * 10000) // (2 * tp + fp + fn) END
+        |         AS BIGINT) AS f1_fp
+        |FROM j ORDER BY label""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val scored = s.table("events").select(
+        col("event_type").as("gold"),
+        when(col("event_id") % 7 === 0, reverse(col("event_type")))
+          .otherwise(col("event_type")).as("pred"))
+      Profiler.confusionStats(scored, "gold", "pred").orderBy("label")
     }
   )
 
@@ -7141,7 +7180,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 216
+  val maxQueryId: Int = 217
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

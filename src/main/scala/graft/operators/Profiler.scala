@@ -302,6 +302,48 @@ object Profiler {
   }
 
   /**
+   * Per-label confusion statistics for a prediction column against a
+   * gold column: (label, tp, fp, fn, precision_fp, recall_fp, f1_fp) —
+   * the classifier-evaluation primitive (is the quality filter's "toxic"
+   * class actually precise before it deletes a terabyte?). All integer:
+   * precision = tp/(tp+fp) and recall = tp/(tp+fn) in 1e4 fixed point
+   * (floor, the documented contract), and F1 avoids nested division via
+   * the exact identity F1 = 2·tp / (2·tp + fp + fn). A label never
+   * predicted has NULL precision (0/0), never gold has NULL recall;
+   * rows with a null on either side are excluded. Output covers the
+   * UNION of gold and predicted label sets.
+   *
+   * Scale shape: one (gold,pred) count over the data, then label-space
+   * re-aggregations and joins (|labels|² rows at most) — the scored
+   * table is scanned once.
+   */
+  def confusionStats(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    val cm = df
+      .select(col(goldCol).cast("string").as("g"), col(predCol).cast("string").as("p"))
+      .where(col("g").isNotNull && col("p").isNotNull)
+      .groupBy("g", "p").agg(count(lit(1)).as("n"))
+      .cache()
+    val tp = cm.where(col("g") === col("p"))
+      .select(col("g").as("label"), col("n").as("tp"))
+    val predTot = cm.groupBy(col("p").as("label")).agg(sum("n").as("pred_n"))
+    val goldTot = cm.groupBy(col("g").as("label")).agg(sum("n").as("gold_n"))
+    predTot.join(goldTot, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .select(
+        col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("gold_n"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 10000L) DIV (tp + fp)")).as("precision_fp"),
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 10000L) DIV (tp + fn)")).as("recall_fp"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("(2L * tp * 10000L) DIV (2L * tp + fp + fn)")).as("f1_fp"))
+  }
+
+  /**
    * Majority-vote label resolution: one row per item with the winning
    * label, its vote count, the panel size, and the winner's share in
    * 1e4 fixed point (floor division — the documented contract, so both

@@ -1595,6 +1595,33 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(chainHas(e, "expected 2"), e.getMessage)
   }
 
+  test("confusionStats: hand-computed P/R/F1, never-predicted and never-gold labels") {
+    import spark.implicits._
+    // gold: a a a b b   pred: a a b b c
+    // a: tp=2 fp=0 fn=1 -> P=10000 R=6666 F1=2*2/(4+0+1)=8000
+    // b: tp=1 fp=1 fn=1 -> P=5000  R=5000 F1=2/(2+1+1)=5000
+    // c: tp=0 fp=1 fn=0 -> P=0     R=NULL F1=0
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"))
+      .toDF("g", "p")
+    val out = graft.operators.Profiler.confusionStats(df, "g", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def fp(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    assert((out("a").getLong(1), out("a").getLong(2), out("a").getLong(3))
+      === ((2L, 0L, 1L)))
+    assert((fp(out("a"), 4), fp(out("a"), 5), fp(out("a"), 6))
+      === ((Some(10000L), Some(6666L), Some(8000L))))
+    assert((fp(out("b"), 4), fp(out("b"), 5), fp(out("b"), 6))
+      === ((Some(5000L), Some(5000L), Some(5000L))))
+    // c was never gold: recall undefined (NULL), precision 0
+    assert((fp(out("c"), 4), fp(out("c"), 5)) === ((Some(0L), None)))
+    // a label only in gold (never predicted): precision NULL
+    val miss = Seq(("x", "y"), ("y", "y")).toDF("g", "p")
+    val m = graft.operators.Profiler.confusionStats(miss, "g", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fp(m("x"), 4) === None && fp(m("x"), 5) === Some(0L))
+  }
+
   test("consensusLabels: majority wins, lexicographic tie-break, nulls abstain") {
     import spark.implicits._
     val votes = Seq((1L, Some("a")), (1L, Some("a")), (1L, Some("b")),
