@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, BloomIndex, Clustering, Dedup, Embeddings, EventOps, Graph,
-  IvfIndex, JoinStats, Multimodal, Pq, Privacy, Profiler, RangeJoin, Sampling, Similarity,
-  SkewJoin, Spectral, Sq8, TextOps, UrlOps}
+import graft.operators.{AsofJoin, BloomIndex, Clustering, Contracts, Dedup, Embeddings, EventOps,
+  Graph, IvfIndex, JoinStats, Linkage, Multimodal, Pq, Privacy, Profiler, RangeJoin, Retrieval,
+  Sampling, Similarity, SkewJoin, Spectral, Sq8, TextOps, UrlOps}
 
 /**
  * Driver contract: named queries + DuckDB oracle SQL for the correctness
@@ -6633,6 +6633,271 @@ object SparkEntry {
         when(col("event_id") % 7 === 0, reverse(col("event_type")))
           .otherwise(col("event_type")).as("pred"))
       Profiler.confusionStats(scored, "gold", "pred").orderBy("label")
+    },
+
+    // Data-contract gate over the orders snapshot: six declarative rules
+    // (presence, range, pattern, enum domain, key uniqueness, referential
+    // integrity against the customer dimension) validated in one pass +
+    // one key agg + one anti-join. The range/enum/pattern rules are
+    // deliberately tight enough to catch real rows, so both report
+    // branches (pass and fail) are exercised.
+    q("q218_data_contract",
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) n FROM orders),
+        |v AS (
+        |  SELECT 'in_dim:o_custkey' AS rule,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |          WHERE o.o_custkey IS NOT NULL
+        |            AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS violations
+        |  UNION ALL SELECT 'in_range:o_totalprice',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |          WHERE o_totalprice IS NOT NULL
+        |            AND (o_totalprice < 0 OR o_totalprice > 400000))
+        |  UNION ALL SELECT 'in_set:o_orderstatus',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |          WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F'))
+        |  UNION ALL SELECT 'matches:o_orderpriority',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |          WHERE o_orderpriority IS NOT NULL
+        |            AND NOT regexp_matches(o_orderpriority, '^[1-4]-'))
+        |  UNION ALL SELECT 'not_null:o_custkey',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL SELECT 'unique:o_orderkey',
+        |         (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |            (SELECT count(*) c FROM orders GROUP BY o_orderkey)))
+        |SELECT v.rule, v.violations, t.n AS n_rows, v.violations = 0 AS pass
+        |FROM v CROSS JOIN t ORDER BY rule""".stripMargin) { (s, d) =>
+      view(s, d, "orders", "customer")
+      Contracts.check(s.table("orders"), Seq(
+        Contracts.NotNull("o_custkey"),
+        Contracts.InRange("o_totalprice", 0.0, 400000.0),
+        Contracts.Matches("o_orderpriority", "^[1-4]-"),
+        Contracts.InSet("o_orderstatus", Seq("O", "F")),
+        Contracts.Unique(Seq("o_orderkey")),
+        Contracts.InDim("o_custkey", s.table("customer"), "c_custkey")))
+    },
+
+    // Entity resolution: every part name gets a deterministic one-char
+    // deletion (position p_partkey % len) and an offset id, then links
+    // back to the clean catalog via blocked levenshtein (prefix / suffix
+    // / length-band keys, dist <= 2, ties to the smallest clean id). The
+    // oracle replays blocking + scoring, so the recall contract of the
+    // block design is pinned, not just the distance math.
+    q("q219_entity_linkage",
+      """WITH cl AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+        |dt AS (SELECT p_partkey + 100000 AS id,
+        |              concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),
+        |                     substr(p_name, CAST(p_partkey % length(p_name) + 2 AS INT))) AS nm
+        |       FROM part),
+        |db AS (SELECT id, nm, bk FROM dt,
+        |       UNNEST(['p:' || substr(nm, 1, 3), 's:' || right(nm, 3),
+        |               'l:' || CAST(length(nm) // 4 AS VARCHAR)]) AS u(bk)),
+        |cb AS (SELECT id, nm, bk FROM cl,
+        |       UNNEST(['p:' || substr(nm, 1, 3), 's:' || right(nm, 3),
+        |               'l:' || CAST(length(nm) // 4 AS VARCHAR)]) AS u(bk)),
+        |cand AS (SELECT DISTINCT db.id AS dirty_id, db.nm AS dn,
+        |                cb.id AS clean_id, cb.nm AS cn
+        |         FROM db JOIN cb USING (bk)),
+        |scored AS (SELECT dirty_id, clean_id, levenshtein(dn, cn) AS dist
+        |           FROM cand WHERE levenshtein(dn, cn) <= 2),
+        |best AS (SELECT dirty_id, clean_id, dist,
+        |                row_number() OVER (PARTITION BY dirty_id
+        |                                   ORDER BY dist, clean_id) rk
+        |         FROM scored)
+        |SELECT dirty_id, clean_id, CAST(dist AS BIGINT) AS dist
+        |FROM best WHERE rk = 1 ORDER BY dirty_id""".stripMargin) { (s, d) =>
+      view(s, d, "part")
+      val part = s.table("part")
+      val dirty = part.select((col("p_partkey") + lit(100000L)).as("id"),
+        expr("concat(substring(p_name, 1, cast(p_partkey % length(p_name) as int)), " +
+          "substring(p_name, cast(p_partkey % length(p_name) + 2 as int)))").as("nm"))
+      Linkage.linkByEditDistance(dirty, "id", "nm", part, "p_partkey", "p_name", 2)
+        .orderBy("dirty_id")
+    },
+
+    // Ranking-quality eval: exact-cosine retrieval over the embeddings
+    // corpus scored against label relevance with nDCG@5 + recall@5. The
+    // discounts and ideal-DCG prefix sums are driver-frozen literals
+    // shared with this oracle (see Retrieval.ndcgDiscounts), so the nDCG
+    // doubles match bit-for-bit with no tolerance.
+    q("q220_retrieval_ndcg", ndcgOracleSql(k = 5, nq = 8)) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      Retrieval.labelNdcgAtK(e, e.where(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    },
+
+    // Krippendorff's alpha over a VARIABLE-panel rater table (2-4
+    // ratings per item, ~18% flipped labels) — the agreement gate for
+    // labeling campaigns where Fleiss' fixed-panel assumption (q215)
+    // doesn't hold. All integer via the lcm(1..15) common denominator.
+    q("q221_krippendorff_alpha",
+      """WITH r AS (
+        |  SELECT event_id, event_type, event_id % 991 AS item,
+        |         row_number() OVER (PARTITION BY event_id % 991
+        |                            ORDER BY event_id) rn
+        |  FROM events),
+        |lab AS (
+        |  SELECT item,
+        |         CASE WHEN (event_id * 7) % 11 < 2 THEN reverse(event_type)
+        |              ELSE event_type END lab
+        |  FROM r WHERE rn <= 2 + item % 3),
+        |cell AS (SELECT item, lab, CAST(count(*) AS BIGINT) nik
+        |         FROM lab GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(nik) AS BIGINT) ni FROM cell GROUP BY 1),
+        |inc AS (SELECT item, ni FROM pi WHERE ni >= 2),
+        |ds AS (SELECT CAST(coalesce(sum(c.nik * (i.ni - c.nik)
+        |                 * (360360 // (i.ni - 1))), 0) AS BIGINT) do_scaled
+        |       FROM cell c JOIN inc i USING (item)),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) n_items,
+        |              CAST(coalesce(sum(ni), 0) AS BIGINT) n FROM inc),
+        |qq AS (SELECT CAST(coalesce(sum(tc * tc), 0) AS BIGINT) qq FROM
+        |         (SELECT CAST(sum(c.nik) AS BIGINT) tc FROM cell c
+        |          JOIN inc i USING (item) GROUP BY c.lab))
+        |SELECT nt.n_items, nt.n AS n_ratings,
+        |       CAST(CASE WHEN nt.n * nt.n = qq.qq THEN NULL
+        |            WHEN 360360 * (nt.n * nt.n - qq.qq) - ds.do_scaled * nt.n < 0
+        |              THEN -(((ds.do_scaled * nt.n - 360360 * (nt.n * nt.n - qq.qq))
+        |                      * 10000)
+        |                     // (360360 * (nt.n * nt.n - qq.qq)))
+        |            ELSE ((360360 * (nt.n * nt.n - qq.qq) - ds.do_scaled * nt.n)
+        |                  * 10000)
+        |                 // (360360 * (nt.n * nt.n - qq.qq)) END AS BIGINT) AS alpha_fp
+        |FROM nt, ds, qq""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id") % 991).orderBy(col("event_id"))
+      val panel = s.table("events")
+        .withColumn("item", col("event_id") % 991)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= lit(2) + pmod(col("item"), lit(3)))
+        .select(col("item"),
+          when((col("event_id") * 7) % 11 < 2, reverse(col("event_type")))
+            .otherwise(col("event_type")).as("lab"))
+      Profiler.krippendorffAlpha(panel, "item", "lab")
+    },
+
+    // Theil-Sen robust trend of daily event volume per type: the median
+    // pairwise slope shrugs off the outlier days that wreck a least-
+    // squares fit (cf. the q183 volume-anomaly detector). Lower-median
+    // pick + single IEEE division per slope = bit-stable doubles.
+    q("q222_theil_sen",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(epoch_ns(ts) // 86400000000000 AS DOUBLE) x,
+        |         CAST(count(*) AS DOUBLE) y
+        |  FROM events GROUP BY event_type, epoch_ns(ts) // 86400000000000),
+        |np AS (SELECT event_type, CAST(count(*) AS BIGINT) n_points
+        |       FROM daily GROUP BY 1),
+        |sl AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) slope
+        |       FROM daily a JOIN daily b
+        |         ON a.event_type = b.event_type AND a.x < b.x),
+        |m AS (SELECT event_type, slope,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY slope) rk,
+        |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) c
+        |      FROM sl)
+        |SELECT np.event_type, np.n_points,
+        |       CAST(coalesce(m.c, 0) AS BIGINT) AS n_pairs, m.slope
+        |FROM np LEFT JOIN m
+        |  ON m.event_type = np.event_type AND m.rk = (m.c + 1) // 2
+        |ORDER BY np.event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val daily = s.table("events")
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Profiler.theilSenTrend(daily, "event_type", "day", "n")
+        .select(col("g").as("event_type"), col("n_points"), col("n_pairs"),
+          col("slope"))
+        .orderBy("event_type")
+    },
+
+    // Flesch reading-ease QC per source, on text given deterministic
+    // sentence marks (literal ' the ' -> ' the. ' — no regex dialect in
+    // the injection path). Scores are milli-point longs; the aggregate
+    // avoids dividing possibly-negative totals so Spark's DIV (toward
+    // zero) vs DuckDB's // (floor) semantics never meet a negative.
+    q("q223_readability",
+      """WITH t AS (SELECT source, replace(text, ' the ', ' the. ') t2
+        |           FROM documents),
+        |c AS (SELECT source, t2,
+        |             CAST(len(regexp_split_to_array(trim(lower(t2)), '\s+'))
+        |               AS BIGINT) w,
+        |             CAST(len(regexp_extract_all(t2, '[.!?]+')) AS BIGINT) sraw,
+        |             CAST(len(regexp_extract_all(lower(t2), '[aeiouy]+'))
+        |               AS BIGINT) vraw
+        |      FROM t),
+        |sc AS (SELECT source,
+        |              CASE WHEN w > 0 THEN
+        |                206835 - (1015 * w) // greatest(sraw, 1)
+        |                       - (84600 * greatest(vraw, w)) // w END AS score
+        |       FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(score) AS BIGINT) AS total_score_milli,
+        |       CAST(min(score) AS BIGINT) AS min_score_milli,
+        |       CAST(max(score) AS BIGINT) AS max_score_milli
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      s.table("documents")
+        .select(col("source"),
+          TextOps.readabilityMilli(expr("replace(text, ' the ', ' the. ')"))
+            .as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("score").as("total_score_milli"),
+          min("score").as("min_score_milli"),
+          max("score").as("max_score_milli"))
+        .orderBy("source")
+    },
+
+    // Streaming stream-static enrichment: events keyed off the customer
+    // dimension (keys shifted so part of the stream is UNMATCHED and
+    // lands in the quarantine bucket), broadcast-joined per micro-batch,
+    // rolled up per (day, segment) with exact DECIMAL value sums.
+    q("q224_streaming_enrich",
+      """SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        |       coalesce(c.c_mktsegment, '__unmatched__') AS attr,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id + 1400
+        |GROUP BY 1, 2 ORDER BY day, attr""".stripMargin) { (s, d) =>
+      view(s, d, "events", "customer")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("events")
+        .select(expr("timestamp_micros(ts DIV 1000)").as("t"),
+          (col("user_id") + 1400L).as("key"), col("value"))
+        .orderBy("t").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      val maxT = rows.map(_._1.getTime).max
+      val dim = s.table("customer").select("c_custkey", "c_mktsegment")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val input = MemoryStream[(java.sql.Timestamp, Long, Double)](s)
+        val agg = graft.streaming.StreamingOps.enrichedWindowStats(
+          input.toDF().toDF("t", "key", "value"), "t", "key", "value",
+          dim, "c_custkey", "c_mktsegment", "1 day", "0 seconds")
+        val sink = "graft_q224_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          input.addData(b1.toSeq)
+          qy.processAllAvailable()
+          input.addData(b2.toSeq)
+          qy.processAllAvailable()
+          // watermark flush: one far-future row closes every real window
+          input.addData(Seq((new java.sql.Timestamp(maxT + 100L * 86400000L),
+            -1L, 0.0)))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        val maxRealDay = maxT / 86400000L
+        s.table(sink)
+          .select(expr("unix_micros(window_start) DIV 86400000000").as("day"),
+            col("attr"), col("n_events"),
+            col("total_value").cast("double").as("total_value"))
+          .where(col("day") <= maxRealDay)
+          .orderBy("day", "attr")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   )
 
@@ -6648,6 +6913,47 @@ object SparkEntry {
       .select((col("event_id") % 997).as("item"),
         when((col("event_id") * 7) % 11 < 2, reverse(col("event_type")))
           .otherwise(col("event_type")).as("lab"))
+  }
+
+  /** DuckDB replay of [[Retrieval.labelNdcgAtK]]: q24's exact-cosine
+   *  ranking + label relevance + the SAME driver-frozen discount /
+   *  ideal-DCG literals (Double.toString round-trips exactly, so both
+   *  engines combine identical doubles in identical order). */
+  private def ndcgOracleSql(k: Int, nq: Int): String = {
+    val disc = Retrieval.ndcgDiscounts(k).map(java.lang.Double.toString)
+    val ideal = Retrieval.idealDcg(k).map(java.lang.Double.toString)
+    val hCols = (1 to k).map(r =>
+      s"CAST(coalesce(sum(CASE WHEN rk = $r AND nl = ql THEN 1 END), 0) AS BIGINT) h$r")
+      .mkString(",\n         ")
+    val hSum = (1 to k).map(r => s"h$r").mkString(" + ")
+    // explicit left-assoc chain, mirroring the operator's fold order
+    val dcg = (1 to k).map(r => s"h$r * ${disc(r - 1)}")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $nq),
+       |scored AS (
+       |  SELECT q.vec_id query_id, q.label ql, c.vec_id neighbor_id, c.label nl,
+       |         list_dot_product(q.v, c.v)
+       |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) cosine
+       |  FROM q JOIN e c ON q.vec_id != c.vec_id),
+       |top AS (SELECT query_id, ql, nl, rk FROM (
+       |  SELECT query_id, ql, nl,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) rk
+       |  FROM scored) WHERE rk <= $k),
+       |fl AS (SELECT query_id, ql,
+       |         $hCols
+       |       FROM top GROUP BY 1, 2),
+       |cls AS (SELECT label ql, CAST(count(*) AS BIGINT) cn FROM e GROUP BY 1)
+       |SELECT query_id, cls.cn - 1 AS n_rel,
+       |       CAST($hSum AS BIGINT) AS hits,
+       |       CAST(CASE WHEN cls.cn - 1 >= 1
+       |            THEN (($hSum) * 10000) // (cls.cn - 1) END AS BIGINT) AS recall_fp,
+       |       CASE WHEN cls.cn - 1 >= 1 THEN
+       |         $dcg / list_extract([${ideal.mkString(", ")}],
+       |                             CAST(least($k, cls.cn - 1) AS INT))
+       |       END AS ndcg
+       |FROM fl JOIN cls USING (ql) ORDER BY query_id""".stripMargin
   }
 
   /** DuckDB replay of [[Graph.weightedPageRankFp]] on the weighted
@@ -7180,7 +7486,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 217
+  val maxQueryId: Int = 224
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -434,6 +434,114 @@ object Profiler {
       .select((groupCols.map(col) :+ explode(array(perColumn: _*)).as("p")): _*)
       .select((groupCols.map(col) ++ statFields.map(f => col(s"p.$f").as(f))): _*)
   }
+
+  /** lcm(1..15): the common denominator that makes variable-panel
+   *  Krippendorff disagreement exact in longs (see below). */
+  private val PanelLcm: Long = 360360L
+
+  /**
+   * Krippendorff's alpha (nominal data) — the agreement coefficient for
+   * the REALISTIC labeling campaign where panel sizes vary per item
+   * (raters drop out, adjudication adds a third vote). Items with fewer
+   * than 2 ratings carry no disagreement information and are excluded,
+   * per the standard definition; [[fleissKappa]] is the fixed-panel
+   * special case.
+   *
+   * All-integer derivation: with per-item label counts n_ic, item sizes
+   * n_i in [2, 16], n = Σ n_i over included items, Q = Σ_c t_c² over
+   * global label totals t_c, and L = lcm(1..15) = 360360:
+   *   Do_scaled = Σ_i Σ_c n_ic·(n_i − n_ic) · (L / (n_i − 1))   (exact:
+   *               L is divisible by every n_i − 1)
+   *   alpha     = 1 − (Do_scaled · n) / (L · (n² − Q))
+   * returned in 1e4 fixed point, truncated toward zero sign-safely;
+   * NULL when every rating is the same label (n² = Q, chance
+   * disagreement zero). Exact while n ≤ ~3e6 ratings (n²·L < 2^63);
+   * pre-aggregate per shard beyond — a bound a human-labeling campaign
+   * does not approach. One row: (n_items, n_ratings, alpha_fp).
+   *
+   * Scale shape: one (item,label) count, two small re-aggregations,
+   * one-row cross joins — the rating table is scanned once.
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val lab = df
+      .select(col(itemCol).as("item"), col(labelCol).cast("string").as("lab"))
+      .where(col("item").isNotNull && col("lab").isNotNull)
+    val cell = lab.groupBy("item", "lab").agg(count(lit(1)).as("nik"))
+    val perItem = cell.groupBy("item")
+      .agg(sum("nik").as("ni"), collect_list(struct(col("lab"), col("nik"))).as("cells"))
+      .where(col("ni") >= 2L)
+      // panel sizes above 16 break the lcm trick — raise, don't drift
+      .withColumn("ni", when(col("ni") > 16L,
+        raise_error(concat(lit("krippendorffAlpha: item "),
+          col("item").cast("string"), lit(" has "), col("ni").cast("string"),
+          lit(" ratings, max supported is 16")))).otherwise(col("ni")))
+      .cache()
+    val doScaled = perItem.select(col("ni"),
+        explode(col("cells")).as("c"))
+      .agg(coalesce(sum(col("c.nik") * (col("ni") - col("c.nik")) *
+        (lit(PanelLcm) / (col("ni") - lit(1L))).cast("long")), lit(0L)).as("do_scaled"))
+    val nTot = perItem.agg(
+      count(lit(1)).as("n_items"), coalesce(sum("ni"), lit(0L)).as("n"))
+    val q = perItem.select(explode(col("cells")).as("c"))
+      .groupBy(col("c.lab")).agg(sum(col("c.nik")).as("tc"))
+      .agg(coalesce(sum(col("tc") * col("tc")), lit(0L)).as("qq"))
+    nTot.crossJoin(doScaled).crossJoin(q).select(
+      col("n_items"), col("n").as("n_ratings"),
+      expr(s"""CASE WHEN n * n = qq THEN NULL
+               WHEN ${PanelLcm}L * (n * n - qq) - do_scaled * n < 0
+                 THEN -(((do_scaled * n - ${PanelLcm}L * (n * n - qq)) * 10000L)
+                        DIV (${PanelLcm}L * (n * n - qq)))
+               ELSE ((${PanelLcm}L * (n * n - qq) - do_scaled * n) * 10000L)
+                    DIV (${PanelLcm}L * (n * n - qq)) END""")
+        .cast("long").as("alpha_fp"))
+  }
+
+  /**
+   * Theil-Sen robust trend per group: the (lower-)median of all
+   * pairwise slopes (y2−y1)/(x2−x1) over x1 < x2 — the volume/quality
+   * trend estimator that one outlier day cannot drag, unlike least
+   * squares. Pairs with equal x are excluded (undefined slope).
+   *
+   * Deterministic: the LOWER median picks an actual slope element
+   * (row (n_pairs+1)/2 in slope order), and each slope is one IEEE
+   * double division — byte-identical across engines, partitionings,
+   * and retries. Groups are capped at `maxPoints` (pairs grow O(n²));
+   * a larger group raises with its key — silently sampling a trend
+   * input is how regressions hide. Per-group pair lists live inside
+   * one `collect_list` bounded by maxPoints², never on the driver.
+   * Returns (group, n_points, n_pairs, slope) — slope NULL when no
+   * valid pair exists.
+   */
+  def theilSenTrend(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+      maxPoints: Int = 256): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val pts = df.select(col(groupCol).as("g"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .where(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
+      .cache()
+    val guarded = pts.groupBy("g").agg(count(lit(1)).as("np"))
+      .withColumn("np", when(col("np") > maxPoints.toLong,
+        raise_error(concat(lit("theilSenTrend: group "), col("g").cast("string"),
+          lit(" has "), col("np").cast("string"),
+          lit(s" points, max supported is $maxPoints")))).otherwise(col("np")))
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .select(col("a.g").as("g"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
+    val med = slopes.groupBy("g").agg(
+        count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("slope"))).as("ss"))
+      .select(col("g"), col("n_pairs"),
+        element_at(col("ss"), ((col("n_pairs") + lit(1L)) / lit(2L)).cast("int"))
+          .as("slope"))
+    guarded.join(med, Seq("g"), "left")
+      .select(col("g"), col("np").as("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+  }
 }
 
 /**

@@ -120,4 +120,85 @@ object Retrieval {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
         col("score_fp"))
   }
+
+  /** Rank discounts 1/log2(r+1) for r = 1..k, frozen on the DRIVER as
+   *  plan literals (and shared with the oracle SQL builder): both sides
+   *  then combine the SAME doubles in the same order, so nDCG needs no
+   *  tolerance — it is bit-identical by construction. */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Left-assoc prefix sums of [[ndcgDiscounts]]: `idealDcg(k)(i-1)` is
+   *  the ideal DCG when `i` relevant items exist in the top i ranks. */
+  def idealDcg(k: Int): Seq[Double] =
+    ndcgDiscounts(k).scanLeft(0.0)(_ + _).tail
+
+  /**
+   * Ranking-quality evaluation of nearest-neighbor retrieval against
+   * label relevance: for each query vector, rank the corpus by exact
+   * cosine (the [[Similarity.bruteForceKnn]] ranking), mark neighbors
+   * sharing the query's label as relevant, and score the top `k` with
+   * nDCG@k and recall@k — the eval loop that decides whether an
+   * embedding model is good enough to mine training pairs with.
+   *
+   * Determinism: gains are 0/1 longs; each hit contributes a DRIVER-
+   * frozen literal discount (see [[ndcgDiscounts]]) and the DCG chain
+   * adds them in fixed rank order (adding literal 0.0 for misses is an
+   * exact identity), the ideal DCG is a literal prefix-sum lookup, and
+   * the final nDCG is one IEEE division — reproducible bit-for-bit.
+   * recall@k is integer 1e4 fixed point.
+   *
+   * `queries` rows must exist in `corpus` (n_rel counts label peers
+   * minus the query itself). Output per query:
+   * (query_id, n_rel, hits, recall_fp, ndcg) — recall/ndcg NULL when
+   * the query's label has no other member.
+   *
+   * Scale shape: the ranking inherits bruteForceKnn's broadcast-query
+   * design (swap in the IVF ranking upstream at 100 TB); everything
+   * after it is per-(query,rank) conditional aggregation over nq·k
+   * rows plus one label-count broadcast join.
+   */
+  def labelNdcgAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val disc = ndcgDiscounts(k)
+    val ideal = idealDcg(k)
+    val ranked = Similarity.bruteForceKnn(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val qLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"))
+    // label class sizes: n_rel = |peers| − 1 (the query itself)
+    val classSizes = corpus.groupBy(col(labelCol).as("ql"))
+      .agg(count(lit(1)).as("cls_n"))
+    val flags = ranked
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .withColumn("hit", when(col("nl") === col("ql"), 1L).otherwise(0L))
+      .groupBy("query_id", "ql")
+      .agg(
+        coalesce(sum(when(col("rk") === 1, col("hit"))), lit(0L)).as("h1"),
+        (2 to k).map(r =>
+          coalesce(sum(when(col("rk") === r, col("hit"))), lit(0L)).as(s"h$r")): _*)
+    // DCG as an explicit left-assoc chain of literal discounts: misses
+    // add literal 0.0 (exact identity), so the fold order is the rank
+    // order on both engines
+    val dcg = (1 to k).map(r =>
+      col(s"h$r").cast("double") * lit(disc(r - 1))).reduce(_ + _)
+    flags
+      .join(broadcast(classSizes), Seq("ql"))
+      .withColumn("n_rel", col("cls_n") - lit(1L))
+      .withColumn("hits", (1 to k).map(r => col(s"h$r")).reduce(_ + _))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        when(col("n_rel") >= 1L,
+          expr("hits * 10000L DIV n_rel")).cast("long").as("recall_fp"),
+        when(col("n_rel") >= 1L, dcg / element_at(
+          array(ideal.map(lit): _*),
+          least(lit(k), col("n_rel")).cast("int"))).as("ndcg"))
+  }
 }

@@ -29,6 +29,31 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /**
+   * Flesch reading-ease score in 1e3 fixed point (milli-points), the
+   * classic `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+   * with the heuristics large-corpus QC actually runs:
+   * sentences = runs of `[.!?]`, clamped to >= 1 (headlines and
+   * fragments still score); syllables = runs of `[aeiouy]` in the
+   * lower-cased text, clamped to >= words (every word carries at least
+   * one syllable). All three divisions are integer floor on scaled
+   * longs — the score is bit-identical across engines, which is what
+   * lets a quality threshold be a portable contract rather than a
+   * per-engine tune. NULL on null/wordless input.
+   */
+  def readabilityMilli(text: Column): Column = {
+    // exact long floor-div for non-negative operands, expressed with
+    // pmod so it composes over arbitrary Columns (quotients here are
+    // << 2^53, so the intermediate double division is exact)
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val w = tokenCount(text).cast("long")
+    val s = greatest(regexp_count(text, lit("[.!?]+")).cast("long"), lit(1L))
+    val syl = greatest(regexp_count(lower(text), lit("[aeiouy]+")).cast("long"), w)
+    when(text.isNotNull && w > 0L,
+      lit(206835L) - idiv(lit(1015L) * w, s) - idiv(lit(84600L) * syl, w))
+      .cast("long")
+  }
+
   /** Count of characters of the given regex class (e.g. "[^0-9]" inverted). */
   private def countClass(text: Column, keepClassInverted: String): Column =
     length(regexp_replace(text, keepClassInverted, ""))

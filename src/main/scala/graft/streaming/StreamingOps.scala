@@ -448,6 +448,45 @@ object StreamingOps {
       .agg(expr(s"approx_freqitems_accumulate($itemCol)").as("sk"))
       .select(col("window.start").as("window_start") +: keyCols.map(col) :+ col("sk"): _*)
 
+  /**
+   * Stream-static dimension enrichment + windowed rollup: join each
+   * event to a STATIC dimension table on `keyCol` and aggregate counts
+   * and value sums per (tumbling window, dimension attribute) — the
+   * "revenue by segment per day" shape, continuously. Events with no
+   * dimension match land in the `unmatchedLabel` bucket instead of
+   * silently vanishing (an inner join here is how ingestion loses the
+   * rows that most need investigating).
+   *
+   * Scale design: the dimension side is broadcast (stream-static joins
+   * never shuffle the stream; Spark re-broadcasts per micro-batch, so
+   * dimension updates between batches are picked up), and the rollup
+   * state is one row per (window, attr) — eviction follows the
+   * watermark. `value` sums in DECIMAL(28,6): order-independent exact
+   * addition, so totals are reproducible across partitionings and
+   * retries — a double sum here would drift run to run.
+   */
+  def enrichedWindowStats(
+      events: DataFrame,
+      eventTimeCol: String,
+      keyCol: String,
+      valCol: String,
+      dim: DataFrame,
+      dimKeyCol: String,
+      dimAttrCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      unmatchedLabel: String = "__unmatched__"): DataFrame =
+    events.withWatermark(eventTimeCol, watermarkDelay)
+      .join(broadcast(dim.select(col(dimKeyCol).as(keyCol),
+        col(dimAttrCol).as("__graft_attr"))), Seq(keyCol), "left")
+      .withColumn("__graft_attr", coalesce(col("__graft_attr"), lit(unmatchedLabel)))
+      .groupBy(window(col(eventTimeCol), windowDuration),
+        col("__graft_attr").as("attr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valCol).cast("decimal(28,6)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("attr"),
+        col("n_events"), col("total_value"))
+
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
     var i = 0; var j = 0; var c = 0L

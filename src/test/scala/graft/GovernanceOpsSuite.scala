@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Contracts, Linkage, Profiler, Retrieval, TextOps}
+
+/** Round-9 governance/eval operators: data contracts, record linkage,
+  * Krippendorff's alpha, Theil-Sen trend, readability, nDCG@k. */
+class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
+
+  test("contracts: each rule counts its own violations, report is ordered") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(10L), 5.0, "1-URGENT", "O"),
+      (2L, Option(11L), -1.0, "9-BAD", "O"),   // range + pattern violations
+      (2L, None, 50.0, "2-HIGH", "X"),          // dup key + null + enum violation
+      (3L, Option(99L), 20.0, "3-MEDIUM", "F")) // orphan dim key
+      .toDF("id", "fk", "price", "prio", "status")
+    val dim = Seq(10L, 11L).toDF("k")
+    val out = Contracts.check(df, Seq(
+        Contracts.NotNull("fk"),
+        Contracts.InRange("price", 0.0, 40.0),
+        Contracts.Matches("prio", "^[1-5]-"),
+        Contracts.InSet("status", Seq("O", "F")),
+        Contracts.Unique(Seq("id")),
+        Contracts.InDim("fk", dim, "k")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted) // ordered by rule
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m("not_null:fk") === ("not_null:fk", 1L, 4L, false))
+    assert(m("in_range:price") === ("in_range:price", 2L, 4L, false)) // -1 and 50
+    assert(m("matches:prio") === ("matches:prio", 1L, 4L, false))
+    assert(m("in_set:status") === ("in_set:status", 1L, 4L, false))
+    assert(m("unique:id") === ("unique:id", 1L, 4L, false))
+    assert(m("in_dim:fk") === ("in_dim:fk", 1L, 4L, false)) // 99; null fk not an orphan
+  }
+
+  test("contracts: clean table passes every rule; bad rule sets raise") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val out = Contracts.check(df, Seq(
+        Contracts.NotNull("id"), Contracts.Unique(Seq("id"))))
+      .collect()
+    assert(out.forall(_.getBoolean(3)))
+    assertThrows[IllegalArgumentException](Contracts.check(df, Nil))
+    assertThrows[IllegalArgumentException](Contracts.check(df,
+      Seq(Contracts.NotNull("id"), Contracts.NotNull("id"))))
+  }
+
+  test("linkage: typo'd names link to their source, ties to smallest id") {
+    import spark.implicits._
+    val clean = Seq((1L, "small ring"), (2L, "small king"), (3L, "red widget"))
+      .toDF("id", "nm")
+    val dirty = Seq(
+      (10L, "small ringg"), // dist 1 to ring, 2 to king -> ring
+      (11L, "small qing"),  // dist 1 to king, 2 to ring... actually 2/1
+      (12L, "rad widget"),  // dist 1 to red widget
+      (13L, "zzzzzzzzzz"))  // no candidate within 2 that blocks share? dist > 2 anyway
+      .toDF("id", "nm")
+    val got = Linkage.linkByEditDistance(dirty, "id", "nm", clean, "id", "nm", 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) === ((1L, 1L)))
+    assert(got(12L) === ((3L, 1L)))
+    assert(!got.contains(13L))
+    // "small ring" vs "small king": dist 1 — a dirty name equidistant to
+    // both must pick the smaller clean id
+    val tie = Seq((20L, "small aing")).toDF("id", "nm") // dist 1 to both
+    val t = Linkage.linkByEditDistance(tie, "id", "nm", clean, "id", "nm", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(t.toSeq === Seq((1L, 1L)))
+  }
+
+  test("krippendorff alpha: perfect agreement is 1, degenerate input is NULL") {
+    import spark.implicits._
+    // three items, 2-3 raters each, all agreeing within an item but with
+    // different labels across items -> Do = 0 -> alpha = 1
+    val perfect = Seq(
+      (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b"),
+      (3L, "c"), (3L, "c"))
+      .toDF("item", "lab")
+    val r = Profiler.krippendorffAlpha(perfect, "item", "lab").collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 7L && r.getLong(2) === 10000L)
+    // all ratings one label: chance disagreement 0 -> NULL
+    val degen = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("item", "lab")
+    assert(Profiler.krippendorffAlpha(degen, "item", "lab").collect()(0).isNullAt(2))
+    // single-rating items are excluded entirely
+    val single = Seq((1L, "a"), (2L, "b"), (3L, "a"), (3L, "b")).toDF("item", "lab")
+    val s = Profiler.krippendorffAlpha(single, "item", "lab").collect()(0)
+    assert(s.getLong(0) === 1L && s.getLong(1) === 2L)
+  }
+
+  test("krippendorff alpha: hand-computed mixed panel") {
+    import spark.implicits._
+    // item 1: {a,a,b} (n=3), item 2: {a,b} (n=2)
+    // Do_scaled = [2*1*(L/2)*... ] item1: a:2*(3-2)=2, b:1*(3-1)=2 -> 4 * L/2
+    //            item2: a:1*1=1, b:1*1=1 -> 2 * L/1
+    // = 4*180180 + 2*360360 = 1441440; n = 5, Q = 9+4 = 13
+    // alpha = 1 - (1441440*5)/(360360*(25-13)) = 1 - 7207200/4324320 = -2/3
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("item", "lab")
+    val r = Profiler.krippendorffAlpha(df, "item", "lab").collect()(0)
+    assert(r.getLong(2) === -6666L) // trunc(-0.6666.. * 1e4)
+  }
+
+  test("krippendorff alpha: panel over 16 raises") {
+    import spark.implicits._
+    val big = (1 to 17).map(i => (1L, s"l$i")) :+ ((2L, "a")) :+ ((2L, "b"))
+    val df = big.toDF("item", "lab")
+    val e = intercept[Exception](
+      Profiler.krippendorffAlpha(df, "item", "lab").collect())
+    assert(e.getMessage.contains("max supported is 16"))
+  }
+
+  test("theil-sen: exact on linear data, robust to one outlier") {
+    import spark.implicits._
+    // y = 2x + 1 with one wrecked point: median slope stays 2
+    val pts = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0), (5.0, 1000.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Profiler.theilSenTrend(pts, "g", "x", "y").collect()(0)
+    assert(r.getLong(1) === 5L && r.getLong(2) === 10L)
+    assert(r.getDouble(3) === 2.0)
+    // least squares on the same data is dragged far away from 2
+  }
+
+  test("theil-sen: equal-x pairs excluded; oversized group raises") {
+    import spark.implicits._
+    val dup = Seq(("g", 1.0, 1.0), ("g", 1.0, 9.0), ("g", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    val r = Profiler.theilSenTrend(dup, "g", "x", "y").collect()(0)
+    assert(r.getLong(2) === 2L) // only the two cross-x pairs
+    val big = (1 to 10).map(i => ("g", i.toDouble, 1.0)).toDF("g", "x", "y")
+    val e = intercept[Exception](
+      Profiler.theilSenTrend(big, "g", "x", "y", maxPoints = 5).collect())
+    assert(e.getMessage.contains("max supported is 5"))
+  }
+
+  test("readability: formula matches hand computation, null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      Some("the cat sat. the dog ran."), // w=6, s=2, vowel runs: e,a,a,e,o,a=6 -> syl=6
+      Some("xyz"),                       // no vowels: syl clamps to w=1; s clamps to 1
+      None)
+      .toDF("t")
+    val out = df.select(TextOps.readabilityMilli(col("t")).as("r")).collect()
+    // 206835 - 1015*6/2 - 84600*6/6 = 206835 - 3045 - 84600 = 119190
+    assert(out(0).getLong(0) === 119190L)
+    // 206835 - 1015*1/1 - 84600*1/1 = 121220
+    assert(out(1).getLong(0) === 121220L)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("ndcg@k: perfect ranking scores 1.0, empty relevance is NULL") {
+    import spark.implicits._
+    // two clusters far apart: queries retrieve their own cluster first
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1), (2L, Array(0.95f, 0.05f), 1),
+      (10L, Array(0.0f, 1.0f), 2), (11L, Array(0.1f, 0.9f), 2), (12L, Array(0.05f, 0.95f), 2),
+      (20L, Array(0.5f, 0.5f), 3)) // singleton label: n_rel = 0
+      .toDF("vec_id", "embedding", "label")
+    val out = Retrieval.labelNdcgAtK(rows, rows.where(col("vec_id").isin(0L, 20L)),
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q0 = out(0L)
+    assert(q0.getLong(1) === 2L && q0.getLong(2) === 2L) // n_rel, hits
+    assert(q0.getLong(3) === 10000L)                     // recall@2 = 1
+    assert(q0.getDouble(4) === 1.0)                      // both top-2 relevant
+    val q20 = out(20L)
+    assert(q20.getLong(1) === 0L && q20.isNullAt(3) && q20.isNullAt(4))
+  }
+
+  test("ndcg@k: a miss at rank 1 scores the literal discount ratio") {
+    import spark.implicits._
+    // query 0 (label 1): nearest is 10 (label 2, miss), then 1 (label 1, hit)
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (10L, Array(0.99f, 0.01f), 2),
+      (1L, Array(0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Retrieval.labelNdcgAtK(rows, rows.where(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", k = 2).collect()(0)
+    val disc = Retrieval.ndcgDiscounts(2)
+    // dcg = 0*d1 + 1*d2; idcg = prefix(min(2, n_rel=1)) = d1 = 1.0
+    assert(out.getDouble(4) === (0.0 * disc(0) + 1.0 * disc(1)) / 1.0)
+  }
+
+  test("streaming enrich op has batch-equivalent semantics incl unmatched bucket") {
+    import spark.implicits._
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 1.5),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, 2.5),
+      (java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 9L, 4.0), // no dim row
+      (java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 2L, 1.0))
+      .toDF("t", "key", "value")
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("k", "attr")
+    val out = graft.streaming.StreamingOps.enrichedWindowStats(
+        ev, "t", "key", "value", dim, "k", "attr", "1 day", "0 seconds")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSet
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", "A", 2L, 4.0),
+      ("2024-01-01 00:00:00.0", "__unmatched__", 1L, 4.0),
+      ("2024-01-02 00:00:00.0", "B", 1L, 1.0)))
+  }
+}
