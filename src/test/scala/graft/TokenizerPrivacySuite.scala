@@ -367,6 +367,26 @@ class TokenizerPrivacySuite extends AnyFunSuite with GraftSparkSession {
     assert(none.count() === 0L)
   }
 
+  test("commonNeighborPairs: cn>=2 fast path and cn=1 fallback agree with full semantics") {
+    import spark.implicits._
+    // two 2-wedge pairs + one 1-wedge pair: (1,2) and (3,4) share two
+    // middles each (their middles (10,11)/(12,13) symmetrically share
+    // two middles back), (5,6) shares only middle 14
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 12L), (4L, 12L), (3L, 13L), (4L, 13L), (5L, 14L), (6L, 14L))
+      .toDF("s", "t")
+    // topN=2: the cn>=2 subset fills the list — fast path, cn=1 never ranks
+    val fast = graft.operators.Graph.commonNeighborPairs(edges, "s", "t", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq === Seq((1L, 2L, 2L), (3L, 4L, 2L)))
+    // topN=5: only four cn>=2 pairs exist — the driver check falls back
+    // to the full candidate set and the 1-wedge pair (5,6) completes it
+    val full = graft.operators.Graph.commonNeighborPairs(edges, "s", "t", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.length === 5 && full.contains((5L, 6L, 1L)))
+    assert(full.take(4).forall(_._3 === 2L))
+  }
+
   test("kCore: cascade peeling keeps the dense core only") {
     import spark.implicits._
     // K4 on 0..3 plus a tail 3-4-5: 3-core must peel the whole tail
