@@ -20,6 +20,12 @@ object Graph {
   /** Total fixed-point mass distributed across the graph (1e12). */
   val RankScale: Long = 1000000000000L
 
+  /** PageRank-family iterations between cache/count barriers: small
+   *  enough that a lazy segment's plan stays shallow (each step adds
+   *  one join over cached leaves), large enough that per-round job
+   *  latency stops dominating small graphs. */
+  private val MaterializeEvery: Int = 4
+
   /**
    * `iters` synchronous PageRank iterations with damping
    * `dampNum/dampDen` (default 85/100). `nodes` is one column `idCol`;
@@ -58,35 +64,43 @@ object Graph {
     val n = ids.count()
     require(n > 0, "pageRankFp: empty node set")
     val base = (RankScale / n) // SCALE DIV N, exact long division
-    // hoist the degree join out of the loop: each edge carries its
-    // source's out-degree, so an iteration is ONE rank-vector join +
-    // one partial-aggregable sum — two exchanges, not four. The RAW
-    // edge list is pinned first: the degree self-join references it on
-    // both sides, so without the cache an expensive upstream producer
-    // (similarity join) would evaluate twice just to fill `e`
-    val rawEdges = edges.cache()
-    val e = rawEdges
-      .join(rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    // hoist the out-degree out of the loop as a WINDOW count over src:
+    // one pass over the raw edges (an expensive similarity-join
+    // producer runs exactly once — no self-join, so no cache race), one
+    // shuffle, and the cached result stays hash-partitioned by src —
+    // which matches each iteration's rank-vector join requirement, so
+    // the edge side is never re-exchanged inside the loop
+    val e = edges
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("deg"))
       .cache()
-    e.count() // materialize so the raw list can drop now
-    rawEdges.unpersist(blocking = false)
-    var ranks = ids.withColumn("rank_fp", lit(base)).cache()
-    for (_ <- 1 to iters) {
+    e.count() // materialize before the loop references it per iteration
+    var ranks: DataFrame = ids.withColumn("rank_fp", lit(base))
+    var pinned: DataFrame = null
+    for (i <- 1 to iters) {
       val inbound = ranks
         .join(e, ranks("id") === e("src"))
         .select(col("dst"), expr("rank_fp DIV deg").as("share"))
         .groupBy(col("dst").as("id"))
         .agg(sum("share").as("s"))
-      val next = ids.join(inbound, Seq("id"), "left")
+      ranks = ids.join(inbound, Seq("id"), "left")
         .select(col("id"),
           expr(s"(${(dampDen - dampNum).toLong}L * ${base}L + " +
             s"${dampNum.toLong}L * coalesce(s, 0L)) DIV ${dampDen.toLong}L")
             .as("rank_fp"))
-        .cache()
-      next.count() // materialize before dropping the parent cache
-      ranks.unpersist()
-      ranks = next
+      // materialize every 4th round (and at the end), not every round:
+      // a count() barrier per iteration costs a fixed job latency that
+      // dominates small/medium graphs, while a 4-step lazy segment
+      // keeps the plan shallow (each step adds one join over cached
+      // leaves) and lineage stays O(1) via the rolling pin
+      if (i % MaterializeEvery == 0 || i == iters) {
+        val c = ranks.cache()
+        c.count()
+        if (pinned != null) pinned.unpersist()
+        pinned = c
+        ranks = c
+      }
     }
     // the final rank vector is already materialized, so the working
     // tables can go; the returned frame itself stays cached (per-query
@@ -132,29 +146,35 @@ object Graph {
       when(col("is_seed"), base).otherwise(0L).as("base_fp")).cache()
     withBase.count()
     ids.unpersist(blocking = false)
-    val rawEdges = edges.cache()
-    val e = rawEdges
-      .join(rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    // out-degree as a window count: one pass, no self-join cache race,
+    // src-partitioned cache reused by every iteration (see [[pageRankFp]])
+    val e = edges
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("deg"))
       .cache()
     e.count()
-    rawEdges.unpersist(blocking = false)
-    var ranks = withBase.withColumn("rank_fp", col("base_fp")).cache()
-    for (_ <- 1 to iters) {
+    var ranks: DataFrame = withBase.withColumn("rank_fp", col("base_fp"))
+    var pinned: DataFrame = null
+    for (i <- 1 to iters) {
       val inbound = ranks
         .join(e, ranks("id") === e("src"))
         .select(col("dst"), expr("rank_fp DIV deg").as("share"))
         .groupBy(col("dst").as("id"))
         .agg(sum("share").as("s"))
-      val next = withBase.join(inbound, Seq("id"), "left")
+      ranks = withBase.join(inbound, Seq("id"), "left")
         .select(col("id"), col("base_fp"),
           expr(s"(${(dampDen - dampNum).toLong}L * base_fp + " +
             s"${dampNum.toLong}L * coalesce(s, 0L)) DIV ${dampDen.toLong}L")
             .as("rank_fp"))
-        .cache()
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      // batched materialization — see [[pageRankFp]]
+      if (i % MaterializeEvery == 0 || i == iters) {
+        val c = ranks.cache()
+        c.count()
+        if (pinned != null) pinned.unpersist()
+        pinned = c
+        ranks = c
+      }
     }
     e.unpersist(blocking = false)
     // withBase stays pinned: it feeds the returned (cached) rank frame's
@@ -623,30 +643,36 @@ object Graph {
     val n = ids.count()
     require(n > 0, "weightedPageRankFp: empty node set")
     val base = RankScale / n
-    val rawEdges = edges.select(col("src"), col("dst"),
-      col(weightCol).cast("long").as("w")).cache()
-    val e = rawEdges
-      .join(rawEdges.groupBy(col("src")).agg(sum(col("w")).as("wsum")), Seq("src"))
-      .select(col("src"), col("dst"), col("w"), col("wsum"))
+    // per-src weight total as a window sum: one pass, no self-join
+    // cache race, src-partitioned cache reused by every iteration (see
+    // [[pageRankFp]])
+    val e = edges.select(col("src"), col("dst"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("wsum", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .cache()
     e.count()
-    rawEdges.unpersist(blocking = false)
-    var ranks = ids.withColumn("rank_fp", lit(base)).cache()
-    for (_ <- 1 to iters) {
+    var ranks: DataFrame = ids.withColumn("rank_fp", lit(base))
+    var pinned: DataFrame = null
+    for (i <- 1 to iters) {
       val inbound = ranks
         .join(e, ranks("id") === e("src"))
         .select(col("dst"), expr("(rank_fp * w) DIV wsum").as("share"))
         .groupBy(col("dst").as("id"))
         .agg(sum("share").as("s"))
-      val next = ids.join(inbound, Seq("id"), "left")
+      ranks = ids.join(inbound, Seq("id"), "left")
         .select(col("id"),
           expr(s"(${(dampDen - dampNum).toLong}L * ${base}L + " +
             s"${dampNum.toLong}L * coalesce(s, 0L)) DIV ${dampDen.toLong}L")
             .as("rank_fp"))
-        .cache()
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      // batched materialization — see [[pageRankFp]]
+      if (i % MaterializeEvery == 0 || i == iters) {
+        val c = ranks.cache()
+        c.count()
+        if (pinned != null) pinned.unpersist()
+        pinned = c
+        ranks = c
+      }
     }
     e.unpersist(blocking = false)
     ids.unpersist(blocking = false)
