@@ -6898,6 +6898,145 @@ object SparkEntry {
           .where(col("day") <= maxRealDay)
           .orderBy("day", "attr")
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
+    // Continuous CDC apply: two micro-batches of ordered change ops
+    // (upsert/delete/insert, including a same-key upsert+delete race
+    // WITHIN batch 1 and a cross-batch re-update) maintain a
+    // bucket-partitioned parquet snapshot, rewriting only touched
+    // buckets per batch. The oracle recomputes the final snapshot as
+    // global last-op-wins — which the batched apply must equal when the
+    // log is fed in commit order.
+    q("q225_streaming_cdc",
+      """WITH ops AS (
+        |  SELECT doc_id, 1 seq, 'U' op, 'updated ' || text AS text, source
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 2, 'D', text, source
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 3000000, 3, 'I',
+        |    'inserted doc ' || CAST(doc_id AS VARCHAR), source
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id, 4, 'U', 'final ' || text, source
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+        |    FROM ops) WHERE rn = 1),
+        |final AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM ops)
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM last WHERE op IN ('I', 'U'))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000)
+        |            AS BIGINT) AS checksum_fp
+        |FROM final GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val docs = s.table("documents").select(col("doc_id"), col("text"),
+        col("source"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q225").toString
+      graft.streaming.StreamingOps.seedCdcSnapshot(docs, "doc_id", dir, nBuckets = 8)
+      def ops(df: DataFrame): Array[(Long, Long, String, String, String)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+      val b1 = ops(docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L), lit("U"),
+          concat(lit("updated "), col("text")), col("source"))
+        .unionAll(docs.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), lit(2L), lit("D"), col("text"), col("source"))))
+      val b2 = ops(docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), lit(3L), lit("I"),
+          concat(lit("inserted doc "), col("doc_id").cast("string")),
+          col("source"))
+        .unionAll(docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), lit(4L), lit("U"),
+            concat(lit("final "), col("text")), col("source"))))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val input = MemoryStream[(Long, Long, String, String, String)](s)
+        val qy = graft.streaming.StreamingOps.cdcSnapshotSink(
+            input.toDF().toDF("doc_id", "seq", "op", "text", "source"),
+            "doc_id", "op", "seq", dir, nBuckets = 8)
+          .start()
+        try {
+          input.addData(b1.toSeq)
+          qy.processAllAvailable()
+          input.addData(b2.toSeq)
+          qy.processAllAvailable()
+        } finally qy.stop()
+        s.read.parquet(dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("conv(substring(md5(cast(text as binary)), 1, 15), 16, 10)")
+              .cast("long") % 1000000L).as("checksum_fp"))
+          .orderBy("source")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
+    // Streaming SLIDING-window volume: 2-day windows hopping by 1 day,
+    // so every event lands in exactly two windows — the overlap shape
+    // tumbling-window gates (q209/q224) never exercise. The oracle
+    // derives both window starts per event arithmetically.
+    q("q226_streaming_sliding",
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d, event_type FROM events),
+        |w AS (SELECT u.win, ev.event_type
+        |      FROM ev, UNNEST([ev.d - 1, ev.d]) AS u(win))
+        |SELECT CAST(win AS BIGINT) AS win_day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY win_day, event_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = s.table("events")
+        .select(expr("timestamp_micros(ts DIV 1000)").as("t"), col("event_type"))
+        .orderBy("t").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      val maxT = rows.map(_._1.getTime).max
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val input = MemoryStream[(java.sql.Timestamp, String)](s)
+        val agg = input.toDF().toDF("t", "event_type")
+          .withWatermark("t", "0 seconds")
+          .groupBy(window(col("t"), "2 days", "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val sink = "graft_q226_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val qy = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val (h1, h2) = rows.splitAt(rows.length / 2)
+          input.addData(h1.toSeq)
+          qy.processAllAvailable()
+          input.addData(h2.toSeq)
+          qy.processAllAvailable()
+          input.addData(Seq((new java.sql.Timestamp(maxT + 200L * 86400000L), "zz")))
+          qy.processAllAvailable()
+        } finally qy.stop()
+        val maxRealDay = maxT / 86400000L
+        s.table(sink)
+          .select(expr("unix_micros(window.start) DIV 86400000000").as("win_day"),
+            col("event_type"), col("n_events"))
+          .where(col("win_day") <= maxRealDay)
+          .orderBy("win_day", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
+    // Privacy-preserving release: per-language document counts noised
+    // by the truncated two-sided geometric mechanism (the discrete
+    // Laplace of epsilon-DP counting). Thresholds are driver-frozen
+    // literals shared with this oracle; the keyed-hash draw makes the
+    // release re-verifiable bit-for-bit (see the operator's caveat on
+    // swapping in a CSPRNG for a formally-DP release).
+    q("q227_dp_release", dpReleaseOracleSql(eps = 0.5, seed = "r9", maxNoise = 16)) {
+      (s, d) =>
+        view(s, d, "documents")
+        Privacy.geometricNoisyCounts(s.table("documents"), Seq("lang"),
+            eps = 0.5, seed = "r9", maxNoise = 16)
+          .orderBy("lang")
     }
   )
 
@@ -6913,6 +7052,26 @@ object SparkEntry {
       .select((col("event_id") % 997).as("item"),
         when((col("event_id") * 7) % 11 < 2, reverse(col("event_type")))
           .otherwise(col("event_type")).as("lab"))
+  }
+
+  /** DuckDB replay of [[Privacy.geometricNoisyCounts]] over documents
+   *  per lang: the SAME driver-frozen thresholds, inverted by an
+   *  in-order CASE chain (first match = smallest k with u < t(k)). */
+  private def dpReleaseOracleSql(eps: Double, seed: String, maxNoise: Int): String = {
+    val th = Privacy.geometricThresholds(eps, maxNoise)
+    val cases = (-maxNoise until maxNoise).zip(th).map { case (k, t) =>
+      s"WHEN u < $t THEN CAST($k AS BIGINT)"
+    }.mkString("\n              ")
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) n_true
+       |           FROM documents GROUP BY 1),
+       |u AS (SELECT lang, n_true,
+       |        CAST(('0x' || substr(md5('$seed:' ||
+       |          coalesce(CAST(lang AS VARCHAR), ' null')), 1, 15)) AS BIGINT) u
+       |      FROM c)
+       |SELECT lang,
+       |       greatest(n_true + CASE $cases
+       |              ELSE CAST($maxNoise AS BIGINT) END, 0) AS released
+       |FROM u ORDER BY lang""".stripMargin
   }
 
   /** DuckDB replay of [[Retrieval.labelNdcgAtK]]: q24's exact-cosine
@@ -7486,7 +7645,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 224
+  val maxQueryId: Int = 227
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -487,6 +487,86 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("attr"),
         col("n_events"), col("total_value"))
 
+  /**
+   * Continuous CDC apply: a stream of change rows (`idCol`, `opCol` in
+   * {I,U,D}, `seqCol`, payload...) maintains a parquet snapshot at
+   * `snapshotDir`, bucket-partitioned by `pmod(id, nBuckets)`. Each
+   * micro-batch collapses to the LATEST op per key (by `seqCol` —
+   * within-batch upsert/delete races resolve deterministically), reads
+   * ONLY the touched buckets, merges via [[graft.operators.Cdc
+   * .mergeChanges]], and rewrites exactly those bucket partitions under
+   * dynamic partition overwrite — the q181 delete-propagation shape,
+   * continuously. Cross-batch ordering is the stream's arrival order
+   * (standard CDC contract: feed the log in commit order).
+   *
+   * Scale design: per batch, work is proportional to the touched
+   * buckets, never the snapshot (untouched partitions are not read OR
+   * rewritten); the only driver state is the touched-bucket id list
+   * (bounded by `nBuckets`). The merged frame is localCheckpoint-ed
+   * before the write — that truncates the plan to a leaf, which is
+   * what makes the read-then-overwrite of the same path legal, and
+   * means a mid-write failure can replay the batch from the stream
+   * (the snapshot is only swapped at partition-commit time).
+   *
+   * Returns the DataStreamWriter — caller picks trigger/checkpoint and
+   * starts it. The snapshot at `snapshotDir` must already exist with a
+   * `__bucket` partition column (write the seed batch with
+   * [[seedCdcSnapshot]]).
+   */
+  def cdcSnapshotSink(
+      changes: DataFrame,
+      idCol: String,
+      opCol: String,
+      seqCol: String,
+      snapshotDir: String,
+      nBuckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol)).orderBy(col(seqCol).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .drop("__rn", seqCol)
+            // long on BOTH sides: parquet partition discovery re-infers
+            // __bucket as int, and a long/int mismatch would re-type the
+            // merge union — pin the type at every boundary instead
+            .withColumn("__bucket",
+              pmod(col(idCol).cast("long"), lit(nBuckets.toLong)))
+          val touched = latest.select("__bucket").distinct()
+            .collect().map(_.getLong(0)) // bounded by nBuckets
+          val snap = spark.read.parquet(snapshotDir)
+            .withColumn("__bucket", col("__bucket").cast("long"))
+            .where(col("__bucket").isin(touched.toSeq: _*))
+          val merged = graft.operators.Cdc
+            .mergeChanges(snap, latest, idCol, opCol)
+            .localCheckpoint(true) // cut lineage off snapshotDir pre-overwrite
+          val prevMode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try merged.write.mode("overwrite").partitionBy("__bucket")
+            .parquet(snapshotDir)
+          finally spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prevMode)
+        }
+        ()
+    }
+  }
+
+  /** Seed the bucket-partitioned snapshot layout [[cdcSnapshotSink]]
+   *  maintains: writes `df` to `snapshotDir` partitioned by
+   *  `__bucket = pmod(id, nBuckets)`. */
+  def seedCdcSnapshot(
+      df: DataFrame, idCol: String, snapshotDir: String, nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.withColumn("__bucket",
+        pmod(col(idCol).cast("long"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(snapshotDir)
+  }
+
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
     var i = 0; var j = 0; var c = 0L

