@@ -7037,6 +7037,100 @@ object SparkEntry {
         Privacy.geometricNoisyCounts(s.table("documents"), Seq("lang"),
             eps = 0.5, seed = "r9", maxNoise = 16)
           .orderBy("lang")
+    },
+
+    // Sketch summaries under CUBE: per-(lang,source) distinct sketches
+    // combine/estimate across every grouping-set of the cube — the
+    // pre-aggregation lifecycle composing with Spark's grouping-set
+    // machinery (SURVEY §2.2 claims this works unchanged; this pins
+    // it). Estimates are exact at these cardinalities (HLL coupon
+    // region), so the oracle is plain COUNT(DISTINCT) under CUBE.
+    q("q228_cube_sketch",
+      """SELECT lang, source, count(DISTINCT doc_id % 97) AS n_shards_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |GROUP BY CUBE(lang, source)
+        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      // HLL pinned for the run: its coupon region keeps MERGED unions
+      // exact at this cardinality (<= 97 distinct shards per grouping
+      // set). The impl freezes into the expressions at build time, so
+      // the conf restores immediately after — no leak into later
+      // queries sharing this session.
+      val prevImpl = s.conf.get("spark.sql.dataSketches.distinctCnt.sketchImpl")
+      s.conf.set("spark.sql.dataSketches.distinctCnt.sketchImpl", "HLL")
+      try s.sql(
+        """WITH sk AS (
+          |  SELECT lang, source,
+          |         approx_count_distinct_accumulate(cast(doc_id % 97 AS string)) AS sk,
+          |         count(*) AS n
+          |  FROM documents GROUP BY lang, source)
+          |SELECT lang, source,
+          |       approx_count_distinct_estimate(approx_count_distinct_combine(sk))
+          |         AS n_shards_distinct,
+          |       sum(n) AS n_docs
+          |FROM sk GROUP BY CUBE(lang, source)
+          |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin)
+      finally s.conf.set("spark.sql.dataSketches.distinctCnt.sketchImpl", prevImpl)
+    },
+
+    // PIVOT: daily event volume spread into one column per event type
+    // (the report shape BI exports want). Spark's pivot with an
+    // EXPLICIT value list — never the value-discovering overload, which
+    // costs an extra distinct pass and breaks plan determinism.
+    q("q229_pivot_volume",
+      """SELECT day,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+        |FROM (SELECT epoch_ns(ts) // 86400000000000 AS day, event_type FROM events)
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = s.table("events")
+        .select(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      piv.select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+
+    // Resample / gap-fill: a sparse daily series (rare high-value
+    // events) re-gridded onto the complete (type x day) frame with
+    // explicit zeros — the step every volume-anomaly detector needs
+    // first, since a MISSING day is invisible to a groupBy. The day
+    // grid comes from one sequence() explode of a one-row bounds
+    // aggregate; the type dimension is a broadcast cross.
+    q("q230_resample_gapfill",
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day, event_type, value
+        |            FROM events),
+        |b AS (SELECT min(day) lo, max(day) hi FROM ev),
+        |days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+        |t AS (SELECT DISTINCT event_type FROM ev),
+        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) n FROM ev
+        |      WHERE value > 480 GROUP BY 1, 2)
+        |SELECT t.event_type AS event_type, CAST(days.day AS BIGINT) AS day,
+        |       CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        |FROM t CROSS JOIN days
+        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = days.day
+        |ORDER BY t.event_type, days.day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val ev = s.table("events").select(
+        expr("ts DIV 86400000000000").as("day"), col("event_type"), col("value"))
+      val days = ev.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val daily = ev.where(col("value") > 480)
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      types.crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -7645,7 +7739,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 227
+  val maxQueryId: Int = 230
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from
