@@ -7131,6 +7131,89 @@ object SparkEntry {
         .select(col("event_type"), col("day"),
           coalesce(col("n"), lit(0L)).as("n_events"))
         .orderBy("event_type", "day")
+    },
+
+    // Table-maintenance: vacuum audit of a sharded export. Two zombie
+    // files are planted in an UNATTESTED shard partition plus one stray
+    // at the data root; the audit must classify every location against
+    // the manifest (1 kept data file per attested shard, the _SUCCESS
+    // commit marker kept at the root) without touching row data.
+    q("q231_vacuum_orphans",
+      """SELECT CAST(s AS INT) AS shard, CAST(1 AS BIGINT) AS n_kept,
+        |       CAST(0 AS BIGINT) AS n_orphans
+        |FROM range(8) t(s)
+        |UNION ALL SELECT 99, 0, 2
+        |UNION ALL SELECT NULL, 1, 1
+        |ORDER BY shard NULLS LAST""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q231").toString
+      graft.operators.Sinks.writeShardsWithManifest(
+        s.table("documents"), "doc_id", "text", dir, numShards = 8)
+      val stale = java.nio.file.Paths.get(dir, "data", "shard=99")
+      java.nio.file.Files.createDirectories(stale)
+      java.nio.file.Files.write(stale.resolve("zombie-1.parquet"),
+        "not really parquet".getBytes("UTF-8"))
+      java.nio.file.Files.write(stale.resolve("zombie-2.parquet"),
+        "also not parquet".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "data", "stale-attempt.tmp"),
+        "leftover".getBytes("UTF-8"))
+      graft.operators.Sinks.vacuumOrphans(s, dir)
+    },
+
+    // Table-maintenance: small-file compaction with an attestable file
+    // count — 64 hash-partitioned input files rewrite into exactly
+    // ceil(rows/500) output files, a pure function of the row count the
+    // oracle recomputes.
+    q("q232_compaction",
+      """SELECT CAST(64 AS BIGINT) AS n_files_before,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST((count(*) + 499) // 500 AS BIGINT) AS n_files_after
+        |FROM documents""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_q232").toString
+      // hash-by-value partitioning: the 64-file input layout must not
+      // depend on session parallelism (round-robin does)
+      s.table("documents").repartition(64, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/in")
+      graft.operators.Sinks.compactFiles(s, s"$base/in", s"$base/out",
+        targetRows = 500L)
+    },
+
+    // Confident-learning label-noise matrix over a deterministically
+    // mislabeled panel (every 7th label flipped; confidence = hash-ppm
+    // base + a boost when the model "agrees"): off-diagonal confident
+    // cells are the suspected label errors. Per-class thresholds are
+    // floor-division means, so the whole matrix replays exactly.
+    q("q233_label_noise",
+      """WITH r AS (
+        |  SELECT event_type g,
+        |         CASE WHEN event_id % 7 = 0 THEN reverse(event_type)
+        |              ELSE event_type END p,
+        |         400000 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |                  % 300000
+        |                + CASE WHEN event_id % 7 = 0 THEN 0 ELSE 250000 END c
+        |  FROM events),
+        |t AS (SELECT g AS p, CAST(sum(c) // count(*) AS BIGINT) t FROM r GROUP BY 1),
+        |ng AS (SELECT g, CAST(count(*) AS BIGINT) n_given FROM r GROUP BY 1)
+        |SELECT r.g AS given_label, r.p AS pred_label,
+        |       CAST(count(*) AS BIGINT) AS n_confident, ng.n_given
+        |FROM r JOIN t ON t.p = r.p JOIN ng ON ng.g = r.g
+        |WHERE r.c >= t.t
+        |GROUP BY r.g, r.p, ng.n_given
+        |ORDER BY given_label, pred_label""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val scored = s.table("events").select(
+        col("event_type").as("given"),
+        when(col("event_id") % 7 === 0, reverse(col("event_type")))
+          .otherwise(col("event_type")).as("pred"),
+        (lit(400000L) +
+          conv(substring(md5(col("event_id").cast("string").cast("binary")),
+            1, 15), 16, 10).cast("long") % 300000L +
+          when(col("event_id") % 7 === 0, 0L).otherwise(250000L)).as("conf_ppm"))
+      graft.operators.Classifier
+        .labelNoiseMatrix(scored, "given", "pred", "conf_ppm")
+        .orderBy("given_label", "pred_label")
     }
   )
 
@@ -7739,7 +7822,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 230
+  val maxQueryId: Int = 233
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

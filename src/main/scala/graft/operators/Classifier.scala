@@ -280,4 +280,47 @@ object Classifier {
       .orderBy(col("rrf_fp").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Confident-learning label-noise matrix (Northcutt et al., "Confident
+   * Learning", JAIR 2021): estimate WHICH given labels are wrong by
+   * counting only CONFIDENT predictions. A row joins cell
+   * (given, pred) of the joint matrix iff its predicted-class
+   * confidence clears that class's threshold t_pred = mean confidence
+   * over rows whose GIVEN label is pred — the calibration step that
+   * keeps an over/under-confident model from flooding the off-diagonal.
+   * Off-diagonal cells are the suspected label errors (given != what a
+   * confident model sees), the prune list a relabeling campaign starts
+   * from.
+   *
+   * All-integer: confidences arrive in ppm (0..1e6) longs, thresholds
+   * are floor-division means, comparisons are exact — the matrix
+   * replays bit-for-bit in any engine. Output one row per observed
+   * (given_label, pred_label): (given_label, pred_label, n_confident,
+   * n_given) with n_given the class's total row count.
+   *
+   * Scale shape: one per-class mean aggregate (|classes| rows,
+   * broadcast back) + one hash aggregate over (given, pred) — two
+   * passes, no windows, no driver state beyond |classes|.
+   */
+  def labelNoiseMatrix(
+      df: DataFrame,
+      givenCol: String,
+      predCol: String,
+      confPpmCol: String): DataFrame = {
+    val rows = df.select(col(givenCol).cast("string").as("g"),
+        col(predCol).cast("string").as("p"),
+        col(confPpmCol).cast("long").as("c"))
+      .where(col("g").isNotNull && col("p").isNotNull && col("c").isNotNull)
+    val thresholds = rows.groupBy(col("g").as("p"))
+      .agg(expr("sum(c) DIV count(1)").as("t"))
+    val gTotals = rows.groupBy("g").agg(count(lit(1)).as("n_given"))
+    rows
+      .join(broadcast(thresholds), Seq("p"))
+      .where(col("c") >= col("t"))
+      .groupBy("g", "p").agg(count(lit(1)).as("n_confident"))
+      .join(broadcast(gTotals), Seq("g"))
+      .select(col("g").as("given_label"), col("p").as("pred_label"),
+        col("n_confident"), col("n_given"))
+  }
 }

@@ -207,4 +207,104 @@ object Sinks {
     merged.write.mode("overwrite").parquet(s"$path/manifest")
     spark.read.parquet(s"$path/manifest").orderBy("shard")
   }
+
+  /**
+   * Vacuum audit for a [[writeShardsWithManifest]] export: list the
+   * files under `path/data` and classify every one against the
+   * manifest's shard set — `kept` (a data/metadata file inside an
+   * attested shard partition) or `orphan` (a file in a shard directory
+   * the manifest doesn't attest, or a stray file outside any shard
+   * directory: zombie-task leftovers, aborted-attempt temp files).
+   * With `deleteOrphans = true` the orphans are removed after the audit
+   * (audit-then-delete, never delete-while-listing).
+   *
+   * Returns one row per location: (shard, n_kept, n_orphans) with
+   * shard NULL for the root. Hidden files (`_SUCCESS`, dotfiles) count
+   * as kept metadata inside attested shards and are never deleted.
+   *
+   * Scale note: the listing is driver-side `listStatus` per directory —
+   * the shard fan-out is the manifest's numShards (bounded, chosen by
+   * the exporter), not the row count. At object-store scale swap in a
+   * parallel lister; the classification contract is the point here.
+   */
+  def vacuumOrphans(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deleteOrphans: Boolean = false): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val attested = spark.read.parquet(s"$path/manifest")
+      .select(col("shard").cast("int")).collect().map(_.getInt(0)).toSet
+    val dataDir = new Path(s"$path/data")
+    val shardRe = "^shard=(\\d+)$".r
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Option[Int], Long, Long)]
+    val orphanPaths = scala.collection.mutable.ArrayBuffer.empty[Path]
+    var rootKept = 0L
+    var rootOrphans = 0L
+    fs.listStatus(dataDir).foreach { st =>
+      st.getPath.getName match {
+        case shardRe(n) if st.isDirectory =>
+          val sh = n.toInt
+          val files = fs.listStatus(st.getPath).filter(_.isFile)
+          if (attested(sh)) {
+            rows += ((Some(sh), files.length.toLong, 0L))
+          } else {
+            rows += ((Some(sh), 0L, files.length.toLong))
+            orphanPaths += st.getPath // whole unattested partition goes
+          }
+        case name if st.isFile =>
+          // metadata files (_SUCCESS, dotfiles) are commit-protocol
+          // artifacts, kept; anything else at the root is a stray
+          if (name.startsWith("_") || name.startsWith(".")) rootKept += 1
+          else { rootOrphans += 1; orphanPaths += st.getPath }
+        case _ =>
+          // a non-shard DIRECTORY at the root is a stray too
+          rootOrphans += 1
+          orphanPaths += st.getPath
+      }
+    }
+    rows += ((None, rootKept, rootOrphans))
+    if (deleteOrphans) orphanPaths.foreach(p => fs.delete(p, true))
+    import spark.implicits._
+    rows.toSeq.toDF("shard_opt", "n_kept", "n_orphans")
+      .select(col("shard_opt").as("shard"), col("n_kept"), col("n_orphans"))
+      .orderBy(col("shard").asc_nulls_last)
+  }
+
+  /**
+   * Small-file compaction: rewrite the parquet table at `inDir` into
+   * exactly `ceil(rows / targetRows)` files at `outDir` and report
+   * (n_files_before, n_rows, n_files_after). The writer splits at
+   * `maxRecordsPerFile` from ONE task, which is the only layout whose
+   * file count is an exact function of the row count — `repartition(n)`
+   * round-robin can leave partitions empty (fewer files) and hash keys
+   * can collide (more), so neither is attestable. One writer is the
+   * honest shape for the "compact a small-file table" maintenance job
+   * this implements; at lakehouse scale run it PER PARTITION/bucket
+   * (each bucket its own single-writer compaction, all buckets in
+   * parallel) and the per-bucket counts stay exact. Content is
+   * preserved exactly (row-level, order-free).
+   */
+  def compactFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String): Long =
+      fs.listStatus(new Path(dir))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+    val before = parquetFiles(inDir)
+    val src = spark.read.parquet(inDir)
+    val n = src.count()
+    src.coalesce(1).write.option("maxRecordsPerFile", targetRows)
+      .mode("overwrite").parquet(outDir)
+    import spark.implicits._
+    Seq((before, n, parquetFiles(outDir)))
+      .toDF("n_files_before", "n_rows", "n_files_after")
+  }
 }

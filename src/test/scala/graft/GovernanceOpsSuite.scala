@@ -234,6 +234,68 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(got === Map(1L -> "a2", 2L -> "b2", 4L -> "d"))
   }
 
+  test("vacuum orphans: audit classifies and delete pass removes exactly the orphans") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_test").toString
+    val df = Seq.tabulate(40)(i => (i.toLong, s"doc $i text")).toDF("id", "text")
+    Sinks.writeShardsWithManifest(df, "id", "text", dir, numShards = 4)
+    val stale = java.nio.file.Paths.get(dir, "data", "shard=77")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("zombie.parquet"), "x".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "data", "stray.tmp"), "y".getBytes)
+    def audit() = Sinks.vacuumOrphans(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(audit() === Set((0, 1L, 0L), (1, 1L, 0L), (2, 1L, 0L), (3, 1L, 0L),
+      (77, 0L, 1L), (-1, 1L, 1L))) // root: _SUCCESS kept, stray orphan
+    // delete pass removes exactly the orphans; a re-audit is clean and
+    // the data itself is untouched
+    Sinks.vacuumOrphans(spark, dir, deleteOrphans = true)
+    assert(audit() === Set((0, 1L, 0L), (1, 1L, 0L), (2, 1L, 0L), (3, 1L, 0L),
+      (-1, 1L, 0L)))
+    assert(spark.read.parquet(s"$dir/data").count() === 40L)
+  }
+
+  test("compaction: exact output file count, content preserved") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val base = java.nio.file.Files.createTempDirectory("graft_cpt_test").toString
+    // exactly 5 input files: five single-writer appends of 2 rows each
+    (0 until 5).foreach { b =>
+      Seq(2 * b, 2 * b + 1).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val rep = Sinks.compactFiles(spark, s"$base/in", s"$base/out", targetRows = 4L)
+      .collect()(0)
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) === ((5L, 10L, 3L)))
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Seq.tabulate(10)(i => (i.toLong, s"v$i")).toSet)
+    assertThrows[IllegalArgumentException](
+      Sinks.compactFiles(spark, s"$base/in", s"$base/out2", 0L))
+  }
+
+  test("label noise matrix: per-class thresholds gate the confident cells") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // given-a rows: confs 800k/600k/400k -> t_a = 600k; given-b rows:
+    // 900k (pred a) and 700k (pred b) -> t_b = 800k. Cell membership is
+    // gated by the PREDICTED class's threshold.
+    val df = Seq(
+      ("a", "a", 800000L), ("a", "a", 600000L), ("a", "a", 400000L),
+      ("b", "a", 900000L), ("b", "b", 700000L))
+      .toDF("g", "p", "c")
+    val out = Classifier.labelNoiseMatrix(df, "g", "p", "c")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("a", "a") -> ((2L, 3L)),   // 800k,600k clear t_a; 400k doesn't
+      ("b", "a") -> ((1L, 2L))))  // the suspected label error cell
+    // (b,b) at 700k misses t_b=800k -> absent entirely
+  }
+
   test("streaming enrich op has batch-equivalent semantics incl unmatched bucket") {
     import spark.implicits._
     val ev = Seq(
