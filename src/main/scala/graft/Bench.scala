@@ -113,6 +113,7 @@ object Bench {
       "q25_knn_ivf_recall",  // IVF ANN + brute-force recall over embeddings
       "q35_dedup_clusters",  // connected components (bounded union-find path)
       "q96_bm25_topk",       // BM25 corpus stats + inverted match + top-k
+      "q114_lsh_index",      // persisted LSH index build + bucket-pruned query
       "q163_pagerank",       // fixed-point PageRank over the near-dup graph
       "q184_kcore")          // synchronous k-core peel over co-part edges
     heads.filterNot(SparkEntry.queries.contains).foreach(n =>
