@@ -7214,6 +7214,160 @@ object SparkEntry {
       graft.operators.Classifier
         .labelNoiseMatrix(scored, "given", "pred", "conf_ppm")
         .orderBy("given_label", "pred_label")
+    },
+
+    // Pareto skyline of orders: the value/recency/priority frontier —
+    // "no other order is at least as valuable, at least as early, and
+    // at least as urgent, and strictly better on one axis". Exercises
+    // the two-phase distributed skyline (per-partition prune +
+    // broadcast dominance anti-join); the oracle is the brute-force
+    // NOT EXISTS dominance scan.
+    q("q234_skyline",
+      """WITH o AS (SELECT o_orderkey,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) price_c,
+        |                  datediff('day', DATE '1970-01-01',
+        |                           CAST(o_orderdate AS DATE)) day_n,
+        |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) prio
+        |           FROM orders)
+        |SELECT o_orderkey, price_c, CAST(day_n AS BIGINT) AS day_n, prio
+        |FROM o r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o s
+        |  WHERE s.price_c >= r.price_c AND s.day_n <= r.day_n
+        |    AND s.prio <= r.prio
+        |    AND (s.price_c > r.price_c OR s.day_n < r.day_n
+        |         OR s.prio < r.prio))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      view(s, d, "orders")
+      val o = s.table("orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_n"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+      graft.operators.Skyline.skyline(o, Seq("price_c"), Seq("day_n", "prio"))
+        .orderBy("o_orderkey")
+    },
+
+    // Deterministic label propagation (3 synchronous rounds, min-label
+    // tie-break) over the co-purchase part graph: community size
+    // distribution. The oracle unrolls the same rounds as windowed
+    // argmax CTEs.
+    q("q235_label_propagation", lpaOracleSql(rounds = 3)) { (s, d) =>
+      view(s, d, "lineitem")
+      Graph.labelPropagation(
+          s.table("lineitem").select(col("l_partkey")), coPartEdges(s),
+          "l_partkey", "src", "dst", rounds = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    },
+
+    // t-closeness release gate: per (lang, source) group, fixed-point
+    // EMD between the group's doc-length-bucket distribution and the
+    // corpus-wide one — the "this source's lengths leak" companion to
+    // q161 k-anonymity / q190 l-diversity.
+    q("q236_t_closeness",
+      s"""WITH s AS (SELECT lang, source, least(n_chars // 80, 9) b FROM documents),
+         |gb AS (SELECT lang, source, b, CAST(count(*) AS BIGINT) c
+         |       FROM s GROUP BY 1, 2, 3),
+         |g AS (SELECT b, CAST(sum(c) AS BIGINT) gc FROM gb GROUP BY 1),
+         |nt AS (SELECT CAST(sum(gc) AS BIGINT) nt FROM g),
+         |tot AS (SELECT lang, source, CAST(sum(c) AS BIGINT) n
+         |        FROM gb GROUP BY 1, 2),
+         |spine AS (SELECT unnest(range(10)) b),
+         |qq AS (SELECT spine.b, coalesce(gc, 0) * 1000000000 // nt.nt q_fp
+         |       FROM spine LEFT JOIN g USING (b) CROSS JOIN nt),
+         |p AS (SELECT tot.lang, tot.source, tot.n, spine.b,
+         |             coalesce(gb.c, 0) * 1000000000 // tot.n - qq.q_fp diff_fp
+         |      FROM tot CROSS JOIN spine
+         |      LEFT JOIN gb ON gb.lang IS NOT DISTINCT FROM tot.lang
+         |                  AND gb.source IS NOT DISTINCT FROM tot.source
+         |                  AND gb.b = spine.b
+         |      JOIN qq ON qq.b = spine.b),
+         |cm AS (SELECT lang, source, n, b,
+         |              sum(diff_fp) OVER (PARTITION BY lang, source
+         |                                 ORDER BY b) cum_fp
+         |       FROM p)
+         |SELECT lang, source, n,
+         |       CAST(sum(CASE WHEN b < 9 THEN abs(cum_fp) END) // 9 AS BIGINT)
+         |         AS t_fp
+         |FROM cm GROUP BY 1, 2, 3 ORDER BY lang, source""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Privacy.tCloseness(
+          s.table("documents")
+            .withColumn("len_bin", least(expr("n_chars DIV 80"), lit(9L))),
+          Seq("lang", "source"), "len_bin", nBins = 10)
+        .orderBy("lang", "source")
+    },
+
+    // Additive seasonal decomposition of the daily event volume:
+    // count = trend (centered 7-day MA) + weekday seasonal + residual,
+    // all integer fixed-point — "is today's ingest low, or is it just
+    // Sunday?" made bit-exact.
+    q("q237_seasonal_decompose",
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 dy FROM events),
+        |daily AS (SELECT dy, CAST(count(*) AS BIGINT) n FROM ev GROUP BY 1),
+        |b AS (SELECT min(dy) d0, max(dy) d1 FROM daily),
+        |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) dy FROM b),
+        |dn AS (SELECT spine.dy, coalesce(n, 0) n
+        |       FROM spine LEFT JOIN daily USING (dy)),
+        |t AS (SELECT dy, n, count(*) OVER w win_n,
+        |             (sum(n * 1000000) OVER w) // 7 trend_fp, dy % 7 phase
+        |      FROM dn
+        |      WINDOW w AS (ORDER BY dy ROWS BETWEEN 3 PRECEDING
+        |                   AND 3 FOLLOWING)),
+        |f AS (SELECT dy, n, trend_fp, phase, n * 1000000 - trend_fp det_fp
+        |      FROM t WHERE win_n = 7),
+        |sr AS (SELECT phase,
+        |              (sum(det_fp + 1000000000000) // count(*))
+        |                - 1000000000000 seasonal_raw
+        |       FROM f GROUP BY 1),
+        |adj AS (SELECT (sum(seasonal_raw + 1000000000000) // count(*))
+        |               - 1000000000000 adj FROM sr),
+        |se AS (SELECT phase, seasonal_raw - adj seasonal_fp
+        |       FROM sr CROSS JOIN adj)
+        |SELECT f.dy AS day, f.n, f.trend_fp, se.seasonal_fp,
+        |       f.det_fp - se.seasonal_fp AS resid_fp
+        |FROM f JOIN se USING (phase) ORDER BY day""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      graft.operators.EventOps.seasonalDecompose(
+          s.table("events").withColumn("day", expr("ts div 86400000000000")),
+          "day", period = 7)
+        .orderBy("day")
+    },
+
+    // Sorted-neighborhood near-dup pairs: prefix-key global sort +
+    // 5-row sliding window + exact Jaccard verify — the record-linkage
+    // blocking strategy, on the same corpus and threshold as q21 (LSH)
+    // so the two blocking families are directly comparable.
+    q("q238_snm_dedup",
+      """WITH k AS (SELECT doc_id,
+        |             substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |                    1, 20) bk
+        |           FROM documents),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) rk
+        |       FROM k),
+        |cand AS (SELECT least(a.doc_id, b.doc_id) ia,
+        |                greatest(a.doc_id, b.doc_id) ib
+        |         FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |      FROM documents),
+        |d AS (SELECT doc_id,
+        |        CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |             ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                    i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |      FROM w)
+        |SELECT ia AS id_a, ib AS id_b,
+        |       CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+        |       CAST(len(da.sh) + len(db.sh)
+        |            - len(list_intersect(da.sh, db.sh)) AS BIGINT) AS uni
+        |FROM cand JOIN d da ON da.doc_id = ia JOIN d db ON db.doc_id = ib
+        |WHERE len(list_intersect(da.sh, db.sh)) * 5
+        |      >= (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) * 4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      Dedup.sortedNeighborhoodPairs(s.table("documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -7243,7 +7397,7 @@ object SparkEntry {
        |           FROM documents GROUP BY 1),
        |u AS (SELECT lang, n_true,
        |        CAST(('0x' || substr(md5('$seed:' ||
-       |          coalesce(CAST(lang AS VARCHAR), ' null')), 1, 15)) AS BIGINT) u
+       |          coalesce(CAST(lang AS VARCHAR), chr(0) || 'null')), 1, 15)) AS BIGINT) u
        |      FROM c)
        |SELECT lang,
        |       greatest(n_true + CASE $cases
@@ -7495,6 +7649,33 @@ object SparkEntry {
       |  SELECT e1.a, e1.b, e2.b c FROM e e1
       |  JOIN e e2 ON e2.a = e1.b
       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin
+
+  /** DuckDB replay of [[Graph.labelPropagation]] over the co-part
+   *  graph: `rounds` unrolled (histogram, windowed argmax with the
+   *  same count-desc/label-asc tie-break, coalesce-keep) CTE blocks,
+   *  then the community size distribution. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""m$k AS (
+         |  SELECT node, lab FROM (
+         |    SELECT se.src node, p.lab, count(*) c,
+         |           row_number() OVER (PARTITION BY se.src
+         |                              ORDER BY count(*) DESC, p.lab ASC) rn
+         |    FROM se JOIN l${k - 1} p ON p.node = se.dst
+         |    GROUP BY se.src, p.lab) t WHERE rn = 1),
+         |l$k AS (SELECT p.node, coalesce(m.lab, p.lab) lab
+         |        FROM l${k - 1} p LEFT JOIN m$k m ON m.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.p a, y.p b FROM lp x
+       |  JOIN lp y ON x.o = y.o AND x.p < y.p),
+       |se AS (SELECT a src, b dst FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT p node, p lab FROM lp),
+       |$iters
+       |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Bpe.trainMerges]]'s first
    *  `rounds` rounds: word-type table with counts, then per round a
@@ -7822,7 +8003,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 233
+  val maxQueryId: Int = 238
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

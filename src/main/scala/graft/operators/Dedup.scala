@@ -1153,4 +1153,82 @@ object Dedup {
         (hv * col("n_dups") <
           lit(new java.math.BigDecimal("1152921504606846976"))).as("kept"))
   }
+
+  /**
+   * Sorted-neighborhood near-duplicate pairs (Hernandez-Stolfo SNM):
+   * sort the corpus by a cheap blocking key (the first `keyLen` chars
+   * of whitespace-normalized lowercase text), slide a `window`-row
+   * window down the sorted order, and exact-verify every in-window
+   * pair with n-gram Jaccard >= num/den. The classic record-linkage
+   * complement to LSH blocking: near-dups that share a PREFIX are
+   * found in O(n·w) candidate pairs even when their overall shingle
+   * overlap is spread thin. Output matches [[ngramJaccardPairs]]:
+   * (id_a, id_b, inter, uni), id_a < id_b.
+   *
+   * The global sort rank is computed WITHOUT a single-partition
+   * window: one `approx_partition_bounds_str` sketch pass proposes
+   * range buckets, per-bucket counts (driver-held: `buckets` longs)
+   * become prefix-sum offsets, and rank = offset + a bucket-
+   * partitioned row_number — every stage parallel, the
+   * [[Classifier.globalRankDesc]] discipline for string keys. Bucket
+   * boundaries only affect balance, never the rank itself, so results
+   * are bit-stable under any bucketing. In-window candidate pairs come
+   * from an EQUI-join on the rank block `rank DIV window` (the right
+   * side exploded to its own and the preceding block) — a hash join,
+   * never a broadcast nested loop.
+   */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyLen: Int = 20,
+      window: Int = 5,
+      n: Int = 5,
+      num: Int = 4,
+      den: Int = 5,
+      buckets: Int = 64): DataFrame = {
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
+    val keyed = df.select(col(idCol).as("id"),
+      substring(regexp_replace(lower(col(textCol)), "\\s+", " "), 1, keyLen)
+        .as("bk"))
+      .where(col("bk").isNotNull) // null text has no sort position
+      .cache()
+    keyed.count() // materialize: bounds pass + rank pass both read it
+    val boundsRow = keyed.agg(call_function(
+      "approx_partition_bounds_str", col("bk"), lit(buckets)).as("bs")).collect()(0)
+    val ranked =
+      if (boundsRow.isNullAt(0)) keyed.withColumn("rank", lit(0L)).where(lit(false))
+      else {
+        val bounds = boundsRow.getSeq[String](0)
+        val bucketed = keyed.withColumn("__b",
+          call_function("graft_bucket_index",
+            array(bounds.map(lit): _*), col("bk")))
+        val counts = bucketed.groupBy("__b").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val offsets = counts.keys.toSeq.sorted.map { b =>
+          (b, counts.collect { case (b2, c) if b2 < b => c }.sum)
+        }
+        val offDf = broadcast(
+          spark.createDataFrame(offsets).toDF("__b", "__off"))
+        bucketed.join(offDf, Seq("__b"))
+          .withColumn("rank", col("__off") + row_number().over(
+            Window.partitionBy("__b").orderBy(col("bk"), col("id"))))
+          .select(col("id"), col("rank"))
+      }
+    val blk = ranked.withColumn("__blk", expr(s"(rank - 1) DIV $window"))
+    val right = blk.withColumn("__jblk",
+      explode(array(col("__blk"), col("__blk") - 1)))
+    val cand = blk.as("a")
+      .join(right.as("b"), col("a.__blk") === col("b.__jblk") &&
+        col("b.rank") > col("a.rank") &&
+        col("b.rank") <= col("a.rank") + window)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sets = shingleSets(df, idCol, textCol, n)
+    verifyJaccard(cand, sets, num, den)
+  }
 }

@@ -147,4 +147,83 @@ object EventOps {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("w")).as("decayed_fp"))
   }
+
+  /** Fixed-point scale for [[seasonalDecompose]] components. */
+  val SeasonScale: Long = 1000000L
+
+  /**
+   * Classical additive seasonal decomposition of a daily event-count
+   * series: `count = trend + seasonal + residual`, the STL-shaped
+   * volume-anomaly primitive ("is today's ingest low, or is it just
+   * Sunday?"). Day buckets come from `dayCol` (an integer day number);
+   * the series is densified onto a contiguous day spine (gap days
+   * count 0 — a silent no-data day is exactly the anomaly this exists
+   * to surface), then:
+   *
+   *   - `trend_fp`   = centered `period`-day moving average (only days
+   *                    with a FULL window are emitted — the standard
+   *                    edge truncation),
+   *   - `seasonal_fp`= per-phase (day MOD period) mean of the
+   *                    detrended series, computed over full-window
+   *                    days, re-centered so the period sums to ~0,
+   *   - `resid_fp`   = the remainder; `|resid_fp|` large flags the
+   *                    anomalous days.
+   *
+   * All components are integer fixed-point ([[SeasonScale]] per count
+   * unit) with divisions on non-negative operands only, so results are
+   * bit-identical across engines and partitionings.
+   *
+   * Scale shape: the raw stream collapses to one row per day in a
+   * single hash aggregate; everything after runs on the day spine
+   * (365 rows/year — droplet-sized forever), so windows over it are
+   * cheap even though unpartitioned. The heavy lifting is the first
+   * aggregate, which is partial-aggregable and streams once.
+   */
+  def seasonalDecompose(
+      events: DataFrame,
+      dayCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val half = (period - 1) / 2
+    require(period % 2 == 1, s"period must be odd (centered window), got $period")
+    val S = SeasonScale
+    val daily = events.select(col(dayCol).cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = broadcast(daily.agg(
+      min("day").as("d0"), max("day").as("d1")))
+    // densify: the spine generates [d0, d1] and left-joins real counts
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    // the spine is one-row-per-day small; a global ordered window over
+    // it is a deliberate single-partition op on droplet data
+    val wTrend = Window.orderBy("day").rowsBetween(-half, half)
+    val trended = spine
+      .withColumn("win_n", count(lit(1)).over(wTrend))
+      .withColumn("trend_fp",
+        expr(s"(sum(n * ${S}L) OVER (ORDER BY day ROWS BETWEEN $half " +
+          s"PRECEDING AND $half FOLLOWING)) DIV $period"))
+      .where(col("win_n") === period) // full windows only
+      .withColumn("phase", pmod(col("day"), lit(period.toLong)))
+      .withColumn("det_fp", col("n") * S - col("trend_fp"))
+    val cached = trended.cache()
+    cached.count() // materialize before the seasonal join fans out
+    // per-phase mean of the detrended series; the offset keeps the
+    // dividend non-negative so DIV truncation matches every engine
+    val big = 1000000000000L
+    val seasonal = cached.groupBy("phase")
+      .agg(expr(s"(sum(det_fp + ${big}L) DIV count(1)) - ${big}L")
+        .as("seasonal_raw"))
+    // re-center: seasonal components sum to ~0 over one period
+    val meanAdj = broadcast(seasonal.agg(
+      expr(s"(sum(seasonal_raw + ${big}L) DIV count(1)) - ${big}L")
+        .as("adj")))
+    val seas = broadcast(seasonal.crossJoin(meanAdj)
+      .select(col("phase"), (col("seasonal_raw") - col("adj")).as("seasonal_fp")))
+    cached.join(seas, Seq("phase"))
+      .select(col("day"), col("n"), col("trend_fp"), col("seasonal_fp"),
+        (col("det_fp") - col("seasonal_fp")).as("resid_fp"))
+  }
 }

@@ -825,4 +825,63 @@ object Graph {
           expr("(2L * coalesce(n_tri, 0L) * 10000L) DIV (deg * (deg - 1L))"))
           .otherwise(0L).as("lcc_fp"))
   }
+
+  /**
+   * Synchronous label propagation for community detection: every node
+   * starts labeled with its own id; each round it adopts the most
+   * frequent label among its neighbors, ties broken by the SMALLEST
+   * label, isolated nodes keep their current label. `rounds` is fixed
+   * (synchronous LPA on bipartite-ish structure can oscillate, so a
+   * convergence loop is not well-defined — a bounded round count is
+   * both the standard practice and what makes the result a pure
+   * function of the input). Returns (node, label).
+   *
+   * The deterministic tie-break makes the output bit-identical across
+   * engines, partitionings, and retries — unlike classical
+   * random-order LPA.
+   *
+   * Scale shape: per round, one shuffle join of the (node, label)
+   * vector against the symmetric edge list, one partial-aggregable
+   * (node, label) count, one node-partitioned window argmax, and one
+   * left join back — all keyed on node, no driver participation.
+   * Rounds materialize via [[materializer]] (localCheckpoint, or
+   * reliable `checkpoint()` when `checkpointDir` is set) so lineage
+   * stays O(1) in `rounds`.
+   */
+  def labelPropagation(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val mat = materializer(edges, checkpointDir)
+    val canon = canonical(
+      edges.select(longId(col(srcCol)).as("s"), longId(col(dstCol)).as("d")),
+      "s", "d")
+    val adj = mat(symmetric(canon))
+    var labels = mat(nodes.select(longId(col(idCol)).as("node")).distinct()
+      .withColumn("label", col("node")))
+    var r = 0
+    while (r < rounds) {
+      // neighbor-label histogram: for edge (m, x), m sees x's label
+      val best = adj.join(labels, adj("x") === labels("node"))
+        .groupBy(col("m"), col("label").as("nl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("m"))
+            .orderBy(col("c").desc, col("nl").asc)))
+        .where(col("rn") === 1)
+        .select(col("m"), col("nl"))
+      val next = labels.join(best, labels("node") === best("m"), "left")
+        .select(labels("node"), coalesce(col("nl"), col("label")).as("label"))
+      val pinned = labels
+      labels = mat(next)
+      pinned.unpersist(blocking = false)
+      r += 1
+    }
+    labels
+  }
 }

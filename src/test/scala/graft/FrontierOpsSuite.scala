@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, EventOps, Graph, Privacy, Skyline}
+
+/** Round-9 frontier operators: Pareto skyline, label propagation,
+  * t-closeness, seasonal decomposition, sorted-neighborhood dedup. */
+class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
+
+  // ---- skyline ----
+
+  /** Naive dominance filter — the test oracle. */
+  private def naiveSkyline(
+      pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    def dom(s: (Long, Long, Long), r: (Long, Long, Long)): Boolean =
+      s._1 >= r._1 && s._2 >= r._2 && s._3 >= r._3 &&
+        (s._1 > r._1 || s._2 > r._2 || s._3 > r._3)
+    pts.filter(r => !pts.exists(s => dom(s, r))).toSet
+  }
+
+  test("skyline matches the brute-force dominance filter (all-max dims)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)((rnd.nextInt(20).toLong,
+      rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val df = pts.toDF("x", "y", "z").repartition(7)
+    val got = Skyline.skyline(df, Seq("x", "y", "z"), Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naiveSkyline(pts))
+  }
+
+  test("skyline min dims negate correctly; duplicates both survive") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 11L, 6L), (4L, 12L, 4L))
+      .toDF("id", "value", "cost")
+    // maximize value, minimize cost: (11,6) is dominated by nothing on
+    // cost 4? (12,4) dominates (10,5) and (11,6)? value 12>=11, cost 4<=6,
+    // strictly better on both -> only (12,4) survives
+    val got = Skyline.skyline(df, Seq("value"), Seq("cost"))
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(4L))
+    // equal frontier rows: both copies kept
+    val dup = Seq((1L, 9L, 9L), (2L, 9L, 9L)).toDF("id", "value", "cost")
+    assert(Skyline.skyline(dup, Seq("value"), Seq("cost")).count() === 2)
+  }
+
+  test("skyline fails fast on a null or non-castable dimension") {
+    import spark.implicits._
+    val bad = Seq(("a", Some(1L)), ("b", None)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Skyline.skyline(bad, Seq("v"), Nil).collect()
+    }
+    assert(e.getMessage.contains("skyline dimension"))
+    val nonNum = Seq(("x", "not-a-number")).toDF("k", "v")
+    val e2 = intercept[Exception] {
+      Skyline.skyline(nonNum, Seq("v"), Nil).collect()
+    }
+    assert(e2.getMessage.contains("skyline dimension"))
+  }
+
+  // ---- label propagation ----
+
+  test("label propagation: two cliques with a bridge settle to two communities") {
+    import spark.implicits._
+    // clique A = {1,2,3}, clique B = {10,11,12}, bridge 3-10, isolate 99
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val out = Graph.labelPropagation(nodes, edges, "id", "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clique A all share one label, clique B all share one label
+    assert(Set(out(1L), out(2L)).size === 1)
+    assert(Set(out(10L), out(11L), out(12L)).size === 1)
+    // the isolate keeps its own id
+    assert(out(99L) === 99L)
+  }
+
+  test("label propagation is deterministic across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val nodes = (0L until 40L).toDF("id")
+    val a = Graph.labelPropagation(nodes,
+        edges.toDF("src", "dst").repartition(2), "id", "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.labelPropagation(nodes,
+        edges.toDF("src", "dst").repartition(13), "id", "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  // ---- t-closeness ----
+
+  test("t-closeness: a group mirroring the global distribution scores 0") {
+    import spark.implicits._
+    // two groups, identical bin histograms -> both t_fp = 0
+    val rows = for (g <- Seq("a", "b"); b <- 0 to 3; _ <- 1 to 5) yield (g, b)
+    val out = Privacy.tCloseness(rows.toDF("grp", "bin"), Seq("grp"), "bin", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("t-closeness: a fully concentrated group scores the EMD of its bin") {
+    import spark.implicits._
+    // global: half the rows in bin 0, half in bin 3 (two groups of 10);
+    // group "lo" all bin 0, group "hi" all bin 3
+    val rows = (1 to 10).map(_ => ("lo", 0)) ++ (1 to 10).map(_ => ("hi", 3))
+    val out = Privacy.tCloseness(rows.toDF("grp", "bin"), Seq("grp"), "bin", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // p_lo = [1,0,0,0], q = [.5,0,0,.5]; cum diffs at bins 0..2 = .5,.5,.5
+    // t = (3 * .5e9) / 3 = .5e9 — symmetric for "hi"
+    assert(out === Set(("lo", 10L, 500000000L), ("hi", 10L, 500000000L)))
+  }
+
+  test("t-closeness: null quasi-values form their own scored group") {
+    import spark.implicits._
+    val rows = Seq((Option("a"), 0), (Option("a"), 1),
+      (Option.empty[String], 0), (Option.empty[String], 1))
+    val out = Privacy.tCloseness(rows.toDF("grp", "bin"), Seq("grp"), "bin", 2)
+    assert(out.count() === 2)
+    assert(out.where(col("grp").isNull).select("t_fp")
+      .collect()(0).getLong(0) === 0L)
+    // out-of-range bin fails fast
+    val e = intercept[Exception] {
+      Privacy.tCloseness(Seq(("a", 9)).toDF("grp", "bin"),
+        Seq("grp"), "bin", 4).collect()
+    }
+    assert(e.getMessage.contains("tCloseness"))
+  }
+
+  // ---- seasonal decomposition ----
+
+  test("seasonal decompose: planted weekly pattern is recovered exactly") {
+    import spark.implicits._
+    // 28 days, n = 10 + 4*(day%7==0): constant trend, pure seasonality
+    val events = (0L until 28L).flatMap { d =>
+      val n = if (d % 7 == 0) 14 else 10
+      Seq.fill(n)(d)
+    }.toDF("day")
+    val out = EventOps.seasonalDecompose(events, "day", period = 7)
+      .orderBy("day").collect()
+    assert(out.length === 22) // 28 - 2*3 edge days
+    val S = EventOps.SeasonScale
+    out.foreach { r =>
+      val (day, n, trend, seas, resid) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // weekly sum is constant -> trend = mean = (6*10+14)/7
+      assert(trend === (74L * S) / 7)
+      // decomposition identity holds exactly
+      assert(n * S === trend + seas + resid)
+      // phase-0 seasonal is high, others low; residual ~0 up to fp rounding
+      assert(math.abs(resid) <= 7)
+      if (day % 7 == 0) assert(seas > 3 * S && seas < 4 * S)
+    }
+  }
+
+  test("seasonal decompose densifies gap days as zero-count anomalies") {
+    import spark.implicits._
+    // uniform 5/day over 21 days except day 10 has NO events at all
+    val events = (0L until 21L).filter(_ != 10L)
+      .flatMap(d => Seq.fill(5)(d)).toDF("day")
+    val out = EventOps.seasonalDecompose(events, "day", period = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(out.contains(10L))
+    assert(out(10L)._1 === 0L) // the gap day surfaces with n = 0
+    // and it is the most anomalous residual in the series
+    val worst = out.maxBy { case (_, (_, res)) => math.abs(res) }._1
+    assert(worst === 10L)
+  }
+
+  // ---- sorted-neighborhood dedup ----
+
+  test("SNM finds prefix-sharing near-dups and matches the naive window join") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the band plays on"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " extra"),      // near-dup of 1, shares the prefix
+      (3L, "zebra " + base)) ++   // same content, different prefix
+      (10L until 40L).map(i => (i, s"unrelated document number $i with its " +
+        s"own distinct words ${i * 31} ${i * 37} ${i * 41}")))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        keyLen = 20, window = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L))) // prefix blocking catches it
+    // naive replay: global sort rank by (key, id), all pairs within 5 rows,
+    // verified by the same >= 4/5 Jaccard on 5-gram shingles
+    val ranked = docs
+      .withColumn("bk", substring(
+        regexp_replace(lower(col("text")), "\\s+", " "), 1, 20))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bk"), col("doc_id"))))
+      .select("doc_id", "rk").as[(Long, Int)].collect()
+    val shing = docs.select(col("doc_id"),
+        graft.functions.graft_word_shingles(col("text"), 5).as("sh"))
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toSet).toMap
+    val naive = (for {
+      (ia, ra) <- ranked; (ib, rb) <- ranked
+      if rb > ra && rb <= ra + 5
+      inter = (shing(ia) & shing(ib)).size
+      uni = shing(ia).size + shing(ib).size - inter
+      if inter * 5 >= uni * 4
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    assert(got === naive)
+  }
+
+  test("SNM on empty and null-text input returns no pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhoodPairs(empty, "doc_id", "text").count() === 0)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "short text here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhoodPairs(nulls, "doc_id", "text").count() === 0)
+  }
+}
