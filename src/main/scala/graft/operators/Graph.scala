@@ -866,15 +866,16 @@ object Graph {
       .withColumn("label", col("node")))
     var r = 0
     while (r < rounds) {
-      // neighbor-label histogram: for edge (m, x), m sees x's label
+      // neighbor-label histogram: for edge (m, x), m sees x's label.
+      // argmax via max_by on the (count, -label) pair — one extra hash
+      // agg instead of a partitioned window's repartition + SORT; the
+      // (m, nl) histogram rows are unique, so the ordering struct is
+      // tie-free and max c / min label wins deterministically
       val best = adj.join(labels, adj("x") === labels("node"))
         .groupBy(col("m"), col("label").as("nl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("m"))
-            .orderBy(col("c").desc, col("nl").asc)))
-        .where(col("rn") === 1)
-        .select(col("m"), col("nl"))
+        .groupBy(col("m"))
+        .agg(expr("max_by(nl, named_struct('c', c, 'inv', -nl))").as("nl"))
       val next = labels.join(best, labels("node") === best("m"), "left")
         .select(labels("node"), coalesce(col("nl"), col("label")).as("label"))
       val pinned = labels
