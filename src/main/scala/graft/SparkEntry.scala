@@ -7368,6 +7368,163 @@ object SparkEntry {
       view(s, d, "documents")
       Dedup.sortedNeighborhoodPairs(s.table("documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
+    },
+
+    // Native watermarked stream-stream interval join (Spark's
+    // StreamingSymmetricHashJoin, not custom state): every purchase
+    // paired with the same user's views in the preceding 60 minutes.
+    // Complements q70's asof (argmax) enrich, which DOES need custom
+    // state — all-matches is the declaratively expressible case.
+    q("q239_streaming_interval_join",
+      """SELECT l.event_id, r.event_id AS event_id_r
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 60 MINUTE AND r.ts <= l.ts
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val ev = s.table("events")
+      def side(t: String): Array[(Long, java.sql.Timestamp, Long)] =
+        ev.where(col("event_type") === t)
+          .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("t"),
+            col("user_id"))
+          .orderBy("t", "event_id").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      val lin = MemoryStream[(Long, java.sql.Timestamp, Long)](s)
+      val rin = MemoryStream[(Long, java.sql.Timestamp, Long)](s)
+      val out = graft.streaming.StreamingOps.intervalJoin(
+        lin.toDF().toDF("event_id", "t", "user_id"),
+        rin.toDF().toDF("event_id", "t", "user_id"),
+        "user_id", "t", lookback = "60 MINUTE", watermarkDelay = "1 minute")
+      val sink = "graft_q239_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val qy = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        lin.addData(side("purchase").toSeq)
+        rin.addData(side("view").toSeq)
+        qy.processAllAvailable() // inner join: matches emit eagerly
+      } finally {
+        qy.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink)
+        .select(col("event_id"), col("event_id_r"))
+        .orderBy("event_id", "event_id_r")
+    },
+
+    // Blocking-quality report: SNM (q238) evaluated against the exact
+    // pair set (q21) — pair completeness (verified pairs found / true
+    // pairs) vs reduction ratio (candidates avoided / all C(n,2)
+    // pairs), the standard record-linkage blocking tradeoff as one
+    // measurable row.
+    q("q240_blocking_quality",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') ws
+        |           FROM documents),
+        |d AS (SELECT doc_id,
+        |        CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |             ELSE list_distinct(list_transform(range(len(ws) - 4),
+        |                    i -> array_to_string(ws[i+1:i+5], ' '))) END sh
+        |      FROM w),
+        |ex AS (SELECT a.doc_id ia, b.doc_id ib
+        |       FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |       WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |             >= (len(a.sh) + len(b.sh)
+        |                 - len(list_intersect(a.sh, b.sh))) * 4),
+        |k AS (SELECT doc_id,
+        |        substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 20) bk
+        |      FROM documents),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) rk FROM k),
+        |cand AS (SELECT least(a.doc_id, b.doc_id) ia,
+        |                greatest(a.doc_id, b.doc_id) ib
+        |         FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+        |sn AS (SELECT cand.ia, cand.ib FROM cand
+        |       JOIN d da ON da.doc_id = cand.ia
+        |       JOIN d db ON db.doc_id = cand.ib
+        |       WHERE len(list_intersect(da.sh, db.sh)) * 5
+        |             >= (len(da.sh) + len(db.sh)
+        |                 - len(list_intersect(da.sh, db.sh))) * 4),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM documents)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM sn) AS n_snm,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        |       CAST((SELECT count(*) FROM sn) * 1000000
+        |            // (SELECT count(*) FROM ex) AS BIGINT) AS pc_ppm,
+        |       CAST((nn.n * (nn.n - 1) // 2 - (SELECT count(*) FROM cand))
+        |            * 1000000 // (nn.n * (nn.n - 1) // 2) AS BIGINT) AS rr_ppm
+        |FROM nn""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val docs = s.table("documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_exact"))
+      val snm = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_snm"))
+      val cand = Dedup.sortedNeighborhoodCandidates(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_cand"))
+      val nd = docs.agg(count(lit(1)).as("nn"))
+      exact.crossJoin(snm).crossJoin(cand).crossJoin(nd)
+        .select(col("n_exact"), col("n_snm"), col("n_cand"),
+          expr("(n_snm * 1000000L) DIV n_exact").as("pc_ppm"),
+          expr("((nn * (nn - 1) DIV 2 - n_cand) * 1000000L)" +
+            " DIV (nn * (nn - 1) DIV 2)").as("rr_ppm"))
+    },
+
+    // Approximate functional-dependency strength: does `source`
+    // determine `lang` (and vice versa) in this crawl, and is
+    // doc_id -> lang exact? One (lhs, rhs) hash count + lhs-level max
+    // per declared pair — schema inference as a measurable quantity.
+    q("q241_fd_strength",
+      """WITH p1 AS (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT lang, source, count(*) c FROM documents GROUP BY 1, 2)
+        |  GROUP BY lang),
+        |p2 AS (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT source, lang, count(*) c FROM documents GROUP BY 1, 2)
+        |  GROUP BY source),
+        |p3 AS (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT doc_id, lang, count(*) c FROM documents GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT 'lang' AS lhs, 'source' AS rhs,
+        |       CAST(sum(tot) AS BIGINT) AS n,
+        |       CAST(sum(mx) * 1000000 // sum(tot) AS BIGINT) AS strength_ppm,
+        |       sum(mx) * 1000000 // sum(tot) = 1000000 AS exact
+        |FROM p1
+        |UNION ALL
+        |SELECT 'source', 'lang', CAST(sum(tot) AS BIGINT),
+        |       CAST(sum(mx) * 1000000 // sum(tot) AS BIGINT),
+        |       sum(mx) * 1000000 // sum(tot) = 1000000 FROM p2
+        |UNION ALL
+        |SELECT 'doc_id', 'lang', CAST(sum(tot) AS BIGINT),
+        |       CAST(sum(mx) * 1000000 // sum(tot) AS BIGINT),
+        |       sum(mx) * 1000000 // sum(tot) = 1000000 FROM p3
+        |ORDER BY lhs, rhs""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Profiler.fdStrength(s.table("documents"),
+          Seq("lang" -> "source", "source" -> "lang", "doc_id" -> "lang"))
+        .orderBy("lhs", "rhs")
+    },
+
+    // First-order event-type transition matrix per user stream:
+    // Markov-chain counts + fixed-point conditional probabilities —
+    // session simulation / bot-loop detection / funnel-drift input.
+    q("q242_transition_matrix",
+      """WITH s AS (SELECT user_id, event_type from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) n
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      graft.operators.EventOps.transitionMatrix(s.table("events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
     }
   )
 
@@ -8003,7 +8160,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 238
+  val maxQueryId: Int = 242
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -1187,6 +1187,24 @@ object Dedup {
       num: Int = 4,
       den: Int = 5,
       buckets: Int = 64): DataFrame = {
+    val cand = sortedNeighborhoodCandidates(df, idCol, textCol,
+      keyLen, window, buckets)
+    val sets = shingleSets(df, idCol, textCol, n)
+    verifyJaccard(cand, sets, num, den)
+  }
+
+  /** The SNM candidate pairs BEFORE verification — (id_a, id_b),
+   *  id_a < id_b by id order: all pairs within `window` rows of each
+   *  other in the global (blocking key, id) sort. Public so blocking-
+   *  quality evaluation (pair completeness vs reduction ratio) can
+   *  count candidates without re-deriving the rank. */
+  def sortedNeighborhoodCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyLen: Int = 20,
+      window: Int = 5,
+      buckets: Int = 64): DataFrame = {
     require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
     require(window >= 1, s"window must be >= 1, got $window")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -1221,14 +1239,12 @@ object Dedup {
     val blk = ranked.withColumn("__blk", expr(s"(rank - 1) DIV $window"))
     val right = blk.withColumn("__jblk",
       explode(array(col("__blk"), col("__blk") - 1)))
-    val cand = blk.as("a")
+    blk.as("a")
       .join(right.as("b"), col("a.__blk") === col("b.__jblk") &&
         col("b.rank") > col("a.rank") &&
         col("b.rank") <= col("a.rank") + window)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val sets = shingleSets(df, idCol, textCol, n)
-    verifyJaccard(cand, sets, num, den)
   }
 }

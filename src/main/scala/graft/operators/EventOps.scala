@@ -226,4 +226,45 @@ object EventOps {
       .select(col("day"), col("n"), col("trend_fp"), col("seasonal_fp"),
         (col("det_fp") - col("seasonal_fp")).as("resid_fp"))
   }
+
+  /** Fixed-point scale for [[transitionMatrix]] probabilities (ppm). */
+  val TransScale: Long = 1000000L
+
+  /**
+   * First-order event-type transition matrix: for each user's event
+   * stream in (ts, id) order, count (from_type -> to_type) steps and
+   * their fixed-point row-conditional probabilities — the Markov-chain
+   * summary behind session simulation, bot detection ("view->view->
+   * view loops"), and funnel-shape drift. Output: (from_type, to_type,
+   * n, p_ppm) where p_ppm = n * [[TransScale]] DIV Σ_to n.
+   *
+   * Determinism: the successor is defined by the TOTAL order (ts, id)
+   * within each user, so ties on ts cannot reorder across engines.
+   *
+   * Scale shape: one `lead` window PARTITIONED BY USER (parallel,
+   * state bounded by a user's own history), then one (from, to) hash
+   * count and a from-level re-aggregate joined back — type-pair
+   * cardinality, not event cardinality, past the first aggregate.
+   */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n")).cache()
+    steps.count() // materialize before the row-total join fans out
+    val rowTotals = steps.groupBy("from_type").agg(sum("n").as("tot"))
+    steps.join(broadcast(rowTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr(s"(n * ${TransScale}L) DIV tot").as("p_ppm"))
+  }
 }

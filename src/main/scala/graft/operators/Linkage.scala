@@ -10,16 +10,38 @@ import org.apache.spark.sql.functions._
  * cannot express. The classic use in a training-data pipeline is
  * canonicalizing source metadata before dedup groups on it.
  *
- * Scale design: never all-pairs. Candidates come from a BLOCKING join —
- * each side emits a small set of block keys (prefix, suffix, and a
- * length band by default) and only same-key pairs are scored. Blocking
- * is the standard recall/cost knob of record linkage: a typo that
- * mangles every block key of a record escapes matching (bounded misses,
- * linear cost) — the multi-key union keeps single-typo records
- * recallable since one edit can break at most two of the three keys.
- * The expensive `levenshtein` runs only on blocked candidates, and the
- * final best-match pick is a partial-aggregable `min_by` struct — no
- * windows, no driver state.
+ * Scale design — never all-pairs, and never all-ROWS:
+ *
+ *  1. *Name-type collapse.* Real metadata repeats: a 20k-row `part`
+ *     table carries 64 distinct names, a 100 TB crawl repeats titles
+ *     millions of times. The match depends only on the NAME, so both
+ *     sides collapse to distinct name types first (the [[Dedup]]
+ *     word-type discipline) and every record joins back to its type's
+ *     answer at the end. Cost scales with type-pair count, not
+ *     row-pair count — the difference between 64x64 and 20k x 20k
+ *     levenshteins here, and between millions and quadrillions on a
+ *     real crawl. Tie-breaks stay record-exact: each clean type
+ *     carries its smallest clean id as representative, so
+ *     `min (dist, clean_id)` over types equals the same min over rows.
+ *  2. *Blocking join on types.* Each type emits a small set of block
+ *     keys (3-char prefix, 3-char suffix, and a length band) and only
+ *     same-key type pairs are scored. Blocking is the standard
+ *     recall/cost knob of record linkage: a typo that mangles every
+ *     block key escapes matching (bounded misses, linear cost); the
+ *     multi-key union keeps single-typo records recallable since one
+ *     edit breaks at most two of the three keys.
+ *  3. *Block purging.* A degenerate key (every name in one length
+ *     band) would still go quadratic in types, so blocks whose
+ *     dirty-type x clean-type product exceeds `maxBlockPairs` are
+ *     dropped — the record-linkage literature's block-purging guard,
+ *     same shape as the wedge-join hub cap in
+ *     [[Graph.commonNeighborPairs]]. Purged blocks are noise blocks by
+ *     construction (they pair everything with everything); the
+ *     remaining keys keep their recall contract.
+ *
+ * The expensive `levenshtein` runs only on surviving blocked type
+ * pairs, and the final best-match pick is a partial-aggregable `min`
+ * struct — no windows, no driver state.
  */
 object Linkage {
 
@@ -48,28 +70,42 @@ object Linkage {
       clean: DataFrame,
       cleanId: String,
       cleanName: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBlockPairs: Long = 10000000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val d = dirty
+    require(maxBlockPairs >= 1,
+      s"maxBlockPairs must be >= 1, got $maxBlockPairs")
+    val dRec = dirty
       .select(col(dirtyId).cast("long").as("dirty_id"), col(dirtyName).as("dn"))
       .where(col("dirty_id").isNotNull && col("dn").isNotNull)
+    // name-type tables: the clean side carries its min-id representative
+    // so the (dist, clean_id) tie-break is row-exact on type pairs
+    val dT = dRec.select("dn").distinct()
       .withColumn("bk", explode(blockKeys("dn")))
-    val c = clean
+    val cT = clean
       .select(col(cleanId).cast("long").as("clean_id"), col(cleanName).as("cn"))
       .where(col("clean_id").isNotNull && col("cn").isNotNull)
+      .groupBy("cn").agg(min(col("clean_id")).as("rep_id"))
       .withColumn("bk", explode(blockKeys("cn")))
-    // a pair sharing 2+ block keys would score twice — distinct BEFORE
-    // the levenshtein so each candidate is scored once
-    val cand = d.join(c, Seq("bk"))
-      .select(col("dirty_id"), col("dn"), col("clean_id"), col("cn"))
+    // block purging: degenerate keys pair everything with everything;
+    // cap the per-key type-pair product and drop offenders
+    val okBks = dT.groupBy("bk").agg(count(lit(1)).as("n_dk"))
+      .join(cT.groupBy("bk").agg(count(lit(1)).as("n_ck")), Seq("bk"))
+      .where(col("n_dk") * col("n_ck") <= maxBlockPairs)
+      .select("bk")
+    // a type pair sharing 2+ surviving keys would score twice —
+    // distinct BEFORE the levenshtein so each candidate is scored once
+    val cand = dT.join(okBks, Seq("bk")).join(cT, Seq("bk"))
+      .select(col("dn"), col("cn"), col("rep_id"))
       .distinct()
-    cand
+    val byName = cand
       .withColumn("dist", levenshtein(col("dn"), col("cn")))
       .where(col("dist") <= maxDist)
-      .groupBy("dirty_id")
-      // min over (dist, clean_id) struct = best distance, then smallest id
-      .agg(min(struct(col("dist"), col("clean_id"))).as("best"))
-      .select(col("dirty_id"), col("best.clean_id").as("clean_id"),
+      .groupBy("dn")
+      // min over (dist, rep_id) struct = best distance, then smallest id
+      .agg(min(struct(col("dist"), col("rep_id"))).as("best"))
+    dRec.join(byName, Seq("dn"))
+      .select(col("dirty_id"), col("best.rep_id").as("clean_id"),
         col("best.dist").cast("long").as("dist"))
   }
 }

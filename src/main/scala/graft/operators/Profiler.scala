@@ -542,6 +542,43 @@ object Profiler {
       .select(col("g"), col("np").as("n_points"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
   }
+
+  /** Fixed-point scale for [[fdStrength]] (parts per million). */
+  val FdScale: Long = 1000000L
+
+  /**
+   * Approximate functional-dependency strength for declared column
+   * pairs: for each (lhs -> rhs), the fraction of rows that agree with
+   * their lhs-group's MAJORITY rhs value — 1.0 means the dependency
+   * holds exactly, lower values quantify how dirty the mapping is. The
+   * schema-inference / data-quality primitive behind "is `lang`
+   * actually determined by `source` in this crawl?". Output one row
+   * per pair: (lhs, rhs, n, strength_ppm, exact).
+   *
+   * Nulls group as values on both sides (SQL GROUP BY semantics): a
+   * null rhs shared by a whole lhs-group is still a consistent
+   * mapping.
+   *
+   * Scale shape: per pair, one (lhs, rhs) hash count, one lhs-level
+   * max re-aggregate (partial-aggregable, shrinking), one scalar sum —
+   * no joins, no windows, payload never moves. Pairs evaluate
+   * independently and union at the end.
+   */
+  def fdStrength(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (lhs, rhs) column pair")
+    pairs.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs).as("__l"), col(rhs).as("__r"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("__l")
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+        .agg(sum(col("mx")).as("agree"), sum(col("tot")).as("n"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(expr(s"(agree * ${FdScale}L) DIV n"), lit(FdScale))
+            .as("strength_ppm"))
+        .withColumn("exact", col("strength_ppm") === FdScale)
+    }.reduce(_ unionAll _)
+  }
 }
 
 /**

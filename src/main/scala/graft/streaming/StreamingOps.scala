@@ -567,6 +567,43 @@ object StreamingOps {
       .write.mode("overwrite").partitionBy("__bucket").parquet(snapshotDir)
   }
 
+  /**
+   * Watermarked stream-stream INTERVAL join on Spark's native join
+   * surface: every left row pairs with the right rows of the same key
+   * whose event time falls in `[left.ts - lookback, left.ts]` — the
+   * "views in the 10 minutes before this purchase" shape. Unlike
+   * [[asofEnrich]] (argmax, custom state), the all-matches semantics
+   * IS expressible declaratively, so this stays on the built-in
+   * `StreamingSymmetricHashJoinExec`: both sides carry watermarks and
+   * the join condition bounds the time range in both directions, which
+   * is exactly what Spark needs to evict state — per key, only rows
+   * inside the lookback horizon are retained, so state is bounded by
+   * the in-horizon working set at any corpus scale. Inner join: each
+   * match emits exactly once, as soon as both rows have arrived.
+   *
+   * Output: all left columns plus the right side's non-key columns
+   * suffixed `_r`.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      lookback: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val rRenamed = right.select(col(keyCol) +:
+      right.columns.filter(_ != keyCol)
+        .map(c => col(c).as(s"${c}_r")).toSeq: _*)
+    val r = rRenamed.withWatermark(s"${tsCol}_r", watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"l.`$keyCol` = r.`$keyCol` AND " +
+        s"`${tsCol}_r` >= `$tsCol` - INTERVAL $lookback AND " +
+        s"`${tsCol}_r` <= `$tsCol`"))
+      .select(left.columns.map(c => col(s"l.`$c`")) ++
+        rRenamed.columns.filter(_ != keyCol).map(c => col(s"r.`$c`")): _*)
+  }
+
   /** Intersection size of two ascending-sorted long arrays. */
   private def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
     var i = 0; var j = 0; var c = 0L

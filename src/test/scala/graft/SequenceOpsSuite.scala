@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, EventOps, Profiler}
+
+/** Round-9 additions: stream-stream interval join, FD strength,
+  * transition matrix, blocking-quality containment. */
+class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
+
+  test("streaming interval join matches the batch time-range join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // purchases: (id, t, user); views likewise. user 1 has views at
+    // 39/40/95 for a purchase at 100 with 60s lookback -> 40 (exactly on
+    // the inclusive lower bound) and 95 match, 39 is outside; user 2's
+    // view at 200 matches its purchase at 200 (inclusive upper bound);
+    // user 3's view is AFTER the purchase.
+    val purchases = Seq((1L, ts(100), 1L), (2L, ts(200), 2L), (3L, ts(300), 3L))
+    val views = Seq((10L, ts(39), 1L), (11L, ts(40), 1L), (12L, ts(95), 1L),
+      (13L, ts(200), 2L), (14L, ts(301), 3L))
+    val lin = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val rin = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val out = graft.streaming.StreamingOps.intervalJoin(
+      lin.toDF().toDF("event_id", "t", "user_id"),
+      rin.toDF().toDF("event_id", "t", "user_id"),
+      "user_id", "t", lookback = "60 SECONDS", watermarkDelay = "10 seconds")
+    val sink = "graft_ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val qy = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      lin.addData(purchases)
+      rin.addData(views)
+      qy.processAllAvailable()
+    } finally qy.stop()
+    val got = spark.table(sink).select("event_id", "event_id_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 11L), (1L, 12L), (2L, 13L)))
+    // and the schema carries left cols + right non-key cols suffixed _r
+    assert(spark.table(sink).columns.toSet ===
+      Set("event_id", "t", "user_id", "event_id_r", "t_r"))
+  }
+
+  test("fd strength: exact FD scores 1.0, noisy FD scores its majority share") {
+    import spark.implicits._
+    // id -> v exact; g -> v holds for 6 of 8 rows (majority per group)
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"), (4L, "a", "y"),
+      (5L, "b", "z"), (6L, "b", "z"), (7L, "b", "z"), (8L, "b", "w"))
+      .toDF("id", "g", "v")
+    val out = Profiler.fdStrength(df, Seq("id" -> "v", "g" -> "v"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toList
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m("id") === ("id", 8L, 1000000L, true))
+    assert(m("g") === ("g", 8L, 750000L, false)) // 6/8
+  }
+
+  test("fd strength: null rhs values group as consistent mappings") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (1L, Option.empty[String]),
+      (2L, Option("q"))).toDF("k", "v")
+    val out = Profiler.fdStrength(df.toDF("k", "v"), Seq("k" -> "v"))
+      .collect()(0)
+    assert(out.getLong(3) === 1000000L) // both groups internally consistent
+    assert(out.getBoolean(4))
+  }
+
+  test("transition matrix: ts ties break on id; probabilities are exact ppm") {
+    import spark.implicits._
+    // user 1: A(id1,t1) -> B(id2,t1 tie, id orders it) -> A(id3,t2)
+    // user 2: A -> B
+    val df = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 10L, "B"), (1L, 3L, 20L, "A"),
+      (2L, 4L, 5L, "A"), (2L, 5L, 6L, "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventOps.transitionMatrix(df, "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // from A: A->B twice (u1 tie-broken by id, u2); that's all of A's exits
+    assert(out(("A", "B")) === (2L, 1000000L))
+    // from B: B->A once (u1)
+    assert(out(("B", "A")) === (1L, 1000000L))
+    assert(out.size === 2)
+  }
+
+  test("SNM verified pairs are a subset of the exact pair set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 60L).map { i =>
+      val base = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+      // every 6th doc gets a near-identical sibling (one word appended)
+      if (i % 6 == 0) (i, base + " extra") else (i, base)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snm = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.subsetOf(exact))
+  }
+}
