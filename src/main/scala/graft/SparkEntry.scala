@@ -7525,6 +7525,25 @@ object SparkEntry {
       graft.operators.EventOps.transitionMatrix(s.table("events"),
           "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")
+    },
+
+    // One-pass filter audit via Dataset.observe (CollectMetrics):
+    // pre-filter counts ride accumulators on the SAME scan the filter
+    // runs on — no second input pass, no read-twice disagreement.
+    q("q243_observed_metrics",
+      """SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS chars_in,
+        |       CAST(count(CASE WHEN length(text) >= 200 THEN 1 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN length(text) >= 200
+        |                          THEN length(text) END), 0) AS BIGINT)
+        |         AS chars_kept,
+        |       CAST(count(CASE WHEN length(text) >= 200 THEN 1 END)
+        |            * 1000000 // count(*) AS BIGINT) AS kept_ppm
+        |FROM documents""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Observed.filterAudit(
+        s.table("documents"), "text", length(col("text")) >= 200)
     }
   )
 
@@ -8160,7 +8179,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 242
+  val maxQueryId: Int = 243
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -87,6 +87,21 @@ class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out.size === 2)
   }
 
+  test("observed filter audit reports input and kept stats from one pass") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa"), (2L, "bb"), (3L, "cccccc"), (4L, "d"))
+      .toDF("id", "text")
+    val out = graft.operators.Observed.filterAudit(df, "text",
+      length(col("text")) >= 4).collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((4L, 13L, 2L, 10L, 500000L)))
+    // empty input: all zeros, no divide-by-zero
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val z = graft.operators.Observed.filterAudit(empty, "text", lit(true))
+      .collect()(0)
+    assert((z.getLong(0), z.getLong(2), z.getLong(4)) === ((0L, 0L, 0L)))
+  }
+
   test("SNM verified pairs are a subset of the exact pair set") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
