@@ -7544,6 +7544,35 @@ object SparkEntry {
       view(s, d, "documents")
       graft.operators.Observed.filterAudit(
         s.table("documents"), "text", length(col("text")) >= 200)
+    },
+
+    // Bucketed-table co-located join: both fact tables persisted
+    // hash-bucketed+sorted on the join key, then joined with ZERO
+    // exchanges (Sinks.bucketedEquiJoin raises if the plan still
+    // shuffles) — the layout that turns the 100 TB fact-to-fact join's
+    // dominant shuffle into per-bucket local merges.
+    q("q244_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |                 * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      view(s, d, "lineitem", "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q244_").toString
+      graft.operators.Sinks.writeBucketedTable(
+        s.table("lineitem"), "graft_q244_li", s"$dir/li", "l_orderkey", 8)
+      graft.operators.Sinks.writeBucketedTable(
+        s.table("orders"), "graft_q244_ord", s"$dir/ord", "o_orderkey", 8)
+      graft.operators.Sinks.bucketedEquiJoin(s,
+          "graft_q244_li", "l_orderkey", "graft_q244_ord", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(14,2)) * " +
+            "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -8179,7 +8208,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 243
+  val maxQueryId: Int = 244
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

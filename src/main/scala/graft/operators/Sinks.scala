@@ -307,4 +307,70 @@ object Sinks {
     Seq((before, n, parquetFiles(outDir)))
       .toDF("n_files_before", "n_rows", "n_files_after")
   }
+
+  /**
+   * Persist `df` as a BUCKETED parquet table: hash-bucketed and sorted
+   * by `keyCol` into `nBuckets` files, registered as `tableName` with
+   * its data at `path`. Two tables bucketed the same way join WITHOUT
+   * any Exchange — the co-located join that at 100 TB turns the
+   * fact-to-fact join from the dominant shuffle into a local merge
+   * per bucket ([[bucketedEquiJoin]] asserts the plan shape). The
+   * `repartition` before the write pins ONE file per bucket, which is
+   * what lets the reader trust the sort order and skip its own sort.
+   *
+   * The catalog entry is session-scoped metadata (in-memory catalog —
+   * nothing lands in a metastore); the parquet + bucket spec at `path`
+   * is the durable artifact.
+   */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      keyCol: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    df.repartition(nBuckets, col(keyCol))
+      .write.format("parquet")
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
+  /**
+   * Join two same-bucketed tables on their bucket keys and ASSERT the
+   * co-location paid off: the executed plan must contain no shuffle
+   * exchange (a changed bucket count, disabled bucketing conf, or a
+   * non-bucket join key would silently reintroduce the full shuffle —
+   * at 100 TB the single most expensive regression a layout can have,
+   * so it fails loudly here instead).
+   */
+  def bucketedEquiJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      leftTable: String,
+      leftKey: String,
+      rightTable: String,
+      rightKey: String): DataFrame = {
+    val joined = spark.table(leftTable)
+      .join(spark.table(rightTable),
+        col(leftKey) === col(rightKey))
+    // AQE wraps the real plan in a childless AdaptiveSparkPlanExec —
+    // a naive collect() would find no exchanges VACUOUSLY; unwrap it
+    def exchangesIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          exchangesIn(a.executedPlan)
+        case other => other.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+      }
+    val exchanges = exchangesIn(joined.queryExecution.executedPlan)
+    require(exchanges.isEmpty,
+      s"bucketed join $leftTable x $rightTable still shuffles " +
+        s"(${exchanges.size} exchange(s)) — bucket specs do not line up")
+    joined
+  }
 }
