@@ -341,6 +341,36 @@ object Sinks {
   }
 
   /**
+   * Re-register a bucketed table written by [[writeBucketedTable]] in
+   * a NEW session: the parquet files survive, but the in-memory
+   * catalog's bucket spec dies with the session that wrote it — and a
+   * plain `spark.read.parquet(path)` silently forgets the bucketing
+   * (the join shuffles again with no error). This re-attaches the
+   * spec via `CREATE TABLE ... USING parquet CLUSTERED BY ... INTO n
+   * BUCKETS LOCATION path`, restoring exchange-free joins. The spec
+   * (`keyCol`, `nBuckets`) is the caller's contract to carry across
+   * sessions — persist it next to the data (a manifest) in real
+   * deployments.
+   */
+  def registerBucketedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      path: String,
+      keyCol: String,
+      keyType: String,
+      nBuckets: Int,
+      otherCols: Seq[(String, String)]): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val colsDdl = ((keyCol, keyType) +: otherCols)
+      .map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    spark.sql(
+      s"""CREATE TABLE `$tableName` ($colsDdl) USING parquet
+         |CLUSTERED BY (`$keyCol`) SORTED BY (`$keyCol`) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /**
    * Join two same-bucketed tables on their bucket keys and ASSERT the
    * co-location paid off: the executed plan must contain no shuffle
    * exchange (a changed bucket count, disabled bucketing conf, or a

@@ -590,16 +590,23 @@ object StreamingOps {
       keyCol: String,
       tsCol: String,
       lookback: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
     val rRenamed = right.select(col(keyCol) +:
       right.columns.filter(_ != keyCol)
         .map(c => col(c).as(s"${c}_r")).toSeq: _*)
     val r = rRenamed.withWatermark(s"${tsCol}_r", watermarkDelay).alias("r")
+    // left_outer: Spark holds the unmatched left row until the
+    // watermark proves no future right row can land in its interval,
+    // then emits it null-padded — the "purchases with NO prior view"
+    // rows arrive watermark-late by design, matches still emit eagerly
     l.join(r,
       expr(s"l.`$keyCol` = r.`$keyCol` AND " +
         s"`${tsCol}_r` >= `$tsCol` - INTERVAL $lookback AND " +
-        s"`${tsCol}_r` <= `$tsCol`"))
+        s"`${tsCol}_r` <= `$tsCol`"), joinType)
       .select(left.columns.map(c => col(s"l.`$c`")) ++
         rRenamed.columns.filter(_ != keyCol).map(c => col(s"r.`$c`")): _*)
   }

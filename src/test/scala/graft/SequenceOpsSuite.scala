@@ -87,6 +87,40 @@ class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out.size === 2)
   }
 
+  test("left-outer interval join emits unmatched lefts after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val lin = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val rin = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val out = graft.streaming.StreamingOps.intervalJoin(
+      lin.toDF().toDF("event_id", "t", "user_id"),
+      rin.toDF().toDF("event_id", "t", "user_id"),
+      "user_id", "t", lookback = "60 SECONDS", watermarkDelay = "10 seconds",
+      joinType = "left_outer")
+    val sink = "graft_loj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val qy = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // purchase 1 has a view; purchase 2 has none
+      lin.addData(Seq((1L, ts(100), 1L), (2L, ts(100), 2L)))
+      rin.addData(Seq((10L, ts(90), 1L)))
+      qy.processAllAvailable()
+      // push both watermarks far past t=100 to finalize the unmatched row
+      lin.addData(Seq((99L, ts(100000), 99L)))
+      rin.addData(Seq((98L, ts(100000), 98L)))
+      qy.processAllAvailable()
+      lin.addData(Seq((97L, ts(200000), 99L)))
+      rin.addData(Seq((96L, ts(200000), 98L)))
+      qy.processAllAvailable()
+    } finally qy.stop()
+    val got = spark.table(sink)
+      .where(col("event_id") < 90) // drop the sentinel rows
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set((1L, 10L), (2L, -1L)))
+  }
+
   test("observed filter audit reports input and kept stats from one pass") {
     import spark.implicits._
     val df = Seq((1L, "aaaa"), (2L, "bb"), (3L, "cccccc"), (4L, "d"))
@@ -122,6 +156,14 @@ class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
           spark, "t_bkt_a", "k", "t_bkt_c", "k2")
       }
       assert(e.getMessage.contains("still shuffles"))
+      // catalog death: drop + re-register from the files alone via
+      // CLUSTERED BY DDL -> the join is exchange-free again
+      spark.sql("DROP TABLE t_bkt_b")
+      graft.operators.Sinks.registerBucketedTable(spark, "t_bkt_b",
+        s"$dir/b", "k2", "BIGINT", 4, Seq("vb" -> "STRING"))
+      val j2 = graft.operators.Sinks.bucketedEquiJoin(
+        spark, "t_bkt_a", "k", "t_bkt_b", "k2")
+      assert(j2.count() === 100)
     }
   }
 
