@@ -172,6 +172,21 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(worst === 10L)
   }
 
+  test("seasonal decompose: series shorter than the period yields no rows") {
+    import spark.implicits._
+    val events = (0L until 5L).flatMap(d => Seq.fill(3)(d)).toDF("day")
+    assert(EventOps.seasonalDecompose(events, "day", period = 7).count() === 0)
+  }
+
+  test("label propagation with no edges keeps every node's own label") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.labelPropagation(nodes, edges, "id", "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   // ---- sorted-neighborhood dedup ----
 
   test("SNM finds prefix-sharing near-dups and matches the naive window join") {
