@@ -115,7 +115,10 @@ object Bench {
       "q96_bm25_topk",       // BM25 corpus stats + inverted match + top-k
       "q114_lsh_index",      // persisted LSH index build + bucket-pruned query
       "q163_pagerank",       // fixed-point PageRank over the near-dup graph
-      "q184_kcore")          // synchronous k-core peel over co-part edges
+      "q184_kcore",          // synchronous k-core peel over co-part edges
+      "q219_entity_linkage", // name-TYPE linkage: ~flat, types don't grow 10x
+      "q235_label_propagation", // sync LPA rounds over co-part edges
+      "q238_snm_dedup")      // global-rank window blocking: O(n*w) candidates
     heads.filterNot(SparkEntry.queries.contains).foreach(n =>
       System.err.println(s"[bench] scale head $n missing from the inventory — skipped"))
     val tGen = System.nanoTime()
@@ -149,6 +152,9 @@ object Bench {
       blow("documents", Seq("doc_id"), Some("text"))
       blow("embeddings", Seq("vec_id"), None)
       blow("lineitem", Seq("l_orderkey", "l_partkey"), None)
+      // part: ids shift, NAMES stay — 10x rows, same 64 name types, so
+      // the type-collapsed linkage head should hold near-flat
+      blow("part", Seq("p_partkey"), None)
       System.err.println(
         s"[bench] scale blowup x$factor built in ${(System.nanoTime() - tGen) / 1e9} sec")
       val rows = heads.filter(SparkEntry.queries.contains).map { name =>
