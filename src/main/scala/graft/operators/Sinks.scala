@@ -393,9 +393,13 @@ object Sinks {
       p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           exchangesIn(a.executedPlan)
-        case other => other.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-        }
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          // post-execution stages are leaf wrappers too (defensive: the
+          // plan here is pre-execution, but a cached/reused one may not be)
+          exchangesIn(q.plan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e +: e.children.flatMap(exchangesIn)
+        case other => other.children.flatMap(exchangesIn)
       }
     val exchanges = exchangesIn(joined.queryExecution.executedPlan)
     require(exchanges.isEmpty,

@@ -167,6 +167,52 @@ class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // one hot key (~6 MB of rows) + a uniform tail: the hot partition
+    // exceeds factor x median and the byte threshold, so AQE's
+    // OptimizeSkewedJoin must split it (SMJ flagged skew=true). This is
+    // the runtime half of the skew story — SkewJoin.saltedEquiJoin is
+    // the manual half for single-key-per-reducer cases AQE can't split.
+    // md5 payloads: constant padding would lz4-compress the shuffle
+    // blocks below the skew byte threshold and the split never fires
+    val big = spark.range(0, 200000).select(
+      when(col("id") < 180000, 0L).otherwise(col("id")).as("k"),
+      md5(col("id").cast("string").cast("binary")).as("p1"),
+      md5(concat(lit("b"), col("id").cast("string")).cast("binary")).as("p2"),
+      md5(concat(lit("c"), col("id").cast("string")).cast("binary")).as("p3"))
+    val small = (0L until 200L).map(k => (k, s"dim$k")).toDF("k", "name")
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB") {
+      val joined = big.join(small, Seq("k"))
+      // drive THIS dataframe's own QueryExecution: a count() builds a
+      // different plan, leaving joined's adaptive plan unexecuted (and
+      // skew detection only exists at runtime)
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() === 180000) // tail keys have no dim match
+      // both AdaptiveSparkPlanExec AND QueryStageExec (ResultQueryStage/
+      // ShuffleQueryStage) are leaf wrappers hiding their real subtree —
+      // a plain collect() sees neither, so recurse through both by hand
+      def skewJoins(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            skewJoins(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            skewJoins(q.plan)
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+              if s.isSkewJoin => s +: s.children.flatMap(skewJoins)
+          case other => other.children.flatMap(skewJoins)
+        }
+      assert(skewJoins(qe.executedPlan).nonEmpty,
+        "expected AQE to mark the hot-key SMJ partition as skew-split")
+    }
+  }
+
   test("SNM verified pairs are a subset of the exact pair set") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
