@@ -7344,7 +7344,7 @@ object SparkEntry {
       """WITH k AS (SELECT doc_id,
         |             substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
         |                    1, 20) bk
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) rk
         |       FROM k),
         |cand AS (SELECT least(a.doc_id, b.doc_id) ia,
@@ -7436,7 +7436,7 @@ object SparkEntry {
         |                 - len(list_intersect(a.sh, b.sh))) * 4),
         |k AS (SELECT doc_id,
         |        substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 20) bk
-        |      FROM documents),
+        |      FROM documents WHERE text IS NOT NULL),
         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) rk FROM k),
         |cand AS (SELECT least(a.doc_id, b.doc_id) ia,
         |                greatest(a.doc_id, b.doc_id) ib
@@ -7460,10 +7460,14 @@ object SparkEntry {
       val docs = s.table("documents")
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
         .agg(count(lit(1)).as("n_exact"))
-      val snm = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text")
+      // ONE candidate pipeline feeds both the candidate count and the
+      // verify stage (running sortedNeighborhoodPairs separately would
+      // recompute the whole rank/block join a second time)
+      val candidates = Dedup
+        .sortedNeighborhoodCandidates(docs, "doc_id", "text").cache()
+      val snm = Dedup.verifyCandidatePairs(candidates, docs, "doc_id", "text")
         .agg(count(lit(1)).as("n_snm"))
-      val cand = Dedup.sortedNeighborhoodCandidates(docs, "doc_id", "text")
-        .agg(count(lit(1)).as("n_cand"))
+      val cand = candidates.agg(count(lit(1)).as("n_cand"))
       val nd = docs.agg(count(lit(1)).as("nn"))
       exact.crossJoin(snm).crossJoin(cand).crossJoin(nd)
         .select(col("n_exact"), col("n_snm"), col("n_cand"),
@@ -7561,18 +7565,45 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       view(s, d, "lineitem", "orders")
       val dir = java.nio.file.Files.createTempDirectory("graft_q244_").toString
-      graft.operators.Sinks.writeBucketedTable(
-        s.table("lineitem"), "graft_q244_li", s"$dir/li", "l_orderkey", 8)
-      graft.operators.Sinks.writeBucketedTable(
-        s.table("orders"), "graft_q244_ord", s"$dir/ord", "o_orderkey", 8)
-      graft.operators.Sinks.bucketedEquiJoin(s,
-          "graft_q244_li", "l_orderkey", "graft_q244_ord", "o_orderkey")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(14,2)) * " +
-            "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"))
-            .cast("double").as("revenue"))
-        .orderBy("o_orderpriority")
+      // force the sort-merge path: at test scale the orders side is
+      // under the broadcast threshold and a BHJ has no shuffle to
+      // detect, making the exchange-free assertion VACUOUS — the
+      // bucketed co-location must carry the join for the proof to mean
+      // anything
+      val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBcast = s.conf.get(bcastKey)
+      s.conf.set(bcastKey, "-1")
+      try {
+        graft.operators.Sinks.writeBucketedTable(
+          s.table("lineitem"), "graft_q244_li", s"$dir/li", "l_orderkey", 8)
+        graft.operators.Sinks.writeBucketedTable(
+          s.table("orders"), "graft_q244_ord", s"$dir/ord", "o_orderkey", 8)
+        val out = graft.operators.Sinks.bucketedEquiJoin(s,
+            "graft_q244_li", "l_orderkey", "graft_q244_ord", "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("CAST(l_extendedprice AS DECIMAL(14,2)) * " +
+              "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"))
+              .cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+          .collect()
+        // terminal query: materialized above, so the scratch tables and
+        // the temp dir can be dropped instead of leaking per execution
+        s.createDataFrame(
+          s.sparkContext.parallelize(out.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_orderpriority",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_items",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("revenue",
+              org.apache.spark.sql.types.DoubleType))))
+      } finally {
+        s.conf.set(bcastKey, prevBcast)
+        s.sql("DROP TABLE IF EXISTS graft_q244_li")
+        s.sql("DROP TABLE IF EXISTS graft_q244_ord")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
     }
   )
 

@@ -1193,6 +1193,21 @@ object Dedup {
     verifyJaccard(cand, sets, num, den)
   }
 
+  /** Exact-Jaccard verification of an externally produced candidate
+   *  pair set (id_a, id_b) against `df`'s n-gram shingles — the public
+   *  half of [[ngramJaccardPairs]]' verify stage, so blocking-quality
+   *  evaluations can count candidates AND verify them without running
+   *  the blocking pipeline twice. Output matches [[ngramJaccardPairs]]. */
+  def verifyCandidatePairs(
+      candidates: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      num: Int = 4,
+      den: Int = 5): DataFrame =
+    verifyJaccard(candidates, shingleSets(df, idCol, textCol, n), num, den)
+
   /** The SNM candidate pairs BEFORE verification — (id_a, id_b),
    *  id_a < id_b by id order: all pairs within `window` rows of each
    *  other in the global (blocking key, id) sort. Public so blocking-

@@ -79,14 +79,20 @@ object Linkage {
       .select(col(dirtyId).cast("long").as("dirty_id"), col(dirtyName).as("dn"))
       .where(col("dirty_id").isNotNull && col("dn").isNotNull)
     // name-type tables: the clean side carries its min-id representative
-    // so the (dist, clean_id) tie-break is row-exact on type pairs
+    // so the (dist, clean_id) tie-break is row-exact on type pairs.
+    // Both type tables feed TWO consumers (the purge counts and the
+    // candidate join) — cache + materialize so neither recomputes the
+    // distinct/groupBy over the full input (the [[Dedup]] discipline)
     val dT = dRec.select("dn").distinct()
       .withColumn("bk", explode(blockKeys("dn")))
+      .cache()
     val cT = clean
       .select(col(cleanId).cast("long").as("clean_id"), col(cleanName).as("cn"))
       .where(col("clean_id").isNotNull && col("cn").isNotNull)
       .groupBy("cn").agg(min(col("clean_id")).as("rep_id"))
       .withColumn("bk", explode(blockKeys("cn")))
+      .cache()
+    dT.count(); cT.count()
     // block purging: degenerate keys pair everything with everything;
     // cap the per-key type-pair product and drop offenders
     val okBks = dT.groupBy("bk").agg(count(lit(1)).as("n_dk"))
@@ -104,8 +110,13 @@ object Linkage {
       .groupBy("dn")
       // min over (dist, rep_id) struct = best distance, then smallest id
       .agg(min(struct(col("dist"), col("rep_id"))).as("best"))
+    // one row per dirty ID, not per dirty record: duplicate rows and
+    // multi-name ids re-minimize over everything the id's names matched
     dRec.join(byName, Seq("dn"))
-      .select(col("dirty_id"), col("best.rep_id").as("clean_id"),
-        col("best.dist").cast("long").as("dist"))
+      .groupBy("dirty_id")
+      .agg(min(struct(col("best.dist").as("dist"),
+        col("best.rep_id").as("rep_id"))).as("b"))
+      .select(col("dirty_id"), col("b.rep_id").as("clean_id"),
+        col("b.dist").cast("long").as("dist"))
   }
 }

@@ -167,6 +167,19 @@ class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("linkage emits ONE row per dirty id across duplicate rows and multi-name ids") {
+    import spark.implicits._
+    val dirty = Seq((7L, "gadget"), (7L, "gadget"), (7L, "widgett"),
+      (9L, "zzzzzzz")).toDF("id", "nm")
+    val clean = Seq((1L, "widget"), (2L, "gadget")).toDF("cid", "cnm")
+    val out = graft.operators.Linkage.linkByEditDistance(
+        dirty, "id", "nm", clean, "cid", "cnm", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // id 7 matched via BOTH its names (gadget d=0, widgett->widget d=1)
+    // and a duplicate row — still exactly one output row, the global min
+    assert(out.toSeq === Seq((7L, 2L, 0L)))
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     // one hot key (~6 MB of rows) + a uniform tail: the hot partition
@@ -218,15 +231,20 @@ class SequenceOpsSuite extends AnyFunSuite with GraftSparkSession {
     val rnd = new scala.util.Random(23)
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa")
-    val docs = (1L to 60L).map { i =>
-      val base = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
-      // every 6th doc gets a near-identical sibling (one word appended)
-      if (i % 6 == 0) (i, base + " extra") else (i, base)
-    }.toDF("doc_id", "text")
+    val bases = (1L to 60L).map(i =>
+      i -> Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")).toMap
+    // every 6th doc gets a REAL near-identical sibling at id+1000
+    // (same base, one word appended — Jaccard ~29/31 > 4/5)
+    val docs = ((1L to 60L).map(i => (i, bases(i))) ++
+      (1L to 60L).filter(_ % 6 == 0).map(i => (i + 1000L, bases(i) + " tail")))
+      .toDF("doc_id", "text")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val snm = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prefix-sharing siblings sort adjacent, so SNM must FIND them —
+    // non-emptiness keeps the containment check from passing vacuously
+    assert(snm.nonEmpty)
     assert(snm.subsetOf(exact))
   }
 }
