@@ -191,8 +191,17 @@ object EventOps {
       .groupBy("day").agg(count(lit(1)).as("n"))
     val bounds = broadcast(daily.agg(
       min("day").as("d0"), max("day").as("d1")))
-    // densify: the spine generates [d0, d1] and left-joins real counts
+    // densify: the spine generates [d0, d1] and left-joins real counts.
+    // Fail fast on an absurd span — ONE corrupt row (epoch-0 timestamp,
+    // year-9999 typo) would otherwise make sequence() generate billions
+    // of spine rows with no error until the executor OOMs
+    val maxSpan = 1000000L // ~2700 years of days
     val spine = bounds
+      .select(when(col("d1") - col("d0") > maxSpan,
+        raise_error(concat(lit("seasonalDecompose: day span "),
+          (col("d1") - col("d0")).cast("string"),
+          lit(s" exceeds $maxSpan — corrupt outlier day values?"))))
+        .otherwise(col("d0")).as("d0"), col("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(daily, Seq("day"), "left")
       .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))

@@ -178,6 +178,15 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(EventOps.seasonalDecompose(events, "day", period = 7).count() === 0)
   }
 
+  test("seasonal decompose fails fast on an absurd day span (corrupt outlier)") {
+    import spark.implicits._
+    val events = (Seq(0L) ++ (100000000L until 100000010L)).toDF("day")
+    val e = intercept[Exception] {
+      EventOps.seasonalDecompose(events, "day", period = 7).collect()
+    }
+    assert(e.getMessage.contains("day span"))
+  }
+
   test("label propagation with no edges keeps every node's own label") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L).toDF("id")
