@@ -7604,6 +7604,28 @@ object SparkEntry {
         s.sql("DROP TABLE IF EXISTS graft_q244_ord")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
+    },
+
+    // Deterministic systematic PPS sampling per language: ~20 marks on
+    // each group's integer weight line (weight = n_chars) — the
+    // reproducible weighted pick behind data mixing; no RNG anywhere,
+    // so the draw replays bit-for-bit on any engine.
+    q("q245_pps_sample",
+      """WITH c AS (SELECT lang, doc_id, n_chars w,
+        |             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+        |             sum(n_chars) OVER (PARTITION BY lang) tot
+        |           FROM documents),
+        |m AS (SELECT lang, doc_id, w, cum,
+        |             greatest(tot // 20, 1) step FROM c)
+        |SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
+        |       CAST(cum // step - (cum - w) // step AS BIGINT) AS multiplicity
+        |FROM m WHERE cum // step - (cum - w) // step > 0
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Sampling.systematicPpsSample(
+          s.table("documents"), Seq("lang"), "doc_id", "n_chars", k = 20)
+        .orderBy("lang", "doc_id")
     }
   )
 
@@ -8239,7 +8261,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 244
+  val maxQueryId: Int = 245
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

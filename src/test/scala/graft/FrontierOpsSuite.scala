@@ -196,6 +196,35 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  // ---- systematic PPS sampling ----
+
+  test("systematic PPS: marks land proportionally, heavy rows multi-select") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // one group, weights 10x6 + one heavy 40: tot=100, k=10 -> step=10.
+    // The heavy row spans 4 marks -> multiplicity 4; every light row
+    // spans exactly one mark boundary
+    val df = ((1L to 6L).map(i => ("g", i, 10L)) :+ (("g", 7L, 40L)))
+      .toDF("grp", "id", "w")
+    val out = Sampling.systematicPpsSample(df, Seq("grp"), "id", "w", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(7L) === 4L)
+    assert((1L to 6L).forall(i => out(i) === 1L))
+    assert(out.values.sum === 10L)
+    // determinism across partitionings
+    val a = Sampling.systematicPpsSample(df.repartition(5), Seq("grp"),
+      "id", "w", 10).collect().map(_.toSeq).toSet
+    val b = Sampling.systematicPpsSample(df.repartition(2), Seq("grp"),
+      "id", "w", 10).collect().map(_.toSeq).toSet
+    assert(a === b)
+    // zero/null weights fail fast
+    val bad = Seq(("g", 1L, 0L)).toDF("grp", "id", "w")
+    val e = intercept[Exception] {
+      Sampling.systematicPpsSample(bad, Seq("grp"), "id", "w", 5).collect()
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   // ---- sorted-neighborhood dedup ----
 
   test("SNM finds prefix-sharing near-dups and matches the naive window join") {
