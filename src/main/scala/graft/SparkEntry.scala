@@ -7626,6 +7626,33 @@ object SparkEntry {
       graft.operators.Sampling.systematicPpsSample(
           s.table("documents"), Seq("lang"), "doc_id", "n_chars", k = 20)
         .orderBy("lang", "doc_id")
+    },
+
+    // Event-time RANGE-frame window: each event sees the SAME USER's
+    // trailing hour by timestamp VALUE, not row position — the
+    // velocity/burst feature a row-frame can't express when event
+    // spacing is irregular. Value sums ride integer fixed-point so the
+    // frame aggregation is order-free.
+    q("q246_rolling_window",
+      """SELECT user_id, event_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_hour,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+        |            AS BIGINT) AS sum_value_fp
+        |FROM (SELECT user_id, event_id, epoch_ns(ts) tsn, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600000000000L, 0L)
+      s.table("events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 1000000).cast("long").as("v_fp"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_hour"),
+          sum(col("v_fp")).over(w).as("sum_value_fp"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -8261,7 +8288,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 245
+  val maxQueryId: Int = 246
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from
