@@ -6756,12 +6756,13 @@ object SparkEntry {
         |          JOIN inc i USING (item) GROUP BY c.lab))
         |SELECT nt.n_items, nt.n AS n_ratings,
         |       CAST(CASE WHEN nt.n * nt.n = qq.qq THEN NULL
-        |            WHEN 360360 * (nt.n * nt.n - qq.qq) - ds.do_scaled * nt.n < 0
-        |              THEN -(((ds.do_scaled * nt.n - 360360 * (nt.n * nt.n - qq.qq))
-        |                      * 10000)
+        |            WHEN 360360 * (nt.n * nt.n - qq.qq)
+        |                 - ds.do_scaled * (nt.n - 1) < 0
+        |              THEN -(((ds.do_scaled * (nt.n - 1)
+        |                       - 360360 * (nt.n * nt.n - qq.qq)) * 10000)
         |                     // (360360 * (nt.n * nt.n - qq.qq)))
-        |            ELSE ((360360 * (nt.n * nt.n - qq.qq) - ds.do_scaled * nt.n)
-        |                  * 10000)
+        |            ELSE ((360360 * (nt.n * nt.n - qq.qq)
+        |                   - ds.do_scaled * (nt.n - 1)) * 10000)
         |                 // (360360 * (nt.n * nt.n - qq.qq)) END AS BIGINT) AS alpha_fp
         |FROM nt, ds, qq""".stripMargin) { (s, d) =>
       view(s, d, "events")

@@ -19,19 +19,36 @@ object Verify {
     // shrink the correctness gate by one
     SparkEntry.assertContiguousQueryIds()
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     // SPARK_GRAFT_ONLY=q96_bm25_topk,q01_... scopes the dump for local
     // iteration; the driver never sets it, so its runs stay exhaustive
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
+      case None =>
+        // exhaustive run: a leftover result from a PRIOR run in the same
+        // dir must not survive as this run's artifact (a query that
+        // throws before its overwrite-delete would otherwise leave the
+        // stale parquet to be hash-compared — the r9 q237 failure mode)
+        deleteRecursively(Paths.get(outDir))
+        new java.io.File(outDir).mkdirs()
+        SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must read as MISSING downstream, never as the
+        // previous run's (possibly half-deleted) output
+        try deleteRecursively(Paths.get(s"$outDir/$name"))
+        catch { case _: Throwable => () }
       }
       // operator-internal caches (shingle sets, funnel stages, CC labels)
       // are per-query working state here — drop them so 67+ queries'

@@ -83,10 +83,16 @@ object Contracts {
       rowRules.zipWithIndex.map { case ((_, p), i) =>
         sum(when(p, 1L).otherwise(0L)).as(s"v$i")
       }
-    val one = df.agg(aggCols.head, aggCols.tail: _*).cache()
-    val total = one.select(col("n_rows"))
+    // the single agg row is collected to driver literals: every rule's
+    // report line and the n_rows column become constants, so the report
+    // assembly below adds zero extra scans (and no lingering cache)
+    val one = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nRows = one.getLong(0)
+    val spark = df.sparkSession
+    def oneRowDf(name: String, violations: Long): DataFrame =
+      spark.range(1).select(lit(name).as("rule"), lit(violations).as("violations"))
     val rowReport = rowRules.zipWithIndex.map { case ((name, _), i) =>
-      one.select(lit(name).as("rule"), coalesce(col(s"v$i"), lit(0L)).as("violations"))
+      oneRowDf(name, if (one.isNullAt(i + 1)) 0L else one.getLong(i + 1))
     }
     val otherReport = rules.collect {
       case u @ Unique(cols) =>
@@ -101,8 +107,7 @@ object Contracts {
     }
     (rowReport ++ otherReport)
       .reduce(_.unionAll(_))
-      .crossJoin(total)
-      .select(col("rule"), col("violations"), col("n_rows"),
+      .select(col("rule"), col("violations"), lit(nRows).as("n_rows"),
         (col("violations") === 0L).as("pass"))
       .orderBy("rule")
   }

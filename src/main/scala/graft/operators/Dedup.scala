@@ -1232,7 +1232,7 @@ object Dedup {
     keyed.count() // materialize: bounds pass + rank pass both read it
     val boundsRow = keyed.agg(call_function(
       "approx_partition_bounds_str", col("bk"), lit(buckets)).as("bs")).collect()(0)
-    val ranked =
+    val rankedLazy =
       if (boundsRow.isNullAt(0)) keyed.withColumn("rank", lit(0L)).where(lit(false))
       else {
         val bounds = boundsRow.getSeq[String](0)
@@ -1251,6 +1251,11 @@ object Dedup {
             Window.partitionBy("__b").orderBy(col("bk"), col("id"))))
           .select(col("id"), col("rank"))
       }
+    // the self-join below reads the rank twice — checkpoint it once so
+    // neither side recomputes the window, and release the keyed cache
+    // (its last consumer) instead of leaving it to the session
+    val ranked = rankedLazy.localCheckpoint()
+    keyed.unpersist(blocking = false)
     val blk = ranked.withColumn("__blk", expr(s"(rank - 1) DIV $window"))
     val right = blk.withColumn("__jblk",
       explode(array(col("__blk"), col("__blk") - 1)))

@@ -187,8 +187,20 @@ object EventOps {
     val half = (period - 1) / 2
     require(period % 2 == 1, s"period must be odd (centered window), got $period")
     val S = SeasonScale
+    // the +1e12 offsets below keep every DIV dividend non-negative ONLY
+    // while |det_fp| <= 1e12, i.e. daily counts <= 1e12/S = 1e6. Enforce
+    // the precondition loudly — beyond it Spark's DIV (truncate toward
+    // zero) would silently diverge from floor-division engines and break
+    // the bit-identical contract. Shard by key and pre-aggregate if a
+    // stream legitimately exceeds a million events/day.
+    val maxDaily = 1000000000000L / S
     val daily = events.select(col(dayCol).cast("long").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
+      .withColumn("n", when(col("n") > maxDaily,
+        raise_error(concat(lit("seasonalDecompose: day "),
+          col("day").cast("string"), lit(" has "), col("n").cast("string"),
+          lit(s" events, max supported is $maxDaily"))))
+        .otherwise(col("n")))
     val bounds = broadcast(daily.agg(
       min("day").as("d0"), max("day").as("d1")))
     // densify: the spine generates [d0, d1] and left-joins real counts.
@@ -217,8 +229,9 @@ object EventOps {
       .where(col("win_n") === period) // full windows only
       .withColumn("phase", pmod(col("day"), lit(period.toLong)))
       .withColumn("det_fp", col("n") * S - col("trend_fp"))
-    val cached = trended.cache()
-    cached.count() // materialize before the seasonal join fans out
+    // materialize once before the seasonal join fans out (3 consumers);
+    // checkpoint blocks free with the RDD, no session cache residue
+    val cached = trended.localCheckpoint()
     // per-phase mean of the detrended series; the offset keeps the
     // dividend non-negative so DIV truncation matches every engine
     val big = 1000000000000L
@@ -269,8 +282,9 @@ object EventOps {
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .where(col("to_type").isNotNull)
       .groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n")).cache()
-    steps.count() // materialize before the row-total join fans out
+      // materialize before the row-total join fans out; checkpoint
+      // blocks free with the RDD, no session cache residue
+      .agg(count(lit(1)).as("n")).localCheckpoint()
     val rowTotals = steps.groupBy("from_type").agg(sum("n").as("tot"))
     steps.join(broadcast(rowTotals), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),

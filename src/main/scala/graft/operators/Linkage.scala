@@ -100,10 +100,16 @@ object Linkage {
       .where(col("n_dk") * col("n_ck") <= maxBlockPairs)
       .select("bk")
     // a type pair sharing 2+ surviving keys would score twice —
-    // distinct BEFORE the levenshtein so each candidate is scored once
+    // distinct BEFORE the levenshtein so each candidate is scored once.
+    // Checkpointing the candidate set is the last consumer of the two
+    // type-table caches — release them here rather than leaving them to
+    // accumulate in a long-lived session
     val cand = dT.join(okBks, Seq("bk")).join(cT, Seq("bk"))
       .select(col("dn"), col("cn"), col("rep_id"))
       .distinct()
+      .localCheckpoint()
+    dT.unpersist(blocking = false)
+    cT.unpersist(blocking = false)
     val byName = cand
       .withColumn("dist", levenshtein(col("dn"), col("cn")))
       .where(col("dist") <= maxDist)

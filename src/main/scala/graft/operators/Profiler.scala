@@ -452,7 +452,9 @@ object Profiler {
    * global label totals t_c, and L = lcm(1..15) = 360360:
    *   Do_scaled = Σ_i Σ_c n_ic·(n_i − n_ic) · (L / (n_i − 1))   (exact:
    *               L is divisible by every n_i − 1)
-   *   alpha     = 1 − (Do_scaled · n) / (L · (n² − Q))
+   *   alpha     = 1 − (Do_scaled · (n − 1)) / (L · (n² − Q))
+   * (the (n − 1) factor comes from the expected coincidences
+   * e_ck = t_c·t_k/(n − 1) in the canonical nominal-alpha definition)
    * returned in 1e4 fixed point, truncated toward zero sign-safely;
    * NULL when every rating is the same label (n² = Q, chance
    * disagreement zero). Exact while n ≤ ~3e6 ratings (n²·L < 2^63);
@@ -475,7 +477,10 @@ object Profiler {
         raise_error(concat(lit("krippendorffAlpha: item "),
           col("item").cast("string"), lit(" has "), col("ni").cast("string"),
           lit(" ratings, max supported is 16")))).otherwise(col("ni")))
-      .cache()
+      // three downstream aggregates read this; an eager checkpoint
+      // materializes it once and frees with the RDD instead of
+      // lingering in the session cache
+      .localCheckpoint()
     val doScaled = perItem.select(col("ni"),
         explode(col("cells")).as("c"))
       .agg(coalesce(sum(col("c.nik") * (col("ni") - col("c.nik")) *
@@ -488,10 +493,10 @@ object Profiler {
     nTot.crossJoin(doScaled).crossJoin(q).select(
       col("n_items"), col("n").as("n_ratings"),
       expr(s"""CASE WHEN n * n = qq THEN NULL
-               WHEN ${PanelLcm}L * (n * n - qq) - do_scaled * n < 0
-                 THEN -(((do_scaled * n - ${PanelLcm}L * (n * n - qq)) * 10000L)
+               WHEN ${PanelLcm}L * (n * n - qq) - do_scaled * (n - 1L) < 0
+                 THEN -(((do_scaled * (n - 1L) - ${PanelLcm}L * (n * n - qq)) * 10000L)
                         DIV (${PanelLcm}L * (n * n - qq)))
-               ELSE ((${PanelLcm}L * (n * n - qq) - do_scaled * n) * 10000L)
+               ELSE ((${PanelLcm}L * (n * n - qq) - do_scaled * (n - 1L)) * 10000L)
                     DIV (${PanelLcm}L * (n * n - qq)) END""")
         .cast("long").as("alpha_fp"))
   }
@@ -522,7 +527,9 @@ object Profiler {
     val pts = df.select(col(groupCol).as("g"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .where(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
-      .cache()
+      // read by the guard count and BOTH sides of the pair self-join —
+      // checkpoint once, freed with the RDD (no session cache residue)
+      .localCheckpoint()
     val guarded = pts.groupBy("g").agg(count(lit(1)).as("np"))
       .withColumn("np", when(col("np") > maxPoints.toLong,
         raise_error(concat(lit("theilSenTrend: group "), col("g").cast("string"),

@@ -551,6 +551,21 @@ object StreamingOps {
             .parquet(snapshotDir)
           finally spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prevMode)
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // written data — a batch that deletes every row of a touched
+          // bucket leaves the stale partition on disk and the deleted
+          // rows would resurrect. Drop those partition dirs explicitly.
+          val survivors = merged.select("__bucket").distinct()
+            .collect().map(_.getLong(0)).toSet // bounded by nBuckets
+          val emptied = touched.filterNot(survivors)
+          if (emptied.nonEmpty) {
+            val root = new org.apache.hadoop.fs.Path(snapshotDir)
+            val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            emptied.foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(root, s"__bucket=$b"),
+                true)
+            }
+          }
         }
         ()
     }

@@ -97,11 +97,12 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     // Do_scaled = [2*1*(L/2)*... ] item1: a:2*(3-2)=2, b:1*(3-1)=2 -> 4 * L/2
     //            item2: a:1*1=1, b:1*1=1 -> 2 * L/1
     // = 4*180180 + 2*360360 = 1441440; n = 5, Q = 9+4 = 13
-    // alpha = 1 - (1441440*5)/(360360*(25-13)) = 1 - 7207200/4324320 = -2/3
+    // canonical alpha = 1 - (1441440*(5-1))/(360360*(25-13))
+    //                 = 1 - 5765760/4324320 = -1/3
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
       .toDF("item", "lab")
     val r = Profiler.krippendorffAlpha(df, "item", "lab").collect()(0)
-    assert(r.getLong(2) === -6666L) // trunc(-0.6666.. * 1e4)
+    assert(r.getLong(2) === -3333L) // trunc(-0.3333.. * 1e4)
   }
 
   test("krippendorff alpha: panel over 16 raises") {
@@ -228,10 +229,20 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
       // batch 2: insert 4, re-insert deleted 2
       input.addData(Seq((4L, 5L, "I", "d"), (2L, 6L, "U", "b2")))
       qy.processAllAvailable()
+      val mid = spark.read.parquet(dir).select("id", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(mid === Map(1L -> "a2", 2L -> "b2", 4L -> "d"))
+      // batch 3 EMPTIES bucket 1 (id 1 is its last survivor): dynamic
+      // partition overwrite alone would leave the stale partition on
+      // disk and 1 -> a2 would resurrect
+      input.addData(Seq((1L, 7L, "D", "")))
+      qy.processAllAvailable()
     } finally qy.stop()
     val got = spark.read.parquet(dir).select("id", "payload")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got === Map(1L -> "a2", 2L -> "b2", 4L -> "d"))
+    assert(got === Map(2L -> "b2", 4L -> "d"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "__bucket=1")))
   }
 
   test("vacuum orphans: audit classifies and delete pass removes exactly the orphans") {
