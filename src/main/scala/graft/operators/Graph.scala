@@ -830,11 +830,14 @@ object Graph {
    * Synchronous label propagation for community detection: every node
    * starts labeled with its own id; each round it adopts the most
    * frequent label among its neighbors, ties broken by the SMALLEST
-   * label, isolated nodes keep their current label. `rounds` is fixed
-   * (synchronous LPA on bipartite-ish structure can oscillate, so a
-   * convergence loop is not well-defined — a bounded round count is
-   * both the standard practice and what makes the result a pure
-   * function of the input). Returns (node, label).
+   * label, isolated nodes keep their current label. `rounds` is an
+   * upper bound (synchronous LPA on bipartite-ish structure can
+   * oscillate, so it cannot be the ONLY stop condition), but a round
+   * in which no label changed is a fixed point — the same histograms
+   * recur forever — so the loop exits early then, sparing the
+   * remaining rounds' shuffles on an already-settled community
+   * structure. Both stop rules are pure functions of the input.
+   * Returns (node, label).
    *
    * The deterministic tie-break makes the output bit-identical across
    * engines, partitionings, and retries — unlike classical
@@ -862,10 +865,12 @@ object Graph {
       edges.select(longId(col(srcCol)).as("s"), longId(col(dstCol)).as("d")),
       "s", "d")
     val adj = mat(symmetric(canon))
-    var labels = mat(nodes.select(longId(col(idCol)).as("node")).distinct()
+    var matLabels = mat(nodes.select(longId(col(idCol)).as("node")).distinct()
       .withColumn("label", col("node")))
+    var labels = matLabels
     var r = 0
-    while (r < rounds) {
+    var converged = false
+    while (r < rounds && !converged) {
       // neighbor-label histogram: for edge (m, x), m sees x's label.
       // argmax via max_by on the (count, -label) pair — one extra hash
       // agg instead of a partitioned window's repartition + SORT; the
@@ -877,9 +882,14 @@ object Graph {
         .groupBy(col("m"))
         .agg(expr("max_by(nl, named_struct('c', c, 'inv', -nl))").as("nl"))
       val next = labels.join(best, labels("node") === best("m"), "left")
-        .select(labels("node"), coalesce(col("nl"), col("label")).as("label"))
-      val pinned = labels
-      labels = mat(next)
+        .select(labels("node"), coalesce(col("nl"), col("label")).as("label"),
+          (coalesce(col("nl"), col("label")) =!= labels("label")).as("__chg"))
+      val pinned = matLabels
+      matLabels = mat(next)
+      // convergence probe reads the just-materialized round — one
+      // partial-aggregable count, no recompute
+      converged = matLabels.where(col("__chg")).limit(1).isEmpty
+      labels = matLabels.select(col("node"), col("label"))
       pinned.unpersist(blocking = false)
       r += 1
     }

@@ -674,18 +674,25 @@ object Sampling {
    * weight row can never be picked and silently skews the marks; cast
    * fractional weights to a fixed-point grain upstream).
    *
-   * Scale shape: one group-partitioned cumulative-sum window plus a
-   * group-total window over the same partitioning (one shuffle total),
-   * then a stateless projection — no joins, no driver state, group
-   * cardinality never collected.
+   * Scale shape: the per-group cumulative weight is a DISTRIBUTED
+   * prefix sum (the SNM bucketed-rank pattern, [[Dedup
+   * .sortedNeighborhoodCandidates]]): rows bucket by approximate id
+   * ranges, the ordered window runs per (group, bucket) — parallel even
+   * inside ONE giant group — and per-bucket weight offsets (a window
+   * over the droplet-sized (group, bucket) total table) restore the
+   * exact group-wide running sum. No unbounded single-partition sort
+   * anywhere; group cardinality never collected (the only collect is
+   * the global <= `buckets`-element id-bounds array).
    */
   def systematicPpsSample(
       df: DataFrame,
       groupCols: Seq[String],
       idCol: String,
       weightCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      buckets: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val wcast = col(weightCol).cast("long")
     val checked = df.withColumn("__w",
       when(wcast.isNull || wcast <= 0,
@@ -693,13 +700,34 @@ object Sampling {
           lit(s"systematicPpsSample: $weightCol must be a positive long, got: "),
           coalesce(col(weightCol).cast("string"), lit("null")))))
         .otherwise(wcast))
-    val part = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-    val cumW = part.orderBy(col(idCol))
+    // global id-range split points: bucket membership is monotone in id,
+    // so within a group every row of bucket b precedes every row of b+1
+    // and per-bucket prefix sums + bucket offsets compose exactly
+    val boundsRow = checked.agg(call_function("approx_partition_bounds",
+      col(idCol).cast("double"), lit(buckets)).as("bs")).collect()(0)
+    val bucketed =
+      if (boundsRow.isNullAt(0)) checked.withColumn("__b", lit(0))
+      else checked.withColumn("__b", call_function("graft_bucket_index",
+        array(boundsRow.getSeq[Double](0).map(lit): _*),
+        col(idCol).cast("double")))
+    val gb = (groupCols :+ "__b").map(col)
+    val partGb = org.apache.spark.sql.expressions.Window.partitionBy(gb: _*)
+    val cumGb = partGb.orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    checked
-      .withColumn("__cum", sum(col("__w")).over(cumW))
-      .withColumn("__tot", sum(col("__w")).over(part))
+    val partial = bucketed.withColumn("__pc", sum(col("__w")).over(cumGb))
+    // one row per (group, bucket): offsets + group totals over a frame
+    // bounded by |groups| * buckets — window partitions of <= `buckets`
+    // rows each, skew-proof by construction
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(gb: _*).agg(sum(col("__w")).as("__bw"))
+      .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__bw")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)))
+      .select(gb :+ col("__off") :+ col("__tot"): _*)
+    partial.join(offs, groupCols :+ "__b")
+      .withColumn("__cum", col("__off") + col("__pc"))
       // groups lighter than k marks sample every row once per step=1
       .withColumn("__step", greatest(expr(s"__tot DIV $k"), lit(1L)))
       .withColumn("multiplicity",

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
  *     parallel; candidates stay on the executors, never the driver).
  *
  * Worst case (all rows mutually incomparable) the candidate set IS
- * the input and the broadcast overflows — that input has no useful
- * skyline anyway; callers wanting a bound should pre-aggregate.
+ * the input — that input has no useful skyline anyway, and broadcasting
+ * it would OOM executors silently. `maxCandidates` fails fast after the
+ * local prune instead (the [[graft.operators.EventOps.seasonalDecompose]]
+ * maxSpan discipline): raise loudly, let the caller pre-aggregate or
+ * drop dimensions.
  *
  * Dimensions must be long-castable and non-null ([[Graph]]'s
  * fail-fast discipline: a silently null-casting string id would
@@ -42,9 +45,17 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Skyline of `df` maximizing `maxCols` and minimizing `minCols`;
-   *  returns the input rows (original schema) on the frontier. */
-  def skyline(df: DataFrame, maxCols: Seq[String], minCols: Seq[String]): DataFrame = {
+   *  returns the input rows (original schema) on the frontier. Fails
+   *  fast when the locally-pruned candidate set exceeds `maxCandidates`
+   *  (a near-incomparable input that would blow the broadcast). */
+  def skyline(
+      df: DataFrame,
+      maxCols: Seq[String],
+      minCols: Seq[String],
+      maxCandidates: Long = 1000000L): DataFrame = {
     val dims = maxCols ++ minCols
+    require(maxCandidates >= 1,
+      s"maxCandidates must be >= 1, got $maxCandidates")
     require(dims.nonEmpty, "skyline needs at least one dimension")
     require(dims.distinct.size == dims.size,
       s"skyline dimensions must be distinct, got $dims")
@@ -78,8 +89,19 @@ object Skyline {
       }
       kept.iterator.map(_._2)
     }(enc)
+    // guard the broadcast BEFORE it happens: materialize the pruned
+    // candidates once (they feed the broadcast anyway) and fail loudly
+    // on a near-incomparable input instead of OOMing executors
+    val localCp = local.localCheckpoint()
+    val nCand = localCp.count()
+    if (nCand > maxCandidates) {
+      throw new IllegalStateException(
+        s"skyline: $nCand locally-pruned candidates exceed maxCandidates=" +
+          s"$maxCandidates — the input is near-incomparable on $dims; " +
+          "pre-aggregate or reduce dimensions")
+    }
     // phase 2: survivors = rows no candidate STRICTLY dominates
-    val cand = broadcast(local.select(
+    val cand = broadcast(localCp.select(
       (0 until d).map(i => col(s"__sky_d$i").as(s"__sky_c$i")): _*))
     val allGeq = (0 until d)
       .map(i => col(s"__sky_c$i") >= col(s"__sky_d$i"))

@@ -60,6 +60,20 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(e2.getMessage.contains("skyline dimension"))
   }
 
+  test("skyline guards the broadcast: near-incomparable input fails fast") {
+    import spark.implicits._
+    // an anti-diagonal is fully mutually incomparable on (max x, max y):
+    // every row survives the local prune, so the candidate set is the
+    // whole input and must trip the guard instead of broadcasting
+    val anti = (1L to 50L).map(i => (i, 51L - i)).toDF("x", "y")
+    val e = intercept[IllegalStateException] {
+      Skyline.skyline(anti, Seq("x", "y"), Nil, maxCandidates = 10L)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    // a generous bound still returns the full frontier
+    assert(Skyline.skyline(anti, Seq("x", "y"), Nil, 1000L).count() === 50L)
+  }
+
   // ---- label propagation ----
 
   test("label propagation: two cliques with a bridge settle to two communities") {
@@ -76,6 +90,46 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(Set(out(10L), out(11L), out(12L)).size === 1)
     // the isolate keeps its own id
     assert(out(99L) === 99L)
+  }
+
+  test("label propagation: converged graph early-exits (same jobs for 5 and 50 rounds)") {
+    import spark.implicits._
+    // a triangle settles to all-min-label by round 2 and round 3 detects
+    // the fixed point; every further round would be pure waste — the
+    // early exit must make rounds=50 run EXACTLY the same number of
+    // Spark jobs as rounds=5. (A single edge would NOT work here:
+    // synchronous LPA on it oscillates by label swap forever.)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 99L).toDF("id")
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener events post async: poll until the count is stable
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 4 && waited < 10000) {
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(50); waited += 50
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.labelPropagation(nodes, edges, "id", "src", "dst", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 99L -> 99L)
+    val j5 = countJobs(assert(run(5) === expected))
+    val j50 = countJobs(assert(run(50) === expected))
+    assert(j50 === j5, s"rounds=50 ran $j50 jobs vs $j5 for rounds=5")
   }
 
   test("label propagation is deterministic across partitionings") {
@@ -223,6 +277,57 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
       Sampling.systematicPpsSample(bad, Seq("grp"), "id", "w", 5).collect()
     }
     assert(e.getMessage.contains("positive"))
+  }
+
+  test("systematic PPS: one giant skewed group splits across buckets, output exact") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 999 rows of ONE group (plus a droplet second group): the bucketed
+    // distributed rank must reproduce the naive single-partition
+    // cumulative sum exactly, with the ordered window partitioned by
+    // (group, bucket) — never by group alone
+    val rows = (1L to 999L).map(i => ("big", i, 1L + i % 7)) :+ (("tiny", 5L, 3L))
+    val df = rows.toDF("grp", "id", "w").repartition(7)
+    val got = Sampling.systematicPpsSample(df, Seq("grp"), "id", "w",
+      k = 17, buckets = 8)
+    // naive oracle: one global window per group
+    val naive = df
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("grp").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy("grp")))
+      .withColumn("step", greatest(expr("tot DIV 17"), lit(1L)))
+      .withColumn("multiplicity", expr("cum DIV step - (cum - w) DIV step"))
+      .where(col("multiplicity") > 0)
+      .select(col("grp"), col("id"), col("w").as("weight"), col("multiplicity"))
+    assert(got.collect().map(_.toSeq).toSet === naive.collect().map(_.toSeq).toSet)
+    assert(got.count() > 0)
+    // plan shape: every ordered window over row data is partitioned by
+    // (grp, __b) — the giant group cannot serialize into one task
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows) ++
+        (p match { // AQE wrappers are childless; recurse by hand
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            windows(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            windows(q.plan)
+          case _ => Seq.empty
+        })
+    }
+    val ws = windows(got.queryExecution.executedPlan)
+    assert(ws.nonEmpty)
+    val rowLevel = ws.filter(_.orderSpec.exists(_.child.toString.contains("id")))
+    assert(rowLevel.nonEmpty, "expected the per-row cumulative window in the plan")
+    rowLevel.foreach { w =>
+      assert(w.partitionSpec.size === 2,
+        s"row-level window must partition by (grp, __b), got ${w.partitionSpec}")
+    }
   }
 
   // ---- sorted-neighborhood dedup ----
