@@ -7654,6 +7654,92 @@ object SparkEntry {
           count(lit(1)).over(w).as("n_hour"),
           sum(col("v_fp")).over(w).as("sum_value_fp"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Sequence packing (concat-then-chunk, the LLM-pretraining idiom):
+    // each lang's docs concatenate on one token line in doc_id order
+    // and cut into 2048-token chunks; per doc, which chunks it spans
+    // and where it starts. The running sum is the bucketed distributed
+    // prefix sum (no per-group single-task window), the chunk math a
+    // stateless integer projection — engine-exact.
+    q("q247_chunk_pack",
+      """WITH c AS (
+        |  SELECT lang, doc_id, n_chars w,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(w AS BIGINT) AS n_tokens,
+        |       CAST((cum - w) // 2048 AS BIGINT) AS first_chunk,
+        |       CAST((cum - 1) // 2048 AS BIGINT) AS last_chunk,
+        |       CAST((cum - w) % 2048 AS BIGINT) AS chunk_offset,
+        |       CAST((cum - 1) // 2048 - (cum - w) // 2048 + 1 AS BIGINT)
+        |         AS n_chunks
+        |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Packing.chunkPack(
+          s.table("documents"), Seq("lang"), "doc_id", "n_chars", budget = 2048L)
+        .orderBy("lang", "doc_id")
+    },
+
+    // Mixture reweighting: target lang shares (ppm) vs the corpus's
+    // actual shares -> inverse-propensity weight per group, all ppm
+    // integer math. 'ja' is a target with NO data rows (visible, not
+    // silently unreachable); 'en' is over-represented (weight < 1e6).
+    q("q248_mixture_reweight",
+      """WITH t(grp, target_ppm) AS (VALUES
+        |    ('en', CAST(400000 AS BIGINT)), ('zh', CAST(200000 AS BIGINT)),
+        |    ('de', CAST(150000 AS BIGINT)), ('es', CAST(150000 AS BIGINT)),
+        |    ('fr', CAST(50000 AS BIGINT)), ('ja', CAST(50000 AS BIGINT))),
+        |c AS (SELECT lang grp, CAST(count(*) AS BIGINT) n_rows
+        |      FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(c.grp, t.grp) grp,
+        |             CAST(coalesce(c.n_rows, 0) AS BIGINT) n_rows,
+        |             CAST(coalesce(t.target_ppm, 0) AS BIGINT) target_ppm
+        |      FROM c FULL OUTER JOIN t ON c.grp = t.grp),
+        |n AS (SELECT CAST(sum(n_rows) AS BIGINT) nn FROM j)
+        |SELECT j.grp, j.n_rows,
+        |       CAST(CASE WHEN nn > 0 THEN (n_rows * 1000000) // nn
+        |            ELSE 0 END AS BIGINT) AS share_ppm,
+        |       j.target_ppm,
+        |       CAST(CASE WHEN n_rows > 0 THEN (target_ppm * nn) // n_rows
+        |            ELSE 0 END AS BIGINT) AS weight_ppm
+        |FROM j, n ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Sampling.mixtureReweight(
+          s.table("documents"), "lang",
+          Seq("en" -> 400000L, "zh" -> 200000L, "de" -> 150000L,
+            "es" -> 150000L, "fr" -> 50000L, "ja" -> 50000L))
+        .orderBy("grp")
+    },
+
+    // The loader-side chunk manifest over q247's packing: per (lang,
+    // chunk), contributing docs and exact token fill — every interior
+    // chunk must be full (exactly 2048), only each lang's last may be
+    // partial; straddling docs contribute the exact clipped span. The
+    // table a trainer's data loader validates before an epoch starts.
+    q("q249_chunk_manifest",
+      """WITH c AS (
+        |  SELECT lang, doc_id, n_chars w,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |  FROM documents),
+        |s AS (SELECT lang, cum - w AS st, cum AS en,
+        |             CAST((cum - w) // 2048 AS BIGINT) AS f,
+        |             CAST((cum - 1) // 2048 AS BIGINT) AS l
+        |      FROM c),
+        |e AS (SELECT lang, st, en, unnest(generate_series(f, l)) AS chunk
+        |      FROM s)
+        |SELECT lang, CAST(chunk AS BIGINT) AS chunk,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(least(en, (chunk + 1) * 2048)
+        |                - greatest(st, chunk * 2048)) AS BIGINT) AS n_tokens,
+        |       (sum(least(en, (chunk + 1) * 2048)
+        |            - greatest(st, chunk * 2048)) = 2048) AS is_full
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Packing.chunkManifest(
+          s.table("documents"), Seq("lang"), "doc_id", "n_chars", budget = 2048L)
+        .orderBy("lang", "chunk")
     }
   )
 
@@ -8289,7 +8375,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 246
+  val maxQueryId: Int = 249
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

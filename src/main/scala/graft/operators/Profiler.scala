@@ -586,6 +586,7 @@ object Profiler {
         .withColumn("exact", col("strength_ppm") === FdScale)
     }.reduce(_ unionAll _)
   }
+
 }
 
 /**

@@ -140,18 +140,29 @@ object Sampling {
    * engines, and additions to the corpus (a new document never moves an
    * old one between splits). Pure map-side `when` chain over precomputed
    * BigInt boundaries; no shuffle, no RNG.
+   *
+   * A non-empty `salt` prefixes the hash input (`salt ':' id`) so the
+   * whole assignment can be REDRAWN deliberately (a fresh eval split
+   * uncorrelated with the last one) while the default stays the legacy
+   * unsalted draw. Rotating the salt is an explicit leakage event:
+   * rows migrate between splits, so anything trained on the old split
+   * must not be evaluated on the new one.
    */
   def assignSplits(
       df: DataFrame,
       idCol: String,
       splits: Seq[(String, Int)],
-      outCol: String = "split"): DataFrame = {
+      outCol: String = "split",
+      salt: String = ""): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       s"splits need positive weights, got $splits")
     val total = splits.map(_._2).sum
     val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail
       .map(c => (HashSpace * c / total).toLong)
-    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+    val keyed =
+      if (salt.isEmpty) col(idCol).cast("string")
+      else concat(lit(s"$salt:"), col(idCol).cast("string"))
+    val hv = conv(substring(md5(keyed.cast("binary")), 1, 15), 16, 10)
       .cast("long")
     // the last range's bound is 2^60 itself == the hash-value supremum,
     // so the final otherwise is unreachable but keeps the column non-null
@@ -700,34 +711,7 @@ object Sampling {
           lit(s"systematicPpsSample: $weightCol must be a positive long, got: "),
           coalesce(col(weightCol).cast("string"), lit("null")))))
         .otherwise(wcast))
-    // global id-range split points: bucket membership is monotone in id,
-    // so within a group every row of bucket b precedes every row of b+1
-    // and per-bucket prefix sums + bucket offsets compose exactly
-    val boundsRow = checked.agg(call_function("approx_partition_bounds",
-      col(idCol).cast("double"), lit(buckets)).as("bs")).collect()(0)
-    val bucketed =
-      if (boundsRow.isNullAt(0)) checked.withColumn("__b", lit(0))
-      else checked.withColumn("__b", call_function("graft_bucket_index",
-        array(boundsRow.getSeq[Double](0).map(lit): _*),
-        col(idCol).cast("double")))
-    val gb = (groupCols :+ "__b").map(col)
-    val partGb = org.apache.spark.sql.expressions.Window.partitionBy(gb: _*)
-    val cumGb = partGb.orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val partial = bucketed.withColumn("__pc", sum(col("__w")).over(cumGb))
-    // one row per (group, bucket): offsets + group totals over a frame
-    // bounded by |groups| * buckets — window partitions of <= `buckets`
-    // rows each, skew-proof by construction
-    val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offs = bucketed.groupBy(gb: _*).agg(sum(col("__w")).as("__bw"))
-      .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
-      .withColumn("__tot", sum(col("__bw")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)))
-      .select(gb :+ col("__off") :+ col("__tot"): _*)
-    partial.join(offs, groupCols :+ "__b")
-      .withColumn("__cum", col("__off") + col("__pc"))
+    distributedCumSum(checked, groupCols, idCol, buckets)
       // groups lighter than k marks sample every row once per step=1
       .withColumn("__step", greatest(expr(s"__tot DIV $k"), lit(1L)))
       .withColumn("multiplicity",
@@ -736,4 +720,106 @@ object Sampling {
       .select(groupCols.map(col) :+ col(idCol) :+
         col("__w").as("weight") :+ col("multiplicity"): _*)
   }
+
+  /**
+   * Distributed per-group prefix sum of a positive `__w` column in
+   * (id) order — the shared engine under [[systematicPpsSample]] and
+   * [[Packing.chunkPack]]. Rows bucket by APPROXIMATE global id ranges
+   * (one bounded `approx_partition_bounds` collect), the cumulative
+   * window runs per (group, bucket) — parallel even inside one giant
+   * group — and per-bucket offsets (a window over the droplet-sized
+   * (group, bucket) total table, partitions of <= `buckets` rows)
+   * restore the exact group-wide running sum. Bucket membership is
+   * monotone in id, so within a group every row of bucket b precedes
+   * every row of b+1 and the composition is exact.
+   *
+   * Input must already carry `__w` (positive long); output adds
+   * `__cum` (inclusive running sum in (group, id) order) and `__tot`
+   * (group total). No unbounded single-partition sort anywhere; group
+   * cardinality never collected.
+   */
+  private[operators] def distributedCumSum(
+      checked: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      buckets: Int): DataFrame = {
+    val boundsRow = checked.agg(call_function("approx_partition_bounds",
+      col(idCol).cast("double"), lit(buckets)).as("bs")).collect()(0)
+    val bucketed =
+      if (boundsRow.isNullAt(0)) checked.withColumn("__b", lit(0))
+      else checked.withColumn("__b", call_function("graft_bucket_index",
+        array(boundsRow.getSeq[Double](0).map(lit): _*),
+        col(idCol).cast("double")))
+    val gb = (groupCols :+ "__b").map(col)
+    val partGb = Window.partitionBy(gb: _*)
+    val cumGb = partGb.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val partial = bucketed.withColumn("__pc", sum(col("__w")).over(cumGb))
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(gb: _*).agg(sum(col("__w")).as("__bw"))
+      .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__bw")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .select(gb :+ col("__off") :+ col("__tot"): _*)
+    partial.join(offs, groupCols :+ "__b")
+      .withColumn("__cum", col("__off") + col("__pc"))
+      .drop("__b", "__pc", "__off")
+  }
+
+  /** Fixed-point scale for [[mixtureReweight]] shares/weights (ppm). */
+  val MixScale: Long = 1000000L
+
+  /**
+   * Mixture reweighting for data mixing: given TARGET group shares in
+   * ppm, compute each group's actual share and the inverse-propensity
+   * weight `w_ppm = (target_ppm · n_total) DIV n_group` — the factor a
+   * sampler multiplies into per-row weights so the drawn mixture hits
+   * the target composition ("rebalance the crawl to 30% code, 5%
+   * math, ..."). Groups absent from `targets` get target 0 and weight
+   * 0 (dropped from the mixture); target groups absent from the DATA
+   * are returned with n_rows 0 so a mis-typed target key is visible,
+   * not silently unreachable. All-integer (ppm fixed point), so the
+   * plan is engine-exact.
+   *
+   * Output: (grp, n_rows, share_ppm, target_ppm, weight_ppm) — one
+   * row per group present in data or targets ("grp", not "group" —
+   * the latter is a reserved word downstream SQL engines would choke
+   * on unquoted).
+   *
+   * Scale shape: one hash count over the corpus, a broadcast join of
+   * the droplet target table, one scalar total — the corpus streams
+   * once and never shuffles by anything wider than the group key.
+   */
+  def mixtureReweight(
+      df: DataFrame,
+      groupCol: String,
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty, "mixtureReweight: empty target list")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"mixtureReweight: duplicate target groups in ${targets.map(_._1)}")
+    targets.foreach { case (g, ppm) =>
+      require(ppm >= 0 && ppm <= MixScale,
+        s"mixtureReweight: target for '$g' must be in [0, $MixScale] ppm, got $ppm")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(col(groupCol).cast("string").as("grp"))
+      .where(col("grp").isNotNull)
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"))
+    val tgt = spark.createDataset(targets).toDF("grp", "target_ppm")
+    val joined = counts.join(broadcast(tgt), Seq("grp"), "full_outer")
+      .select(col("grp"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("target_ppm"), lit(0L)).as("target_ppm"))
+    val total = broadcast(joined.agg(sum("n_rows").as("__n")))
+    joined.crossJoin(total).select(
+      col("grp"), col("n_rows"),
+      when(col("__n") > 0, expr(s"(n_rows * ${MixScale}L) DIV __n"))
+        .otherwise(0L).as("share_ppm"),
+      col("target_ppm"),
+      when(col("n_rows") > 0, expr("(target_ppm * __n) DIV n_rows"))
+        .otherwise(0L).as("weight_ppm"))
+  }
+
 }

@@ -1206,4 +1206,98 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     // frac is against codepoint length
     assert(rows(1).getDouble(2) === math.rint(2.0 / 10 * 1e9) / 1e9)
   }
+
+  test("chunk packing: hand-computed geometry incl. boundary straddles") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // budget 10; cums 4, 12, 22, 25: doc 2 straddles chunks 0-1,
+    // doc 3 straddles 1-2, doc 4 sits inside chunk 2
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 8L), ("g", 3L, 10L), ("g", 4L, 3L))
+      .toDF("grp", "id", "tok")
+    val got = Packing.chunkPack(df.repartition(3), Seq("grp"), "id", "tok", 10L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 0L, 1L, 4L, 2L),
+      (3L, 1L, 2L, 2L, 2L),
+      (4L, 2L, 2L, 2L, 1L)))
+    // independent groups pack independently from token 0
+    val two = Seq(("a", 1L, 5L), ("b", 1L, 5L)).toDF("grp", "id", "tok")
+    val t = Packing.chunkPack(two, Seq("grp"), "id", "tok", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(t.forall(_._2 === 0L)) // each group's first doc starts chunk 0
+    // zero tokens fail fast
+    val e = intercept[Exception] {
+      Packing.chunkPack(Seq(("g", 1L, 0L)).toDF("grp", "id", "tok"),
+        Seq("grp"), "id", "tok", 10L).collect()
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("mixture reweight: inverse-propensity ppm weights, absent groups visible") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq("a", "a", "a", "b").toDF("lang")
+    val out = Sampling.mixtureReweight(df, "lang",
+        Seq("a" -> 250000L, "c" -> 750000L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: 3/4 of data but target 1/4 -> weight (250000*4)//3 = 333333
+    assert(out("a") === ((3L, 750000L, 250000L, 333333L)))
+    // b: in data, no target -> weight 0 (dropped from the mixture)
+    assert(out("b") === ((1L, 250000L, 0L, 0L)))
+    // c: target with NO data rows -> visible with n_rows 0
+    assert(out("c") === ((0L, 0L, 750000L, 0L)))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureReweight(df, "lang", Nil))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureReweight(df, "lang", Seq("a" -> 1L, "a" -> 2L)))
+    assertThrows[IllegalArgumentException](
+      Sampling.mixtureReweight(df, "lang", Seq("a" -> 2000000L)))
+  }
+
+  test("chunk manifest: interior chunks exactly full, straddle tokens clipped") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // budget 10; cums 4, 12, 22, 25 -> chunk 0: doc1 (4) + doc2 head (6);
+    // chunk 1: doc2 tail (2) + doc3 head (8); chunk 2: doc3 tail (2) +
+    // doc4 (3) = 5, the only partial (terminal) chunk
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 8L), ("g", 3L, 10L), ("g", 4L, 3L))
+      .toDF("grp", "id", "tok")
+    val got = Packing.chunkManifest(df, Seq("grp"), "id", "tok", 10L)
+      .orderBy("chunk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 10L, true),
+      (1L, 2L, 10L, true),
+      (2L, 2L, 5L, false)))
+    // total manifest tokens == total input tokens, always
+    val sumTok = Packing.chunkManifest(df, Seq("grp"), "id", "tok", 7L)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(sumTok === 25L)
+  }
+
+  test("assignSplits salt: default unchanged, salted draw redraws deterministically") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 500L).toDF("id")
+    val splits = Seq("train" -> 18, "val" -> 1, "test" -> 1)
+    val legacy = Sampling.assignSplits(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val defaulted = Sampling.assignSplits(df, "id", splits, salt = "")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(legacy === defaulted) // empty salt IS the legacy draw
+    val s1 = Sampling.assignSplits(df.repartition(7), "id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1b = Sampling.assignSplits(df, "id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s1b) // pure function of (salt, id), partitioning-free
+    assert(s1 !== legacy) // rotation actually redraws
+    assert(s1.size === 500 &&
+      s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    val n = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 400, s"train split too small: $n")
+  }
 }
