@@ -7740,6 +7740,45 @@ object SparkEntry {
       graft.operators.Packing.chunkManifest(
           s.table("documents"), Seq("lang"), "doc_id", "n_chars", budget = 2048L)
         .orderBy("lang", "chunk")
+    },
+
+    // Interval union coverage per user: each event opens a
+    // deterministic 1-7 minute activity interval; the sweep reports
+    // union-covered time, dead gaps, and double-booked overlaps — the
+    // utilization/continuity audit for session, device, or job logs.
+    // All integer micros; per-row sweep values are tie-order dependent
+    // but every output is a tie-symmetric aggregate.
+    q("q250_interval_coverage",
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) st,
+        |         epoch_us(ts) + (event_id % 7 + 1) * 60000000 en
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, st, en,
+        |         max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
+        |  FROM iv)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(greatest(0, en - greatest(st, coalesce(pmax, st))))
+        |         AS BIGINT) AS covered,
+        |       CAST(max(en) - min(st) AS BIGINT) AS span,
+        |       CAST(sum(CASE WHEN pmax IS NOT NULL AND st > pmax
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |       CAST(coalesce(max(CASE WHEN pmax IS NOT NULL AND st > pmax
+        |                     THEN st - pmax END), 0) AS BIGINT) AS max_gap,
+        |       CAST(sum(CASE WHEN pmax IS NOT NULL AND st < pmax
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      // the events view carries ts as epoch NANOS (long); micros here
+      val iv = s.table("events").select(
+        col("user_id"),
+        expr("ts DIV 1000").as("st"),
+        (expr("ts DIV 1000") +
+          (pmod(col("event_id"), lit(7L)) + 1L) * 60000000L).as("en"))
+      graft.operators.EventOps.intervalCoverage(iv, "user_id", "st", "en")
+        .orderBy("user_id")
     }
   )
 
@@ -8375,7 +8414,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 249
+  val maxQueryId: Int = 250
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -290,4 +290,71 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"),
         expr(s"(n * ${TransScale}L) DIV tot").as("p_ppm"))
   }
+
+  /**
+   * Per-key interval coverage: the union-length sweep over half-open
+   * [start, end) integer intervals — "how much wall-clock was this
+   * user/device/job actually active, how many dead gaps, was anything
+   * double-booked". One row per key:
+   *
+   *   - `covered`    = length of the UNION of the key's intervals
+   *                    (overlaps counted once),
+   *   - `span`       = max(end) − min(start),
+   *   - `n_gaps`     / `max_gap` = uncovered holes strictly inside the
+   *                    span (adjacent intervals — end == next start —
+   *                    are continuous, not a gap),
+   *   - `n_overlaps` = intervals starting strictly before the running
+   *                    max end of their predecessors (the
+   *                    double-booking count).
+   *
+   * The sweep is the classic sorted running-max: with intervals in
+   * (start, end) order and `pmax` the max end over STRICT predecessors,
+   * an interval contributes `max(0, end − max(start, pmax))` new
+   * coverage. Per-row values depend on tie order, but every output here
+   * is a tie-symmetric AGGREGATE, so the result is identical on any
+   * engine's stable (start, end) sort. All-integer arithmetic.
+   *
+   * Intervals with end < start raise (a silently dropped or clamped
+   * interval skews coverage); end == start is a legal empty interval
+   * (contributes 0). Null keys/bounds are excluded like every
+   * aggregation here.
+   *
+   * Scale shape: ONE key-partitioned ordered window + one hash
+   * aggregate — state bounded by a key's own interval count (the
+   * [[transitionMatrix]] per-user-stream justification), payload never
+   * moves, no joins, no driver state.
+   */
+  def intervalCoverage(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val st = col(startCol).cast("long")
+    val en = col(endCol).cast("long")
+    val iv = df
+      .select(col(keyCol).as("k"), st.as("st"), en.as("en"))
+      .where(col("k").isNotNull && col("st").isNotNull && col("en").isNotNull)
+      .withColumn("en", when(col("en") < col("st"),
+        raise_error(concat(lit("intervalCoverage: end < start for key "),
+          col("k").cast("string"), lit(": ["), col("st").cast("string"),
+          lit(", "), col("en").cast("string"), lit(")"))))
+        .otherwise(col("en")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("st"), col("en"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    iv.withColumn("pmax", max(col("en")).over(w))
+      .groupBy(col("k").as(keyCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(greatest(lit(0L),
+          col("en") - greatest(col("st"), coalesce(col("pmax"), col("st")))))
+          .as("covered"),
+        (max(col("en")) - min(col("st"))).as("span"),
+        sum(when(col("pmax").isNotNull && col("st") > col("pmax"), 1L)
+          .otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("pmax").isNotNull && col("st") > col("pmax"),
+          col("st") - col("pmax"))), lit(0L)).as("max_gap"),
+        sum(when(col("pmax").isNotNull && col("st") < col("pmax"), 1L)
+          .otherwise(0L)).as("n_overlaps"))
+  }
 }

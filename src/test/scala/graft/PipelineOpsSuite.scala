@@ -1279,6 +1279,35 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(sumTok === 25L)
   }
 
+  test("interval coverage: union length, gaps, overlaps hand-computed") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    // key A: [0,10) [5,12) overlap, [20,25) gap of 8, [25,30) adjacent
+    //   covered = 12 + 10 = 22; span 30; gaps: 1 (20-12=8); overlaps: 1
+    // key B: single empty interval [7,7): covered 0, span 0
+    val df = Seq(
+      ("A", 0L, 10L), ("A", 5L, 12L), ("A", 20L, 25L), ("A", 25L, 30L),
+      ("B", 7L, 7L))
+      .toDF("k", "st", "en").repartition(3)
+    val out = EventOps.intervalCoverage(df, "k", "st", "en")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("A") === ((4L, 22L, 30L, 1L, 8L, 1L)))
+    assert(out("B") === ((1L, 0L, 0L, 0L, 0L, 0L)))
+    // duplicate identical intervals: counted once in coverage, flagged
+    // as one overlap — tie-symmetric regardless of engine sort order
+    val dup = Seq(("C", 0L, 10L), ("C", 0L, 10L)).toDF("k", "st", "en")
+    val c = EventOps.intervalCoverage(dup, "k", "st", "en").collect()(0)
+    assert(c.getLong(2) === 10L && c.getLong(6) === 1L)
+    // inverted interval raises
+    val e = intercept[Exception] {
+      EventOps.intervalCoverage(
+        Seq(("D", 5L, 3L)).toDF("k", "st", "en"), "k", "st", "en").collect()
+    }
+    assert(e.getMessage.contains("end < start"))
+  }
+
   test("assignSplits salt: default unchanged, salted draw redraws deterministically") {
     import spark.implicits._
     import graft.operators.Sampling
