@@ -76,8 +76,10 @@ object Bench {
     val scaleJson =
       if (mode == "0" || (only.isDefined && mode != "force")) ""
       else if (only.isDefined) {
-        // forced scoped probe: local iteration, skip the child JVM spin-up
-        scaleSection(spark, sfDir, results, exec)
+        // forced scoped probe: local iteration — skip the child JVM
+        // spin-up AND only replay the scoped heads (a head without a
+        // scoped base timing has no ratio to report anyway)
+        scaleSection(spark, sfDir, results, exec, headFilter = only)
       } else runScaleChild(results, sfDir) match {
         case Some(j) => j
         case None =>
@@ -252,9 +254,10 @@ object Bench {
       spark: SparkSession,
       sfDir: String,
       base: scala.collection.Map[String, Double],
-      exec: ((SparkSession, String) => DataFrame, String) => Unit): String = {
+      exec: ((SparkSession, String) => DataFrame, String) => Unit,
+      headFilter: Option[Set[String]] = None): String = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val heads = Seq(
+    val allHeads = Seq(
       "q22_dedup_minhash",   // banded MinHash LSH near-dup over documents
       "q25_knn_ivf_recall",  // IVF ANN + brute-force recall over embeddings
       "q35_dedup_clusters",  // connected components (bounded union-find path)
@@ -270,6 +273,10 @@ object Bench {
       "q236_t_closeness",    // binned-EMD privacy audit over documents
       "q238_snm_dedup",      // global-rank window blocking: O(n*w) candidates
       "q245_pps_sample")     // bucketed distributed-rank weighted sampling
+    val heads = headFilter match {
+      case Some(names) => allHeads.filter(names)
+      case None => allHeads
+    }
     heads.filterNot(SparkEntry.queries.contains).foreach(n =>
       System.err.println(s"[bench] scale head $n missing from the inventory — skipped"))
     val tGen = System.nanoTime()

@@ -618,23 +618,49 @@ object Sampling {
    * round-robin curriculum — one row from each difficulty band, easiest
    * band first within each cycle — so every training window sees the
    * full difficulty spectrum instead of a sorted-by-difficulty corpus's
-   * phase shifts. Fixed-width buckets (not ntile) and per-bucket
-   * windows keep every stage partition-parallel; the ordering is a pure
-   * function of (difficulty, id) — reproducible across runs and
-   * engines.
+   * phase shifts. The ordering is a pure function of (difficulty, id) —
+   * reproducible across runs and engines.
+   *
+   * Scale shape: the in-bucket rank is a DISTRIBUTED rank (the SNM /
+   * [[distributedCumSum]] pattern): rows sub-bucket by approximate
+   * global difficulty ranges (equal difficulties share a sub-bucket, so
+   * the split is monotone in the (difficulty, id) order), row_number
+   * runs per (bucket, sub-bucket), and sub-bucket count offsets restore
+   * the exact per-bucket position — one giant difficulty band no longer
+   * serializes into a single task. Degenerate case: a band where every
+   * row has the SAME difficulty collapses to one sub-bucket (no worse
+   * than the naive window).
    */
   def curriculumInterleave(
       df: DataFrame,
       idCol: String,
       difficultyCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      buckets: Int = 64): DataFrame = {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val bucket = floor(col(difficultyCol) / lit(binWidth)).cast("long")
-    val w = Window.partitionBy(col("bucket"))
-      .orderBy(col(difficultyCol), col(idCol))
-    df.select(col(idCol), col(difficultyCol))
+    val base = df.select(col(idCol), col(difficultyCol))
       .withColumn("bucket", bucket)
-      .withColumn("pos", row_number().over(w).cast("long"))
+    val boundsRow = base.agg(call_function("approx_partition_bounds",
+      col(difficultyCol).cast("double"), lit(buckets)).as("bs")).collect()(0)
+    val bucketed =
+      if (boundsRow.isNullAt(0)) base.withColumn("__b", lit(0))
+      else base.withColumn("__b", call_function("graft_bucket_index",
+        array(boundsRow.getSeq[Double](0).map(lit): _*),
+        col(difficultyCol).cast("double")))
+    val wLocal = Window.partitionBy(col("bucket"), col("__b"))
+      .orderBy(col(difficultyCol), col(idCol))
+    val partial = bucketed
+      .withColumn("__rn", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(col("bucket")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("bucket", "__b")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("__b"), col("__off"))
+    partial.join(offs, Seq("bucket", "__b"))
+      .withColumn("pos", col("__off") + col("__rn"))
       .select(col(idCol), col("bucket"), col("pos"))
   }
 

@@ -440,30 +440,52 @@ object TextOps {
    * budget` — the streaming-concat packing rule, replayable exactly in
    * plain SQL (all-integer arithmetic).
    *
-   * Scale design: packing is per-shard (`shardCol` — a language, source,
-   * or an explicit shard key), so the running sum is a window over
-   * bounded partitions, never a single global sort; sequence ids are
-   * only unique within a shard, mirroring how real pipelines pack
-   * per-worker. Tokens are whitespace tokens ([[words]]).
+   * Scale design: sequence ids are per-shard (`shardCol` — a language,
+   * source, or an explicit shard key), mirroring how real pipelines
+   * pack per-worker, and the running token sum inside a shard is a
+   * DISTRIBUTED prefix sum (the [[graft.operators.Sampling
+   * .distributedCumSum]] pattern over the md5 shuffle order): rows
+   * bucket by approximate md5-key ranges, the cumulative window runs
+   * per (shard, bucket) — parallel even when one language IS most of
+   * the corpus — and per-bucket offsets restore the exact shard-wide
+   * sum. Equal md5 keys land in one bucket, so the (md5, id) order
+   * composes exactly. Tokens are whitespace tokens ([[words]]).
    */
   def packSequences(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shardCol: String,
-      budget: Int): DataFrame = {
+      budget: Int,
+      buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val toks = df.select(col(shardCol).as("shard"), col(idCol).as("id"),
       size(words(col(textCol))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("shard")
-      .orderBy(md5(col("id").cast("string")), col("id"))
+      .withColumn("__ord", md5(col("id").cast("string")))
+    val boundsRow = toks.agg(call_function("approx_partition_bounds_str",
+      col("__ord"), lit(buckets)).as("bs")).collect()(0)
+    val bucketed =
+      if (boundsRow.isNullAt(0)) toks.withColumn("__b", lit(0))
+      else toks.withColumn("__b", call_function("graft_bucket_index",
+        array(boundsRow.getSeq[String](0).map(lit): _*), col("__ord")))
+    val wLocal = Window.partitionBy("shard", "__b")
+      .orderBy(col("__ord"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("tokens_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val partial = bucketed.withColumn("__pc", sum(col("n_tokens")).over(wLocal))
+    // (shard, bucket) totals: a droplet table; offset windows see at
+    // most `buckets` rows per shard
+    val wOff = Window.partitionBy("shard").orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("shard", "__b")
+      .agg(sum(col("n_tokens")).as("__bw"))
+      .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
+      .select(col("shard"), col("__b"), col("__off"))
+    partial.join(offs, Seq("shard", "__b"))
+      .withColumn("tokens_before", col("__off") + col("__pc") - col("n_tokens"))
       .select(col("shard"), col("id"), col("n_tokens"),
         expr(s"tokens_before DIV $budget").as("seq_id"), // integer div, not double
-
         (col("tokens_before") % budget).as("seq_offset"))
   }
 

@@ -1271,6 +1271,39 @@ class CurationOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(cur(4L) === ((2L, 1L)))
   }
 
+  test("de-skewed pack/interleave: bucketed rank equals the naive global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ONE giant shard / ONE giant difficulty band: the distributed rank
+    // must reproduce the single-partition window exactly, including
+    // repeated difficulty values straddling sub-bucket bounds
+    val docs = (1L to 800L).map(i => (i, "en", ("w " * (1 + (i % 5).toInt)).trim))
+      .toDF("doc_id", "lang", "text").repartition(7)
+    val got = TextOps.packSequences(docs, "doc_id", "text", "lang", 16, buckets = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val naiveW = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n"))
+      .withColumn("tb", sum(col("n")).over(naiveW) - col("n"))
+      .select(col("doc_id"), expr("tb DIV 16").as("seq_id"),
+        (col("tb") % 16).as("seq_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    val diffs = (1L to 900L).map(i => (i, (i % 13).toDouble / 3.0))
+      .toDF("id", "dif").repartition(5)
+    val fast = Sampling.curriculumInterleave(diffs, "id", "dif", 100.0, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val slowW = Window.partitionBy("bucket").orderBy(col("dif"), col("id"))
+    val slow = diffs.withColumn("bucket", floor(col("dif") / 100.0).cast("long"))
+      .withColumn("pos", row_number().over(slowW).cast("long"))
+      .select("id", "bucket", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast === slow)
+  }
+
   test("token entropy: uniform max, single-type zero, exact fixed-point terms") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b")).toDF("doc_id", "text")
