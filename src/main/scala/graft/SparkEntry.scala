@@ -7779,6 +7779,79 @@ object SparkEntry {
           (pmod(col("event_id"), lit(7L)) + 1L) * 60000000L).as("en"))
       graft.operators.EventOps.intervalCoverage(iv, "user_id", "st", "en")
         .orderBy("user_id")
+    },
+
+    // Versioned snapshot store with TIME TRAVEL: v1 = the corpus, two
+    // CDC commits (update/delete with a within-batch race, then
+    // insert/re-update) -> v2, v3 — each commit rewriting ONLY touched
+    // buckets — and all three versions remain readable. The oracle
+    // replays last-op-wins over the same change-log prefixes; xor
+    // fingerprints make the compare content-exact and order-free.
+    q("q251_versioned_time_travel",
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |raw1 AS (
+        |  SELECT doc_id, 1 seq, 'U' op, 'updated ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 2, 'D', text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |b1 AS (SELECT doc_id, op, text FROM (
+        |         SELECT doc_id, op, text,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY seq DESC) rn
+        |         FROM raw1) WHERE rn = 1),
+        |v2 AS (
+        |  SELECT v1.doc_id, v1.text FROM v1 LEFT JOIN b1 USING (doc_id)
+        |  WHERE b1.doc_id IS NULL
+        |  UNION ALL SELECT doc_id, text FROM b1 WHERE op IN ('I', 'U')),
+        |b2(doc_id, op, text) AS (
+        |  SELECT doc_id + 3000000, 'I',
+        |         'inserted doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id, 'U', 'final ' || text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |v3 AS (
+        |  SELECT v2.doc_id, v2.text FROM v2 LEFT JOIN b2 USING (doc_id)
+        |  WHERE b2.doc_id IS NULL
+        |  UNION ALL SELECT doc_id, text FROM b2 WHERE op IN ('I', 'U')),
+        |allv AS (
+        |  SELECT 1 v, doc_id, text FROM v1
+        |  UNION ALL SELECT 2, doc_id, text FROM v2
+        |  UNION ALL SELECT 3, doc_id, text FROM v3)
+        |SELECT CAST(v AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |       CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+        |         AS BIGINT) AS fp_xor
+        |FROM allv GROUP BY v ORDER BY version""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      import graft.operators.Versioned
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q251").toString
+      Versioned.init(docs, "doc_id", dir, nBuckets = 8)
+      val b1 = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          concat(lit("updated "), col("text")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), lit(2L), lit("D"), col("text")))
+      Versioned.commit(b1, "doc_id", "op", "seq", dir, nBuckets = 8)
+      val b2 = docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), lit(3L).as("seq"),
+          lit("I").as("op"),
+          concat(lit("inserted doc "), col("doc_id").cast("string")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), lit(4L), lit("U"),
+            concat(lit("final "), col("text"))))
+      Versioned.commit(b2, "doc_id", "op", "seq", dir, nBuckets = 8)
+      (1 to 3).map { v =>
+        Versioned.read(s, dir, v).agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(doc_id)").as("id_xor"),
+          expr("bit_xor(cast(conv(substring(md5(cast(text as binary)), 1, 15)" +
+            ", 16, 10) as bigint))").as("fp_xor"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("id_xor"), col("fp_xor"))
+      }.reduce(_ unionAll _).orderBy("version")
     }
   )
 
@@ -8414,7 +8487,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 250
+  val maxQueryId: Int = 251
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -326,4 +326,43 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
       ("2024-01-01 00:00:00.0", "__unmatched__", 1L, 4.0),
       ("2024-01-02 00:00:00.0", "B", 1L, 1.0)))
   }
+
+  test("versioned store: time travel, touched-buckets-only commits, emptied bucket drops") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver_test").toString
+    // buckets (mod 4): 1->1, 2->2, 3->3, 5->1
+    val v1df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")).toDF("id", "pay")
+    assert(Versioned.init(v1df, "id", dir, nBuckets = 4) === 1)
+    assertThrows[IllegalArgumentException](
+      Versioned.init(v1df, "id", dir, 4)) // double init
+    def state(v: Int): Map[Long, String] =
+      Versioned.read(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(1) === Map(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "e"))
+    // commit: update 1, delete 2 (bucket 2's ONLY row), insert 4 with a
+    // within-batch race (U seq 3 then final U seq 4 must win)
+    val b1 = Seq((1L, 1L, "U", "a2"), (2L, 2L, "D", ""),
+      (4L, 3L, "U", "d-stale"), (4L, 4L, "U", "d"))
+      .toDF("id", "seq", "op", "pay")
+    assert(Versioned.commit(b1, "id", "op", "seq", dir, 4) === 2)
+    assert(state(2) === Map(1L -> "a2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // TIME TRAVEL: v1 still reads exactly as committed
+    assert(state(1) === Map(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "e"))
+    // only touched buckets got v2 dirs: bucket 1 (id 1), 0 (id 4),
+    // 2 (id 2, emptied -> NO dir); bucket 3 untouched
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).toSet
+    assert(dataDirs.exists(_ == "b0_v2") && dataDirs.exists(_ == "b1_v2"))
+    assert(!dataDirs.exists(_ == "b2_v2") && !dataDirs.exists(_ == "b3_v2"))
+    // latest() resolves to v2; a third commit re-fills bucket 2
+    assert(Versioned.read(spark, dir).count() === 4L)
+    val b2 = Seq((6L, 5L, "I", "f")).toDF("id", "seq", "op", "pay")
+    assert(Versioned.commit(b2, "id", "op", "seq", dir, 4) === 3)
+    assert(state(3) === Map(1L -> "a2", 3L -> "c", 4L -> "d", 5L -> "e", 6L -> "f"))
+    // commit on an uninitialized dir fails loudly
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ver2").toString
+    assertThrows[IllegalArgumentException](
+      Versioned.commit(b2, "id", "op", "seq", fresh, 4))
+  }
 }
