@@ -171,4 +171,63 @@ object Versioned {
     spark.read.parquet(pointers.values.map(n => s"$dir/data/$n").toSeq: _*)
       .drop("__bucket")
   }
+
+  /**
+   * Retention + garbage collection: keep the newest `keepVersions`
+   * manifests, delete the older ones, then delete every data dir no
+   * SURVIVING manifest references — which also sweeps the stage
+   * garbage of crashed commits. Time travel remains exact for every
+   * kept version (a data dir referenced by any survivor is never
+   * touched). Returns (versions_dropped, dirs_deleted).
+   *
+   * Driver-side dir listing only — the same bounded-scan contract as
+   * [[Sinks.vacuumOrphans]]; no executor work at all.
+   */
+  def vacuum(
+      spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val (hfs, _) = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    require(latest >= 1, s"Versioned: $dir is not initialized")
+    val cutoff = math.max(1, latest - keepVersions + 1)
+    val dropped = (1 until cutoff).filter { v =>
+      val p = manifestPath(dir, v)
+      hfs.exists(p) && hfs.delete(p, false)
+    }
+    val live: Set[String] = (cutoff to latest)
+      .filter(v => hfs.exists(manifestPath(dir, v)))
+      .flatMap(v => readManifest(spark, dir, v).values).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val deleted =
+      if (!hfs.exists(dataRoot)) 0
+      else hfs.listStatus(dataRoot).map(_.getPath)
+        .filterNot(p => live(p.getName))
+        .count(p => hfs.delete(p, true))
+    (dropped.size, deleted)
+  }
+
+  /**
+   * Streaming commit sink: every micro-batch of the CDC stream becomes
+   * one [[commit]]ed version — continuous ingestion where EACH batch's
+   * snapshot remains time-travel readable (the audit trail
+   * [[graft.streaming.StreamingOps.cdcSnapshotSink]]'s overwrite-in-
+   * place variant deliberately does not keep). Caller picks trigger /
+   * checkpoint and starts it; the store must be [[init]]ialized.
+   */
+  def commitSink(
+      changes: DataFrame,
+      idCol: String,
+      opCol: String,
+      seqCol: String,
+      dir: String,
+      nBuckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) =>
+        if (!batch.isEmpty) {
+          commit(batch, idCol, opCol, seqCol, dir, nBuckets)
+          ()
+        }
+    }
 }

@@ -364,5 +364,37 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     val fresh = java.nio.file.Files.createTempDirectory("graft_ver2").toString
     assertThrows[IllegalArgumentException](
       Versioned.commit(b2, "id", "op", "seq", fresh, 4))
+    // vacuum keeping 2 versions: v1's manifest goes, its now-unreferenced
+    // dirs go (b2_v1: id 2 existed only in v1), shared dirs survive
+    val (droppedV, deletedD) = Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(droppedV === 1)
+    assert(deletedD >= 1) // at least b2_v1
+    assertThrows[IllegalArgumentException](Versioned.read(spark, dir, 1))
+    assert(state(2) === Map(1L -> "a2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    assert(state(3)(6L) === "f") // kept versions byte-exact after GC
+  }
+
+  test("versioned streaming commit sink: each micro-batch is a readable version") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsink").toString
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("id", "pay"), "id", dir, 2)
+    val input = MemoryStream[(Long, Long, String, String)](spark)
+    val qy = Versioned.commitSink(
+        input.toDF().toDF("id", "seq", "op", "pay"), "id", "op", "seq", dir, 2)
+      .start()
+    try {
+      input.addData(Seq((1L, 1L, "U", "a2")))
+      qy.processAllAvailable()
+      input.addData(Seq((2L, 2L, "D", ""), (3L, 3L, "I", "c")))
+      qy.processAllAvailable()
+    } finally qy.stop()
+    assert(Versioned.latestVersion(spark, dir) === 3)
+    def st(v: Int) = Versioned.read(spark, dir, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st(1) === Map(1L -> "a", 2L -> "b"))
+    assert(st(2) === Map(1L -> "a2", 2L -> "b"))
+    assert(st(3) === Map(1L -> "a2", 3L -> "c"))
   }
 }
