@@ -7852,6 +7852,63 @@ object SparkEntry {
           .select(lit(v.toLong).as("version"), col("n_rows"),
             col("id_xor"), col("fp_xor"))
       }.reduce(_ unionAll _).orderBy("version")
+    },
+
+    // Cross-family composition: TIME-TRAVEL DIFF. One CDC commit on the
+    // versioned store, then CorpusDiff between version 1 and version 2
+    // as read back from the store — "what changed between the corpus
+    // run X trained on and the corpus run Y trained on", the audit that
+    // needs BOTH MVCC reads and fingerprint classification.
+    q("q252_time_travel_diff",
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |raw1 AS (
+        |  SELECT doc_id, 1 seq, 'U' op, 'updated ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 2, 'D', text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT doc_id + 3000000, 3, 'I',
+        |    'inserted doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |b1 AS (SELECT doc_id, op, text FROM (
+        |         SELECT doc_id, op, text,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY seq DESC) rn
+        |         FROM raw1) WHERE rn = 1),
+        |v2 AS (
+        |  SELECT v1.doc_id, v1.text FROM v1 LEFT JOIN b1 USING (doc_id)
+        |  WHERE b1.doc_id IS NULL
+        |  UNION ALL SELECT doc_id, text FROM b1 WHERE op IN ('I', 'U')),
+        |fp AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |         md5(regexp_replace(lower(a.text), '\s+', ' ', 'g')) f_old,
+        |         md5(regexp_replace(lower(b.text), '\s+', ' ', 'g')) f_new
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN f_old IS NULL THEN 'added'
+        |            WHEN f_new IS NULL THEN 'removed'
+        |            WHEN f_old <> f_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      import graft.operators.{CorpusDiff, Versioned}
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q252").toString
+      Versioned.init(docs, "doc_id", dir, nBuckets = 8)
+      val batch = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          concat(lit("updated "), col("text")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), lit(2L), lit("D"), col("text")))
+        .unionAll(docs.where(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), lit(3L),
+            lit("I"),
+            concat(lit("inserted doc "), col("doc_id").cast("string"))))
+      Versioned.commit(batch, "doc_id", "op", "seq", dir, nBuckets = 8)
+      CorpusDiff.diffSummary(
+          Versioned.read(s, dir, 1), Versioned.read(s, dir, 2),
+          "doc_id", "text")
+        .orderBy("status")
     }
   )
 
@@ -8487,7 +8544,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 251
+  val maxQueryId: Int = 252
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -764,7 +764,7 @@ object Sampling {
    * (group total). No unbounded single-partition sort anywhere; group
    * cardinality never collected.
    */
-  private[operators] def distributedCumSum(
+  private[graft] def distributedCumSum(
       checked: DataFrame,
       groupCols: Seq[String],
       idCol: String,

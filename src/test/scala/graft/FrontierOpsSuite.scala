@@ -279,6 +279,45 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("distributedCumSum property: equals an in-memory prefix sum on random shapes") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    // fixed seed so failures reproduce; shapes sweep group skew (1..4
+    // groups over up to 400 rows), weight ranges, and bucket counts
+    val caseGen = for {
+      n <- Gen.choose(1, 400)
+      nGroups <- Gen.choose(1, 4)
+      buckets <- Gen.oneOf(2, 3, 8, 64)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+      gs <- Gen.listOfN(n, Gen.choose(0, nGroups - 1))
+    } yield (ws.zip(gs).zipWithIndex.map { case ((w, g), i) =>
+      (s"g$g", i.toLong * 7 % 1000003, w) // non-contiguous, unique ids
+    }, buckets)
+    val params = org.scalacheck.Gen.Parameters.default
+    val cases = (0 until 12).map(i => caseGen.apply(params, rng.Seed(42L + i)))
+    cases.foreach {
+      case Some((rows, buckets)) =>
+        val df = rows.toDF("grp", "id", "w").repartition(5)
+          .withColumn("__w", col("w"))
+        val got = graft.operators.Sampling
+          .distributedCumSum(df, Seq("grp"), "id", buckets)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getAs[Long]("__cum"), r.getAs[Long]("__tot"))).toMap
+        // independent in-memory reference
+        rows.groupBy(_._1).foreach { case (g, grows) =>
+          val sorted = grows.sortBy(_._2)
+          val tot = sorted.map(_._3).sum
+          var cum = 0L
+          sorted.foreach { case (_, id, w) =>
+            cum += w
+            assert(got((g, id)) === ((cum, tot)),
+              s"mismatch at ($g, $id) with buckets=$buckets n=${rows.size}")
+          }
+        }
+      case None => ()
+    }
+  }
+
   test("systematic PPS: one giant skewed group splits across buckets, output exact") {
     import graft.operators.Sampling
     import spark.implicits._
