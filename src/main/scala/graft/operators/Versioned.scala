@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
  * order; the stored rows are exactly [[Cdc.mergeChanges]] over the
  * last-op-per-key collapse of the batch — a pure function of
  * (previous version, batch). No timestamps, no RNG.
+ *
+ * Concurrency contract: SINGLE WRITER (the standard CDC-apply shape —
+ * one stream, one committer). Two racing commits both target the same
+ * next version; the manifest create is exclusive, so exactly one wins
+ * and the loser's staged dirs become vacuumable garbage — readers are
+ * never exposed to a half commit either way.
  */
 object Versioned {
 
