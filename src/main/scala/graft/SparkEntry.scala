@@ -7327,8 +7327,9 @@ object SparkEntry {
         |               - 1000000000000 adj FROM sr),
         |se AS (SELECT phase, seasonal_raw - adj seasonal_fp
         |       FROM sr CROSS JOIN adj)
-        |SELECT f.dy AS day, f.n, f.trend_fp, se.seasonal_fp,
-        |       f.det_fp - se.seasonal_fp AS resid_fp
+        |SELECT f.dy AS day, f.n, CAST(f.trend_fp AS BIGINT) AS trend_fp,
+        |       CAST(se.seasonal_fp AS BIGINT) AS seasonal_fp,
+        |       CAST(f.det_fp - se.seasonal_fp AS BIGINT) AS resid_fp
         |FROM f JOIN se USING (phase) ORDER BY day""".stripMargin) { (s, d) =>
       view(s, d, "events")
       graft.operators.EventOps.seasonalDecompose(

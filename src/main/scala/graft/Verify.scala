@@ -22,8 +22,12 @@ object Verify {
     def deleteRecursively(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
+        // close the walk stream (try-with-resources) — 250+ per-query
+        // cleanup calls would otherwise leak directory handles
+        scala.util.Using.resource(Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
     // SPARK_GRAFT_ONLY=q96_bm25_topk,q01_... scopes the dump for local
     // iteration; the driver never sets it, so its runs stay exhaustive
@@ -40,9 +44,19 @@ object Verify {
         new java.io.File(outDir).mkdirs()
         SparkEntry.queries
     }
+    // SPARK_GRAFT_DUMP_TYPES=1: print each result's Catalyst schema so a
+    // Spark-vs-oracle physical-type skew (r9/r10 q237: BIGINT vs DuckDB's
+    // HUGEINT->decimal128) is visible here; tools/compare.py --dump-types
+    // prints the Arrow types of BOTH sides at compare time.
+    val dumpTypes = sys.env.get("SPARK_GRAFT_DUMP_TYPES").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        if (dumpTypes) System.err.println(s"[types] $name: " +
+          res.schema.fields.map(f => s"${f.name}:${f.dataType.sql}")
+            .mkString(", "))
+        res.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must read as MISSING downstream, never as the

@@ -20,6 +20,19 @@ object Graph {
   /** Total fixed-point mass distributed across the graph (1e12). */
   val RankScale: Long = 1000000000000L
 
+  /**
+   * Rounds-to-converge counters for the bench's x10 scale probe:
+   * superlinear wall growth on an iterative op is only ATTRIBUTABLE if
+   * the round count is recorded alongside the ratio (a 10x graph may
+   * legitimately need more LPA rounds / deeper k-core peels — that is
+   * data growth, not a plan defect). Last-run-wins volatiles; the
+   * bench is single-flight per JVM, so no further synchronization.
+   */
+  object IterationDiagnostics {
+    @volatile var lastKCoreRounds: Int = -1
+    @volatile var lastLpaRounds: Int = -1
+  }
+
   /** PageRank-family iterations between cache/count barriers: small
    *  enough that a lazy segment's plan stays shallow (each step adds
    *  one join over cached leaves), large enough that per-round job
@@ -740,6 +753,7 @@ object Graph {
     }
     require(converged || it < maxIters,
       s"kCore did not converge within $maxIters rounds")
+    IterationDiagnostics.lastKCoreRounds = it
     cur.select(col("a").as("node"))
       .unionAll(cur.select(col("b").as("node")))
       .groupBy(longId(col("node")).as("node"))
@@ -893,6 +907,7 @@ object Graph {
       pinned.unpersist(blocking = false)
       r += 1
     }
+    IterationDiagnostics.lastLpaRounds = r
     labels
   }
 }

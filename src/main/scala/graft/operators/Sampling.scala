@@ -655,11 +655,17 @@ object Sampling {
       .withColumn("__rn", row_number().over(wLocal).cast("long"))
     val wOff = Window.partitionBy(col("bucket")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Null-safe stitch: rows with a null difficulty land in the null
+    // (bucket, __b) cell and must keep their positions (they were their
+    // own window partition before the de-skew) — a plain equi-join
+    // would silently drop them.
     val offs = bucketed.groupBy("bucket", "__b")
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .select(col("bucket"), col("__b"), col("__off"))
-    partial.join(offs, Seq("bucket", "__b"))
+      .select(col("bucket").as("__r_bucket"), col("__b").as("__r_b"),
+        col("__off"))
+    partial.join(offs,
+        col("bucket") <=> col("__r_bucket") && col("__b") <=> col("__r_b"))
       .withColumn("pos", col("__off") + col("__rn"))
       .select(col(idCol), col("bucket"), col("pos"))
   }
@@ -763,19 +769,51 @@ object Sampling {
    * `__cum` (inclusive running sum in (group, id) order) and `__tot`
    * (group total). No unbounded single-partition sort anywhere; group
    * cardinality never collected.
+   *
+   * Correctness guards: ids must be NON-NULL (a null id has no
+   * position on the weight line — fail fast rather than silently
+   * dropping the row in the bucket-stitch join); bucket bounds are
+   * TYPE-MATCHED to the id column (string ids sketch with
+   * `approx_partition_bounds_str` over the raw value, so bucket order
+   * agrees with the window's lexicographic sort — a numeric cast
+   * would bucket '9' after '10' and corrupt the running sum); the
+   * stitch join is NULL-SAFE on the group columns, so rows in a
+   * null-keyed group keep their own cumulative line instead of
+   * vanishing.
    */
   private[graft] def distributedCumSum(
       checked: DataFrame,
       groupCols: Seq[String],
       idCol: String,
       buckets: Int): DataFrame = {
-    val boundsRow = checked.agg(call_function("approx_partition_bounds",
-      col(idCol).cast("double"), lit(buckets)).as("bs")).collect()(0)
-    val bucketed =
-      if (boundsRow.isNullAt(0)) checked.withColumn("__b", lit(0))
-      else checked.withColumn("__b", call_function("graft_bucket_index",
+    import org.apache.spark.sql.types._
+    val idType = checked.schema(idCol).dataType
+    val numericId = idType match {
+      case _: NumericType | DateType | TimestampType | BooleanType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"distributedCumSum: unsupported id type $other for $idCol " +
+          "(numeric, date/timestamp, boolean or string)")
+    }
+    // Fail fast on null ids at the point of consumption (same
+    // discipline as systematicPpsSample's weight guard).
+    def guarded(c: Column): Column =
+      when(col(idCol).isNull, raise_error(lit(
+        s"distributedCumSum: id column $idCol must be non-null"))).otherwise(c)
+    val bucketed = if (numericId) {
+      val boundsRow = checked.agg(call_function("approx_partition_bounds",
+        col(idCol).cast("double"), lit(buckets)).as("bs")).collect()(0)
+      if (boundsRow.isNullAt(0)) checked.withColumn("__b", guarded(lit(0)))
+      else checked.withColumn("__b", guarded(call_function("graft_bucket_index",
         array(boundsRow.getSeq[Double](0).map(lit): _*),
-        col(idCol).cast("double")))
+        col(idCol).cast("double"))))
+    } else {
+      val boundsRow = checked.agg(call_function("approx_partition_bounds_str",
+        col(idCol), lit(buckets)).as("bs")).collect()(0)
+      if (boundsRow.isNullAt(0)) checked.withColumn("__b", guarded(lit(0)))
+      else checked.withColumn("__b", guarded(call_function("graft_bucket_index",
+        array(boundsRow.getSeq[String](0).map(lit): _*), col(idCol))))
+    }
     val gb = (groupCols :+ "__b").map(col)
     val partGb = Window.partitionBy(gb: _*)
     val cumGb = partGb.orderBy(col(idCol))
@@ -783,14 +821,17 @@ object Sampling {
     val partial = bucketed.withColumn("__pc", sum(col("__w")).over(cumGb))
     val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val joinCols = groupCols :+ "__b"
     val offs = bucketed.groupBy(gb: _*).agg(sum(col("__w")).as("__bw"))
       .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
       .withColumn("__tot", sum(col("__bw")).over(
         Window.partitionBy(groupCols.map(col): _*)))
-      .select(gb :+ col("__off") :+ col("__tot"): _*)
-    partial.join(offs, groupCols :+ "__b")
+      .select(joinCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__off") :+ col("__tot"): _*)
+    val cond = joinCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    partial.join(offs, cond)
       .withColumn("__cum", col("__off") + col("__pc"))
-      .drop("__b", "__pc", "__off")
+      .drop(joinCols.map(c => s"__r_$c") ++ Seq("__b", "__pc", "__off"): _*)
   }
 
   /** Fixed-point scale for [[mixtureReweight]] shares/weights (ppm). */

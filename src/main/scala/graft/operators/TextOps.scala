@@ -781,10 +781,13 @@ object TextOps {
    * gate per language/source: a group whose oov_ppm spikes is about to
    * shred into byte-fallback tokens.
    *
-   * The vocabulary collects to the driver (N strings, bounded by
-   * construction) and evaluates as an `isin` literal — the group pass
-   * is ONE explode + partial-aggregable conditional sums; the corpus
-   * shuffles only (group, term)-level distinct counts.
+   * The vocabulary stays a DATAFRAME and reaches the corpus as a
+   * BROADCAST left join (membership flag) — at a realistic 100k-term
+   * vocab an `isin` literal would inflate the plan tree and codegen
+   * with a 100k-element IN list; the broadcast hash join is the same
+   * semantics as data flow. The group pass is ONE explode + the join +
+   * partial-aggregable conditional sums; the corpus shuffles only
+   * (group, term)-level distinct counts.
    */
   def oovRate(
       df: DataFrame,
@@ -797,10 +800,11 @@ object TextOps {
       .where(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("n_occ"))
     val vocab = counts.orderBy(col("n_occ").desc, col("term")).limit(topN)
-      .collect().map(_.getString(0)).toSeq
-    val oov = !col("term").isin(vocab: _*)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    val oov = col("__in_vocab").isNull
     df.select(col(groupCol).as("g"), explode(words(col(textCol))).as("term"))
       .where(col("term") =!= "")
+      .join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("g").as(groupCol))
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -33,10 +33,18 @@ import org.apache.spark.sql.functions._
  * (previous version, batch). No timestamps, no RNG.
  *
  * Concurrency contract: SINGLE WRITER (the standard CDC-apply shape —
- * one stream, one committer). Two racing commits both target the same
- * next version; the manifest create is exclusive, so exactly one wins
- * and the loser's staged dirs become vacuumable garbage — readers are
- * never exposed to a half commit either way.
+ * one stream, one committer), and [[vacuum]] runs under the SAME
+ * single-writer lock as commit. Two racing commits both target the
+ * same next version; each stages under a unique attempt dir, the
+ * landed-bucket rename fails fast if the destination exists, and the
+ * manifest create is exclusive (`fs.create(..., overwrite = false)` —
+ * atomic on HDFS-like stores; LocalFileSystem's exists-then-create has
+ * a theoretical TOCTOU window, which is why the contract is a lock,
+ * not the create) — so at most one racer commits, the loser dies
+ * loudly before its manifest, and readers are never exposed to a half
+ * commit either way. A crashed attempt's garbage (stage dirs and
+ * already-renamed `b*_v<next>` dirs with no manifest) is swept by the
+ * NEXT commit before it stages, so retry-after-crash is clean.
  */
 object Versioned {
 
@@ -101,11 +109,16 @@ object Versioned {
   }
 
   /** Write `staged`'s buckets as b<bucket>_v<version> dirs; returns the
-   *  bucket -> dirname map of what landed (emptied buckets absent). */
+   *  bucket -> dirname map of what landed (emptied buckets absent).
+   *  The stage dir carries a unique attempt suffix and the rename fails
+   *  FAST if the destination already exists — Hadoop LocalFileSystem
+   *  would otherwise merge the source INTO an existing destination dir,
+   *  silently duplicating a racing commit's rows. */
   private def writeBuckets(
       staged: DataFrame, dir: String, version: Int): Map[Long, String] = {
     val spark = staged.sparkSession
-    val stage = s"$dir/data/__stage_v$version"
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val stage = s"$dir/data/__stage_v${version}_$attempt"
     staged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
     val (hfs, _) = fs(spark, dir)
     val landed = hfs.listStatus(new org.apache.hadoop.fs.Path(stage))
@@ -114,11 +127,36 @@ object Versioned {
         val b = p.getName.stripPrefix("__bucket=").toLong
         val name = s"b${b}_v$version"
         val dest = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+        require(!hfs.exists(dest),
+          s"Versioned: $dest already exists — a racing or crashed commit " +
+            "targeted the same version; single-writer contract violated")
         require(hfs.rename(p, dest), s"Versioned: rename $p -> $dest failed")
         b -> name
       }.toMap
     hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
     landed
+  }
+
+  /** Sweep garbage a CRASHED commit at `version` left behind (stage dirs
+   *  and renamed-but-unreferenced b*_v<version> dirs). Safe only because
+   *  the caller holds the single-writer lock and `version` has no
+   *  manifest — nothing can reference these dirs. */
+  private def sweepCrashedAttempt(
+      spark: SparkSession, dir: String, version: Int): Unit = {
+    val (hfs, _) = fs(spark, dir)
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    if (!hfs.exists(dataRoot)) return
+    require(!hfs.exists(manifestPath(dir, version)),
+      s"Versioned: refusing to sweep committed version $version")
+    val vSuffix = s"_v$version"
+    hfs.listStatus(dataRoot).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val crashed =
+        (n.startsWith("__stage_v") &&
+          n.stripPrefix("__stage_").split("_")(0) == s"v$version") ||
+        (n.startsWith("b") && n.endsWith(vSuffix))
+      if (crashed) hfs.delete(p, true)
+    }
   }
 
   /**
@@ -162,29 +200,60 @@ object Versioned {
     val merged = Cdc.mergeChanges(snap, latest, idCol, opCol)
       .localCheckpoint(true) // the write below must not re-read old dirs mid-swap
     val next = cur + 1
+    // retry-after-crash: a previous attempt at `next` that died between
+    // rename and manifest leaves b*_v<next> dirs that would fail this
+    // attempt's exists check — sweep them (single-writer makes it safe)
+    sweepCrashedAttempt(spark, dir, next)
     val landed = writeBuckets(merged, dir, next)
     val newPointers = (pointers -- touched.filterNot(landed.contains)) ++ landed
     writeManifest(spark, dir, next, newPointers)
     next
   }
 
-  /** Read snapshot `version` (latest when <= 0). */
+  /** Read snapshot `version` (latest when <= 0). A version whose commit
+   *  deleted every row (empty manifest — a legal committed state) reads
+   *  as an EMPTY DataFrame, with the schema borrowed from the nearest
+   *  non-empty surviving version (backward first, then forward); only a
+   *  store that never held a row anywhere is unreadable. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version <= 0) latestVersion(spark, dir) else version
     require(v >= 1, s"Versioned: no committed versions under $dir")
     val pointers = readManifest(spark, dir, v)
-    require(pointers.nonEmpty, s"Versioned: version $v is an empty snapshot")
-    spark.read.parquet(pointers.values.map(n => s"$dir/data/$n").toSeq: _*)
-      .drop("__bucket")
+    if (pointers.nonEmpty) {
+      spark.read.parquet(pointers.values.map(n => s"$dir/data/$n").toSeq: _*)
+        .drop("__bucket")
+    } else {
+      val (hfs, _) = fs(spark, dir)
+      val latest = latestVersion(spark, dir)
+      val donor = ((v - 1) to 1 by -1).iterator ++ ((v + 1) to latest).iterator
+      donor.map(dv => manifestPath(dir, dv))
+        .filter(hfs.exists)
+        .map(p => readManifest(spark, dir,
+          p.getName.stripPrefix("v").stripSuffix(".json").toInt))
+        .collectFirst { case ps if ps.nonEmpty =>
+          spark.read.parquet(ps.values.map(n => s"$dir/data/$n").toSeq: _*)
+            .drop("__bucket").where(lit(false))
+        }
+        .getOrElse(throw new IllegalStateException(
+          s"Versioned: version $v is empty and no surviving version has " +
+            "data to borrow a schema from"))
+    }
   }
 
   /**
    * Retention + garbage collection: keep the newest `keepVersions`
    * manifests, delete the older ones, then delete every data dir no
    * SURVIVING manifest references — which also sweeps the stage
-   * garbage of crashed commits. Time travel remains exact for every
-   * kept version (a data dir referenced by any survivor is never
-   * touched). Returns (versions_dropped, dirs_deleted).
+   * garbage of crashed commits at or below the latest version. Time
+   * travel remains exact for every kept version (a data dir referenced
+   * by any survivor is never touched). Returns
+   * (versions_dropped, dirs_deleted).
+   *
+   * Concurrency: vacuum MUST run under the same single-writer lock as
+   * [[commit]]. As defense in depth it additionally SKIPS dirs whose
+   * version suffix exceeds the latest manifest (the stage / freshly
+   * renamed dirs of a possibly in-flight commit), so even a lock
+   * violation cannot yank data out from under a committing writer.
    *
    * Driver-side dir listing only — the same bounded-scan contract as
    * [[Sinks.vacuumOrphans]]; no executor work at all.
@@ -204,10 +273,22 @@ object Versioned {
       .filter(v => hfs.exists(manifestPath(dir, v)))
       .flatMap(v => readManifest(spark, dir, v).values).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    // version suffix of a data-dir name: b<bucket>_v<N> or
+    // __stage_v<N>[_attempt]; unparseable names are treated as in-flight
+    // (kept) — deleting only what we understand is the safe direction
+    def dirVersion(n: String): Option[Int] = {
+      val core =
+        if (n.startsWith("__stage_v")) n.stripPrefix("__stage_").split("_")(0)
+        else if (n.startsWith("b") && n.contains("_v"))
+          n.substring(n.lastIndexOf("_") + 1)
+        else ""
+      if (core.startsWith("v")) core.stripPrefix("v").toIntOption else None
+    }
     val deleted =
       if (!hfs.exists(dataRoot)) 0
       else hfs.listStatus(dataRoot).map(_.getPath)
         .filterNot(p => live(p.getName))
+        .filter(p => dirVersion(p.getName).exists(_ <= latest))
         .count(p => hfs.delete(p, true))
     (dropped.size, deleted)
   }
