@@ -34,17 +34,18 @@ import org.apache.spark.sql.functions._
  *
  * Concurrency contract: SINGLE WRITER (the standard CDC-apply shape —
  * one stream, one committer), and [[vacuum]] runs under the SAME
- * single-writer lock as commit. Two racing commits both target the
- * same next version; each stages under a unique attempt dir, the
- * landed-bucket rename fails fast if the destination exists, and the
- * manifest create is exclusive (`fs.create(..., overwrite = false)` —
- * atomic on HDFS-like stores; LocalFileSystem's exists-then-create has
- * a theoretical TOCTOU window, which is why the contract is a lock,
- * not the create) — so at most one racer commits, the loser dies
- * loudly before its manifest, and readers are never exposed to a half
- * commit either way. A crashed attempt's garbage (stage dirs and
- * already-renamed `b*_v<next>` dirs with no manifest) is swept by the
- * NEXT commit before it stages, so retry-after-crash is clean.
+ * single-writer lock as commit. The layout still degrades SAFELY under
+ * a contract violation: every attempt stages and lands its bucket dirs
+ * under an ATTEMPT-UNIQUE name (`b<bucket>_v<ver>_<attempt>`), so two
+ * racers targeting the same version never touch each other's files;
+ * the exclusive manifest create (`fs.create(..., overwrite = false)`,
+ * atomic on HDFS-like stores) plus a READ-BACK verify (which closes
+ * LocalFileSystem's exists-then-create TOCTOU window) picks exactly
+ * one winner, the loser throws before claiming success, and readers
+ * are never exposed to a half commit. A crashed or losing attempt's
+ * dirs are unreferenced garbage: [[vacuum]] sweeps them once the
+ * store's latest version reaches the attempt's version (dirs ABOVE the
+ * latest manifest are presumed in-flight and kept).
  */
 object Versioned {
 
@@ -93,6 +94,18 @@ object Versioned {
     require(!hfs.exists(p), s"Versioned: version $v already committed")
     val out = hfs.create(p, false)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
+    // READ-BACK VERIFY: `create(overwrite = false)` is atomic on
+    // HDFS-like stores but exists-then-open on LocalFileSystem, so two
+    // racers can both "succeed" with the last writer's bytes landing.
+    // Re-reading and comparing makes the loser of that clobber throw
+    // instead of silently believing it committed — exactly one caller
+    // ever returns from here for a given version.
+    val in = hfs.open(p)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    if (stored != txt) throw new IllegalStateException(
+      s"Versioned: lost the commit race for version $v — manifest holds " +
+        "another writer's content (single-writer contract violated)")
   }
 
   /** Initialize the store with `df` as version 1. Returns 1. */
@@ -108,12 +121,12 @@ object Versioned {
     1
   }
 
-  /** Write `staged`'s buckets as b<bucket>_v<version> dirs; returns the
-   *  bucket -> dirname map of what landed (emptied buckets absent).
-   *  The stage dir carries a unique attempt suffix and the rename fails
-   *  FAST if the destination already exists — Hadoop LocalFileSystem
-   *  would otherwise merge the source INTO an existing destination dir,
-   *  silently duplicating a racing commit's rows. */
+  /** Write `staged`'s buckets as ATTEMPT-UNIQUE `b<bucket>_v<version>_
+   *  <attempt>` dirs; returns the bucket -> dirname map of what landed
+   *  (emptied buckets absent). Unique names mean a racing or retried
+   *  commit can never rename onto (or merge into — Hadoop
+   *  LocalFileSystem silently merges dirs) another attempt's data: only
+   *  the manifest decides which attempt's dirs serve a version. */
   private def writeBuckets(
       staged: DataFrame, dir: String, version: Int): Map[Long, String] = {
     val spark = staged.sparkSession
@@ -125,38 +138,13 @@ object Versioned {
       .map(_.getPath).filter(_.getName.startsWith("__bucket="))
       .map { p =>
         val b = p.getName.stripPrefix("__bucket=").toLong
-        val name = s"b${b}_v$version"
+        val name = s"b${b}_v${version}_$attempt"
         val dest = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
-        require(!hfs.exists(dest),
-          s"Versioned: $dest already exists — a racing or crashed commit " +
-            "targeted the same version; single-writer contract violated")
         require(hfs.rename(p, dest), s"Versioned: rename $p -> $dest failed")
         b -> name
       }.toMap
     hfs.delete(new org.apache.hadoop.fs.Path(stage), true)
     landed
-  }
-
-  /** Sweep garbage a CRASHED commit at `version` left behind (stage dirs
-   *  and renamed-but-unreferenced b*_v<version> dirs). Safe only because
-   *  the caller holds the single-writer lock and `version` has no
-   *  manifest — nothing can reference these dirs. */
-  private def sweepCrashedAttempt(
-      spark: SparkSession, dir: String, version: Int): Unit = {
-    val (hfs, _) = fs(spark, dir)
-    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
-    if (!hfs.exists(dataRoot)) return
-    require(!hfs.exists(manifestPath(dir, version)),
-      s"Versioned: refusing to sweep committed version $version")
-    val vSuffix = s"_v$version"
-    hfs.listStatus(dataRoot).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val crashed =
-        (n.startsWith("__stage_v") &&
-          n.stripPrefix("__stage_").split("_")(0) == s"v$version") ||
-        (n.startsWith("b") && n.endsWith(vSuffix))
-      if (crashed) hfs.delete(p, true)
-    }
   }
 
   /**
@@ -200,10 +188,6 @@ object Versioned {
     val merged = Cdc.mergeChanges(snap, latest, idCol, opCol)
       .localCheckpoint(true) // the write below must not re-read old dirs mid-swap
     val next = cur + 1
-    // retry-after-crash: a previous attempt at `next` that died between
-    // rename and manifest leaves b*_v<next> dirs that would fail this
-    // attempt's exists check — sweep them (single-writer makes it safe)
-    sweepCrashedAttempt(spark, dir, next)
     val landed = writeBuckets(merged, dir, next)
     val newPointers = (pointers -- touched.filterNot(landed.contains)) ++ landed
     writeManifest(spark, dir, next, newPointers)
@@ -273,17 +257,15 @@ object Versioned {
       .filter(v => hfs.exists(manifestPath(dir, v)))
       .flatMap(v => readManifest(spark, dir, v).values).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
-    // version suffix of a data-dir name: b<bucket>_v<N> or
-    // __stage_v<N>[_attempt]; unparseable names are treated as in-flight
-    // (kept) — deleting only what we understand is the safe direction
-    def dirVersion(n: String): Option[Int] = {
-      val core =
-        if (n.startsWith("__stage_v")) n.stripPrefix("__stage_").split("_")(0)
-        else if (n.startsWith("b") && n.contains("_v"))
-          n.substring(n.lastIndexOf("_") + 1)
-        else ""
-      if (core.startsWith("v")) core.stripPrefix("v").toIntOption else None
-    }
+    // version of a data-dir name: b<bucket>_v<N>_<attempt> or
+    // __stage_v<N>_<attempt> (older layouts lack the attempt suffix);
+    // unparseable names are treated as in-flight (kept) — deleting only
+    // what we understand is the safe direction
+    val vPat = "_v(\\d+)(?:_|$)".r
+    def dirVersion(n: String): Option[Int] =
+      if (n.startsWith("b") || n.startsWith("__stage_v"))
+        vPat.findFirstMatchIn(n).flatMap(_.group(1).toIntOption)
+      else None
     val deleted =
       if (!hfs.exists(dataRoot)) 0
       else hfs.listStatus(dataRoot).map(_.getPath)

@@ -415,4 +415,70 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
       .toDF("doc_id", "text")
     assert(Dedup.sortedNeighborhoodPairs(nulls, "doc_id", "text").count() === 0)
   }
+
+  test("distributedCumSum string ids: numeric-looking strings sum in LEXICOGRAPHIC order") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // '10' < '2' < '9' lexicographically — bucketing by a numeric cast
+    // would order 2 < 9 < 10 and corrupt the running sums silently
+    val rows = Seq(("g", "10", 1L), ("g", "2", 10L), ("g", "9", 100L),
+      ("g", "ab", 1000L), ("g", "AB", 10000L))
+    val got = Sampling.distributedCumSum(
+        rows.toDF("grp", "id", "w").repartition(3).withColumn("__w", col("w")),
+        Seq("grp"), "id", buckets = 2)
+      .collect().map(r => r.getString(1) -> r.getAs[Long]("__cum")).toMap
+    // lexicographic (binary) order: "10" < "2" < "9" < "AB" < "ab"
+    assert(got === Map("10" -> 1L, "2" -> 11L, "9" -> 111L,
+      "AB" -> 10111L, "ab" -> 11111L))
+  }
+
+  test("distributedCumSum guards: null id fails fast; null GROUP rows are kept") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val nullId = Seq(("g", java.lang.Long.valueOf(1L), 5L),
+      ("g", null.asInstanceOf[java.lang.Long], 7L))
+      .toDF("grp", "id", "w").withColumn("__w", col("w"))
+    val e = intercept[Exception] {
+      Sampling.distributedCumSum(nullId, Seq("grp"), "id", 4).collect()
+    }
+    assert(e.getMessage.contains("non-null"))
+    // a null group key is a legal group: its rows must keep their own
+    // cumulative line, not vanish in the bucket-stitch join
+    val nullGrp = Seq((null.asInstanceOf[String], 1L, 5L),
+      (null.asInstanceOf[String], 2L, 7L), ("g", 1L, 3L))
+      .toDF("grp", "id", "w").repartition(2).withColumn("__w", col("w"))
+    val got = Sampling.distributedCumSum(nullGrp, Seq("grp"), "id", 4)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getAs[Long]("__cum"), r.getAs[Long]("__tot"))).toMap
+    assert(got.size === 3)
+    assert(got((None, 1L)) === ((5L, 12L)))
+    assert(got((None, 2L)) === ((12L, 12L)))
+    assert(got((Some("g"), 1L)) === ((3L, 3L)))
+    // unsupported id type fails loudly, not silently
+    val arr = Seq(("g", Seq(1L), 5L)).toDF("grp", "id", "w")
+      .withColumn("__w", col("w"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.distributedCumSum(arr, Seq("grp"), "id", 4)
+    }
+    assert(e2.getMessage.contains("unsupported id type"))
+  }
+
+  test("curriculumInterleave keeps null-difficulty rows in their own bucket") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq((1L, java.lang.Double.valueOf(5.0)),
+      (2L, java.lang.Double.valueOf(15.0)),
+      (3L, null.asInstanceOf[java.lang.Double]),
+      (4L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "dif")
+    val out = Sampling.curriculumInterleave(df, "id", "dif", binWidth = 10.0)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))).toMap
+    assert(out.size === 4, "null-difficulty rows must not be dropped")
+    assert(out(1L) === ((Some(0L), 1L)))
+    assert(out(2L) === ((Some(1L), 1L)))
+    // both null rows share the null bucket with positions 1 and 2
+    assert(Set(out(3L), out(4L)) === Set((None, 1L), (None, 2L)))
+  }
 }

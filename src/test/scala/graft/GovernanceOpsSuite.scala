@@ -350,11 +350,14 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     // TIME TRAVEL: v1 still reads exactly as committed
     assert(state(1) === Map(1L -> "a", 2L -> "b", 3L -> "c", 5L -> "e"))
     // only touched buckets got v2 dirs: bucket 1 (id 1), 0 (id 4),
-    // 2 (id 2, emptied -> NO dir); bucket 3 untouched
+    // 2 (id 2, emptied -> NO dir); bucket 3 untouched (dir names carry
+    // an attempt suffix: b<bucket>_v<ver>_<attempt>)
     val dataDirs = new java.io.File(s"$dir/data").listFiles()
       .map(_.getName).toSet
-    assert(dataDirs.exists(_ == "b0_v2") && dataDirs.exists(_ == "b1_v2"))
-    assert(!dataDirs.exists(_ == "b2_v2") && !dataDirs.exists(_ == "b3_v2"))
+    assert(dataDirs.exists(_.startsWith("b0_v2_")) &&
+      dataDirs.exists(_.startsWith("b1_v2_")))
+    assert(!dataDirs.exists(_.startsWith("b2_v2_")) &&
+      !dataDirs.exists(_.startsWith("b3_v2_")))
     // latest() resolves to v2; a third commit re-fills bucket 2
     assert(Versioned.read(spark, dir).count() === 4L)
     val b2 = Seq((6L, 5L, "I", "f")).toDF("id", "seq", "op", "pay")
@@ -396,5 +399,118 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(st(1) === Map(1L -> "a", 2L -> "b"))
     assert(st(2) === Map(1L -> "a2", 2L -> "b"))
     assert(st(3) === Map(1L -> "a2", 3L -> "c"))
+  }
+
+  test("versioned racing commits: at most one winner per version, loser garbage vacuumable") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vrace").toString
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("id", "pay"), "id", dir, 4)
+    // two commits race for version 2 (deliberate single-writer-contract
+    // violation): distinct payloads so a manifest clobber is detectable
+    val batches = Seq(
+      Seq((10L, 1L, "I", "x")).toDF("id", "seq", "op", "pay"),
+      Seq((11L, 1L, "I", "y")).toDF("id", "seq", "op", "pay"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = batches.map { b =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] = {
+          gate.await()
+          try Right(Versioned.commit(b, "id", "op", "seq", dir, 4))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    gate.countDown()
+    val results = outcomes.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val wins = results.collect { case Right(v) => v }
+    assert(wins.nonEmpty, s"both racers failed: $results")
+    // versions must be DISTINCT: two commits both claiming the same
+    // version number is exactly the silent corruption the exclusive
+    // manifest create + read-back verify exists to prevent
+    assert(wins.distinct.size === wins.size, s"duplicate version claimed: $results")
+    val latest = Versioned.latestVersion(spark, dir)
+    assert(latest === 1 + wins.size)
+    // every committed version reads consistently: v1 exact, each later
+    // version = v1 plus a prefix of the winning inserts
+    def st(v: Int) = Versioned.read(spark, dir, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st(1) === Map(1L -> "a", 2L -> "b"))
+    (2 to latest).foreach { v =>
+      val s = st(v)
+      assert(s.size === 2 + (v - 1), s"version $v inconsistent: $s")
+      assert(s(1L) === "a" && s(2L) === "b")
+    }
+    // a retry of any LOSING batch lands cleanly on top (attempt-unique
+    // dir names: the loser's orphans cannot collide), reads stay consistent
+    results.zip(batches).collect { case (Left(_), b) => b }.foreach { b =>
+      val v = Versioned.commit(b, "id", "op", "seq", dir, 4)
+      assert(Versioned.read(spark, dir, v).count() === 2L + (v - 1))
+    }
+    val finalV = Versioned.latestVersion(spark, dir)
+    assert(st(finalV).keySet === Set(1L, 2L, 10L, 11L))
+    // vacuum with full retention deletes ONLY unreferenced garbage;
+    // every version stays byte-exact afterwards
+    Versioned.vacuum(spark, dir, keepVersions = finalV)
+    (1 to finalV).foreach(v => assert(st(v).size === 2 + (v - 1)))
+  }
+
+  test("versioned crashed-attempt garbage: kept while possibly in-flight, swept once overtaken") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcrash").toString
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("id", "pay"), "id", dir, 4)
+    // simulate a commit that renamed one bucket dir and died before its
+    // manifest: an orphan attempt dir (with stale parquet) + a stage dir
+    val data = new java.io.File(s"$dir/data")
+    Seq((9L, "stale")).toDF("id", "pay").withColumn("__bucket", lit(1L))
+      .write.parquet(s"$dir/data/b1_v2_deadatt")
+    new java.io.File(data, "__stage_v2_deadbeef").mkdirs()
+    // vacuum must NOT touch them yet (version 2 > latest 1: could be an
+    // in-flight commit mid-rename)
+    val (_, deleted) = Versioned.vacuum(spark, dir, keepVersions = 10)
+    assert(deleted === 0)
+    assert(data.listFiles().map(_.getName).toSet.contains("b1_v2_deadatt"))
+    // a retry commit lands cleanly beside the orphan (attempt-unique
+    // names: no collision), and the orphan never leaks into reads
+    val v = Versioned.commit(
+      Seq((1L, 1L, "U", "a2")).toDF("id", "seq", "op", "pay"),
+      "id", "op", "seq", dir, 4)
+    assert(v === 2)
+    val s2 = Versioned.read(spark, dir, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s2 === Map(1L -> "a2", 2L -> "b"), "stale crash dir leaked into v2")
+    // now latest(2) >= the orphan's version: vacuum sweeps BOTH orphans
+    // and only them, and every version still reads byte-exact
+    val (_, deleted2) = Versioned.vacuum(spark, dir, keepVersions = 10)
+    assert(deleted2 === 2)
+    val names = data.listFiles().map(_.getName).toSet
+    assert(!names.contains("b1_v2_deadatt") && !names.contains("__stage_v2_deadbeef"))
+    assert(s2 === Versioned.read(spark, dir, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(Versioned.read(spark, dir, 1).count() === 2L)
+  }
+
+  test("versioned read of a fully-emptied version returns an EMPTY frame with schema") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vempty").toString
+    Versioned.init(Seq((1L, "a"), (2L, "b")).toDF("id", "pay"), "id", dir, 2)
+    // delete EVERYTHING -> v2 is a legal committed empty snapshot
+    val b = Seq((1L, 1L, "D", ""), (2L, 2L, "D", ""))
+      .toDF("id", "seq", "op", "pay")
+    assert(Versioned.commit(b, "id", "op", "seq", dir, 2) === 2)
+    val empty = Versioned.read(spark, dir, 2)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("id", "pay"))
+    // neighbors unaffected; latest resolves to the empty v2
+    assert(Versioned.read(spark, dir, 1).count() === 2L)
+    assert(Versioned.read(spark, dir).count() === 0L)
+    // and the store keeps working: a later insert is readable on top
+    assert(Versioned.commit(Seq((3L, 3L, "I", "c")).toDF("id", "seq", "op", "pay"),
+      "id", "op", "seq", dir, 2) === 3)
+    assert(Versioned.read(spark, dir, 3).count() === 1L)
   }
 }

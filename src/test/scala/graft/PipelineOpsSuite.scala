@@ -1308,6 +1308,58 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(e.getMessage.contains("end < start"))
   }
 
+  test("interval coverage property: tie-symmetric under duplicated ties and shuffled input") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    import org.scalacheck.{Gen, rng}
+    // per-row sweep values depend on the arbitrary order among rows with
+    // EQUAL (st, en) — the operator's documented claim is that every
+    // OUTPUT aggregate is tie-symmetric. Random interval sets with
+    // forced duplicate ties, evaluated against a fixed-order in-memory
+    // sweep, under two different input orders/partitionings.
+    val caseGen = for {
+      n <- Gen.choose(1, 60)
+      keys <- Gen.listOfN(n, Gen.choose(0, 3))
+      sts <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      lens <- Gen.listOfN(n, Gen.choose(0L, 20L))
+      dupFrac <- Gen.choose(0, n)
+    } yield {
+      val base = keys.lazyZip(sts).lazyZip(lens)
+        .map((k, st, len) => (s"k$k", st, st + len))
+      base ++ base.take(dupFrac) // forced exact-duplicate (st, en) ties
+    }
+    val params = org.scalacheck.Gen.Parameters.default
+    def reference(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).map { case (k, ivs) =>
+        val sorted = ivs.map(t => (t._2, t._3)).sortBy(identity)
+        var pmax = Option.empty[Long]
+        var covered, nGaps, maxGap, nOver = 0L
+        sorted.foreach { case (st, en) =>
+          covered += math.max(0L, en - math.max(st, pmax.getOrElse(st)))
+          pmax.foreach { p =>
+            if (st > p) { nGaps += 1; maxGap = math.max(maxGap, st - p) }
+            if (st < p) nOver += 1
+          }
+          pmax = Some(pmax.fold(en)(math.max(_, en)))
+        }
+        k -> (sorted.size.toLong, covered,
+          sorted.map(_._2).max - sorted.map(_._1).min, nGaps, maxGap, nOver)
+      }
+    (0 until 10).flatMap(i => caseGen(params, rng.Seed(7L + i))).foreach { rows =>
+      val exp = reference(rows)
+      Seq(rows, scala.util.Random.shuffle(rows)).zipWithIndex.foreach {
+        case (ordered, parts) =>
+          val got = EventOps.intervalCoverage(
+              ordered.toDF("k", "st", "en").repartition(parts + 2),
+              "k", "st", "en")
+            .collect().map(r => r.getString(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+                r.getLong(5), r.getLong(6))).toMap
+          assert(got === exp, s"n=${rows.size} order#$parts")
+      }
+    }
+  }
+
   test("assignSplits salt: default unchanged, salted draw redraws deterministically") {
     import spark.implicits._
     import graft.operators.Sampling
