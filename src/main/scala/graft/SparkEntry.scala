@@ -7910,6 +7910,228 @@ object SparkEntry {
           Versioned.read(s, dir, 1), Versioned.read(s, dir, 2),
           "doc_id", "text")
         .orderBy("status")
+    },
+
+    // Cross-source score normalization: each doc's n_chars mapped to
+    // its within-source ECDF in ppm — quality scores from different
+    // sources become comparable on one integer [0,1e6] axis ("mix by
+    // per-source quantile, not raw score"). Exact, sketch-free: the
+    // corpus collapses to (source, score) counts and the ECDF is a
+    // distributed prefix sum over that droplet table.
+    q("q253_quantile_normalize",
+      """SELECT doc_id, source, n_chars,
+        |       CAST(count(*) OVER (PARTITION BY source ORDER BY n_chars
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            * 1000000 // count(*) OVER (PARTITION BY source)
+        |         AS BIGINT) AS ecdf_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      graft.operators.Sampling.quantileNormalize(
+          s.table("documents").select("doc_id", "source", "n_chars"),
+          Seq("source"), "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // CHANGE DATA FEED over the versioned store: replay what commits 2
+    // and 3 did as (version, op, id) rows — ops classified by STATE
+    // diff (a 'U' upserting a deleted key reads as I; a rewrite that
+    // didn't change the row emits nothing), each step reading only the
+    // buckets whose manifest pointer moved. The oracle replays the
+    // same last-op-wins CDC in SQL and diffs consecutive snapshots.
+    q("q254_change_data_feed",
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |raw1 AS (
+        |  SELECT doc_id, 1 seq, 'U' op, 'updated ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 2, 'D', text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |b1 AS (SELECT doc_id, op, text FROM (
+        |         SELECT doc_id, op, text,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY seq DESC) rn
+        |         FROM raw1) WHERE rn = 1),
+        |v2 AS (
+        |  SELECT v1.doc_id, v1.text FROM v1 LEFT JOIN b1 USING (doc_id)
+        |  WHERE b1.doc_id IS NULL
+        |  UNION ALL SELECT doc_id, text FROM b1 WHERE op IN ('I', 'U')),
+        |b2(doc_id, op, text) AS (
+        |  SELECT doc_id + 3000000, 'I',
+        |         'inserted doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT doc_id, 'U', 'final ' || text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |v3 AS (
+        |  SELECT v2.doc_id, v2.text FROM v2 LEFT JOIN b2 USING (doc_id)
+        |  WHERE b2.doc_id IS NULL
+        |  UNION ALL SELECT doc_id, text FROM b2 WHERE op IN ('I', 'U')),
+        |d2 AS (
+        |  SELECT 2 v, CASE WHEN a.doc_id IS NULL THEN 'I'
+        |                   WHEN b.doc_id IS NULL THEN 'D'
+        |                   WHEN a.text <> b.text THEN 'U' END op,
+        |         coalesce(a.doc_id, b.doc_id) id,
+        |         CASE WHEN b.doc_id IS NULL THEN a.text ELSE b.text END txt
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+        |d3 AS (
+        |  SELECT 3 v, CASE WHEN a.doc_id IS NULL THEN 'I'
+        |                   WHEN b.doc_id IS NULL THEN 'D'
+        |                   WHEN a.text <> b.text THEN 'U' END op,
+        |         coalesce(a.doc_id, b.doc_id) id,
+        |         CASE WHEN b.doc_id IS NULL THEN a.text ELSE b.text END txt
+        |  FROM v2 a FULL OUTER JOIN v3 b ON a.doc_id = b.doc_id),
+        |ch AS (SELECT * FROM d2 WHERE op IS NOT NULL
+        |       UNION ALL SELECT * FROM d3 WHERE op IS NOT NULL)
+        |SELECT CAST(v AS BIGINT) AS version, op,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(bit_xor(id) AS BIGINT) AS id_xor,
+        |       CAST(bit_xor(CAST(('0x' || substr(md5(txt), 1, 15)) AS BIGINT))
+        |         AS BIGINT) AS fp_xor
+        |FROM ch GROUP BY 1, 2 ORDER BY version, op""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      import graft.operators.Versioned
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q254").toString
+      Versioned.init(docs, "doc_id", dir, nBuckets = 8)
+      val b1 = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          concat(lit("updated "), col("text")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), lit(2L), lit("D"), col("text")))
+      Versioned.commit(b1, "doc_id", "op", "seq", dir, nBuckets = 8)
+      val b2 = docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), lit(3L).as("seq"),
+          lit("I").as("op"),
+          concat(lit("inserted doc "), col("doc_id").cast("string")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), lit(4L), lit("U"),
+            concat(lit("final "), col("text"))))
+      Versioned.commit(b2, "doc_id", "op", "seq", dir, nBuckets = 8)
+      Versioned.changes(s, dir, "doc_id", fromVersion = 1, toVersion = 3)
+        .groupBy(col("version").cast("long").as("version"), col("op"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(doc_id)").as("id_xor"),
+          expr("bit_xor(cast(conv(substring(md5(cast(text as binary)), 1, 15)" +
+            ", 16, 10) as bigint))").as("fp_xor"))
+        .orderBy("version", "op")
+    },
+
+    // One-sided CUSUM change-point detection on each event type's daily
+    // volume: the max(0, s + x - mean) recurrence in closed window form
+    // (running sum minus running min), alarming past 2x the type's mean
+    // — "did this source's ingest shift, and on which day". All 1e6
+    // fixed-point integers.
+    q("q255_cusum_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 dy,
+        |         CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) np,
+        |             (sum(n) * 1000000) // count(*) mean_fp
+        |      FROM daily GROUP BY 1),
+        |c AS (SELECT d.event_type, d.dy, m.np, m.mean_fp,
+        |             sum(d.n * 1000000 - m.mean_fp) OVER
+        |               (PARTITION BY d.event_type ORDER BY d.dy
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) c
+        |      FROM daily d JOIN m USING (event_type)),
+        |s AS (SELECT event_type, dy, np, mean_fp,
+        |             c - least(0, min(c) OVER
+        |               (PARTITION BY event_type ORDER BY dy
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) s_fp
+        |      FROM c)
+        |SELECT event_type,
+        |       CAST(max(np) AS BIGINT) AS n_periods,
+        |       CAST(max(mean_fp) AS BIGINT) AS mean_fp,
+        |       CAST(max(s_fp) AS BIGINT) AS max_s_fp,
+        |       CAST(sum(CASE WHEN s_fp > (2000000 * mean_fp) // 1000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |       CAST(min(CASE WHEN s_fp > (2000000 * mean_fp) // 1000000
+        |                THEN dy END) AS BIGINT) AS first_alarm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "events")
+      val daily = s.table("events")
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("dy"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.EventOps.cusumChangepoint(
+          daily, "event_type", "dy", "n", thresholdPpm = 2000000L)
+        .orderBy("event_type")
+    },
+
+    // Mutual-kNN density degrees over the embedding corpus: (a, b) is
+    // an edge iff each is in the other's cosine top-5 — the symmetric
+    // dense-region graph behind embedding-curation prototypicality /
+    // diversity pruning. Exact brute-force kNN at verify scale; at
+    // 100 TB the same mutualKnnPairs composes over IvfIndex.query /
+    // LSH candidate pairs instead.
+    q("q256_mutual_knn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |f AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+        |scored AS (
+        |  SELECT q.vec_id qa, c.vec_id nb,
+        |         list_dot_product(q.v, c.v)
+        |         / (sqrt(list_dot_product(q.v, q.v))
+        |            * sqrt(list_dot_product(c.v, c.v))) cosine
+        |  FROM f q JOIN f c ON q.vec_id != c.vec_id),
+        |knn AS (SELECT qa, nb FROM (
+        |          SELECT qa, nb, row_number() OVER (PARTITION BY qa
+        |                   ORDER BY cosine DESC, nb) rk
+        |          FROM scored) WHERE rk <= 5),
+        |mut AS (SELECT a.qa a, a.nb b FROM knn a
+        |        JOIN knn b ON a.qa = b.nb AND a.nb = b.qa
+        |        WHERE a.qa < a.nb)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_mutual FROM (
+        |  SELECT a node FROM mut UNION ALL SELECT b FROM mut)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "embeddings")
+      val e = s.table("embeddings")
+      val knn = Similarity.bruteForceKnn(e, e, "vec_id", "embedding", 5)
+      Similarity.mutualKnnDegree(knn).orderBy("node")
+    },
+
+    // Rank-biased overlap (p = 1/2, exact long weights) between the
+    // by-chars and by-tokens top-10 rankings per language: the
+    // top-weighted "do my two rankers agree where it matters" metric
+    // NDCG (needs labels) and Kendall tau (uniform weights) don't give.
+    q("q257_rank_biased_overlap",
+      """WITH t AS (SELECT lang, doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) n_tok
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id) ra,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_tok DESC, doc_id) rb
+        |  FROM t),
+        |wgt AS (SELECT d, 1000000000000 // ((1 << d) * d) w
+        |        FROM (SELECT unnest(range(1, 11)) d)),
+        |sfx AS (SELECT d, CAST(sum(w) OVER (ORDER BY d DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) sw
+        |        FROM wgt),
+        |c AS (SELECT lang, greatest(ra, rb) d0 FROM r
+        |      WHERE ra <= 10 AND rb <= 10),
+        |langs AS (SELECT DISTINCT lang FROM t)
+        |SELECT langs.lang,
+        |       CAST(count(c.d0) AS BIGINT) AS n_common,
+        |       CAST(coalesce(sum(sfx.sw), 0) AS BIGINT) AS rbo_fp
+        |FROM langs LEFT JOIN c ON c.lang = langs.lang
+        |LEFT JOIN sfx ON sfx.d = c.d0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      view(s, d, "documents")
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_tok").desc, col("doc_id"))
+      val ranked = s.table("documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          graft.operators.TextOps.tokenCount(col("text")).as("n_tok"))
+        .withColumn("ra", row_number().over(w1).cast("long"))
+        .withColumn("rb", row_number().over(w2).cast("long"))
+        .where(col("ra") <= 10 || col("rb") <= 10)
+      graft.operators.Retrieval.rankBiasedOverlap(
+          ranked, Seq("lang"), "ra", "rb", depth = 10)
+        .orderBy("lang")
     }
   )
 
@@ -8545,7 +8767,7 @@ object SparkEntry {
    *  gate also catches a silently dropped HIGHEST query — with only
    *  `ids.max` the range would shrink with the loss and still pass.
    *  Bump when adding a query; the gate fails loudly if forgotten. */
-  val maxQueryId: Int = 252
+  val maxQueryId: Int = 257
 
   /** Fail fast if the declared query ids skip a number: a query
    *  accidentally dropped from [[inventory]] would otherwise vanish from

@@ -357,4 +357,57 @@ object EventOps {
         sum(when(col("pmax").isNotNull && col("st") < col("pmax"), 1L)
           .otherwise(0L)).as("n_overlaps"))
   }
+
+  /**
+   * One-sided CUSUM change-point detection per key over an integer
+   * (period, value) series — "did this source's daily volume shift up,
+   * and when": `s_i = max(0, s_{i-1} + (x_i - mean))` in 1e6 fixed
+   * point, alarming when `s` exceeds `thresholdPpm` × the key's mean.
+   *
+   * The max(0,·) recurrence is NOT a window function — but its closed
+   * form is: with `c_i = Σ_{j<=i}(x_j - mean)`, `s_i = c_i -
+   * min(0, min_{j<=i} c_j)`. So the whole detector is TWO
+   * key-partitioned windows (running sum, running min) + one hash
+   * agg — no iteration, no state, engine-exact integers end to end.
+   *
+   * Output per key: (key, n_periods, mean_fp, max_s_fp, n_alarms,
+   * first_alarm), where `first_alarm` is the earliest period whose
+   * CUSUM cleared the threshold (null if none). Periods are the
+   * OBSERVED ones in order; absent periods contribute nothing (callers
+   * wanting zero-filled gaps compose with a spine upstream).
+   *
+   * Scale shape: windows partition by key (the natural shuffle), the
+   * per-key series is the collapsed (key, period) count table — days,
+   * not events — so even a 100 TB event log windows over droplets.
+   */
+  def cusumChangepoint(
+      df: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      valueCol: String,
+      thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm > 0, s"thresholdPpm must be > 0, got $thresholdPpm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val series = df.select(col(keyCol).as("k"), col(periodCol).cast("long").as("p"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("k").isNotNull && col("p").isNotNull && col("x").isNotNull)
+    val stats = series.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+      .withColumn("mean_fp", expr("(tot * 1000000L) DIV n"))
+    val s = series.join(stats, Seq("k"))
+      .withColumn("c", sum(col("x") * lit(1000000L) - col("mean_fp")).over(w))
+      .withColumn("s_fp", col("c") - least(lit(0L), min(col("c")).over(w)))
+      // overflow-safe alarm bar: (ppm * mean_fp) DIV 1e6, not s * 1e6
+      .withColumn("alarm",
+        col("s_fp") > expr(s"($thresholdPpm * mean_fp) DIV 1000000L"))
+    s.groupBy(col("k").as(keyCol))
+      .agg(
+        count(lit(1)).as("n_periods"),
+        max(col("mean_fp")).as("mean_fp"),
+        max(col("s_fp")).as("max_s_fp"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("p"))).as("first_alarm"))
+  }
 }

@@ -201,4 +201,56 @@ object Retrieval {
           array(ideal.map(lit): _*),
           least(lit(k), col("n_rel")).cast("int"))).as("ndcg"))
   }
+
+  /** RBO fixed-point scale (1e12): depth weights stay exact longs. */
+  val RboScale: Long = 1000000000000L
+
+  /** RBO per-depth weight with p = 1/2, in [[RboScale]] fixed point:
+   *  `w_d = (1-p)·p^(d-1)/d = RboScale DIV (2^d · d)` — truncated
+   *  integer division per term, replayable verbatim in any engine. */
+  def rboWeights(depth: Int): Seq[Long] = {
+    require(depth >= 1 && depth <= 40,
+      s"depth must be in [1, 40] (2^d stays in long), got $depth")
+    (1 to depth).map(d => RboScale / ((1L << d) * d))
+  }
+
+  /**
+   * Rank-biased overlap (Webber et al. 2010) between TWO rankings of
+   * the same item space, per group: `RBO = Σ_d (1-p)·p^(d-1)·|A_d ∩
+   * B_d|/d` over prefixes of depth 1..`depth`, with persistence
+   * p = 1/2 so every weight is an EXACT long ([[rboWeights]]) — the
+   * top-weighted "do my two rankers agree where it matters" score that
+   * NDCG (needs labels) and Kendall tau (uniform depth weighting)
+   * don't give. 1e12 fixed point; identical rankings with >= depth
+   * items score Σ w_d·1 = the max attainable prefix mass.
+   *
+   * Input: one row per (group, item) with the item's 1-based rank
+   * under ranker A and ranker B (null/absent = beyond the list). An
+   * item in both prefixes from d0 = max(rA, rB) contributes the
+   * SUFFIX weight Σ_{d>=d0} w_d — so the whole metric is one
+   * element_at on a precomputed suffix array + one hash agg: no
+   * per-depth explosion, no window, nothing grows with depth.
+   *
+   * Output per group: (group..., n_common, rbo_fp).
+   */
+  def rankBiasedOverlap(
+      ranks: DataFrame,
+      groupCols: Seq[String],
+      rankACol: String,
+      rankBCol: String,
+      depth: Int): DataFrame = {
+    val w = rboWeights(depth)
+    // suffix(d) = Σ_{j=d..depth} w_j, 1-indexed
+    val suffix = w.scanRight(0L)(_ + _).init
+    val d0 = greatest(col(rankACol).cast("long"), col(rankBCol).cast("long"))
+    val contrib = when(
+      col(rankACol).isNotNull && col(rankBCol).isNotNull && d0 <= depth,
+      element_at(array(suffix.map(lit): _*), d0.cast("int")))
+    ranks
+      .withColumn("__c", contrib)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_common"),
+        coalesce(sum(col("__c")), lit(0L)).as("rbo_fp"))
+  }
 }

@@ -889,4 +889,48 @@ object Sampling {
         .otherwise(0L).as("weight_ppm"))
   }
 
+  /**
+   * Cross-source score normalization: append each row's within-group
+   * ECDF in ppm — `ecdf_ppm = 1e6 · |{group rows with score <= s}| DIV
+   * n_group` — so quality scores from different sources/models/scales
+   * become comparable on one integer [0, 1e6] axis (the "mix by
+   * per-source quantile, not by raw score" step of data mixing, and
+   * the integer-exact cousin of quantile normalization in omics).
+   * EXACT (no sketch), ties share one ECDF value, engine-portable.
+   *
+   * Scale shape: the corpus collapses to a per-(group, score) COUNT
+   * table (one partial-aggregable hash agg — bounded by the number of
+   * distinct scores, not rows), the ECDF is a distributed prefix sum
+   * over that table ([[distributedCumSum]] — parallel even inside one
+   * giant group), and the ppm rides back on a (group, score) equi-join.
+   * The corpus itself is never globally sorted or windowed.
+   *
+   * Null group keys form their own group (null-safe throughout); a
+   * null score fails fast — it has no place on the score line.
+   */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize: empty groupCols")
+    val counts = df
+      .groupBy((groupCols :+ scoreCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        when(col(scoreCol).isNull, raise_error(lit(
+          s"quantileNormalize: $scoreCol must be non-null")))
+          .otherwise(col("__n")))
+      .drop("__n")
+    val ecdf = distributedCumSum(counts, groupCols, scoreCol, buckets)
+      .withColumn("ecdf_ppm", expr(s"(__cum * ${MixScale}L) DIV __tot"))
+      .select((groupCols :+ scoreCol).map(col) :+ col("ecdf_ppm"): _*)
+    val keyed = (groupCols :+ scoreCol)
+      .foldLeft(ecdf)((d, c) => d.withColumnRenamed(c, s"__e_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__e_$c"))
+      .reduce(_ && _) && col(scoreCol) === col(s"__e_$scoreCol")
+    df.join(keyed, cond)
+      .drop((groupCols :+ scoreCol).map(c => s"__e_$c"): _*)
+  }
+
 }

@@ -61,6 +61,44 @@ object Similarity {
   }
 
   /**
+   * Mutual-kNN edges from ANY kNN pair table `(query_id, neighbor_id)`:
+   * the edge (a, b) survives iff a is in b's top-k AND b is in a's —
+   * the symmetric "dense region" graph behind embedding-curation
+   * prototypicality and diversity pruning (keep/drop by
+   * mutual-neighborhood density, not one-way similarity, so a hub next
+   * to a sparse outlier doesn't drag it in). Output: canonical
+   * (a, b) pairs with a < b, deduplicated.
+   *
+   * Scale shape: one self-equi-join on the (query, neighbor) key — the
+   * input is corpus·k rows, never corpus². Feed it [[bruteForceKnn]]
+   * at eval scale or [[IvfIndex.query]] / LSH candidates at 100 TB;
+   * mutuality itself never touches the vectors again.
+   */
+  def mutualKnnPairs(
+      knn: DataFrame,
+      queryCol: String = "query_id",
+      neighborCol: String = "neighbor_id"): DataFrame = {
+    val e = knn.select(col(queryCol).as("a"), col(neighborCol).as("b"))
+    val rev = e.select(col("b").as("a"), col("a").as("b"))
+    e.join(rev, Seq("a", "b"), "left_semi")
+      .where(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** Per-node mutual-kNN degree (nodes with >= 1 mutual edge): the
+   *  integer density signal — high degree = deep inside a dense
+   *  region (prune/dedup candidate), zero/absent = isolated. */
+  def mutualKnnDegree(
+      knn: DataFrame,
+      queryCol: String = "query_id",
+      neighborCol: String = "neighbor_id"): DataFrame = {
+    val p = mutualKnnPairs(knn, queryCol, neighborCol)
+    p.select(col("a").as("node"))
+      .unionAll(p.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_mutual"))
+  }
+
+  /**
    * HARD-NEGATIVE mining for contrastive training: for each query, the
    * k most-similar corpus rows whose cosine stays BELOW `maxCosine` —
    * i.e. the nearest neighbors that are NOT near-duplicates. Pairs at

@@ -464,6 +464,63 @@ class FrontierOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(e2.getMessage.contains("unsupported id type"))
   }
 
+  test("quantileNormalize: exact tied ECDF ppm, null group kept, null score fails") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // group g: scores 1,2,2,4 -> ecdf 250000, 750000, 750000, 1000000
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 2L), ("g", 4L, 4L),
+      (null.asInstanceOf[String], 5L, 7L))
+      .toDF("src", "id", "score").repartition(3)
+    val got = Sampling.quantileNormalize(df, Seq("src"), "score")
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("ecdf_ppm")).toMap
+    assert(got === Map(1L -> 250000L, 2L -> 750000L, 3L -> 750000L,
+      4L -> 1000000L, 5L -> 1000000L))
+    val e = intercept[Exception] {
+      Sampling.quantileNormalize(
+        Seq(("g", 1L, java.lang.Long.valueOf(3L)),
+          ("g", 2L, null.asInstanceOf[java.lang.Long]))
+          .toDF("src", "id", "score"), Seq("src"), "score").collect()
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
+  test("cusumChangepoint: closed window form equals the naive recurrence on random series") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    import org.scalacheck.{Gen, rng}
+    val caseGen = for {
+      n <- Gen.choose(1, 40)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 20L))
+    } yield xs
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until 8).flatMap(i => caseGen(params, rng.Seed(11L + i))).foreach { xs =>
+      val rows = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      val got = EventOps.cusumChangepoint(
+          rows.toDF("k", "p", "x").repartition(3), "k", "p", "x",
+          thresholdPpm = 1500000L)
+        .collect()(0)
+      // naive reference: s_i = max(0, s_{i-1} + (x_i - mean)) fixed point
+      val n = xs.size
+      val meanFp = xs.sum * 1000000L / n
+      var s = 0L
+      var maxS = 0L
+      var alarms = 0L
+      var first = Option.empty[Long]
+      val bar = 1500000L * meanFp / 1000000L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        s = math.max(0L, s + x * 1000000L - meanFp)
+        maxS = math.max(maxS, s)
+        if (s > bar) { alarms += 1; if (first.isEmpty) first = Some(i.toLong) }
+      }
+      assert(got.getAs[Long]("n_periods") === n.toLong)
+      assert(got.getAs[Long]("mean_fp") === meanFp)
+      assert(got.getAs[Long]("max_s_fp") === maxS, s"series $xs")
+      assert(got.getAs[Long]("n_alarms") === alarms)
+      assert(Option(got.getAs[java.lang.Long]("first_alarm")).map(_.toLong)
+        === first)
+    }
+  }
+
   test("curriculumInterleave keeps null-difficulty rows in their own bucket") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -493,6 +493,39 @@ class GovernanceOpsSuite extends AnyFunSuite with GraftSparkSession {
     assert(Versioned.read(spark, dir, 1).count() === 2L)
   }
 
+  test("versioned change data feed: state-diff ops, unchanged rewrites silent, range checks") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcdf").toString
+    // nBuckets=2: ids 1,3 -> bucket 1; 2,4 -> bucket 0
+    Versioned.init(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "pay"),
+      "id", dir, 2)
+    // v2: update 1, delete 3, REWRITE 2's bucket with an unchanged U
+    Versioned.commit(Seq((1L, 1L, "U", "a2"), (3L, 2L, "D", ""),
+      (2L, 3L, "U", "b")).toDF("id", "seq", "op", "pay"),
+      "id", "op", "seq", dir, 2)
+    // v3: 'U' on the deleted key 3 (upsert -> state-diff reads I), new 4
+    Versioned.commit(Seq((3L, 4L, "U", "c2"), (4L, 5L, "I", "d"))
+      .toDF("id", "seq", "op", "pay"), "id", "op", "seq", dir, 2)
+    val ch = Versioned.changes(spark, dir, "id", 1, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(ch === Set(
+      (2, "U", 1L, "a2"),   // payload changed
+      (2, "D", 3L, "c"),    // D carries the OLD payload
+      (3, "I", 3L, "c2"),   // upsert of a deleted key is an INSERT by state
+      (3, "I", 4L, "d")))
+    // id 2's bucket was rewritten in v2 but the row didn't change: silent
+    assert(!ch.exists(_._3 == 2L))
+    // single-step read
+    assert(Versioned.changes(spark, dir, "id", 2, 3).collect().length === 2)
+    // bad ranges fail loudly
+    assertThrows[IllegalArgumentException](
+      Versioned.changes(spark, dir, "id", 2, 2))
+    assertThrows[IllegalArgumentException](
+      Versioned.changes(spark, dir, "id", 1, 9))
+  }
+
   test("versioned read of a fully-emptied version returns an EMPTY frame with schema") {
     import spark.implicits._
     import graft.operators.Versioned

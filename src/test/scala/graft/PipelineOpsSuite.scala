@@ -1360,6 +1360,44 @@ class PipelineOpsSuite extends AnyFunSuite with GraftSparkSession {
     }
   }
 
+  test("mutual kNN: only reciprocal edges survive, canonical pairs, degrees count both ends") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 1->2, 2->1 (mutual); 1->3, 3->4 (one-way each); 4->2, 2->4 (mutual)
+    val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 2L), (2L, 4L))
+      .toDF("query_id", "neighbor_id").repartition(2)
+    val pairs = Similarity.mutualKnnPairs(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 4L)))
+    val deg = Similarity.mutualKnnDegree(knn).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(1L -> 1L, 2L -> 2L, 4L -> 1L)) // 3 isolated: absent
+    // duplicate input pairs don't double-count
+    val dup = Similarity.mutualKnnPairs(knn.unionAll(knn)).collect()
+    assert(dup.length === 2)
+  }
+
+  test("rank-biased overlap: identical lists max out, disjoint zero, partial hand-computed") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val w = Retrieval.rboWeights(3) // 1e12/(2*1), 1e12/(4*2), 1e12/(8*3)
+    assert(w === Seq(500000000000L, 125000000000L, 41666666666L))
+    def rbo(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+      Retrieval.rankBiasedOverlap(
+          rows.toDF("g", "ra", "rb").repartition(2), Seq("g"), "ra", "rb", 3)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_common"), r.getAs[Long]("rbo_fp"))).toMap
+    // identical rankings: item at rank d contributes suffix(d)
+    val same = rbo(Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L)))
+    assert(same("g") === ((3L, (w(0) + w(1) + w(2)) + (w(1) + w(2)) + w(2))))
+    // disjoint prefixes: zero overlap (ranks beyond depth on one side)
+    val disj = rbo(Seq(("g", 1L, 9L), ("g", 2L, 8L), ("g", 9L, 1L)))
+    assert(disj("g") === ((0L, 0L)))
+    // partial: one item at (ra=1, rb=3) -> d0=3 contributes suffix(3) only
+    val part = rbo(Seq(("g", 1L, 3L)))
+    assert(part("g") === ((1L, w(2))))
+  }
+
   test("assignSplits salt: default unchanged, salted draw redraws deterministically") {
     import spark.implicits._
     import graft.operators.Sampling
