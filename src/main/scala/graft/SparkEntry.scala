@@ -4736,7 +4736,7 @@ object SparkEntry {
       full.select(col("shard"), col("n_rows").as("n_full"), col("xor_fp").as("xa"))
         .join(pruned.select(col("shard"), col("n_rows").as("n_pruned"),
           col("xor_fp").as("xb")), Seq("shard"), "left")
-        .select(col("shard"), col("n_full"),
+        .select(col("shard").cast("long").as("shard"), col("n_full"),
           coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
           (col("n_full") - coalesce(col("n_pruned"), lit(0L))).as("rows_removed"),
           (col("xb").isNull || col("xa") =!= col("xb")).as("checksum_changed"))
