@@ -8084,7 +8084,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       view(s, d, "embeddings")
       val e = s.table("embeddings")
-      val knn = Similarity.bruteForceKnn(e, e, "vec_id", "embedding", 5)
+      val knn = Similarity.bruteForceKnn(e, e, "vec_id", "embedding", 5,
+        fanOutCorpus = true)
       Similarity.mutualKnnDegree(knn).orderBy("node")
     },
 

@@ -48,11 +48,19 @@ object Bpe {
     var syms = wordTypes
       .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("c"))
       .cache()
+    // the previous round's cache: round r's fold still reads it while
+    // round r's OWN cache fills (during the argmax job), so it can only
+    // be dropped after that job — deferring the unpersist by one round
+    // replaces the old per-round `folded.count()` materialization job
+    // (rounds extra jobs per training run) with zero extra jobs
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
+        // this argmax job is ALSO what materializes `syms`' cache (its
+        // lineage reads `prev`, still pinned from the previous round)
         val best = syms
           .where(size(col("syms")) >= 2)
           .select(posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
@@ -62,6 +70,7 @@ object Bpe {
           .groupBy("lhs", "rhs").agg(sum("c").as("cnt"))
           .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
           .limit(1).collect()
+        if (prev != null) { prev.unpersist(blocking = false); prev = null }
         if (best.isEmpty) {
           exhausted = true
         } else {
@@ -79,13 +88,15 @@ object Bpe {
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                   .otherwise(concat(acc, array(x)))).as("syms"),
             col("c")).cache()
-          folded.count() // materialize before dropping the parent cache
-          syms.unpersist()
+          prev = syms
           syms = folded
           r += 1
         }
       }
-    } finally syms.unpersist()
+    } finally {
+      syms.unpersist()
+      if (prev != null) prev.unpersist(blocking = false)
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(

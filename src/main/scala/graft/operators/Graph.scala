@@ -379,17 +379,27 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val mat = materializer(edges, checkpointDir)
     val canon = canonical(edges, srcCol, dstCol)
-    val adj = mat(symmetric(canon))
+    // adjacency pre-partitioned by its per-round join key (m), the
+    // [[labelPropagation]] trick: rounds re-exchange only the frontier
+    val adj = mat(symmetric(canon).repartition(col("m")))
     var lab = mat(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0)))
+    // the visited accumulator stays a LAZY union of the per-round
+    // checkpointed frontiers: each leaf is already materialized, so
+    // re-checkpointing the whole union every round (a full copy of all
+    // labels, O(depth · |reached|) writes over the loop) bought nothing —
+    // the union plan grows linearly in rounds over leaf nodes, not
+    // exponentially (the kCore hazard this discipline guards against)
+    var labParts = Vector(lab)
     var frontier = lab
     var d = 1
-    while (d <= maxDepth && frontier.count() > 0) {
+    while (d <= maxDepth && !frontier.isEmpty) {
       val nbrs = frontier.join(adj, frontier("node") === adj("m"))
         .select(col("x").as("node")).distinct()
       val fresh = mat(nbrs.join(lab, Seq("node"), "left_anti")
         .withColumn("dist", lit(d)))
-      lab = mat(lab.unionAll(fresh))
+      labParts :+= fresh
+      lab = labParts.reduce(_ unionAll _)
       frontier = fresh
       d += 1
     }
@@ -659,6 +669,9 @@ object Graph {
     // per-src weight total as a window sum: one pass, no self-join
     // cache race, src-partitioned cache reused by every iteration (see
     // [[pageRankFp]])
+    // per-src weight total as a window sum: one pass, no self-join
+    // cache race, src-partitioned cache reused by every iteration (see
+    // [[pageRankFp]])
     val e = edges.select(col("src"), col("dst"),
         col(weightCol).cast("long").as("w"))
       .withColumn("wsum", sum(col("w")).over(
@@ -782,19 +795,30 @@ object Graph {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val ends = canon.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(canon.select(col("b").as("x"), col("a").as("y")))
-      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
-      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .cache()
+    deg.count() // materialize before the three consumer branches race
+    // Over the 2|E| directed edge-ends, node v appears as `x` exactly
+    // deg(v) times — so three of the four moments collapse onto the
+    // degree table with NO join at all:
+    //   n = Σ deg, Σdx = Σ deg², Σdx² = Σ deg³  (exact integers).
+    // Only Σ dx·dy needs endpoint degrees side by side, and by symmetry
+    // it is 2·Σ_{(a,b)∈canon} da·db — one degree join over |E| canonical
+    // rows instead of two joins over the 2|E| exploded ends (the old
+    // shape shuffled twice the rows through twice the joins; bit-
+    // identical sums, half the join volume).
+    val degMoments = deg.agg(
+      sum(col("deg")).as("n"),
+      sum(col("deg") * col("deg")).as("sx"),
+      sum(col("deg") * col("deg") * col("deg")).as("sxx"))
+    val sxyAgg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .agg((lit(2L) * sum(col("da") * col("db"))).as("sxy"))
     // symmetric by construction: Σdx = Σdy and Σdx² = Σdy², so one
     // moment set suffices; n*Σxy - (Σx)² and n*Σx² - (Σx)² are the
     // exact covariance/variance numerators (shared denominator n²
     // cancels in the ratio)
-    ends.agg(
-        count(lit(1)).as("n"),
-        sum(col("dx")).as("sx"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dx") * col("dy")).as("sxy"))
+    degMoments.crossJoin(sxyAgg)
       .select(
         col("n").cast("long").as("n_edge_ends"),
         when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
@@ -878,7 +902,14 @@ object Graph {
     val canon = canonical(
       edges.select(longId(col(srcCol)).as("s"), longId(col(dstCol)).as("d")),
       "s", "d")
-    val adj = mat(symmetric(canon))
+    // the adjacency is joined on `x` EVERY round: pre-partition it once —
+    // checkpoint/localCheckpoint capture outputPartitioning in the
+    // LogicalRDD, so each round's join reuses it and only the (|V|-sized)
+    // label vector is ever exchanged, never the 2|E| edge rows (§2.4);
+    // the label vector itself stays hash(node)-partitioned through the
+    // same mechanism (distinct here, the per-round agg/join below), so
+    // the round's join and the write-back join are both exchange-free
+    val adj = mat(symmetric(canon).repartition(col("x")))
     var matLabels = mat(nodes.select(longId(col(idCol)).as("node")).distinct()
       .withColumn("label", col("node")))
     var labels = matLabels

@@ -33,8 +33,39 @@ package graft
  */
 package object operators {
 
-  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions.{array, element_at, transform}
+
+  /**
+   * Round-robin fan-out for a CPU-heavy per-row stage downstream of an
+   * unsplittable input (optimization guide §2.5 "input skew: one huge
+   * unsplittable file — repartition immediately after the read"): the
+   * bench's sf tables are single-file single-row-group parquet, so every
+   * scan is ONE task and a per-row-expensive stage (image decode, k·d
+   * distance evaluation, brute-force cosine) serializes on one core
+   * while the other 31 idle.
+   *
+   * Scale-adaptive, not a local-mode constant: the input is repartitioned
+   * to `defaultParallelism` only when the optimizer's size estimate says
+   * the scan yields fewer splits than the session's parallelism
+   * (estimate < parallelism × maxPartitionBytes). A 100 TB input is
+   * already thousands of splits and passes through untouched; size
+   * overestimates (Long.MaxValue join stats) also skip the shuffle —
+   * the safe direction. Callers must be row-order insensitive (every
+   * user here is: per-row deterministic projections, exact-integer
+   * lattice sums, or id-tie-broken windows).
+   */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val par = sc.defaultParallelism
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(df.sparkSession.conf
+        .get("spark.sql.files.maxPartitionBytes", "128m"))
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (par > 1 && size < BigInt(par.toLong) * maxPartitionBytes)
+      df.repartition(par)
+    else df
+  }
 
   /**
    * Evaluate `f` with `arr` computed ONCE per row: wraps it in a

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/**
+ * Optimization-round measuring instrument: run selected queries through
+ * the bench's noop-sink methodology and report, per query, the wall
+ * time of a WARM pass plus the job/stage/task counts and total shuffle
+ * read/write bytes that pass generated. The per-query fixed cost at
+ * bench scale is (jobs x job latency) + (exchanges x shuffle setup), so
+ * these counters say WHERE a second goes before any rewrite is chosen
+ * (guide section 1: measure first).
+ *
+ * Usage: runMain graft.tools.Profile <sfDir> [queryName ...]
+ * Env: SPARK_GRAFT_CPUS (default 32) to match the bench session.
+ */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    object Counters extends SparkListener {
+      @volatile var jobs = 0
+      @volatile var stages = 0
+      @volatile var tasks = 0
+      @volatile var shuffleRead = 0L
+      @volatile var shuffleWrite = 0L
+      def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0 }
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages += 1
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks += 1
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(Counters)
+
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    println(f"${"query"}%-34s ${"sec"}%8s ${"jobs"}%5s ${"stages"}%6s ${"tasks"}%6s ${"shufR_MB"}%9s ${"shufW_MB"}%9s")
+    names.foreach { n =>
+      try {
+        exec(n) // warm: JIT + codegen + footer caches, as the bench does
+        spark.sharedState.cacheManager.clearCache()
+        // listener events are async; a short settle keeps the counters
+        // attributable to the timed pass (counts here are diagnostic)
+        Thread.sleep(400)
+        Counters.reset()
+        val t0 = System.nanoTime()
+        exec(n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400)
+        println(f"$n%-34s $sec%8.3f ${Counters.jobs}%5d ${Counters.stages}%6d " +
+          f"${Counters.tasks}%6d ${Counters.shuffleRead / 1e6}%9.2f " +
+          f"${Counters.shuffleWrite / 1e6}%9.2f")
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+      } catch {
+        case e: Throwable => println(s"$n FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -27,7 +27,8 @@ class StyleSuite extends AnyFunSuite {
 
   // the CLI/driver mains and dev tools legitimately print to stdout
   private val printlnAllowed = Set(
-    "graft/Bench.scala", "graft/Verify.scala", "graft/tools/Explain.scala")
+    "graft/Bench.scala", "graft/Verify.scala", "graft/tools/Explain.scala",
+    "graft/tools/Profile.scala")
 
   private def sources: Seq[Path] = roots.flatMap { r =>
     val root = Paths.get(r)
