@@ -2788,9 +2788,11 @@ object SparkEntry {
     q("q101_text_index", bm25OracleSql) { (s, d) =>
       view(s, d, "documents")
       val path = java.nio.file.Files.createTempDirectory("graft_q101_tidx").toString
+      // bucket count left to the scale-adaptive default (persisted in
+      // the index meta; query reads it back) — see adaptiveBuckets
       graft.operators.TextIndex.build(
-        s.table("documents"), "doc_id", "text", path, buckets = 16)
-      graft.operators.TextIndex.query(s, path, bm25Queries, k = 10, buckets = 16)
+        s.table("documents"), "doc_id", "text", path)
+      graft.operators.TextIndex.query(s, path, bm25Queries, k = 10)
         .select(col("qid"), col("rank"), col("id").as("doc_id"), col("score_fp"))
         .orderBy("qid", "rank")
     },

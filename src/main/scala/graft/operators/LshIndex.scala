@@ -65,7 +65,10 @@ object LshIndex {
   private def prune(df: DataFrame, bucketCol: String, bs: Seq[Long]): DataFrame =
     if (bs.isEmpty) df.where(lit(false)) else df.where(col(bucketCol).isin(bs: _*))
 
-  /** Build the index at `path` (overwrites). */
+  /** Build the index at `path` (overwrites). `buckets = 0` (the
+   *  default) derives a scale-adaptive count from the corpus size
+   *  estimate ([[graft.operators.adaptiveBuckets]]); the chosen count is
+   *  persisted in `meta/`, so `query`/`append` follow automatically. */
   def build(
       corpus: DataFrame,
       idCol: String,
@@ -74,13 +77,14 @@ object LshIndex {
       n: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 0): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    require(buckets > 0, "buckets must be positive")
-    write(corpus, idCol, textCol, path, n, numHashes, bands, buckets, "overwrite")
+    require(buckets >= 0, "buckets must be positive (or 0 = derive)")
+    val b = if (buckets == 0) adaptiveBuckets(corpus) else buckets
+    write(corpus, idCol, textCol, path, n, numHashes, bands, b, "overwrite")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((numHashes, bands, n, buckets))
+    Seq((numHashes, bands, n, b))
       .toDF("num_hashes", "bands", "shingle_n", "buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
   }

@@ -38,21 +38,38 @@ object TextIndex {
   private val IdfScale = 1000000.0
   private val FpScale = 22000L
 
-  /** Build the index at `path` from scratch (overwrites). */
+  /** The index's bucket count, persisted at build time (`meta/`) so
+   *  readers and appenders never re-derive it; absent only for indexes
+   *  whose callers still pass an explicit count everywhere. */
+  private def metaBuckets(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("buckets")
+
+  private def resolveBuckets(spark: SparkSession, path: String, buckets: Int): Int = {
+    require(buckets >= 0, "buckets must be positive (or 0 = read from the index meta)")
+    if (buckets == 0) metaBuckets(spark, path) else buckets
+  }
+
+  /** Build the index at `path` from scratch (overwrites). `buckets = 0`
+   *  (the default) derives a scale-adaptive count from the corpus size
+   *  estimate ([[graft.operators.adaptiveBuckets]]) and persists it in
+   *  `meta/`; `append`/`query`/`compact` with `buckets = 0` read it back. */
   def build(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): Unit = {
-    require(buckets > 0, "buckets must be positive")
+      buckets: Int = 0): Unit = {
+    require(buckets >= 0, "buckets must be positive (or 0 = derive)")
+    val b = if (buckets == 0) adaptiveBuckets(corpus) else buckets
+    import corpus.sparkSession.implicits._
+    Seq(b).toDF("buckets").write.mode("overwrite").parquet(s"$path/meta")
     val toks = corpus.select(col(idCol).as("id"),
         TextOps.words(col(textCol)).as("ws"))
       .select(col("id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("term"))
     val postings = toks
       .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(b.toLong)))
       .cache()
     // bucket-aligned files: without the repartition every write task
     // emits a file per bucket it sees (tasks x buckets small files);
@@ -87,15 +104,15 @@ object TextIndex {
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): Unit = {
-    require(buckets > 0, "buckets must be positive")
+      buckets: Int = 0): Unit = {
+    val b = resolveBuckets(corpus.sparkSession, path, buckets)
     val toks = corpus.select(col(idCol).as("id"),
         TextOps.words(col(textCol)).as("ws"))
       .select(col("id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("term"))
     val postings = toks
       .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(b.toLong)))
       .cache()
     postings.repartition(col("bucket")).write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
@@ -119,6 +136,9 @@ object TextIndex {
    */
   def compact(spark: SparkSession, src: String, dst: String): Unit = {
     require(src != dst, "compact writes a fresh baseline: dst must differ from src")
+    // the bucketing parameter travels with the index bytes
+    scala.util.Try(spark.read.parquet(s"$src/meta")
+      .write.mode("overwrite").parquet(s"$dst/meta"))
     spark.read.parquet(s"$src/postings")
       .repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dst/postings")
@@ -140,7 +160,8 @@ object TextIndex {
       path: String,
       queries: Seq[(Int, String)],
       k: Int,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
+    val b = resolveBuckets(spark, path, buckets)
     require(queries.nonEmpty, "at least one query is required")
     require(k > 0, "k must be positive")
     def termsOf(q: String): Seq[String] =
@@ -153,7 +174,7 @@ object TextIndex {
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(t),
         org.apache.spark.sql.types.StringType, 42L)
-      ((h % buckets) + buckets) % buckets
+      ((h % b) + b) % b
     }
     val probeBuckets = allTerms.map(bucketOf).distinct
 

@@ -68,6 +68,26 @@ package object operators {
   }
 
   /**
+   * Scale-adaptive bucket count for persisted bucket-partitioned indexes
+   * (LshIndex / TextIndex): one bucket per ~4 MB of estimated input, with
+   * a floor of 8 (pruning granularity stays meaningful on tiny corpora)
+   * and a cap of 4096 (filesystem metadata; raise explicitly for a truly
+   * huge corpus). A FIXED default (the old 64) was wrong in both
+   * directions: at bench scale it writes 64 near-empty directories per
+   * dataset and the file-commit overhead dominates the whole operator
+   * (measured: LSH build+query 6.1 s at 64 buckets vs 2.7 s at 8 on the
+   * sf0.1 corpus), while at 100 TB it leaves buckets far too coarse for
+   * partition pruning to bite. Unknown/overflowed size estimates land on
+   * the cap — the safe direction at scale. The chosen count is persisted
+   * in the index meta, so readers never need to re-derive it.
+   */
+  private[graft] def adaptiveBuckets(df: DataFrame, floor: Int = 8, cap: Int = 4096): Int = {
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perBucket = BigInt(4L << 20)
+    ((size + perBucket - 1) / perBucket).max(floor).min(cap).toInt
+  }
+
+  /**
    * Evaluate `f` with `arr` computed ONCE per row: wraps it in a
    * single-element array and binds it as a lambda variable. Higher-order
    * functions don't codegen, and a captured subtree in a lambda BODY
