@@ -379,9 +379,7 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val mat = materializer(edges, checkpointDir)
     val canon = canonical(edges, srcCol, dstCol)
-    // adjacency pre-partitioned by its per-round join key (m), the
-    // [[labelPropagation]] trick: rounds re-exchange only the frontier
-    val adj = mat(symmetric(canon).repartition(col("m")))
+    val adj = mat(symmetric(canon))
     var lab = mat(seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0)))
     // the visited accumulator stays a LAZY union of the per-round
@@ -902,14 +900,7 @@ object Graph {
     val canon = canonical(
       edges.select(longId(col(srcCol)).as("s"), longId(col(dstCol)).as("d")),
       "s", "d")
-    // the adjacency is joined on `x` EVERY round: pre-partition it once —
-    // checkpoint/localCheckpoint capture outputPartitioning in the
-    // LogicalRDD, so each round's join reuses it and only the (|V|-sized)
-    // label vector is ever exchanged, never the 2|E| edge rows (§2.4);
-    // the label vector itself stays hash(node)-partitioned through the
-    // same mechanism (distinct here, the per-round agg/join below), so
-    // the round's join and the write-back join are both exchange-free
-    val adj = mat(symmetric(canon).repartition(col("x")))
+    val adj = mat(symmetric(canon))
     var matLabels = mat(nodes.select(longId(col(idCol)).as("node")).distinct()
       .withColumn("label", col("node")))
     var labels = matLabels
