@@ -43,11 +43,43 @@ object Bench {
     // >1.5x its own history min with unchanged code is box load, not a
     // regression, and pays one extra rep instead of entering the record
     val histMins = historyMins(histPath, sfDir)
+    // Passive per-query counters (jobs / tasks / shuffle bytes), recorded
+    // into the history line ALONGSIDE wall time: load-independent
+    // evidence a per-query wall regression can be adjudicated against
+    // (this box swings 1.5-3x on identical code). The listener only
+    // increments longs; reset/drain happen OUTSIDE the timed region, so
+    // the timing methodology is unchanged.
+    object Counters extends org.apache.spark.scheduler.SparkListener {
+      @volatile var jobs = 0L
+      @volatile var tasks = 0L
+      @volatile var shufR = 0L
+      @volatile var shufW = 0L
+      def reset(): Unit = { jobs = 0; tasks = 0; shufR = 0; shufW = 0 }
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks += 1
+        val m = t.taskMetrics
+        if (m != null) {
+          shufR += m.shuffleReadMetrics.totalBytesRead
+          shufW += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(Counters)
+    def drainBus(): Unit =
+      org.apache.spark.sql.graft.ListenerBusAccess.drain(spark.sparkContext)
+    val counters = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       try exec(fn) catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
       def onePass(): Double = {
+        // drain + reset BEFORE the timer starts: counters always describe
+        // the most recent pass, with no events bleeding across queries
+        drainBus()
+        Counters.reset()
         val t0 = System.nanoTime()
         val ok = try { exec(fn); true } catch {
           case e: Throwable =>
@@ -65,6 +97,9 @@ object Bench {
           if (extra > 0 && best > 0) best = math.min(best, extra)
         }
       }
+      drainBus() // flush the last pass's async events before snapshotting
+      counters(name) = s"""{"jobs":${Counters.jobs},"tasks":${Counters.tasks},""" +
+        s""""shuf_read":${Counters.shufR},"shuf_write":${Counters.shufW}}"""
       spark.sharedState.cacheManager.clearCache()
       // ContextCleaner reclaims finished queries' broadcasts/shuffles only
       // on GC; nudge it so 114 queries' debris doesn't crowd later timings
@@ -89,30 +124,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full =
+    // the driver-facing contract line: per-query map INCLUDED (the r11
+    // total-only last line left the driver's PERF comparison empty —
+    // n_common: 0 — which cost a whole verdict of phantom-regression
+    // triage; ~15 KB on one line is fine, the tail capture keeps the end)
+    val contract =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","reps":$reps$scaleJson}"""
-    // The driver tail-captures stdout: at 67+ queries the per-query map
-    // overflows its window, so persist the full JSON to a file and print
-    // it BEFORE a compact total-only line, which must come LAST.
+    val ctrJson = counters.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // the archival line adds the per-query listener counters — load-
+    // independent regression evidence for round-over-round diffs; kept
+    // OFF the stdout contract line so its size stays bounded
+    val full = contract.dropRight(1) + s""","counters":$ctrJson}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    // ...and APPEND the same line to a per-run history file: BENCH_r*.json
-    // tails truncate the per-query map, so round-over-round diffs of all
-    // 200+ queries need the full JSON of every round in one place (the
-    // repo keeps the file; one line per bench invocation).
+    // APPEND to the per-run history file: round-over-round diffs of all
+    // 250+ queries (wall AND counters) live here, one line per invocation
     if (only.isEmpty) {
       val hist = java.nio.file.Paths.get(histPath)
       java.nio.file.Files.write(hist, (full + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
-    println(full)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""reps":$reps,"nqueries":${results.size}$scaleJson,""" +
-        s""""full":"${out.toAbsolutePath}"}""")
+    // contract line LAST: the driver parses stdout's final line
+    println(contract)
     spark.stop()
   }
 

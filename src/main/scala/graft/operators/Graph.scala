@@ -364,9 +364,11 @@ object Graph {
    * Scale shape: classic frontier expansion — each round joins the
    * CURRENT frontier (not the whole label set) against the symmetric
    * adjacency, anti-joins the labels accumulated so far, and
-   * checkpoints both accumulators ([[kCore]] discipline). Rounds =
-   * maxDepth, each one edge-list join whose probe side only ever
-   * shrinks on expander-like graphs.
+   * checkpoints ONLY the new frontier; the visited set stays a lazy
+   * union over the already-checkpointed frontier leaves (linear plan
+   * growth — not the 3^rounds blowup [[kCore]]'s discipline guards
+   * against). Rounds = maxDepth, each one edge-list join whose probe
+   * side only ever shrinks on expander-like graphs.
    */
   def bfsDistances(
       edges: DataFrame,
@@ -667,9 +669,6 @@ object Graph {
     // per-src weight total as a window sum: one pass, no self-join
     // cache race, src-partitioned cache reused by every iteration (see
     // [[pageRankFp]])
-    // per-src weight total as a window sum: one pass, no self-join
-    // cache race, src-partitioned cache reused by every iteration (see
-    // [[pageRankFp]])
     val e = edges.select(col("src"), col("dst"),
         col(weightCol).cast("long").as("w"))
       .withColumn("wsum", sum(col("w")).over(
@@ -804,10 +803,13 @@ object Graph {
     // rows instead of two joins over the 2|E| exploded ends (the old
     // shape shuffled twice the rows through twice the joins; bit-
     // identical sums, half the join volume).
+    // coalesce: an empty edge set must report n_edge_ends = 0 (the
+    // pre-rewrite count(lit(1)) behavior), not null — sum() over zero
+    // rows is null
     val degMoments = deg.agg(
-      sum(col("deg")).as("n"),
-      sum(col("deg") * col("deg")).as("sx"),
-      sum(col("deg") * col("deg") * col("deg")).as("sxx"))
+      coalesce(sum(col("deg")), lit(0L)).as("n"),
+      coalesce(sum(col("deg") * col("deg")), lit(0L)).as("sx"),
+      coalesce(sum(col("deg") * col("deg") * col("deg")), lit(0L)).as("sxx"))
     val sxyAgg = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
