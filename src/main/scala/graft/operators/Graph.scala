@@ -381,9 +381,28 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val mat = materializer(edges, checkpointDir)
     val canon = canonical(edges, srcCol, dstCol)
-    val adj = mat(symmetric(canon))
-    var lab = mat(seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0)))
+    val seedsFrame = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+    // Pre-partition the adjacency once by the key of each round's dominant
+    // exchange (the [[labelPropagation]] rationale, mirrored): with a
+    // broadcastable frontier the per-round join is forced to a STATIC
+    // broadcast (checkpointed frontiers report unknown stats, so the
+    // planner would stage a sort-merge join whose ~2|E| adjacency
+    // exchange is fully written before AQE flips it — measured 21 MB
+    // dead exchange per round at sf0.1); the adjacency is partitioned by
+    // `x`, which the joined output keeps, so the neighbor DISTINCT needs
+    // no exchange either. With a frontier too big to broadcast the join
+    // legitimately sort-merges on `m`: partition by `m` so only the
+    // frontier side moves. The hint is re-gated every round from the
+    // materialized frontier's ROW COUNT (64 bytes/row is a deliberate
+    // overestimate of the broadcast relation footprint — demoting too
+    // early just falls back to today's plan), because a frontier can
+    // outgrow its seeds by orders of magnitude on expander graphs.
+    val bcThresh = broadcastThreshold(seedsFrame)
+    var hintFrontier = broadcastable(seedsFrame)
+    val adjKey = if (hintFrontier) "x" else "m"
+    val adj = matPartitioned(mat, symmetric(canon).repartition(col(adjKey)))
+    var lab = mat(seedsFrame)
     // the visited accumulator stays a LAZY union of the per-round
     // checkpointed frontiers: each leaf is already materialized, so
     // re-checkpointing the whole union every round (a full copy of all
@@ -392,12 +411,19 @@ object Graph {
     // exponentially (the kCore hazard this discipline guards against)
     var labParts = Vector(lab)
     var frontier = lab
+    var frontierRows = -1L // unknown for the seed frontier
     var d = 1
-    while (d <= maxDepth && !frontier.isEmpty) {
-      val nbrs = frontier.join(adj, frontier("node") === adj("m"))
+    while (d <= maxDepth &&
+        (if (frontierRows < 0) !frontier.isEmpty else frontierRows > 0)) {
+      val fSide = if (hintFrontier) broadcast(frontier) else frontier
+      val nbrs = fSide.join(adj, fSide("node") === adj("m"))
         .select(col("x").as("node")).distinct()
       val fresh = mat(nbrs.join(lab, Seq("node"), "left_anti")
         .withColumn("dist", lit(d)))
+      // one cheap job over the just-checkpointed blocks: doubles as the
+      // emptiness probe AND the next round's broadcast-hint gate
+      frontierRows = fresh.count()
+      hintFrontier = hintFrontier && frontierRows * 64L <= bcThresh
       labParts :+= fresh
       lab = labParts.reduce(_ unionAll _)
       frontier = fresh
@@ -446,6 +472,42 @@ object Graph {
   private def symmetric(canon: DataFrame): DataFrame =
     canon.select(col("a").as("m"), col("b").as("x"))
       .unionAll(canon.select(col("b").as("m"), col("a").as("x")))
+
+  /** Would the optimizer broadcast `df` as a join side? Conservative:
+   *  unknown/overflowed size estimates answer no — at true scale the
+   *  per-round small side of an iterative op stops being broadcastable,
+   *  and the caller must pick the shuffle-avoiding layout for the SMJ
+   *  regime instead. */
+  /** Materialize a deliberately-partitioned frame with AQE off for that
+   *  one eager action: AQE coalesces the repartition's shuffle read and
+   *  records UnknownPartitioning on the checkpointed RDD — erasing
+   *  exactly the layout the pre-partition paid for. Without AQE the
+   *  LogicalRDD keeps its HashPartitioning, and every later consumer
+   *  (with AQE back on) skips its exchange when the layout satisfies
+   *  its distribution. The conf flip is scoped to the materialization
+   *  and restored in a finally. */
+  private def matPartitioned(
+      mat: DataFrame => DataFrame, df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mat(df) finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def broadcastThreshold(df: DataFrame): Long = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try raw.toLong
+    catch {
+      case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    }
+  }
+
+  private def broadcastable(df: DataFrame): Boolean = {
+    val thresh = broadcastThreshold(df)
+    thresh > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
+  }
 
   /** Node id cast to long that FAILS FAST on non-numeric ids: a string
    *  id casts to null, and `collect_list` would silently drop it —
@@ -902,9 +964,29 @@ object Graph {
     val canon = canonical(
       edges.select(longId(col(srcCol)).as("s"), longId(col(dstCol)).as("d")),
       "s", "d")
-    val adj = mat(symmetric(canon))
-    var matLabels = mat(nodes.select(longId(col(idCol)).as("node")).distinct()
-      .withColumn("label", col("node")))
+    val labelsFrame = nodes.select(longId(col(idCol)).as("node")).distinct()
+      .withColumn("label", col("node"))
+    // Pre-partition the adjacency ONCE, by the key every round's dominant
+    // exchange would otherwise re-derive (guide §2.4 exchange reuse):
+    //  - label side broadcastable (the common case until |V| outgrows the
+    //    threshold): the per-round join is forced to a STATIC broadcast —
+    //    checkpointed frames report unknown stats, so the planner would
+    //    otherwise stage a sort-merge join whose adjacency exchange is
+    //    fully written before AQE flips it to broadcast (measured 21 MB
+    //    dead exchange per round at sf0.1). With the hint, the join
+    //    streams the adjacency, hash(m) flows through (m ⊆ {m, nl}
+    //    satisfies both groupBys), and the neighbor-label histogram +
+    //    argmax run with ZERO per-round exchange.
+    //  - label side too big to broadcast: the join legitimately
+    //    sort-merges on `x` — partition by `x` so only the (unavoidably
+    //    shuffled) label side moves each round.
+    // Either way: one 2|E| exchange at setup vs one or two per round.
+    // The materialization runs with AQE off ([[matPartitioned]]) so the
+    // checkpointed RDD RECORDS the hash partitioning.
+    val bcastRegime = broadcastable(labelsFrame)
+    val adjKey = if (bcastRegime) "m" else "x"
+    val adj = matPartitioned(mat, symmetric(canon).repartition(col(adjKey)))
+    var matLabels = mat(labelsFrame)
     var labels = matLabels
     var r = 0
     var converged = false
@@ -914,12 +996,14 @@ object Graph {
       // agg instead of a partitioned window's repartition + SORT; the
       // (m, nl) histogram rows are unique, so the ordering struct is
       // tie-free and max c / min label wins deterministically
-      val best = adj.join(labels, adj("x") === labels("node"))
+      val labSide = if (bcastRegime) broadcast(labels) else labels
+      val best = adj.join(labSide, adj("x") === labels("node"))
         .groupBy(col("m"), col("label").as("nl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("m"))
         .agg(expr("max_by(nl, named_struct('c', c, 'inv', -nl))").as("nl"))
-      val next = labels.join(best, labels("node") === best("m"), "left")
+      val bestSide = if (bcastRegime) broadcast(best) else best
+      val next = labels.join(bestSide, labels("node") === best("m"), "left")
         .select(labels("node"), coalesce(col("nl"), col("label")).as("label"),
           (coalesce(col("nl"), col("label")) =!= labels("label")).as("__chg"))
       val pinned = matLabels

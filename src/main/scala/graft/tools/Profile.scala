@@ -35,6 +35,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_PROFILE_STAGES=1 additionally prints one line per
+    // completed stage (tasks, shuffle bytes, first callsite line) — the
+    // attribution step between "this query shuffles 150 MB" and "THIS
+    // exchange shuffles 150 MB".
+    val perStage = sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")
     object Counters extends SparkListener {
       @volatile var jobs = 0
       @volatile var stages = 0
@@ -43,7 +48,22 @@ object Profile {
       @volatile var shuffleWrite = 0L
       def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; shuffleRead = 0; shuffleWrite = 0 }
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        if (perStage) {
+          val si = s.stageInfo
+          val m = si.taskMetrics
+          val (sr, sw) =
+            if (m != null) (m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten)
+            else (0L, 0L)
+          if (sr > 1000000L || sw > 1000000L) {
+            println(f"  [stage ${si.stageId}%4d] tasks=${si.numTasks}%4d " +
+              f"shufR=${sr / 1e6}%8.2f MB shufW=${sw / 1e6}%8.2f MB " +
+              si.name.linesIterator.next())
+          }
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks += 1
         val m = t.taskMetrics
@@ -54,6 +74,25 @@ object Profile {
       }
     }
     spark.sparkContext.addSparkListener(Counters)
+
+    // Opt-in per-micro-batch cost breakdown for the streaming queries:
+    // StreamingQueryProgress.durationMs separates driver-side planning /
+    // offset-log / state-commit / addBatch time — the fixed costs that
+    // dominate a bounded replay — from actual batch compute.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_STREAMING")) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val d = p.durationMs
+            println(s"  [stream batch ${p.batchId}] rows=${p.numInputRows} " +
+              s"durationMs=$d")
+          }
+        })
+    }
 
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
