@@ -3306,8 +3306,12 @@ object SparkEntry {
       val content = Multimodal.synthesizeImageContent(
         docs.select(col("seed").as("doc_id")).distinct(), "doc_id")
         .select(col("doc_id").as("seed"), col("content"))
+      // fanOut the 16-byte (doc_id, seed) side BEFORE the broadcast join:
+      // the single-split documents scan would otherwise run the fused
+      // join+PNG-decode stage (50k ImageIO reads at sf0.1) as one task
       val hashed = Multimodal.imageDhash(
-        docs.join(broadcast(content), "seed").select("doc_id", "content"), "doc_id")
+        operators.fanOut(docs).join(broadcast(content), "seed")
+          .select("doc_id", "content"), "doc_id")
       Multimodal.imageNearDupPairs(hashed, "doc_id", "phash", maxHamming = 3, bands = 4)
         .orderBy("id_a", "id_b")
     },
@@ -3367,8 +3371,11 @@ object SparkEntry {
       val content = Multimodal.synthesizeAudioContent(
         docs.select(col("seed").as("doc_id")).distinct(), "doc_id")
         .select(col("doc_id").as("seed"), col("content"))
+      // fanOut before the broadcast join — q115's rationale: parallelize
+      // the fused join+WAV-decode stage by moving only (doc_id, seed)
       val fp = Multimodal.audioFingerprint(
-        docs.join(broadcast(content), "seed").select("doc_id", "content"), "doc_id")
+        operators.fanOut(docs).join(broadcast(content), "seed")
+          .select("doc_id", "content"), "doc_id")
       Multimodal.imageNearDupPairs(fp, "doc_id", "afp", maxHamming = 2, bands = 4)
         .orderBy("id_a", "id_b")
     },

@@ -60,7 +60,12 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("content", BinaryType),
       StructField("meta", metaType)))
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    // fanOut BEFORE the encode: the corpus arrives as a single-split
+    // parquet scan at bench scale, so the whole fused encode(+downstream
+    // decode) stage would run as ONE task while 31 cores idle — and the
+    // exchange moves only the projected 8-byte id column. Scale-adaptive:
+    // a corpus that already scans as many splits passes through untouched.
+    fanOut(df.select(col(idCol).cast("long"))).mapPartitions { rows =>
       // per-partition codec context: one PNG writer + buffer reused for the
       // whole batch (ImageIO.write would re-scan the writer registry per
       // call — exactly the per-row overhead the mapPartitions boundary is
@@ -114,7 +119,10 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("content", BinaryType),
       StructField("meta", metaType)))
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    // fanOut before the encode — the synthesizeImageContent rationale:
+    // single-split scans serialize the whole fused stage on one core,
+    // and only the 8-byte id column moves
+    fanOut(df.select(col(idCol).cast("long"))).mapPartitions { rows =>
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val buf = new ByteArrayOutputStream()
       // One fixed 3-3-2 RGB palette shared by every frame in the batch:
@@ -246,7 +254,10 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("content", BinaryType),
       StructField("meta", metaType)))
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    // fanOut before the encode — the synthesizeImageContent rationale:
+    // single-split scans serialize the whole fused stage on one core,
+    // and only the 8-byte id column moves
+    fanOut(df.select(col(idCol).cast("long"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (rate, frames) = syntheticAudio(id)
@@ -586,13 +597,31 @@ object Multimodal {
         b => call_function("shiftrightunsigned", col("h"), b * lit(bandLen))
           .bitwiseAND(lit(mask)))))
       .toDF("id", "h", "band", "key")
+    // Emit each candidate pair ONLY in its FIRST matching band: a pair
+    // matching in k bands used to emit k times and a distinct() then
+    // re-shuffled the whole candidate set to collapse them — on a
+    // duplicate-heavy corpus that exchange dwarfs everything else in the
+    // operator (measured 26 MB / ~20M rows at sf0.1 vs ~1 MB of banded
+    // keys). Both hashes already ride the join, so "first matching band"
+    // is a pure expression on their XOR: band j matches iff slice j of
+    // the XOR is zero. The when-chain is whole-stage-codegen-friendly
+    // (no higher-order functions), and the join's own equi-key guarantees
+    // the current band matches, so the chain always terminates at or
+    // before `band`.
+    val xor = col("a.h").bitwiseXOR(col("b.h"))
+    def xorSlice(b: Int) =
+      call_function("shiftrightunsigned", xor, lit(b * bandLen))
+        .bitwiseAND(lit(mask))
+    val firstMatchingBand = (bands - 1 to 0 by -1)
+      .foldLeft(lit(bands).cast("int")) { (rest, b) =>
+        when(xorSlice(b) === 0L, lit(b)).otherwise(rest)
+      }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && firstMatchingBand === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
