@@ -5051,8 +5051,14 @@ object SparkEntry {
       val docs = s.table("documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
         .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      // symmetrize with ONE generator instead of a self-union: a union
+      // re-evaluates the pairs subtree (the expensive similarity join)
+      // once per branch — profiled as 4 duplicate join stages inside the
+      // operator's single edge materialization
+      val edges = pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.pageRankFp(
           docs.select(col("doc_id")), edges, "doc_id", iters = 3)
         .orderBy("id")
@@ -5889,8 +5895,12 @@ object SparkEntry {
     q("q194_ppr", pprOracleSql(iters = 3)) { (s, d) =>
       view(s, d, "lineitem")
       val pairs = coPartEdges(s).distinct()
-      val sym = pairs.unionAll(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // one-generator symmetrization — q163's rationale: the union's two
+      // branches would each re-run the distinct + self-join subtree
+      val sym = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val nodes = s.table("lineitem").select(col("l_partkey").as("id")).distinct()
       Graph.personalizedPageRankFp(nodes, sym, "id",
           nodes.where(col("id") % 97 === 0), iters = 3)
@@ -6341,8 +6351,12 @@ object SparkEntry {
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("a"), col("y.p").as("b"))
         .agg(count(lit(1)).as("w"))
-      val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      // one-generator symmetrization — q163's rationale: the union's two
+      // branches would each re-run the co-occurrence aggregation
+      val sym = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst"), col("w")),
+          struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
       val nodes = s.table("lineitem").select(col("l_partkey").as("id")).distinct()
       Graph.weightedPageRankFp(nodes, sym, "id", "w", iters = 3)
         .select(col("id").cast("long").as("id"), col("rank_fp"))

@@ -77,26 +77,54 @@ object Graph {
     val n = ids.count()
     require(n > 0, "pageRankFp: empty node set")
     val base = (RankScale / n) // SCALE DIV N, exact long division
-    // hoist the out-degree out of the loop as a WINDOW count over src:
-    // one pass over the raw edges (an expensive similarity-join
-    // producer runs exactly once — no self-join, so no cache race), one
-    // shuffle, and the cached result stays hash-partitioned by src —
-    // which matches each iteration's rank-vector join requirement, so
-    // the edge side is never re-exchanged inside the loop
-    val e = edges
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .select(col("src"), col("dst"), col("deg"))
-      .cache()
+    // Two edge layouts, picked by whether the rank vector is
+    // broadcastable (the [[labelPropagation]] regime gate):
+    //  - broadcast regime: cache the bare edge list hash-partitioned by
+    //    `dst` — the per-iteration inbound aggregation's key — and carry
+    //    the rank-and-degree side into the join as a STATIC broadcast.
+    //    cache() preserves the explicit partitioning (AQE leaves cached
+    //    plan partitioning alone by default), so every iteration's join
+    //    + sum-by-dst run with ZERO exchange; out-degrees come from one
+    //    tiny aggregation over the cache instead of a 2|E| window
+    //    exchange.
+    //  - rank vector too big to broadcast: the original shape — degree
+    //    as a window count over src, cache hash-partitioned by src so
+    //    the per-iteration sort-merge join never re-exchanges the edge
+    //    side; only the rank vector (small relative to edges) moves.
+    val bcast = broadcastable(nodes.select(col(idCol)))
+    val e =
+      if (bcast) edges.select(col("src"), col("dst"))
+        .repartition(col("dst")).cache()
+      else edges
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .select(col("src"), col("dst"), col("deg"))
+        .cache()
     e.count() // materialize before the loop references it per iteration
+    // toDF: fresh attribute ids, so joining the shares side back against
+    // the edge cache (degF derives FROM e) is not an ambiguous self-join
+    val degF =
+      if (bcast) e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .toDF("psrc", "deg").cache()
+      else null
     var ranks: DataFrame = ids.withColumn("rank_fp", lit(base))
     var pinned: DataFrame = null
     for (i <- 1 to iters) {
-      val inbound = ranks
-        .join(e, ranks("id") === e("src"))
-        .select(col("dst"), expr("rank_fp DIV deg").as("share"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum("share").as("s"))
+      val inbound =
+        if (bcast) {
+          // per-src share on the SMALL side (|V| rows), broadcast onto
+          // the dst-partitioned edge cache
+          val shares = ranks.join(degF, ranks("id") === degF("psrc"))
+            .select(col("psrc"), expr("rank_fp DIV deg").as("share"))
+          broadcast(shares).join(e, col("psrc") === e("src"))
+            .select(col("dst"), col("share"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum("share").as("s"))
+        } else ranks
+          .join(e, ranks("id") === e("src"))
+          .select(col("dst"), expr("rank_fp DIV deg").as("share"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum("share").as("s"))
       ranks = ids.join(inbound, Seq("id"), "left")
         .select(col("id"),
           expr(s"(${(dampDen - dampNum).toLong}L * ${base}L + " +
@@ -120,6 +148,7 @@ object Graph {
     // working state; the harness/caller clears it) — unpersisting IT
     // would force a full all-iterations recompute on first use
     e.unpersist(blocking = false)
+    if (degF != null) degF.unpersist(blocking = false)
     ids.unpersist(blocking = false)
     ranks
   }
@@ -159,22 +188,41 @@ object Graph {
       when(col("is_seed"), base).otherwise(0L).as("base_fp")).cache()
     withBase.count()
     ids.unpersist(blocking = false)
-    // out-degree as a window count: one pass, no self-join cache race,
-    // src-partitioned cache reused by every iteration (see [[pageRankFp]])
-    val e = edges
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .select(col("src"), col("dst"), col("deg"))
-      .cache()
+    // regime-gated edge layout — see [[pageRankFp]]: dst-partitioned
+    // cache + broadcast share side (zero per-iteration exchange) when the
+    // rank vector is broadcastable, the src-window shape otherwise
+    val bcast = broadcastable(nodes.select(col(idCol)))
+    val e =
+      if (bcast) edges.select(col("src"), col("dst"))
+        .repartition(col("dst")).cache()
+      else edges
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .select(col("src"), col("dst"), col("deg"))
+        .cache()
     e.count()
+    // toDF: fresh attribute ids, so joining the shares side back against
+    // the edge cache (degF derives FROM e) is not an ambiguous self-join
+    val degF =
+      if (bcast) e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .toDF("psrc", "deg").cache()
+      else null
     var ranks: DataFrame = withBase.withColumn("rank_fp", col("base_fp"))
     var pinned: DataFrame = null
     for (i <- 1 to iters) {
-      val inbound = ranks
-        .join(e, ranks("id") === e("src"))
-        .select(col("dst"), expr("rank_fp DIV deg").as("share"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum("share").as("s"))
+      val inbound =
+        if (bcast) {
+          val shares = ranks.join(degF, ranks("id") === degF("psrc"))
+            .select(col("psrc"), expr("rank_fp DIV deg").as("share"))
+          broadcast(shares).join(e, col("psrc") === e("src"))
+            .select(col("dst"), col("share"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum("share").as("s"))
+        } else ranks
+          .join(e, ranks("id") === e("src"))
+          .select(col("dst"), expr("rank_fp DIV deg").as("share"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum("share").as("s"))
       ranks = withBase.join(inbound, Seq("id"), "left")
         .select(col("id"), col("base_fp"),
           expr(s"(${(dampDen - dampNum).toLong}L * base_fp + " +
@@ -190,6 +238,7 @@ object Graph {
       }
     }
     e.unpersist(blocking = false)
+    if (degF != null) degF.unpersist(blocking = false)
     // withBase stays pinned: it feeds the returned (cached) rank frame's
     // lineage only until that cache fills, which already happened
     withBase.unpersist(blocking = false)
@@ -728,23 +777,46 @@ object Graph {
     val n = ids.count()
     require(n > 0, "weightedPageRankFp: empty node set")
     val base = RankScale / n
-    // per-src weight total as a window sum: one pass, no self-join
-    // cache race, src-partitioned cache reused by every iteration (see
-    // [[pageRankFp]])
-    val e = edges.select(col("src"), col("dst"),
-        col(weightCol).cast("long").as("w"))
-      .withColumn("wsum", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .cache()
+    // regime-gated edge layout — see [[pageRankFp]]: dst-partitioned
+    // cache + broadcast rank-and-wsum side (zero per-iteration exchange)
+    // when the rank vector is broadcastable; otherwise the original
+    // shape, per-src weight total as a window sum over the
+    // src-partitioned cache
+    val bcast = broadcastable(nodes.select(col(idCol)))
+    val e =
+      if (bcast) edges.select(col("src"), col("dst"),
+          col(weightCol).cast("long").as("w"))
+        .repartition(col("dst")).cache()
+      else edges.select(col("src"), col("dst"),
+          col(weightCol).cast("long").as("w"))
+        .withColumn("wsum", sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .cache()
     e.count()
+    // toDF: fresh attribute ids — see pageRankFp's self-join note
+    val wsumF =
+      if (bcast) e.groupBy("src").agg(sum(col("w")).as("wsum"))
+        .toDF("psrc", "wsum").cache()
+      else null
     var ranks: DataFrame = ids.withColumn("rank_fp", lit(base))
     var pinned: DataFrame = null
     for (i <- 1 to iters) {
-      val inbound = ranks
-        .join(e, ranks("id") === e("src"))
-        .select(col("dst"), expr("(rank_fp * w) DIV wsum").as("share"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum("share").as("s"))
+      val inbound =
+        if (bcast) {
+          // the share here is per-EDGE ((rank * w) DIV wsum), so the
+          // broadcast side carries (src, rank_fp, wsum) and the division
+          // runs on the edge rows
+          val srcSide = ranks.join(wsumF, ranks("id") === wsumF("psrc"))
+            .select(col("psrc"), col("rank_fp"), col("wsum"))
+          broadcast(srcSide).join(e, col("psrc") === e("src"))
+            .select(col("dst"), expr("(rank_fp * w) DIV wsum").as("share"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum("share").as("s"))
+        } else ranks
+          .join(e, ranks("id") === e("src"))
+          .select(col("dst"), expr("(rank_fp * w) DIV wsum").as("share"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum("share").as("s"))
       ranks = ids.join(inbound, Seq("id"), "left")
         .select(col("id"),
           expr(s"(${(dampDen - dampNum).toLong}L * ${base}L + " +
@@ -760,6 +832,7 @@ object Graph {
       }
     }
     e.unpersist(blocking = false)
+    if (wsumF != null) wsumF.unpersist(blocking = false)
     ids.unpersist(blocking = false)
     ranks
   }
