@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
  *     table.
  *   - `terms/` (term, df) partitioned by `bucket` — per-term document
  *     frequencies, aggregated at build time.
- *   - `stats/` one row (n_docs, tot_tokens).
+ *   - `stats/` one row per generation (n_docs, tot_tokens, buckets) —
+ *     the bucket count rides the stats so readers resolve ALL index
+ *     metadata with a single tiny read (pre-r12 indexes kept it in a
+ *     separate `meta/` parquet, still honored on read).
  *
  * Why it pays at 100 TB: a query batch touches |query terms| buckets of
  * `buckets` total — static `bucket IN (...)` partition filters prune at
@@ -38,21 +41,50 @@ object TextIndex {
   private val IdfScale = 1000000.0
   private val FpScale = 22000L
 
-  /** The index's bucket count, persisted at build time (`meta/`) so
-   *  readers and appenders never re-derive it; absent only for indexes
-   *  whose callers still pass an explicit count everywhere. */
-  private def metaBuckets(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("buckets")
+  /** One driver-side row of index metadata: corpus stats aggregated
+   *  across append generations, plus the persisted bucket count. */
+  private case class IndexStats(nDocs: Long, totTokens: Long, buckets: Int)
+
+  /**
+   * Read the index's stats table ONCE (it is needed driver-side anyway:
+   * the bucket count keys the client-side probe hashing, exactly like
+   * any index lookup needs its keys on the coordinator). The bucket
+   * count rides the stats parquet since r12 — its own `meta/` file was
+   * a second tiny parquet read (footer + job) on EVERY query/append.
+   * Legacy layout (pre-r12 `meta/` directory) is still read; an index
+   * with neither fails with an actionable message instead of a raw
+   * parquet path error downstream.
+   */
+  private def readStats(spark: SparkSession, path: String): IndexStats = {
+    val raw = spark.read.parquet(s"$path/stats")
+    val withB =
+      if (raw.columns.contains("buckets")) raw
+      else raw.withColumn("buckets", lit(null).cast("int"))
+    val r = withB.agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("tot_tokens")).as("tot_tokens"),
+      max(col("buckets")).as("buckets")).collect()(0)
+    val b =
+      if (!r.isNullAt(2)) r.getInt(2)
+      else scala.util.Try(
+        spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("buckets"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"index at $path persists no bucket count (neither in stats nor " +
+            "in a legacy meta/ directory) — pass an explicit buckets " +
+            "argument or rebuild the index"))
+    IndexStats(r.getLong(0), r.getLong(1), b)
+  }
 
   private def resolveBuckets(spark: SparkSession, path: String, buckets: Int): Int = {
-    require(buckets >= 0, "buckets must be positive (or 0 = read from the index meta)")
-    if (buckets == 0) metaBuckets(spark, path) else buckets
+    require(buckets >= 0, "buckets must be positive (or 0 = read from the index stats)")
+    if (buckets == 0) readStats(spark, path).buckets else buckets
   }
 
   /** Build the index at `path` from scratch (overwrites). `buckets = 0`
    *  (the default) derives a scale-adaptive count from the corpus size
    *  estimate ([[graft.operators.adaptiveBuckets]]) and persists it in
-   *  `meta/`; `append`/`query`/`compact` with `buckets = 0` read it back. */
+   *  the stats row; `append`/`query`/`compact` with `buckets = 0` read
+   *  it back. */
   def build(
       corpus: DataFrame,
       idCol: String,
@@ -61,8 +93,6 @@ object TextIndex {
       buckets: Int = 0): Unit = {
     require(buckets >= 0, "buckets must be positive (or 0 = derive)")
     val b = if (buckets == 0) adaptiveBuckets(corpus) else buckets
-    import corpus.sparkSession.implicits._
-    Seq(b).toDF("buckets").write.mode("overwrite").parquet(s"$path/meta")
     val toks = corpus.select(col(idCol).as("id"),
         TextOps.words(col(textCol)).as("ws"))
       .select(col("id"), size(col("ws")).cast("long").as("dl"),
@@ -79,9 +109,12 @@ object TextIndex {
     postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
     // corpus stats from the postings themselves: n_docs counts distinct
-    // posting docs (== docs with at least one token), tot_tokens sums tf
+    // posting docs (== docs with at least one token), tot_tokens sums tf.
+    // The bucket count rides this row — one table serves both purposes,
+    // so query/append pay one metadata read instead of two
     postings.agg(countDistinct(col("id")).as("n_docs"),
         sum(col("tf")).as("tot_tokens"))
+      .withColumn("buckets", lit(b))
       .write.mode("overwrite").parquet(s"$path/stats")
     postings.unpersist()
   }
@@ -120,6 +153,7 @@ object TextIndex {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/terms")
     postings.agg(countDistinct(col("id")).as("n_docs"),
         sum(col("tf")).as("tot_tokens"))
+      .withColumn("buckets", lit(b))
       .write.mode("append").parquet(s"$path/stats")
     postings.unpersist()
   }
@@ -136,17 +170,23 @@ object TextIndex {
    */
   def compact(spark: SparkSession, src: String, dst: String): Unit = {
     require(src != dst, "compact writes a fresh baseline: dst must differ from src")
-    // the bucketing parameter travels with the index bytes
-    scala.util.Try(spark.read.parquet(s"$src/meta")
-      .write.mode("overwrite").parquet(s"$dst/meta"))
+    // the bucketing parameter travels with the stats row; readStats
+    // resolves it from either layout (including a legacy src whose count
+    // only lives in meta/). A src that persists NO count — a pre-meta
+    // index whose callers pass explicit buckets everywhere — still
+    // compacts; its dst then reports the actionable readStats error on
+    // a buckets=0 read instead of the opaque parquet path error the old
+    // silent Try produced.
+    val srcBuckets = scala.util.Try(readStats(spark, src).buckets).toOption
     spark.read.parquet(s"$src/postings")
       .repartition(col("bucket")).write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dst/postings")
     spark.read.parquet(s"$src/terms")
       .groupBy("bucket", "term").agg(sum(col("df")).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/terms")
-    spark.read.parquet(s"$src/stats")
+    val folded = spark.read.parquet(s"$src/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_tokens")).as("tot_tokens"))
+    srcBuckets.fold(folded)(b => folded.withColumn("buckets", lit(b)))
       .write.mode("overwrite").parquet(s"$dst/stats")
   }
 
@@ -161,9 +201,16 @@ object TextIndex {
       queries: Seq[(Int, String)],
       k: Int,
       buckets: Int = 0): DataFrame = {
-    val b = resolveBuckets(spark, path, buckets)
     require(queries.nonEmpty, "at least one query is required")
     require(k > 0, "k must be positive")
+    // one metadata read serves both the bucket count (drives the
+    // client-side probe hashing) and the corpus stats (n_docs /
+    // tot_tokens enter the scoring as LITERALS — the former stats
+    // crossJoin was a second read of the same table plus a broadcast
+    // on every query)
+    val st = readStats(spark, path)
+    val b = if (buckets == 0) st.buckets else buckets
+    require(buckets >= 0, "buckets must be positive (or 0 = read from the index stats)")
     def termsOf(q: String): Seq[String] =
       q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
         .filter(_.nonEmpty).distinct.toSeq
@@ -178,10 +225,7 @@ object TextIndex {
     }
     val probeBuckets = allTerms.map(bucketOf).distinct
 
-    // stats and per-term dfs aggregate across append generations
-    val stats = spark.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("tot_tokens")).as("tot_tokens"))
+    // per-term dfs aggregate across append generations
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(probeBuckets: _*) &&
         col("term").isin(allTerms: _*))
@@ -195,15 +239,14 @@ object TextIndex {
     val qrel = broadcast(qTerms.toDF("qid", "term"))
 
     val dec = "decimal(38,0)"
-    val n = col("n_docs")
-    val t = col("tot_tokens")
+    val n = lit(st.nDocs)
+    val t = lit(st.totTokens)
     val idfQ = round(
       log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
         lit(IdfScale)).cast("long")
     val scored = postings
       .join(qrel, Seq("term"))
       .join(broadcast(dfs), Seq("term"))
-      .crossJoin(broadcast(stats))
       .withColumn("__num",
         idfQ.cast(dec) * lit(FpScale).cast(dec) * t.cast(dec) * col("tf").cast(dec))
       .withColumn("__den",
