@@ -1896,11 +1896,14 @@ object SparkEntry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       val ev = s.table("events")
+      // ONE scan + sort + collect feeds both stream sides (they were two
+      // separate full passes over events for the same sort order)
+      val feed = ev.where(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("t"),
+          col("user_id"), col("event_type"))
+        .orderBy("t", "event_id").collect()
       def side(t: String): Array[(Long, java.sql.Timestamp, Long)] =
-        ev.where(col("event_type") === t)
-          .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("t"),
-            col("user_id"))
-          .orderBy("t", "event_id").collect()
+        feed.filter(_.getString(3) == t)
           .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
       val lrows = side("purchase")
       val rrows = side("view")

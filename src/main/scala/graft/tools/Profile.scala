@@ -57,9 +57,13 @@ object Profile {
             if (m != null) (m.shuffleReadMetrics.totalBytesRead,
               m.shuffleWriteMetrics.bytesWritten)
             else (0L, 0L)
-          if (sr > 1000000L || sw > 1000000L) {
+          val durMs = (for {
+            sub <- si.submissionTime
+            done <- si.completionTime
+          } yield done - sub).getOrElse(-1L)
+          if (sr > 1000000L || sw > 1000000L || durMs > 200L) {
             println(f"  [stage ${si.stageId}%4d] tasks=${si.numTasks}%4d " +
-              f"shufR=${sr / 1e6}%8.2f MB shufW=${sw / 1e6}%8.2f MB " +
+              f"ms=$durMs%5d shufR=${sr / 1e6}%8.2f MB shufW=${sw / 1e6}%8.2f MB " +
               si.name.linesIterator.next())
           }
         }
