@@ -3374,10 +3374,12 @@ object SparkEntry {
       val content = Multimodal.synthesizeAudioContent(
         docs.select(col("seed").as("doc_id")).distinct(), "doc_id")
         .select(col("doc_id").as("seed"), col("content"))
-      // fanOut before the broadcast join — q115's rationale: parallelize
-      // the fused join+WAV-decode stage by moving only (doc_id, seed)
+      // no fanOut on the WAV-decode side (unlike q115's image decode):
+      // javax.sound serializes on a global provider lock, so a fanned-out
+      // decode stage convoys and runs SLOWER than serial (measured
+      // 1.13 -> 1.53 s; see synthesizeAudioContent)
       val fp = Multimodal.audioFingerprint(
-        operators.fanOut(docs).join(broadcast(content), "seed")
+        docs.join(broadcast(content), "seed")
           .select("doc_id", "content"), "doc_id")
       Multimodal.imageNearDupPairs(fp, "doc_id", "afp", maxHamming = 2, bands = 4)
         .orderBy("id_a", "id_b")

@@ -254,10 +254,13 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("content", BinaryType),
       StructField("meta", metaType)))
-    // fanOut before the encode — the synthesizeImageContent rationale:
-    // single-split scans serialize the whole fused stage on one core,
-    // and only the 8-byte id column moves
-    fanOut(df.select(col(idCol).cast("long"))).mapPartitions { rows =>
+    // NO fanOut here, unlike the image/video sources: the javax.sound
+    // codec path serializes on a global provider-registry lock, so a
+    // 32-way stage CONVOYS and runs slower than one core (measured:
+    // q36 0.67 s serial -> 1.9 s fanned out, the 32-task synth+decode
+    // stage alone 1.0-2.1 s). Parallel audio decode needs a codec
+    // without a global lock, not more tasks.
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (rate, frames) = syntheticAudio(id)
