@@ -91,7 +91,12 @@ object Graph {
     //    as a window count over src, cache hash-partitioned by src so
     //    the per-iteration sort-merge join never re-exchanges the edge
     //    side; only the rank vector (small relative to edges) moves.
-    val bcast = broadcastable(nodes.select(col(idCol)))
+    // Gated on the EXACT node count (already in hand) x 32 bytes/row,
+    // not the plan estimate: narrow-projection estimates overestimate
+    // severalfold and mis-file moderate graphs into the SMJ regime
+    // (see [[labelPropagation]]).
+    val bcThresh = broadcastThreshold(nodes)
+    val bcast = bcThresh > 0 && n * 32L <= bcThresh
     val e =
       if (bcast) edges.select(col("src"), col("dst"))
         .repartition(col("dst")).cache()
@@ -186,12 +191,14 @@ object Graph {
     val base = RankScale / nSeeds
     val withBase = ids.select(col("id"),
       when(col("is_seed"), base).otherwise(0L).as("base_fp")).cache()
-    withBase.count()
+    val nNodes = withBase.count()
     ids.unpersist(blocking = false)
     // regime-gated edge layout — see [[pageRankFp]]: dst-partitioned
     // cache + broadcast share side (zero per-iteration exchange) when the
-    // rank vector is broadcastable, the src-window shape otherwise
-    val bcast = broadcastable(nodes.select(col(idCol)))
+    // rank vector is broadcastable, the src-window shape otherwise;
+    // gated on the exact node count (see pageRankFp)
+    val bcThresh = broadcastThreshold(nodes)
+    val bcast = bcThresh > 0 && nNodes * 32L <= bcThresh
     val e =
       if (bcast) edges.select(col("src"), col("dst"))
         .repartition(col("dst")).cache()
@@ -442,16 +449,19 @@ object Graph {
     // `x`, which the joined output keeps, so the neighbor DISTINCT needs
     // no exchange either. With a frontier too big to broadcast the join
     // legitimately sort-merges on `m`: partition by `m` so only the
-    // frontier side moves. The hint is re-gated every round from the
-    // materialized frontier's ROW COUNT (64 bytes/row is a deliberate
-    // overestimate of the broadcast relation footprint — demoting too
-    // early just falls back to today's plan), because a frontier can
-    // outgrow its seeds by orders of magnitude on expander graphs.
+    // frontier side moves. The hint is gated on the EXACT row count of
+    // each materialized frontier (one cheap job over its checkpointed
+    // blocks, doubling as the emptiness probe) times a deliberately
+    // generous 64 bytes/row — plan estimates of narrow projections
+    // overestimate several-fold and would mis-file moderate graphs into
+    // the SMJ regime (see [[labelPropagation]]); a frontier that truly
+    // outgrows the threshold demotes the hint for all later rounds.
     val bcThresh = broadcastThreshold(seedsFrame)
-    var hintFrontier = broadcastable(seedsFrame)
+    var lab = mat(seedsFrame)
+    var frontierRows = lab.count()
+    var hintFrontier = bcThresh > 0 && frontierRows * 64L <= bcThresh
     val adjKey = if (hintFrontier) "x" else "m"
     val adj = matPartitioned(mat, symmetric(canon).repartition(col(adjKey)))
-    var lab = mat(seedsFrame)
     // the visited accumulator stays a LAZY union of the per-round
     // checkpointed frontiers: each leaf is already materialized, so
     // re-checkpointing the whole union every round (a full copy of all
@@ -460,10 +470,8 @@ object Graph {
     // exponentially (the kCore hazard this discipline guards against)
     var labParts = Vector(lab)
     var frontier = lab
-    var frontierRows = -1L // unknown for the seed frontier
     var d = 1
-    while (d <= maxDepth &&
-        (if (frontierRows < 0) !frontier.isEmpty else frontierRows > 0)) {
+    while (d <= maxDepth && frontierRows > 0) {
       val fSide = if (hintFrontier) broadcast(frontier) else frontier
       val nbrs = fSide.join(adj, fSide("node") === adj("m"))
         .select(col("x").as("node")).distinct()
@@ -553,10 +561,6 @@ object Graph {
     }
   }
 
-  private def broadcastable(df: DataFrame): Boolean = {
-    val thresh = broadcastThreshold(df)
-    thresh > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
-  }
 
   /** Node id cast to long that FAILS FAST on non-numeric ids: a string
    *  id casts to null, and `collect_list` would silently drop it —
@@ -781,8 +785,10 @@ object Graph {
     // cache + broadcast rank-and-wsum side (zero per-iteration exchange)
     // when the rank vector is broadcastable; otherwise the original
     // shape, per-src weight total as a window sum over the
-    // src-partitioned cache
-    val bcast = broadcastable(nodes.select(col(idCol)))
+    // src-partitioned cache. Gated on the exact node count (see
+    // pageRankFp)
+    val bcThresh = broadcastThreshold(nodes)
+    val bcast = bcThresh > 0 && n * 32L <= bcThresh
     val e =
       if (bcast) edges.select(col("src"), col("dst"),
           col(weightCol).cast("long").as("w"))
@@ -1056,10 +1062,20 @@ object Graph {
     // Either way: one 2|E| exchange at setup vs one or two per round.
     // The materialization runs with AQE off ([[matPartitioned]]) so the
     // checkpointed RDD RECORDS the hash partitioning.
-    val bcastRegime = broadcastable(labelsFrame)
+    //
+    // The regime gate uses the EXACT node count of the just-materialized
+    // label vector (one cheap job over its blocks) times a conservative
+    // 32 bytes/row, not the optimizer's estimate: the plan estimate of
+    // an 8-byte projection overestimates 3-5x and mis-filed the bench's
+    // x10 probe (200k nodes ~ 6 MB of broadcast) into the SMJ regime,
+    // putting the per-round exchanges back at exactly the scale the
+    // probe measures. At true cluster scale the count is billions and
+    // the gate still flips to SMJ.
+    var matLabels = mat(labelsFrame)
+    val bcThresh = broadcastThreshold(labelsFrame)
+    val bcastRegime = bcThresh > 0 && matLabels.count() * 32L <= bcThresh
     val adjKey = if (bcastRegime) "m" else "x"
     val adj = matPartitioned(mat, symmetric(canon).repartition(col(adjKey)))
-    var matLabels = mat(labelsFrame)
     var labels = matLabels
     var r = 0
     var converged = false
